@@ -1,0 +1,147 @@
+"""Flink-builtin compatibility: the functions the reference's models call
+that Spark spells differently (SURVEY §2.8). All are expression-level
+rewrites to Spark built-ins — JVM-side, codegen-friendly, no Python UDFs.
+
+- ``TO_TIMESTAMP_LTZ(epoch_millis, 3)`` (``events_count.sql:22-23``)
+  → ``timestamp_millis(epoch_millis)``
+- ``TO_TIMESTAMP(str, fmt)`` (``http_events.sql:23``) — Flink uses Java
+  SimpleDateFormat-style patterns; Spark's DateTimeFormatter patterns agree on
+  the subset the reference uses (yyyy/MM/dd/HH/mm/ss + ``'T'`` literals), so
+  translation is validation + passthrough.
+- ``datenow()`` (``dbt/adapters/decodable/impl.py:143-148`` — the adapter's
+  canonical current-date macro) → ``current_date()``
+- ``CHAR_LENGTH`` (``tests/functional/adapter/simple/fixtures.py:27``) is
+  native in Spark SQL already.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, SparkSession, functions as F
+
+# Pattern letters shared (same meaning) by Flink's SimpleDateFormat-style and
+# Spark's DateTimeFormatter-style datetime patterns.
+_SHARED_PATTERN_LETTERS = set("yMdHmsSa")
+
+
+def translate_timestamp_format(fmt: str) -> str:
+    """Flink (Java SimpleDateFormat) → Spark (DateTimeFormatter) pattern.
+
+    The reference's only observed pattern is
+    ``yyyy-MM-dd'T'HH:mm:ss'Z'`` (``http_events.sql:23`` after SQL-literal
+    unquoting); its letters mean the same in both dialects. Anything using
+    letters outside the shared subset is rejected loudly rather than silently
+    mis-parsing.
+    """
+    in_quote = False
+    for ch in fmt:
+        if ch == "'":
+            in_quote = not in_quote
+            continue
+        if in_quote or not ch.isalpha():
+            continue
+        if ch not in _SHARED_PATTERN_LETTERS:
+            raise ValueError(
+                f"timestamp format letter {ch!r} in {fmt!r} has different semantics "
+                "between Flink and Spark; translate explicitly"
+            )
+    return fmt
+
+
+def to_timestamp_ltz(col: Column | str, precision: int = 3) -> Column:
+    """``TO_TIMESTAMP_LTZ(x, p)``: epoch millis (p=3) / seconds (p=0) → timestamp."""
+    c = F.col(col) if isinstance(col, str) else col
+    if precision == 3:
+        return F.timestamp_millis(c.cast("long"))
+    if precision == 0:
+        return F.timestamp_seconds(c.cast("long"))
+    if precision == 6:
+        return F.timestamp_micros(c.cast("long"))
+    raise ValueError(f"unsupported TO_TIMESTAMP_LTZ precision {precision}")
+
+
+def flink_to_timestamp(col: Column | str, fmt: str | None = None) -> Column:
+    """``TO_TIMESTAMP(str[, fmt])`` with Flink-style format translation."""
+    c = F.col(col) if isinstance(col, str) else col
+    if fmt is None:
+        return F.to_timestamp(c)
+    return F.to_timestamp(c, translate_timestamp_format(fmt))
+
+
+# --- SQL-string-level rewrites (used by the dialect shim) -------------------
+
+_TO_TS_LTZ_RE = re.compile(r"\bTO_TIMESTAMP_LTZ\s*\(", re.IGNORECASE)
+_DATENOW_RE = re.compile(r"\bdatenow\s*\(\s*\)", re.IGNORECASE)
+
+
+def rewrite_function_calls(sql: str) -> str:
+    """Rewrite Flink function spellings inside a SQL string to Spark ones.
+
+    ``TO_TIMESTAMP_LTZ(x, 3)`` → ``timestamp_millis(CAST(x AS BIGINT))`` is
+    handled by argument-aware substitution; ``datenow()`` → ``current_date()``.
+    """
+    sql = _DATENOW_RE.sub("current_date()", sql)
+
+    out: list[str] = []
+    pos = 0
+    for m in _TO_TS_LTZ_RE.finditer(sql):
+        out.append(sql[pos : m.start()])
+        args, end = _read_args(sql, m.end())
+        if len(args) == 1 or (len(args) == 2 and args[1].strip() == "3"):
+            out.append(f"timestamp_millis(CAST({args[0].strip()} AS BIGINT))")
+        elif len(args) == 2 and args[1].strip() == "0":
+            out.append(f"timestamp_seconds(CAST({args[0].strip()} AS BIGINT))")
+        else:
+            raise ValueError(f"unsupported TO_TIMESTAMP_LTZ call: {sql[m.start():end]}")
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _read_args(sql: str, start: int) -> tuple[list[str], int]:
+    """Split the argument list starting just after ``(``; returns (args, index
+    one past the closing paren). Handles nested parens and string literals."""
+    depth = 1
+    args: list[str] = []
+    cur: list[str] = []
+    i = start
+    while i < len(sql):
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < len(sql):
+                if sql[j] == "'" and not (j + 1 < len(sql) and sql[j + 1] == "'"):
+                    break
+                j += 2 if sql[j] == "'" else 1
+            cur.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                args.append("".join(cur))
+                return args, i + 1
+        elif ch == "," and depth == 1:
+            args.append("".join(cur))
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    raise ValueError(f"unbalanced parentheses in SQL: {sql[start:]!r}")
+
+
+def register_flink_functions(spark: SparkSession) -> None:
+    """Make Flink spellings callable from ``spark.sql`` directly.
+
+    ``CHAR_LENGTH`` is Spark-native. ``TO_TIMESTAMP_LTZ``/``datenow``/``grok``
+    are handled by the dialect shim's string rewrites (keeping them JVM
+    expressions); nothing needs a Python UDF.
+    """
+    # No-op today: every compat function is an expression rewrite, which the
+    # dialect shim applies before parsing. Kept as the registration hook for
+    # future true UDFs.
+    return None

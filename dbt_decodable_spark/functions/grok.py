@@ -1,0 +1,111 @@
+"""``grok(value, pattern)`` — the Decodable platform builtin used by the
+reference's example models (``http_events.sql:42-45``,
+``http_events_bytes_sent.sql:18-21``), which parse an Envoy access-log line
+into a ``MAP<STRING, STRING>``.
+
+Spark-first design (SURVEY §7.5): compile the grok pattern *once* on the
+driver into a plain regex + ordered field-name list, then evaluate as native
+``regexp_extract`` expressions (JVM, whole-stage codegen) — one expression per
+extracted field, assembled into a map with ``F.create_map`` when map-shaped
+output is needed. No Python UDF anywhere, so the hot path stays vectorized at
+100 TB.
+
+The bundled pattern library is the public grok pattern subset the example
+project needs (TIMESTAMP_ISO8601, DATA, NUMBER, INT, WORD, NOTSPACE, ...),
+written against Java-regex/RE2-compatible syntax (no backrefs/lookaheads) so
+the same compiled regex runs in Spark and in a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, functions as F
+
+# Public grok base patterns (subset; non-capturing groups only so compiled
+# group numbering stays stable).
+GROK_PATTERNS: dict[str, str] = {
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "QUOTEDSTRING": r"\"[^\"]*\"",
+    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "IPORHOST": r"(?:\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}|[0-9A-Za-z][0-9A-Za-z\-\.]*)",
+    "HOSTPORT": r"(?:\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}|[0-9A-Za-z][0-9A-Za-z\-\.]*):\d+",
+    "YEAR": r"\d{4}",
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "MONTHDAY": r"(?:0?[1-9]|[12]\d|3[01])",
+    "HOUR": r"(?:[01]?\d|2[0-3])",
+    "MINUTE": r"[0-5]\d",
+    "SECOND": r"(?:[0-5]?\d)(?:\.\d+)?",
+    "TIME": r"(?:[01]?\d|2[0-3]):[0-5]\d:(?:[0-5]?\d)(?:\.\d+)?",
+    "TIMESTAMP_ISO8601": (
+        r"\d{4}-(?:0?[1-9]|1[0-2])-(?:0?[1-9]|[12]\d|3[01])"
+        r"[T ](?:[01]?\d|2[0-3]):?[0-5]\d(?::?(?:[0-5]?\d)(?:\.\d+)?)?"
+        r"(?:Z|[+-](?:[01]?\d|2[0-3])(?::?[0-5]\d)?)?"
+    ),
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|WARN|ERROR|FATAL)",
+    "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+
+
+class GrokError(ValueError):
+    pass
+
+
+def compile_pattern(pattern: str) -> tuple[str, list[str]]:
+    """Compile a grok pattern into ``(regex, field_names)``.
+
+    Fields come out as *plain* capturing groups in order — field ``i`` is
+    regex group ``i + 1`` — so the identical regex string works with Spark's
+    ``regexp_extract(col, regex, i+1)`` and any other POSIX-regex engine.
+    Unnamed references (``%{INT}``) are inlined without a capture group.
+    """
+    names: list[str] = []
+
+    def sub(m: re.Match) -> str:
+        pat_name, field = m.group(1), m.group(2)
+        try:
+            base = GROK_PATTERNS[pat_name]
+        except KeyError:
+            raise GrokError(f"unknown grok pattern %{{{pat_name}}}") from None
+        if field is None:
+            return f"(?:{base})"
+        names.append(field)
+        return f"({base})"
+
+    regex = _GROK_REF.sub(sub, pattern)
+    # verify it compiles and group count matches
+    compiled = re.compile(regex)
+    if compiled.groups != len(names):
+        raise GrokError(
+            f"pattern contains raw capturing groups; use non-capturing (?:...): {pattern!r}"
+        )
+    return regex, names
+
+
+def grok_columns(col: Column | str, pattern: str) -> dict[str, Column]:
+    """Extract each grok field as its own StringType column (the fast shape —
+    downstream projections prune unused fields at the scan)."""
+    regex, names = compile_pattern(pattern)
+    c = F.col(col) if isinstance(col, str) else col
+    return {name: F.regexp_extract(c, regex, i + 1) for i, name in enumerate(names)}
+
+
+def grok_map(col: Column | str, pattern: str) -> Column:
+    """``grok()`` proper: MAP<STRING, STRING> of field → extracted text, NULL
+    when the line doesn't match (platform semantics)."""
+    regex, names = compile_pattern(pattern)
+    c = F.col(col) if isinstance(col, str) else col
+    pairs: list[Column] = []
+    for i, name in enumerate(names):
+        pairs.append(F.lit(name))
+        pairs.append(F.regexp_extract(c, regex, i + 1))
+    return F.when(c.rlike(regex), F.create_map(*pairs))

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (SURVEY §2.12).
+
+- **Brute-force cosine top-k** — the exact baseline: query-set × corpus join,
+  dot product via ``F.zip_with`` + ``F.aggregate`` (JVM higher-order
+  functions, no Python), ranked with a window. Corpus side stays distributed;
+  the query side is broadcast.
+- **LSH-bucketed (random-hyperplane) ANN** — the 100 TB path: sign-bit
+  sketches from deterministic hyperplanes bucket the corpus; candidates are
+  bucket-joined then exactly re-ranked. Recall < 1 by construction; the
+  deterministic hyperplanes (seeded per-dimension constants, no RNG at
+  runtime) make results reproducible.
+- **IVF-style partition pruning** — assign each vector to the nearest of k
+  deterministic centroids; a query probes only its centroid's partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def _to_double_array(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — deterministic summation order."""
+    return F.aggregate(
+        F.zip_with(_to_double_array(a), _to_double_array(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_to_double_array(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cos_sim).
+
+    The query side is broadcast (it's small by definition); ranking ties break
+    on neighbor id so output is deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --- deterministic random-hyperplane LSH -----------------------------------
+
+
+def _hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from a seeded LCG
+    (no numpy at runtime on executors; constants are computed driver-side)."""
+    vals: list[float] = []
+    state = (seed * 6364136223846793005 + 1442695040888963407) & (2**64 - 1)
+    for _ in range(dim):
+        state = (state * 6364136223846793005 + 1442695040888963407) & (2**64 - 1)
+        # map to [-1, 1)
+        vals.append((state >> 11) / float(2**53) * 2.0 - 1.0)
+    return vals
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Sign-bit sketch: n_planes-bit integer bucket id."""
+    out = F.lit(0).cast("long")
+    dvec = _to_double_array(vec)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, seed=p + 1)])
+        proj = F.aggregate(
+            F.zip_with(dvec, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        out = out + F.when(proj > 0, F.lit(1 << p)).otherwise(0).cast("long")
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """ANN top-k: bucket-join on the hyperplane sketch, exact re-rank inside
+    the bucket. At 100 TB the corpus is pre-bucketed and bucket-partitioned,
+    so a query touches ~corpus/2^n_planes vectors."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF list). ``centroids``:
+    (centroid_id, centroid_vec) — broadcast; one pass over the corpus."""
+    scored = corpus.join(F.broadcast(centroids)).withColumn(
+        "sim", cosine(F.col(vec_col), F.col("centroid_vec"))
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )

@@ -1,0 +1,291 @@
+"""[X] driver-mandated extension queries (SURVEY §2.12): dedup family,
+similarity search, text analysis, multimodal plumbing — each over the
+``documents`` / ``embeddings`` tables with a DuckDB oracle where the
+semantics are SQL-expressible (md5-keyed hashing makes even MinHash
+oracle-able); approximate/structural ops register oracle=None → rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dbt_decodable_spark.operators import dedup, similarity, text
+from dbt_decodable_spark.queries import register
+from dbt_decodable_spark.sources.tables import read_table
+
+# DuckDB equivalents of the shared normalizations (kept in lockstep with
+# operators/dedup.py — both sides lower, collapse whitespace, split on ' ')
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents
+        GROUP BY md5({_NORM})
+    """,
+    doc="§2.12 exact dedup: hash-groupBy on normalized text, min-id representative",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "text", "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sh AS (
+            SELECT DISTINCT id, shingle FROM (
+                SELECT doc_id AS id,
+                       unnest(list_transform(
+                           generate_series(1, len(toks) - 2),
+                           i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+                FROM base
+            )
+        ),
+        sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               n_inter / (sa.n + sb.n - n_inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.2
+    """,
+    doc="§2.12 n-gram Jaccard near-dup: shingle inverted index, exact Jaccard "
+    "(bucket-local quadratic only — the scalable exact method)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.shingle_pairs_jaccard(d, "doc_id", "text", n=3, threshold=0.2)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sh AS (
+            SELECT DISTINCT id, shingle FROM (
+                SELECT doc_id AS id,
+                       unnest(list_transform(
+                           generate_series(1, len(toks) - 2),
+                           i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+                FROM base
+            )
+        ),
+        sig AS (
+            SELECT id, band, min(md5(CAST(band AS VARCHAR) || '#' || shingle)) AS minhash
+            FROM sh, (SELECT unnest(range(6)) AS band)
+            GROUP BY id, band
+        )
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.minhash = b.minhash AND a.id < b.id
+    """,
+    doc="§2.12 MinHash-LSH candidate pairs: 6 md5-keyed min-hashes, "
+    "band-bucket join (deterministic, so even the LSH step is oracle-able)",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(d, "doc_id", "text", n=3, num_hashes=6)
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # 32-bit conv/bit arithmetic isn't portable DuckDB SQL → rows-only
+    doc="§2.12 SimHash fingerprint groups (sign-of-weighted-bits, JVM bit ops)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fingerprint", dedup.simhash("text", bits=16))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+@register(
+    "similarity_bruteforce_topk",
+    oracle="""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.q_vec, c.embedding) AS cos_sim
+            FROM embeddings c, q WHERE c.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+                   ) AS rank
+            FROM scored
+        ) t WHERE rank <= 5
+    """,
+    doc="§2.12 brute-force cosine top-k (exact ANN baseline); rank-only output "
+    "so float formula differences between engines can't flip the hash",
+)
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(e, q, k=5).select("query_id", "neighbor_id", "rank")
+
+
+@register(
+    "similarity_lsh_topk",
+    oracle=None,  # bucketing recall is algorithm-specific → rows-only
+    doc="§2.12 LSH-bucketed ANN top-k (random-hyperplane sketch, bucket join, "
+    "exact re-rank — the 100 TB scale path)",
+)
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk(e, q, dim=64, k=5, n_planes=6).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+@register(
+    "similarity_threshold_join",
+    oracle="""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4
+    """,
+    doc="§2.12 embedding-cosine near-dup pairs (threshold self-join)",
+)
+def similarity_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(similarity.cosine(F.col("va"), F.col("vb")) > 0.4)
+        .select("id_a", "id_b")
+    )
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                   AS bpe_tokens
+        FROM documents
+    """,
+    doc="§2.12 token counting: whitespace + BPE-ish regex",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.whitespace_token_count("text").alias("ws_tokens"),
+        text.bpe_token_count("text").alias("bpe_tokens"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, text, {_TOKS} AS toks,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+        )
+        SELECT doc_id, n_chars,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               len(list_filter(toks, x -> list_contains(
+                   ['the','a','of','and','is','el','la','de','que','es',
+                    'der','die','das','und','ist','le','et','est'], x)))
+                   / len(toks) AS stopword_ratio
+        FROM t
+    """,
+    doc="§2.12 quality signals: char/token counts + stopword ratio "
+    "(deterministic integer-derived ratios)",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    m = text.quality_metrics("text")
+    return d.select(
+        "doc_id",
+        m["n_chars"].alias("n_chars"),
+        m["n_tokens"].alias("n_tokens"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_langid",
+    oracle="""
+        WITH scores AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                       x -> list_contains(['the','a','of','and','is'], x))) AS s_en,
+                   len(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                       x -> list_contains(['el','la','de','que','es'], x))) AS s_es,
+                   len(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                       x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+                   len(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                       x -> list_contains(['le','la','de','et','est'], x))) AS s_fr
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE
+                 WHEN s_fr > greatest(s_en, s_es, s_de, 0) THEN 'fr'
+                 WHEN s_de > greatest(s_en, s_es, 0) THEN 'de'
+                 WHEN s_es > greatest(s_en, 0) THEN 'es'
+                 WHEN s_en > 0 THEN 'en'
+                 ELSE 'und'
+               END AS pred_lang
+        FROM scores
+    """,
+    doc="§2.12 language ID: marker-token argmax (later language wins ties "
+    "above zero — mirrors the sequential when-chain in operators/text.py)",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", text.lang_id("text").alias("pred_lang"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+        FROM documents
+    """,
+    doc="§2.12 document fingerprint: md5 over sorted distinct tokens",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+               'text/plain' AS mime,
+               CAST(n_chars % 512 AS INT) AS fake_width,
+               CAST(n_chars % 384 AS INT) AS fake_height
+        FROM documents
+    """,
+    doc="§2.12 multimodal column plumbing: binary payload + typed metadata; "
+    "decode is stubbed deterministically (see operators/multimodal.py)",
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.operators.multimodal import attach_binary_payload, fake_decode_meta
+
+    d = read_table(spark, sf_dir, "documents")
+    with_bin = attach_binary_payload(d, "text")
+    return fake_decode_meta(with_bin).select(
+        "doc_id", "n_bytes", "mime", "fake_width", "fake_height"
+    )

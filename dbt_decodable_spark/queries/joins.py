@@ -1,0 +1,189 @@
+"""Joins (SURVEY §2.3): inner/left/right/full equi-joins, semi/anti, theta,
+as-of. The reference reaches joins through the Flink SQL platform surface and
+dbt ``relationships`` tests (``macros/materializations/test/test.sql:62-72``);
+our engine maps them to Spark joins and lets Catalyst pick the physical
+strategy (broadcast for the small dims here — region/nation/supplier are
+classic broadcast sides; at 100 TB lineitem⋈orders stays a shuffle join on
+the join key with AQE skew splitting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dbt_decodable_spark.queries import register
+from dbt_decodable_spark.sources.tables import read_table
+
+
+@register(
+    "join_inner",
+    oracle="""
+        SELECT n_name,
+               count(*) AS n_customers,
+               SUM(CAST(c_acctbal AS DECIMAL(28, 10))) AS total_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    doc="§2.3 inner equi-join; nation is broadcast (25 rows)",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(28,10)")).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    """,
+    doc="§2.3 left outer join (customers with zero orders kept)",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+        SELECT n_nationkey, r_regionkey
+        FROM (SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey < 10) n
+        FULL JOIN (SELECT r_regionkey FROM region WHERE r_regionkey > 1) r
+          ON n.n_regionkey = r.r_regionkey
+    """,
+    doc="§2.3 full outer join with unmatched rows on both sides",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = read_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 10)
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_regionkey") > 1)
+    return (
+        n.select("n_nationkey", "n_regionkey")
+        .join(r.select("r_regionkey"), F.col("n_regionkey") == F.col("r_regionkey"), "full")
+        .select("n_nationkey", "r_regionkey")
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000
+        )
+    """,
+    doc="§2.3 left semi join (EXISTS)",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="§2.3 left anti join (NOT EXISTS — dbt relationships-test shape)",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_theta",
+    oracle="""
+        SELECT r_regionkey, count(*) AS n_bigger
+        FROM region JOIN nation ON n_regionkey > r_regionkey
+        GROUP BY r_regionkey
+    """,
+    doc="§2.3 theta (non-equi) join → BroadcastNestedLoopJoin on the small side",
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = read_table(spark, sf_dir, "region")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        r.join(n, n.n_regionkey > r.r_regionkey)
+        .groupBy("r_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_bigger"))
+    )
+
+
+@register(
+    "join_three_way",
+    oracle="""
+        SELECT r_name, count(*) AS n_suppliers
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    doc="§2.3 multi-join chain; Catalyst join reordering + broadcast of both dims",
+)
+def join_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+        SELECT e.event_id, max(o.o_orderdate) AS last_order_date
+        FROM events e
+        JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+        GROUP BY e.event_id
+    """,
+    doc="§2.3 as-of join (latest order at event time) — equi-key shuffle join + "
+    "max-aggregate; the scalable alternative to FOR SYSTEM_TIME AS OF (SURVEY §7.6)",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
+        .groupBy("event_id")
+        .agg(F.max("o_orderdate").alias("last_order_date"))
+    )
+
+
+@register(
+    "join_lookup_broadcast",
+    oracle="""
+        SELECT o_orderkey, c.c_mktsegment AS segment
+        FROM orders JOIN customer c ON o_custkey = c_custkey
+        WHERE o_totalprice > 250000
+    """,
+    doc="§2.3 lookup join: dimension snapshot broadcast against the fact stream",
+)
+def join_lookup_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    c = read_table(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", F.col("c_mktsegment").alias("segment")
+    )

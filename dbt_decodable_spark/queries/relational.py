@@ -1,0 +1,240 @@
+"""Scans, projections, filters, predicates, sorts/limits, set ops
+(SURVEY §2.1, §2.2, §2.6, §2.7).
+
+Reference surface: projections with aliases + CAST + map access
+(``example_project/.../http_events.sql:22-37``), derived-table subqueries
+(``http_events.sql:38-47``), WHERE/IS NULL via generated test SQL
+(``tests/functional/adapter/simple/fixtures.py:31-38``), ``<>`` dialect rule
+(``dbt/adapters/decodable/impl.py:637-639``), LIMIT threading
+(``macros/materializations/test/test.sql:70``), ORDER BY/set ops via the
+platform SQL surface (Flink SQL, ``README.md:7``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dbt_decodable_spark.queries import register
+from dbt_decodable_spark.sources.tables import read_table
+
+
+@register(
+    "scan_project_filter",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1995-01-01 00:00:00' AND l_quantity > 45
+    """,
+    doc="§2.1 stream scan + §2.2 projection/filter; filter+projection push into the parquet scan",
+)
+def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") < "1995-01-01") & (F.col("l_quantity") > 45)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@register(
+    "projection_cast_alias",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DECIMAL(12, 2)) AS price_dec,
+               CAST(o_orderkey AS VARCHAR) AS key_str,
+               upper(o_orderstatus) AS status_u
+        FROM orders WHERE o_orderkey <= 1000
+    """,
+    doc="§2.2 SELECT aliases + CAST (http_events.sql:22-37)",
+)
+def projection_cast_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.upper("o_orderstatus").alias("status_u"),
+    )
+
+
+@register(
+    "where_predicates",
+    oracle="""
+        SELECT l_orderkey, l_linenumber
+        FROM lineitem
+        WHERE l_returnflag <> 'A'
+          AND l_quantity BETWEEN 10 AND 20
+          AND l_linestatus IN ('O', 'F')
+          AND l_returnflag IS NOT NULL
+    """,
+    doc="§2.2 predicates: <> (impl.py:637-639 dialect rule), BETWEEN, IN, IS NOT NULL",
+)
+def where_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") != "A")
+        & F.col("l_quantity").between(10, 20)
+        & F.col("l_linestatus").isin("O", "F")
+        & F.col("l_returnflag").isNotNull()
+    ).select("l_orderkey", "l_linenumber")
+
+
+@register(
+    "like_predicate",
+    oracle="""
+        SELECT p_partkey, p_name FROM part
+        WHERE p_name LIKE '%gold%' OR p_type LIKE 'SMALL%'
+    """,
+    doc="§2.2 LIKE patterns",
+)
+def like_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").like("%gold%") | F.col("p_type").like("SMALL%")).select(
+        "p_partkey", "p_name"
+    )
+
+
+@register(
+    "derived_table_subquery",
+    oracle="""
+        SELECT status_u, count(*) AS n
+        FROM (
+            SELECT upper(o_orderstatus) AS status_u FROM orders
+            WHERE o_totalprice > 100000
+        ) t
+        GROUP BY status_u
+    """,
+    doc="§2.2 derived-table subquery (http_events.sql:38-47 pattern)",
+)
+def derived_table_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT status_u, count(*) AS n
+        FROM (
+            SELECT upper(o_orderstatus) AS status_u FROM orders
+            WHERE o_totalprice > 100000
+        ) t
+        GROUP BY status_u
+        """
+    )
+
+
+@register(
+    "case_when",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice > 200000 THEN 'big'
+                    WHEN o_totalprice > 100000 THEN 'mid'
+                    ELSE 'small' END AS size_band
+        FROM orders
+    """,
+    doc="§2.2 CASE expression",
+)
+def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("size_band"),
+    )
+
+
+@register(
+    "order_by_limit",
+    oracle="""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+    doc="§2.6 ORDER BY + LIMIT (top-k, deterministic tie-break on unique key)",
+)
+def order_by_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    # TakeOrderedAndProject: per-partition top-k then merge — no full sort/shuffle.
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "union_all",
+    oracle="""
+        SELECT c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey, s_acctbal AS acctbal FROM supplier
+    """,
+    doc="§2.7 UNION ALL",
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    return c.select(
+        F.col("c_nationkey").alias("nationkey"), F.col("c_acctbal").alias("acctbal")
+    ).unionAll(s.select(F.col("s_nationkey").alias("nationkey"), F.col("s_acctbal").alias("acctbal")))
+
+
+@register(
+    "union_distinct",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="§2.7 UNION (distinct)",
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .union(s.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+@register(
+    "intersect_except",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="§2.7 INTERSECT",
+)
+def intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    return c.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        s.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@register(
+    "except_all",
+    oracle="""
+        SELECT n_regionkey AS regionkey FROM nation
+        EXCEPT ALL
+        SELECT r_regionkey AS regionkey FROM region
+    """,
+    doc="§2.7 EXCEPT ALL (multiset difference)",
+)
+def except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    return n.select(F.col("n_regionkey").alias("regionkey")).exceptAll(
+        r.select(F.col("r_regionkey").alias("regionkey"))
+    )
+
+
+@register(
+    "values_inline",
+    oracle="""
+        SELECT * FROM (VALUES ('Adam', 31), ('George', 27), ('Lily', 59)) AS t(name, age)
+    """,
+    doc="§2.1 inline VALUES relation (seed fixture shape, FIXTURES.md §1)",
+)
+def values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql("SELECT * FROM VALUES ('Adam', 31), ('George', 27), ('Lily', 59) AS t(name, age)")

@@ -1,0 +1,368 @@
+"""Scalar functions (SURVEY §2.8): the reference's must-pass set
+(grok, TO_TIMESTAMP/_LTZ, COALESCE, CHAR_LENGTH, CAST, interval arithmetic,
+datenow) plus the platform string/date/math/array/map/json surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dbt_decodable_spark.functions.grok import compile_pattern
+from dbt_decodable_spark.queries import register
+from dbt_decodable_spark.sources.tables import read_table
+
+
+@register(
+    "func_string",
+    oracle="""
+        SELECT c_custkey,
+               upper(c_name) AS name_u,
+               lower(c_mktsegment) AS seg_l,
+               length(c_name) AS name_len,
+               substr(c_name, 1, 8) AS name_pre,
+               concat(c_name, '#', c_mktsegment) AS name_seg,
+               trim(c_name) AS name_trim,
+               replace(c_name, 'Customer', 'Cust') AS name_repl,
+               reverse(c_mktsegment) AS seg_rev
+        FROM customer
+    """,
+    doc="§2.8 string functions: upper/lower/length/substr/concat/trim/replace/reverse",
+)
+def func_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_u"),
+        F.lower("c_mktsegment").alias("seg_l"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_pre"),
+        F.concat_ws("#", "c_name", "c_mktsegment").alias("name_seg"),
+        F.trim("c_name").alias("name_trim"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("name_repl"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+    )
+
+
+@register(
+    "func_char_length_not_null",
+    oracle="""
+        SELECT length(c_name) AS name_length
+        FROM customer WHERE length(c_name) IS NOT NULL
+    """,
+    doc="§2.8 CHAR_LENGTH + not_null test shape (fixtures.py:25-39: "
+    "`select CHAR_LENGTH(name) as name_length from my_seed`)",
+)
+def func_char_length_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("customer")
+    # CHAR_LENGTH is Spark-native; BIGINT-cast to match DuckDB's length type.
+    return spark.sql(
+        "SELECT CAST(CHAR_LENGTH(c_name) AS BIGINT) AS name_length "
+        "FROM customer WHERE CHAR_LENGTH(c_name) IS NOT NULL"
+    )
+
+
+@register(
+    "func_coalesce_nullif",
+    oracle="""
+        SELECT event_id,
+               coalesce(nullif(event_type, 'error'), '__UNKNOWN__') AS etype,
+               coalesce(NULL, event_type, 'x') AS etype2
+        FROM events
+    """,
+    doc="§2.8 COALESCE (events_count.sql:19-20) + NULLIF",
+)
+def func_coalesce_nullif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("__UNKNOWN__")).alias(
+            "etype"
+        ),
+        F.coalesce(F.lit(None), F.col("event_type"), F.lit("x")).alias("etype2"),
+    )
+
+
+@register(
+    "func_math",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               abs(l_discount - 0.05) AS abs_d,
+               round(l_extendedprice, 1) AS round_p,
+               CAST(floor(l_quantity) AS BIGINT) AS floor_q,
+               CAST(ceil(l_quantity / 7) AS BIGINT) AS ceil_q,
+               CAST(power(l_linenumber, 2) AS DOUBLE) AS pow_ln,
+               sqrt(l_quantity) AS sqrt_q,
+               mod(l_orderkey, 7) AS mod_k,
+               CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_d
+        FROM lineitem WHERE l_orderkey <= 200
+    """,
+    doc="§2.8 math functions",
+)
+def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_d"),
+        F.round("l_extendedprice", 1).alias("round_p"),
+        F.floor("l_quantity").alias("floor_q"),
+        F.ceil(F.col("l_quantity") / 7).alias("ceil_q"),
+        F.pow("l_linenumber", 2).alias("pow_ln"),
+        F.sqrt("l_quantity").alias("sqrt_q"),
+        # ln/exp are libm-dependent (last-ulp differs between JVM and C) —
+        # excluded from the oracle surface; sqrt is IEEE-exact so it stays.
+        (F.col("l_orderkey") % 7).alias("mod_k"),
+        F.signum(F.col("l_discount") - 0.05).alias("sign_d"),
+    )
+
+
+@register(
+    "func_datetime",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT) AS y,
+               CAST(month(o_orderdate) AS INT) AS m,
+               CAST(day(o_orderdate) AS INT) AS d,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               o_orderdate + INTERVAL 30 DAY AS due_date,
+               o_orderdate - INTERVAL 1 HOUR AS wm_ts,
+               CAST(o_orderdate AS DATE) AS odate
+        FROM orders WHERE o_orderkey <= 1000
+    """,
+    doc="§2.8 date/time: extract, date_trunc, interval literal arithmetic "
+    "(watermark expression shape, http_events.sql:9)",
+)
+def func_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 1 HOURS")).alias("wm_ts"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+
+
+@register(
+    "func_to_timestamp",
+    oracle="""
+        SELECT o_orderkey,
+               strptime(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S') AS parsed_ts
+        FROM orders WHERE o_orderkey <= 500
+    """,
+    doc="§2.8 TO_TIMESTAMP(str, fmt) with Flink Java-style format "
+    "yyyy-MM-dd'T'HH:mm:ss (http_events.sql:23), round-tripped through a string",
+)
+def func_to_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.functions.flink_compat import translate_timestamp_format
+
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    fmt = translate_timestamp_format("yyyy-MM-dd'T'HH:mm:ss")
+    return o.select(
+        "o_orderkey",
+        F.to_timestamp(F.date_format("o_orderdate", fmt), fmt).alias("parsed_ts"),
+    )
+
+
+@register(
+    "func_timestamp_ltz",
+    oracle="""
+        SELECT event_id,
+               epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_millis,
+               CAST(to_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) / 1000) AS TIMESTAMP) AS ts_rt
+        FROM events WHERE event_id < 300
+    """,
+    doc="§2.8 TO_TIMESTAMP_LTZ(millis, 3) ↔ unix_millis round-trip "
+    "(events_count.sql:22-23)",
+)
+def func_timestamp_ltz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.functions.flink_compat import to_timestamp_ltz
+
+    e = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    millis = F.unix_millis("ts")
+    return e.select(
+        "event_id",
+        millis.alias("ts_millis"),
+        to_timestamp_ltz(millis, 3).alias("ts_rt"),
+    )
+
+
+@register(
+    "func_json",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+               json_extract_string(props, '$.missing') AS missing_val
+        FROM events
+    """,
+    doc="§2.8 JSON access over the events.props column (JSON_VALUE analogue)",
+)
+def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+    )
+
+
+@register(
+    "func_array",
+    oracle="""
+        SELECT vec_id,
+               CAST(len(embedding) AS INT) AS dim,
+               CAST(embedding[1] AS DOUBLE) AS first_elem,
+               CAST(embedding[len(embedding)] AS DOUBLE) AS last_elem
+        FROM embeddings WHERE vec_id < 100
+    """,
+    doc="§2.8 array functions: cardinality + element access (1-based in both "
+    "Flink and DuckDB; Spark element_at is also 1-based)",
+)
+def func_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_elem"),
+        F.element_at("embedding", F.size("embedding")).cast("double").alias("last_elem"),
+    )
+
+
+@register(
+    "func_array_explode",
+    oracle="""
+        SELECT vec_id, CAST(e AS DOUBLE) AS elem
+        FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings WHERE vec_id < 20) t
+    """,
+    doc="§2.8 UNNEST / explode",
+)
+def func_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    return e.select("vec_id", F.explode("embedding").alias("elem")).withColumn(
+        "elem", F.col("elem").cast("double")
+    )
+
+
+@register(
+    "func_map",
+    oracle="""
+        SELECT event_id,
+               'type' AS k1,
+               event_type AS v1,
+               CAST(2 AS BIGINT) AS map_size
+        FROM events WHERE event_id < 100
+    """,
+    doc="§2.8 map construction + element access m['key'] "
+    "(http_events.sql:23-37); map exploded to scalar columns for the oracle",
+)
+def func_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("val"), F.col("value").cast("string")
+    )
+    return e.select(
+        "event_id",
+        F.lit("type").alias("k1"),
+        m["type"].alias("v1"),  # map element access, identical syntax in SQL
+        F.size(m).cast("long").alias("map_size"),
+    )
+
+
+# --- grok -------------------------------------------------------------------
+
+# Envoy-ish access-log grok pattern (http_events.sql:44 subset, over lines we
+# synthesize deterministically from `events` per FIXTURES.md §8).
+ENVOY_GROK = (
+    r"\[%{TIMESTAMP_ISO8601:timestamp}\] "
+    r'"%{WORD:method} %{NOTSPACE:path} %{NOTSPACE:protocol}" '
+    r"%{INT:response_code} - %{INT:bytes_sent} %{INT:user}"
+)
+
+
+def _envoy_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize envoy_raw-style lines from events (FIXTURES.md §8 bridge)."""
+    e = read_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.concat(
+            F.lit("["),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+            F.lit('Z] "'),
+            F.upper("event_type"),
+            F.lit(' /api/v1 HTTP/1.1" 200 - '),
+            F.round(F.col("value") * 100).cast("bigint").cast("string"),
+            F.lit(" "),
+            F.col("user_id").cast("string"),
+        ).alias("line"),
+    )
+
+_ENVOY_LINE_DUCK = (
+    "concat('[', strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S'), 'Z] \"', "
+    "upper(event_type), ' /api/v1 HTTP/1.1\" 200 - ', "
+    "CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), ' ', "
+    "CAST(user_id AS VARCHAR))"
+)
+
+_ENVOY_REGEX, _ENVOY_FIELDS = compile_pattern(ENVOY_GROK)
+
+
+@register(
+    "func_grok",
+    oracle=f"""
+        SELECT event_id,
+               regexp_extract(line, '{_ENVOY_REGEX}', 1) AS ts_str,
+               regexp_extract(line, '{_ENVOY_REGEX}', 2) AS method,
+               regexp_extract(line, '{_ENVOY_REGEX}', 4) AS protocol,
+               CAST(regexp_extract(line, '{_ENVOY_REGEX}', 5) AS INT) AS response_code,
+               CAST(regexp_extract(line, '{_ENVOY_REGEX}', 6) AS INT) AS bytes_sent
+        FROM (SELECT event_id, {_ENVOY_LINE_DUCK} AS line FROM events) t
+        WHERE regexp_matches(line, '{_ENVOY_REGEX}')
+    """,
+    doc="§2.8 grok(value, pattern) → extracted fields, compiled to native "
+    "regexp_extract (http_events.sql:42-45; no Python UDF — SURVEY §7.5)",
+)
+def func_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.functions.grok import grok_map
+
+    lines = _envoy_lines(spark, sf_dir)
+    g = grok_map("line", ENVOY_GROK)
+    # project map entries to columns (CASTs mirror http_events.sql:22-37)
+    return lines.where(g.isNotNull()).select(
+        "event_id",
+        g["timestamp"].alias("ts_str"),
+        g["method"].alias("method"),
+        g["protocol"].alias("protocol"),
+        g["response_code"].cast("int").alias("response_code"),
+        g["bytes_sent"].cast("int").alias("bytes_sent"),
+    )
+
+
+@register(
+    "func_grok_agg",
+    oracle=f"""
+        SELECT method, CAST(SUM(CAST(bytes_sent AS DECIMAL(28, 0))) AS BIGINT) AS total_bytes_sent
+        FROM (
+            SELECT regexp_extract(line, '{_ENVOY_REGEX}', 2) AS method,
+                   CAST(regexp_extract(line, '{_ENVOY_REGEX}', 6) AS INT) AS bytes_sent
+            FROM (SELECT {_ENVOY_LINE_DUCK} AS line FROM events) t
+            WHERE regexp_matches(line, '{_ENVOY_REGEX}')
+        ) g GROUP BY method
+    """,
+    doc="§2.8+§2.4 http_events_bytes_sent.sql:13-23 shape: grok → CAST → "
+    "SUM GROUP BY map-access (the reference's change-stream aggregate)",
+)
+def func_grok_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.functions.grok import grok_map
+
+    lines = _envoy_lines(spark, sf_dir)
+    g = grok_map("line", ENVOY_GROK)
+    return (
+        lines.where(g.isNotNull())
+        .select(g["method"].alias("method"), g["bytes_sent"].cast("int").alias("bytes_sent"))
+        .groupBy("method")
+        .agg(F.sum(F.col("bytes_sent").cast("decimal(28,0)")).cast("bigint").alias("total_bytes_sent"))
+    )

@@ -1,0 +1,167 @@
+"""Streaming operators (SURVEY §2.9) in their batch-equivalent form for the
+correctness oracle: tumbling/hopping/session windows, change-stream last-image
+folding, earliest/latest start positions. True Structured-Streaming execution
+of the same shapes (withWatermark + availableNow previews) is exercised in
+``tests/test_streaming.py`` — semantics match because a bounded streaming run
+with watermarks converges to the batch answer.
+
+Reference: watermark declarations (``decodable/client/schema.py:114-117``),
+change-record folding — keep last ``after`` image per key, null ``after``
+means delete (``dbt/adapters/decodable/handler.py:89-94``), start positions
+``earliest|latest`` (``decodable/client/api.py:22-35``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from dbt_decodable_spark.queries import register
+from dbt_decodable_spark.sources.tables import read_table
+
+
+@register(
+    "stream_tumble_window",
+    oracle="""
+        SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+               event_type,
+               count(*) AS n,
+               SUM(CAST(value AS DECIMAL(28, 10))) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="§2.9 tumbling event-time window (Flink TUMBLE TVF → F.window); "
+    "streaming twin in tests/test_streaming.py",
+)
+def stream_tumble_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("total_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@register(
+    "stream_hop_window",
+    oracle="""
+        WITH slides AS (
+            SELECT CAST(ts AS TIMESTAMP) AS ts, value,
+                   time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS base
+            FROM events
+        )
+        SELECT window_start, count(*) AS n
+        FROM (
+            SELECT base AS window_start, ts FROM slides
+            UNION ALL
+            SELECT base - INTERVAL 30 MINUTE AS window_start, ts FROM slides
+        ) x
+        WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
+        GROUP BY window_start
+    """,
+    doc="§2.9 hopping (sliding) window: 1h size / 30m slide — each row lands "
+    "in size/slide windows (F.window with slideDuration)",
+)
+def stream_hop_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+
+
+@register(
+    "stream_change_fold",
+    oracle="""
+        SELECT user_id, event_type, value AS last_value
+        FROM (
+            SELECT user_id, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        ) t WHERE rn = 1
+    """,
+    doc="§2.9 change-stream folding: last after-image per primary key "
+    "(handler.py:89-94); PK = (user_id, event_type)",
+)
+def stream_change_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.streaming.changelog import fold_last_image
+
+    e = read_table(spark, sf_dir, "events")
+    return fold_last_image(
+        e, keys=["user_id", "event_type"], order=[F.col("ts"), F.col("event_id")]
+    ).select("user_id", "event_type", F.col("value").alias("last_value"))
+
+
+@register(
+    "stream_start_latest",
+    oracle="""
+        SELECT event_id, event_type FROM events
+        WHERE CAST(ts AS TIMESTAMP) > (
+            SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 DAY FROM events
+        )
+    """,
+    doc="§2.1 start positions: `latest` = tail after a position; batch "
+    "emulation reads only the tail (api.py:22-35, client.py:400-418)",
+)
+def stream_start_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    cutoff = e.agg((F.max("ts") - F.expr("INTERVAL 1 DAYS")).alias("c"))
+    return (
+        e.join(F.broadcast(cutoff))
+        .filter(F.col("ts") > F.col("c"))
+        .select("event_id", "event_type")
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CASE WHEN CAST(ts AS TIMESTAMP)
+                             - lag(CAST(ts AS TIMESTAMP), 1, TIMESTAMP '1970-01-01')
+                               OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM marked
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM sess GROUP BY user_id, session_id
+    """,
+    doc="§2.9 session window (30m gap): lag+cumsum sessionization in batch; "
+    "F.session_window in the streaming twin",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    # exact-microsecond gap comparison so the strict > matches DuckDB's
+    # interval comparison bit-for-bit
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us, 1, 0).over(w)
+    marked = e.select(
+        "user_id", "ts", F.when(gap > 30 * 60 * 1_000_000, 1).otherwise(0).alias("new_session")
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

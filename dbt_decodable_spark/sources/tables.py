@@ -1,0 +1,63 @@
+"""Register the driver's parquet test tables as Spark temp views.
+
+These are the stream scans of the engine (reference: ``FROM <stream>`` reads a
+named stream, ``example_project/.../http_events.sql:46``): every query sees
+``region nation customer supplier part orders lineitem events documents
+embeddings`` as relations, exactly the set the DuckDB oracle pre-registers.
+
+Scale note: views are thin wrappers over ``spark.read.parquet`` — Catalyst
+pushes filters/projections into the scan, so at 100 TB the same registration
+works unchanged (parquet footer pruning + predicate pushdown + partition
+pruning if the lake is partitioned).
+
+The ``events`` table needs special care: the driver generated it with
+nanosecond parquet timestamps, which Spark refuses by default
+(PARQUET_TYPE_ILLEGAL). We flip ``spark.sql.legacy.parquet.nanosAsLong`` and
+expose ``ts`` as a proper TimestampType column via integer-division
+``ts div 1000`` → ``timestamp_micros`` (floor truncation, matching DuckDB's
+ns→us behavior). Double division would lose precision at 1.7e18 ns.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table; normalizes the events ns-timestamp column."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns → µs timestamp; integer div keeps full precision.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_testdata(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Register every test table as a temp view; returns name → DataFrame."""
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,68 @@
+"""Change/upsert-stream semantics.
+
+The reference's preview cursor folds a change stream by keeping only the last
+``after`` image per key and treating a null ``after`` as a deletion
+(``dbt/adapters/decodable/handler.py:89-94``); change-stream-ness is declared
+by a ``primary_key`` constraint (``decodable/client/schema.py:109-111``).
+
+Spark-first mapping:
+
+- batch: the fold is a per-key latest-row selection — ``row_number`` over a
+  descending event-order window (single shuffle on the key, fully
+  distributed);
+- micro-batch streaming: ``apply_changes_batch`` gives ``foreachBatch`` MERGE
+  semantics — upsert the last image per key, delete when the after-image is
+  null.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def fold_last_image(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[Column | str],
+    keep_order_cols: bool = True,
+) -> DataFrame:
+    """Keep only the latest row per primary key (handler.py:89-94 fold).
+
+    ``order`` columns define event order ascending; the *last* row wins. The
+    caller should include a unique tie-breaker (e.g. an event id) for
+    determinism.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    w = W.partitionBy(*keys).orderBy(*[c.desc() for c in cols])
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    return out
+
+
+def apply_changes_batch(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[Column | str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE one micro-batch of change records into a target snapshot.
+
+    ``delete_col``: boolean column marking deletions (the null-after-image
+    case of handler.py:92-94). Returns the new snapshot: rows from ``target``
+    whose key is untouched, plus the folded last image of ``changes`` minus
+    deletions. Pure DataFrame ops → usable inside ``foreachBatch`` against any
+    sink, or standalone for batch upserts.
+    """
+    folded = fold_last_image(changes, keys, order)
+    if delete_col is not None:
+        deletes = folded.filter(F.col(delete_col))
+        upserts = folded.filter(~F.col(delete_col)).drop(delete_col)
+        touched = folded.select(*keys).distinct()
+    else:
+        deletes = None
+        upserts = folded
+        touched = folded.select(*keys).distinct()
+    untouched = target.join(touched, on=list(keys), how="left_anti")
+    return untouched.unionByName(upserts.select(*target.columns), allowMissingColumns=False)
