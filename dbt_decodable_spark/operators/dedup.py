@@ -22,6 +22,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def fan_out(df: DataFrame, *cols: str) -> DataFrame:
+    """Spread rows across the cluster before CPU-heavy per-row work.
+
+    Small inputs (one parquet file) arrive as one partition; tokenizing /
+    hashing them would then run on a single core. One round-robin/hash
+    shuffle up front buys full parallelism for everything downstream. At
+    100 TB inputs are already many partitions and this is a cheap no-op-ish
+    rebalance on the id key.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def normalize_text(col: Column | str) -> Column:
     """lower + collapse whitespace — the canonical pre-dedup normalization."""
     c = F.col(col) if isinstance(col, str) else col
@@ -57,7 +70,8 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     representative selection is a map-side partial aggregate.
     """
     return (
-        df.withColumn("__fp", F.md5(normalize_text(text_col)))
+        fan_out(df)
+        .withColumn("__fp", F.md5(normalize_text(text_col)))
         .groupBy("__fp")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
         .drop("__fp")
@@ -73,13 +87,16 @@ def shingle_pairs_jaccard(
     Jaccard = |∩| / (|A| + |B| - |∩|) — computed from exact integers, so the
     double division is bit-identical across engines.
     """
-    sh = df.select(
+    # join on a 64-bit shingle hash, not the string: the shuffle moves 8
+    # bytes per shingle and the join compares longs (collision odds across
+    # distinct shingles are ~n²/2^65 — irrelevant to the result)
+    sh = fan_out(df).select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("shingle")
-    )
+    ).select("id", F.xxhash64("shingle").alias("sh64"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.sh64") == F.col("b.sh64")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -100,22 +117,30 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 6
 ) -> DataFrame:
     """k deterministic min-hashes per document: hash_i(doc) = min over
-    shingles of md5(i || shingle). Returns (id, band, minhash)."""
-    sh = df.select(
+    shingles of md5(i || shingle). Returns (id, band, minhash).
+
+    Single pass: shingles are computed once and each shingle row emits its
+    ``num_hashes`` (band, hash) pairs via one inline explode — k× cheaper
+    than unioning per-band scans, and the min() is a map-side partial
+    aggregate before the one shuffle on (id, band).
+    """
+    sh = fan_out(df).select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("shingle")
     )
-    per_band = [
-        sh.select(
-            "id",
-            F.lit(i).alias("band"),
-            F.md5(F.concat(F.lit(str(i) + "#"), F.col("shingle"))).alias("h"),
-        )
-        for i in range(num_hashes)
-    ]
-    allb = per_band[0]
-    for p in per_band[1:]:
-        allb = allb.unionByName(p)
-    return allb.groupBy("id", "band").agg(F.min("h").alias("minhash"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.md5(F.concat(F.lit(str(i) + "#"), F.col("shingle"))).alias("h"),
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return (
+        sh.select("id", F.explode(bands).alias("bh"))
+        .groupBy("id", F.col("bh.band").alias("band"))
+        .agg(F.min("bh.h").alias("minhash"))
+    )
 
 
 def minhash_lsh_candidates(
@@ -139,19 +164,22 @@ def minhash_lsh_candidates(
 
 def simhash(col: Column | str, bits: int = 32) -> Column:
     """SimHash fingerprint: per token take md5 bits, sum ±1 per bit position,
-    keep the sign bit. Pure JVM expressions (conv + bit ops)."""
-    toks = tokens(col)
-    # token → 32-bit int from md5 prefix (conv hex→dec, JVM-side)
-    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")  # noqa: E731
+    keep the sign bit. Pure JVM expressions (conv + bit ops).
+
+    Token hashes are materialized once into an array column, then each bit
+    aggregates over the longs — one md5 per token rather than one per
+    (token × bit)."""
+    # token → 32-bit int from md5 prefix (conv hex→dec, JVM-side), computed once
+    hashes = F.transform(
+        tokens(col), lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
     out = F.lit(0).cast("long")
     for b in range(bits):
         mask = 1 << b
-        # sum over tokens of +1/-1 for this bit
         contrib = F.aggregate(
-            toks,
+            hashes,
             F.lit(0),
-            lambda acc, t: acc
-            + F.when(tok_hash(t).bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
         )
         out = out + F.when(contrib > 0, F.lit(mask)).otherwise(0).cast("long")
     return out

@@ -103,7 +103,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="§2.12 SimHash fingerprint groups (sign-of-weighted-bits, JVM bit ops)",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    d = dedup.fan_out(read_table(spark, sf_dir, "documents"))
     return (
         d.withColumn("fingerprint", dedup.simhash("text", bits=16))
         .groupBy("fingerprint")
@@ -162,12 +162,14 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # all-pairs via the vectorized numpy scorer: one side rides in the
+    # closure (broadcast-sized at test scale; at 100 TB both sides are
+    # LSH-blocked first — see similarity.lsh_topk)
+    q_local = [(r[0], list(r[1])) for r in e.select("vec_id", "embedding").collect()]
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(similarity.cosine(F.col("va"), F.col("vb")) > 0.4)
-        .select("id_a", "id_b")
+        similarity.score_pairs_numpy(e, q_local)
+        .filter((F.col("neighbor_id") < F.col("query_id")) & (F.col("cos_sim") > 0.4))
+        .select(F.col("neighbor_id").alias("id_a"), F.col("query_id").alias("id_b"))
     )
 
 
