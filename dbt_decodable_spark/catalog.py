@@ -1,0 +1,404 @@
+"""Engine catalog: streams, pipelines, and the declarative lifecycle — the
+Spark-native analogue of the reference's adapter + control plane
+(``dbt/adapters/decodable/impl.py:197-660``, ``decodable/client/client.py``).
+
+Entity model (SURVEY §1.1):
+
+- **stream** — named relation with a :class:`StreamSchema`; materialized as a
+  Spark view (in-memory) or parquet table (``warehouse_dir`` set). Streams
+  are the only relation kind (``impl.py:366-380``).
+- **pipeline** — ``INSERT INTO <sink> <select>`` transformation
+  (``impl.py:690-692``); activating it runs the insert (batch) or starts a
+  StreamingQuery (streaming layer).
+- namespace prefixing: every entity name gets ``<namespace>__``
+  (``dbt/include/decodable/macros/adapters.sql:17-28``).
+
+Lifecycle semantics mirrored file:line by file:line:
+
+- ``apply`` + dry-run diff → per-resource result ∈ {created, updated,
+  unchanged} (``client.py:510-529``, ``impl.py:402-417``),
+- cascade drop: deactivate+delete the stream's pipeline, then recursively
+  delete pipelines *sourcing from* the stream, then the stream itself
+  (``impl.py:197-257``),
+- rename: rename stream + pipeline and rewrite ``INSERT INTO``/``FROM``
+  references in dependent pipeline SQL (``impl.py:277-352, 694-701``) — done
+  here at the catalog level, not by string replace,
+- truncate: keep schema, drop rows (``impl.py:259-275``),
+- run-operations: ``stop_pipelines``, ``delete_pipelines``,
+  ``delete_streams``, ``cleanup``, ``count_resources``
+  (``dbt/include/decodable/macros/operations.sql:17-127``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import shutil
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dbt_decodable_spark.dialect import normalize
+from dbt_decodable_spark.schema import StreamSchema
+
+
+class CatalogError(ValueError):
+    pass
+
+
+@dataclass
+class StreamDef:
+    name: str
+    schema: StreamSchema
+    path: str | None = None  # parquet-backed when warehouse_dir is set
+    properties: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class PipelineDef:
+    name: str
+    sql: str  # the SELECT (normalized)
+    sink: str  # sink stream name
+    sources: tuple[str, ...] = ()  # input stream names (resolved from the plan)
+    active: bool = False
+    fingerprint: str = ""
+
+
+def _fingerprint(sql: str, schema_dict: dict[str, Any] | None) -> str:
+    payload = json.dumps({"sql": sql, "schema": schema_dict}, sort_keys=True)
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+class Engine:
+    """One engine instance = one namespace over one SparkSession."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        namespace: str = "",
+        warehouse_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.namespace = namespace
+        self.warehouse_dir = warehouse_dir
+        self.streams: dict[str, StreamDef] = {}
+        self.pipelines: dict[str, PipelineDef] = {}
+
+    # -- naming -------------------------------------------------------------
+
+    def qualify(self, name: str) -> str:
+        """``<namespace>__<name>`` prefixing (adapters.sql:17-28)."""
+        if self.namespace and not name.startswith(self.namespace + "__"):
+            return f"{self.namespace}__{name}"
+        return name
+
+    # -- stream lifecycle ---------------------------------------------------
+
+    def create_stream(
+        self,
+        name: str,
+        schema: StreamSchema | None = None,
+        data: DataFrame | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> StreamDef:
+        """Create (or replace) a stream from a schema, a DataFrame, or both.
+
+        Computed fields are applied to the data; the registered relation
+        always reflects the full schema.
+        """
+        name = self.qualify(name)
+        if data is None and schema is None:
+            raise CatalogError(f"stream {name!r} needs a schema or data")
+        if data is None:
+            assert schema is not None
+            data = self.spark.createDataFrame([], schema.to_struct_type())
+        if schema is None:
+            schema = StreamSchema.from_spark(data.schema)
+        data = schema.apply_computed_fields(data)
+        sdef = StreamDef(name=name, schema=schema, properties=dict(properties or {}))
+        self._materialize(sdef, data)
+        self.streams[name] = sdef
+        return sdef
+
+    def _materialize(self, sdef: StreamDef, data: DataFrame) -> None:
+        if self.warehouse_dir:
+            path = os.path.join(self.warehouse_dir, sdef.name)
+            data.write.mode("overwrite").parquet(path)
+            sdef.path = path
+            self.spark.read.parquet(path).createOrReplaceTempView(sdef.name)
+        else:
+            data.createOrReplaceTempView(sdef.name)
+
+    def get_stream(self, name: str) -> StreamDef:
+        name = self.qualify(name)
+        try:
+            return self.streams[name]
+        except KeyError:
+            raise CatalogError(f"no such stream: {name}") from None
+
+    def read_stream(self, name: str) -> DataFrame:
+        return self.spark.table(self.get_stream(name).name)
+
+    def list_streams(self) -> list[str]:
+        """list_relations_without_caching (impl.py:366-380)."""
+        return sorted(self.streams)
+
+    def get_columns(self, name: str) -> list[tuple[str, str]]:
+        """get_columns_in_relation (impl.py:382-400): (name, flink type)."""
+        sdef = self.get_stream(name)
+        return [
+            (f.name, f.type or "")
+            for f in sdef.schema.fields
+            if f.kind in ("physical", "metadata")
+        ]
+
+    def truncate_stream(self, name: str) -> None:
+        """Clear data, keep schema (impl.py:259-275)."""
+        sdef = self.get_stream(name)
+        empty = self.spark.createDataFrame([], self.read_stream(name).schema)
+        self._materialize(sdef, empty)
+
+    def drop_stream(self, name: str, cascade: bool = True) -> list[str]:
+        """Cascade drop per impl.py:197-257; returns every entity dropped."""
+        name = self.qualify(name)
+        if name not in self.streams:
+            return []
+        dropped: list[str] = []
+        # 1. pipeline writing this stream
+        writer = self._pipeline_writing(name)
+        if writer:
+            self.delete_pipeline(writer.name)
+            dropped.append(f"pipeline:{writer.name}")
+        # 2. pipelines sourcing from this stream → recursively drop their sinks
+        if cascade:
+            for p in list(self.pipelines.values()):
+                if name in p.sources:
+                    self.delete_pipeline(p.name)
+                    dropped.append(f"pipeline:{p.name}")
+                    if p.sink in self.streams and p.sink != name:
+                        dropped.extend(self.drop_stream(p.sink, cascade=True))
+        # 3. the stream itself
+        self.spark.catalog.dropTempView(name)
+        sdef = self.streams.pop(name)
+        if sdef.path and os.path.isdir(sdef.path):
+            shutil.rmtree(sdef.path, ignore_errors=True)
+        dropped.append(f"stream:{name}")
+        return dropped
+
+    def rename_stream(self, old: str, new: str) -> None:
+        """Rename stream + its writer pipeline; re-point dependent pipelines
+        (impl.py:277-352). Plan-level: dependent SQL is re-resolved against
+        the catalog, replacing the reference's string replace
+        (impl.py:694-701)."""
+        old, new = self.qualify(old), self.qualify(new)
+        sdef = self.get_stream(old)
+        if new in self.streams:
+            raise CatalogError(f"stream {new!r} already exists")
+        data = self.read_stream(old)
+        self.streams[new] = StreamDef(
+            name=new, schema=sdef.schema, properties=sdef.properties
+        )
+        self._materialize(self.streams[new], data)
+        # writer pipeline follows the stream name (reference renames it too)
+        writer = self._pipeline_writing(old)
+        if writer:
+            del self.pipelines[writer.name]
+            nn = new if writer.name == old else writer.name
+            self.pipelines[nn] = PipelineDef(
+                name=nn,
+                sql=self._retarget_sql(writer.sql, old, new),
+                sink=new,
+                sources=tuple(new if s == old else s for s in writer.sources),
+                active=writer.active,
+                fingerprint=writer.fingerprint,
+            )
+        # dependents re-point their FROM references
+        for p in self.pipelines.values():
+            if old in p.sources:
+                p.sql = self._retarget_sql(p.sql, old, new)
+                p.sources = tuple(new if s == old else s for s in p.sources)
+        self.spark.catalog.dropTempView(old)
+        del self.streams[old]
+
+    @staticmethod
+    def _retarget_sql(sql: str, old: str, new: str) -> str:
+        return re.sub(rf"(?<![A-Za-z0-9_`]){re.escape(old)}(?![A-Za-z0-9_`])", new, sql)
+
+    def _pipeline_writing(self, stream: str) -> PipelineDef | None:
+        for p in self.pipelines.values():
+            if p.sink == stream:
+                return p
+        return None
+
+    # -- pipeline lifecycle -------------------------------------------------
+
+    def infer_output_schema(self, sql: str) -> StreamSchema:
+        """The reference POSTs the SQL to /pipelines/outputStream for schema
+        inference (impl.py:482-500); Catalyst's analyzer does it locally."""
+        return StreamSchema.from_spark(self.spark.sql(normalize(sql)).schema)
+
+    def _resolve_sources(self, sql: str) -> tuple[str, ...]:
+        """Input streams referenced by the SQL (resolved against the catalog)."""
+        idents = set(re.findall(rf"(?:FROM|JOIN)\s+`?({_IDENT})`?", sql, re.IGNORECASE))
+        return tuple(sorted(i for i in idents if self.qualify(i) in self.streams))
+
+    def create_pipeline(
+        self,
+        name: str,
+        sql: str,
+        sink: str | None = None,
+        primary_key: list[str] | None = None,
+        activate: bool = True,
+    ) -> PipelineDef:
+        """Stream+pipeline pair from model SQL (create_table, impl.py:419-447):
+        infer the output schema, create the sink stream, register the
+        pipeline ``INSERT INTO sink <sql>``, and activate (run) it."""
+        name = self.qualify(name)
+        sink = self.qualify(sink or name)
+        nsql = normalize(sql)
+        out_schema = self.infer_output_schema(nsql)
+        if primary_key:
+            out_schema = StreamSchema(
+                fields=out_schema.fields,
+                watermarks=out_schema.watermarks,
+                primary_key=tuple(primary_key),
+            )
+        if sink not in self.streams:
+            self.create_stream(sink, schema=out_schema)
+        pdef = PipelineDef(
+            name=name,
+            sql=nsql,
+            sink=sink,
+            sources=self._resolve_sources(nsql),
+            fingerprint=_fingerprint(nsql, out_schema.to_dict()),
+        )
+        self.pipelines[name] = pdef
+        if activate:
+            self.activate_pipeline(name)
+        return pdef
+
+    def activate_pipeline(self, name: str) -> None:
+        """Run the INSERT INTO (batch semantics: sink := query result)."""
+        p = self.pipelines[self.qualify(name)]
+        sdef = self.streams[p.sink]
+        result = self.spark.sql(p.sql)
+        self._materialize(sdef, result)
+        p.active = True
+
+    def deactivate_pipeline(self, name: str) -> None:
+        p = self.pipelines[self.qualify(name)]
+        p.active = False
+
+    def delete_pipeline(self, name: str) -> None:
+        name = self.qualify(name)
+        if name in self.pipelines:
+            self.deactivate_pipeline(name)
+            del self.pipelines[name]
+
+    # -- declarative apply (client.py:510-529 / impl.py:402-417) ------------
+
+    def apply(self, resources: list[dict[str, Any]], dry_run: bool = False) -> list[dict]:
+        """Reconcile a YAML-shaped resource list; per-resource result ∈
+        {created, updated, unchanged}. ``has_changed`` = any non-unchanged."""
+        results = []
+        for res in resources:
+            kind = res.get("kind")
+            meta = res.get("metadata", {})
+            spec = res.get("spec", {})
+            name = self.qualify(meta["name"])
+            if kind == "stream":
+                schema = StreamSchema.from_dict(spec.get("schema", spec))
+                current = self.streams.get(name)
+                if current is None:
+                    result = "created"
+                elif current.schema != schema:
+                    result = "updated"
+                else:
+                    result = "unchanged"
+                if not dry_run and result != "unchanged":
+                    self.create_stream(name, schema=schema)
+            elif kind == "pipeline":
+                sql = normalize(spec["sql"])
+                target_sink = self.qualify(spec.get("sink", meta["name"]))
+                # fingerprint over (sql, inferred output schema incl. PK) —
+                # the same pair create_pipeline stores, so dry-run diffs are
+                # stable across repeated applies
+                if spec.get("schema"):
+                    schema_dict = spec["schema"]
+                else:
+                    out_schema = self.infer_output_schema(sql)
+                    if spec.get("primary_key"):
+                        out_schema = StreamSchema(
+                            fields=out_schema.fields,
+                            watermarks=out_schema.watermarks,
+                            primary_key=tuple(spec["primary_key"]),
+                        )
+                    schema_dict = out_schema.to_dict()
+                fp = _fingerprint(sql, schema_dict)
+                current_p = self.pipelines.get(name)
+                if current_p is None:
+                    result = "created"
+                elif current_p.fingerprint != fp or current_p.sink != target_sink:
+                    result = "updated"
+                else:
+                    result = "unchanged"
+                if not dry_run and result != "unchanged":
+                    self.create_pipeline(
+                        name,
+                        sql,
+                        sink=spec.get("sink", meta["name"]),
+                        primary_key=spec.get("primary_key"),
+                        activate=spec.get("active", True),
+                    )
+            else:
+                raise CatalogError(f"unknown resource kind {kind!r}")
+            results.append({"name": name, "kind": kind, "result": result})
+        return results
+
+    def has_changed(self, resources: list[dict[str, Any]]) -> bool:
+        """Dry-run apply; any non-unchanged ⇒ rebuild (impl.py:402-417)."""
+        return any(r["result"] != "unchanged" for r in self.apply(resources, dry_run=True))
+
+    # -- run-operations (operations.sql:17-127) ------------------------------
+
+    def stop_pipelines(self, names: list[str] | None = None) -> int:
+        targets = [self.qualify(n) for n in names] if names else list(self.pipelines)
+        n = 0
+        for t in targets:
+            if t in self.pipelines and self.pipelines[t].active:
+                self.deactivate_pipeline(t)
+                n += 1
+        return n
+
+    def delete_pipelines(self, names: list[str] | None = None) -> int:
+        targets = [self.qualify(n) for n in names] if names else list(self.pipelines)
+        n = 0
+        for t in targets:
+            if t in self.pipelines:
+                self.delete_pipeline(t)
+                n += 1
+        return n
+
+    def delete_streams(self, names: list[str] | None = None) -> int:
+        targets = [self.qualify(n) for n in names] if names else list(self.streams)
+        n = 0
+        for t in targets:
+            if t in self.streams:
+                self.drop_stream(t, cascade=False)
+                n += 1
+        return n
+
+    def cleanup(self) -> dict[str, int]:
+        """Project-wide GC: everything in this namespace."""
+        np = self.delete_pipelines()
+        ns = self.delete_streams()
+        return {"pipelines": np, "streams": ns}
+
+    def count_resources(self) -> dict[str, int]:
+        return {"streams": len(self.streams), "pipelines": len(self.pipelines)}

@@ -1,0 +1,222 @@
+"""Structured-Streaming twins of the batch semantics (SURVEY §2.9):
+watermarked windowed aggregation over a real stream converges to the batch
+answer; change-stream folding via foreachBatch; datagen/rate source;
+activate/deactivate lifecycle; dropDuplicatesWithinWatermark."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_decodable_spark.schema import SchemaField, StreamSchema, Watermark
+from dbt_decodable_spark.sources.datagen import datagen_stream, file_stream
+from dbt_decodable_spark.sources.tables import read_table
+from dbt_decodable_spark.streaming.changelog import apply_changes_batch
+from dbt_decodable_spark.streaming.runner import StreamRunner
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="dds_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture()
+def runner(spark):
+    r = StreamRunner(spark)
+    yield r
+    r.deactivate_all()
+
+
+EVENTS_SCHEMA = StreamSchema(
+    fields=(
+        SchemaField(name="event_id", type="BIGINT"),
+        SchemaField(name="ts", type="TIMESTAMP_LTZ(6)"),
+        SchemaField(name="user_id", type="BIGINT"),
+        SchemaField(name="event_type", type="STRING"),
+        SchemaField(name="value", type="DOUBLE"),
+        SchemaField(name="props", type="STRING"),
+    ),
+    watermarks=(Watermark("ts", "`ts` - INTERVAL '1' MINUTE"),),
+)
+
+
+def _events_parquet(spark, tmpdir: str) -> str:
+    path = f"{tmpdir}/events_in"
+    read_table(spark, SF_DIR, "events").write.mode("overwrite").parquet(path)
+    return path
+
+
+class TestFileStreamWindowedAgg:
+    def test_stream_matches_batch(self, spark, tmpdir, runner):
+        """availableNow tumbling-window agg over a file stream == batch
+        groupBy(window) — the M6 semantics gate."""
+        path = _events_parquet(spark, tmpdir)
+        stream = file_stream(spark, path, EVENTS_SCHEMA)
+        assert stream.isStreaming
+        agg = (
+            stream.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("ws"), "event_type", "n")
+        )
+        runner.activate_memory("win_agg", agg, output_mode="append")
+        runner.wait("win_agg")
+        got = {tuple(r) for r in spark.table("win_agg").collect()}
+
+        batch = (
+            read_table(spark, SF_DIR, "events")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("ws"), "event_type", "n")
+        )
+        want = {tuple(r) for r in batch.collect()}
+        # watermark may hold back the final (open) windows in append mode;
+        # everything emitted must match the batch result exactly
+        assert got <= want
+        assert len(got) >= len(want) - len({r[1] for r in want})  # ≤1 open window per type
+
+    def test_watermark_drops_late_rows(self, spark, tmpdir, runner):
+        """Late data beyond the watermark is dropped in windowed agg —
+        matching the reference's late-data semantics (SURVEY §2.9)."""
+        import pandas as pd
+
+        early = pd.DataFrame(
+            {"ts": pd.to_datetime(["2024-01-01 10:00:00", "2024-01-01 12:00:00"]), "k": ["a", "a"]}
+        )
+        late = pd.DataFrame(  # 10:05 arrives after the 12:00 watermark advanced
+            {"ts": pd.to_datetime(["2024-01-01 10:05:00"]), "k": ["a"]}
+        )
+        in_dir = f"{tmpdir}/late_in"
+        spark.createDataFrame(early).coalesce(1).write.mode("append").parquet(in_dir)
+
+        schema = StreamSchema(
+            fields=(
+                SchemaField(name="ts", type="TIMESTAMP_LTZ(6)"),
+                SchemaField(name="k", type="STRING"),
+            ),
+            watermarks=(Watermark("ts", "`ts` - INTERVAL '1' MINUTE"),),
+        )
+        stream = file_stream(spark, in_dir, schema)
+        agg = (
+            stream.groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("ws"), "n")
+        )
+        # first drain: watermark advances past 10:xx
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("late_agg")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmpdir}/late_ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        # late row lands in a window already finalized
+        spark.createDataFrame(late).coalesce(1).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+        q.stop()
+        rows = {(r["ws"].isoformat(), r["n"]) for r in spark.table("late_agg").collect()}
+        # the 10:00 window was emitted with n=1 (late row dropped, not recounted)
+        assert ("2024-01-01T10:00:00", 1) in rows
+
+
+class TestChangeStreamMerge:
+    def test_foreach_batch_merge(self, spark, tmpdir, runner):
+        """Change-stream upsert via foreachBatch MERGE: last image per key,
+        null-after deletes (handler.py:89-94 streaming form)."""
+        in_dir = f"{tmpdir}/chg_in"
+        spark.createDataFrame(
+            [(1, "k1", 10, False), (2, "k1", 20, False), (3, "k2", 5, False)],
+            "seq long, key string, v long, is_delete boolean",
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+        schema = StreamSchema(
+            fields=(
+                SchemaField(name="seq", type="BIGINT"),
+                SchemaField(name="key", type="STRING"),
+                SchemaField(name="v", type="BIGINT"),
+                SchemaField(name="is_delete", type="BOOLEAN"),
+            ),
+            primary_key=("key",),
+        )
+        stream = file_stream(spark, in_dir, schema)
+        state = {"df": spark.createDataFrame([], "seq long, key string, v long")}
+
+        def merge(batch_df, epoch_id):
+            state["df"] = apply_changes_batch(
+                state["df"],
+                batch_df,
+                keys=["key"],
+                order=["seq"],
+                delete_col="is_delete",
+            ).localCheckpoint()
+
+        runner.activate_foreach_batch("chg", stream, merge, available_now=True)
+        runner.wait("chg")
+        snap1 = {(r["key"], r["v"]) for r in state["df"].collect()}
+        assert snap1 == {("k1", 20), ("k2", 5)}
+
+        # second micro-batch: update k2, delete k1
+        spark.createDataFrame(
+            [(4, "k2", 50, False), (5, "k1", 0, True)],
+            "seq long, key string, v long, is_delete boolean",
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+        runner.deactivate("chg")
+        runner.activate_foreach_batch("chg2", file_stream(spark, in_dir, schema), merge, available_now=True)
+        # fresh checkpoint-less run reprocesses everything into an empty state
+        state["df"] = spark.createDataFrame([], "seq long, key string, v long")
+        runner.wait("chg2")
+        snap2 = {(r["key"], r["v"]) for r in state["df"].collect()}
+        assert snap2 == {("k2", 50)}
+
+
+class TestDatagenAndLifecycle:
+    def test_datagen_schema_and_lifecycle(self, spark, runner):
+        """datagen connector emits the declared schema; activate/deactivate
+        mirrors client.py:381-393."""
+        schema = StreamSchema(
+            fields=(
+                SchemaField(name="id", type="BIGINT"),
+                SchemaField(name="label", type="STRING"),
+                SchemaField(name="amount", type="DOUBLE"),
+                SchemaField(name="id2", kind="computed", expression="id * 2"),
+            )
+        )
+        stream = datagen_stream(spark, schema, rows_per_second=500)
+        assert stream.isStreaming
+        assert [f.name for f in stream.schema.fields] == ["id", "label", "amount", "id2"]
+        runner.activate_memory("dg", stream, available_now=False)
+        assert runner.states()["dg"] == "RUNNING"
+        runner.running["dg"].query.processAllAvailable()
+        runner.deactivate("dg")
+        assert "dg" not in runner.running
+
+    def test_streaming_exact_dedup(self, spark, tmpdir, runner):
+        """dropDuplicatesWithinWatermark — the streaming exact-dedup path
+        (SURVEY §2.12 row 1)."""
+        in_dir = f"{tmpdir}/dedup_in"
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime(["2024-01-01 10:00:00"] * 3 + ["2024-01-01 10:30:00"]),
+                "doc": ["x", "x", "y", "x"],
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(in_dir)
+        schema = StreamSchema(
+            fields=(
+                SchemaField(name="ts", type="TIMESTAMP_LTZ(6)"),
+                SchemaField(name="doc", type="STRING"),
+            ),
+            watermarks=(Watermark("ts", "`ts` - INTERVAL '1' HOUR"),),
+        )
+        stream = file_stream(spark, in_dir, schema).dropDuplicatesWithinWatermark(["doc"])
+        runner.activate_memory("dd", stream)
+        runner.wait("dd")
+        docs = sorted(r["doc"] for r in spark.table("dd").collect())
+        assert docs == ["x", "y"]
