@@ -1,0 +1,114 @@
+"""As-of (temporal) join — ``FOR SYSTEM_TIME AS OF`` surface (SURVEY §2.3,
+§7.6). Spark has no native as-of join; two implementations:
+
+- :func:`asof_join` — the **merge** technique: union left probes and right
+  quotes, one sort per key partition, forward-fill the latest right value.
+  One shuffle on the key, no theta join, no per-key quadratic blowup — the
+  100 TB path (this is how kdb/pandas merge_asof semantics decompose onto a
+  shuffle engine).
+- :func:`asof_join_pandas` — ``applyInPandas`` + ``pandas.merge_asof`` per
+  key group; simpler, Arrow-batched, right answer when per-key data fits in
+  memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` within the same ``on`` key.
+
+    Output: all left columns + ``value_cols`` from the right (null when no
+    quote precedes the probe). ``tolerance``: an INTERVAL string limiting
+    staleness (e.g. ``'7 days'``).
+    """
+    lcols = left.columns
+    probes = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_probe"),
+        F.struct(*lcols).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
+    )
+    quotes = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_probe"),
+        F.lit(None).cast(probes.schema["__l"].dataType).alias("__l"),
+        *value_cols,
+        F.col(right_ts).alias("__rts"),
+    )
+    # quotes sort before probes at the same instant (<= semantics)
+    merged = quotes.unionByName(probes)
+    w = (
+        W.partitionBy("__k")
+        .orderBy(F.col("__ts"), F.col("__is_probe"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = merged.select(
+        "__is_probe",
+        "__l",
+        F.last("__rts", ignorenulls=True).over(w).alias("__last_rts"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    ).filter(F.col("__is_probe") == 1)
+    if tolerance is not None:
+        fresh = F.col("__last_rts") >= F.col("__l." + left_ts) - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        filled = filled.select(
+            "__l",
+            *[F.when(fresh, F.col(c)).otherwise(F.lit(None)).alias(c) for c in value_cols],
+        )
+    else:
+        filled = filled.select("__l", *value_cols)
+    return filled.select(*[F.col(f"__l.{c}").alias(c) for c in lcols], *value_cols)
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """merge_asof per key group via applyInPandas (Arrow-batched)."""
+    import pandas as pd
+
+    out_schema = left.schema.add(
+        right.select(*value_cols).schema[value_cols[0]]
+    ) if len(value_cols) == 1 else None
+    # build output schema: left columns + value columns
+    from pyspark.sql import types as T
+
+    fields = list(left.schema.fields) + [right.schema[c] for c in value_cols]
+    out_schema = T.StructType(fields)
+
+    l2 = left.withColumn("__side", F.lit("l"))
+    r2 = right.select(
+        F.col(on), F.col(right_ts).alias(left_ts), *value_cols
+    ).withColumn("__side", F.lit("r"))
+    both = l2.unionByName(r2, allowMissingColumns=True)
+
+    lcols = left.columns
+
+    def merge(key, pdf: pd.DataFrame):
+        lp = pdf[pdf["__side"] == "l"][lcols].sort_values(left_ts)
+        rp = pdf[pdf["__side"] == "r"][[left_ts, *value_cols]].sort_values(left_ts)
+        if len(lp) == 0:
+            return pd.DataFrame(columns=[*lcols, *value_cols])
+        merged = pd.merge_asof(lp, rp, on=left_ts, direction="backward")
+        return merged[[*lcols, *value_cols]]
+
+    return both.groupBy(on).applyInPandas(merge, schema=out_schema)

@@ -52,6 +52,7 @@ def load_all() -> dict[str, QueryDef]:
         extensions,
         joins,
         relational,
+        relational2,
         scalar_functions,
         streaming_q,
         windows,

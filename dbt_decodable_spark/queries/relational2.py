@@ -1,0 +1,331 @@
+"""Second relational battery: subqueries, CTEs, pivot, interval join,
+merge-technique as-of join, extra string functions, boolean/string
+aggregates, cumulate windows, token histograms (SURVEY §2 coverage
+completion)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dbt_decodable_spark.operators import asof
+from dbt_decodable_spark.queries import register
+from dbt_decodable_spark.sources.tables import read_table
+
+
+@register(
+    "subquery_scalar_correlated",
+    oracle="""
+        SELECT c_custkey, c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+        )
+    """,
+    doc="§2.2 correlated scalar subquery (Catalyst decorrelates to an agg+join)",
+)
+def subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+        )
+        """
+    )
+
+
+@register(
+    "subquery_in",
+    oracle="""
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        ) AND o_totalprice > 150000
+    """,
+    doc="§2.2 IN subquery → left semi join",
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        ) AND o_totalprice > 150000
+        """
+    )
+
+
+@register(
+    "cte_chain",
+    oracle="""
+        WITH big_orders AS (
+            SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 100000
+        ),
+        per_cust AS (
+            SELECT o_custkey, count(*) AS n_big
+            FROM big_orders GROUP BY o_custkey
+        )
+        SELECT n_big, count(*) AS n_customers FROM per_cust GROUP BY n_big
+    """,
+    doc="§2.2 WITH / CTE chain",
+)
+def cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH big_orders AS (
+            SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 100000
+        ),
+        per_cust AS (
+            SELECT o_custkey, count(*) AS n_big
+            FROM big_orders GROUP BY o_custkey
+        )
+        SELECT n_big, count(*) AS n_customers FROM per_cust GROUP BY n_big
+        """
+    )
+
+
+@register(
+    "pivot_status_by_year",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+        FROM orders GROUP BY 1
+    """,
+    doc="§2.4 pivot (groupBy().pivot() in Spark ≡ FILTERed counts)",
+)
+def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy(F.year("o_orderdate").alias("order_year"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "order_year",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    )
+
+
+@register(
+    "unpivot_stack",
+    oracle="""
+        SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'price' AS metric, p_retailprice AS val FROM part
+    """,
+    doc="§2.4 unpivot via stack()",
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    return p.selectExpr(
+        "p_partkey",
+        "stack(2, 'size', CAST(p_size AS DOUBLE), 'price', p_retailprice) AS (metric, val)",
+    )
+
+
+@register(
+    "join_interval",
+    oracle="""
+        SELECT e1.event_id AS id_a, e2.event_id AS id_b
+        FROM events e1 JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND e2.ts > e1.ts
+         AND CAST(e2.ts AS TIMESTAMP) <= CAST(e1.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+    """,
+    doc="§2.3 interval (time-bounded) join — the stream-stream join shape; "
+    "equi-key shuffle + time-range filter",
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    e1 = e.select(F.col("event_id").alias("id_a"), F.col("user_id").alias("u1"), F.col("ts").alias("t1"))
+    e2 = e.select(F.col("event_id").alias("id_b"), F.col("user_id").alias("u2"), F.col("ts").alias("t2"))
+    return (
+        e1.join(
+            e2,
+            (F.col("u1") == F.col("u2"))
+            & (F.col("t2") > F.col("t1"))
+            & (F.col("t2") <= F.col("t1") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .select("id_a", "id_b")
+    )
+
+
+@register(
+    "join_asof_merge",
+    oracle="""
+        SELECT e.event_id, o.o_orderkey AS last_order_key
+        FROM events e
+        LEFT JOIN LATERAL (
+            SELECT o_orderkey FROM orders
+            WHERE o_custkey = e.user_id AND o_orderdate <= CAST(e.ts AS TIMESTAMP)
+            ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+        ) o ON true
+    """,
+    doc="§2.3 as-of join via the union+window merge technique (operators/asof.py) "
+    "— one shuffle, no theta join; ties broken by latest (o_orderdate, o_orderkey)",
+)
+def join_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    joined = asof.asof_join(
+        e,
+        o.withColumnRenamed("o_orderdate", "ots"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ots",
+        value_cols=["o_orderkey"],
+    )
+    return joined.select("event_id", F.col("o_orderkey").alias("last_order_key"))
+
+
+@register(
+    "func_string_extra",
+    oracle="""
+        SELECT c_custkey,
+               lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+               rpad(c_mktsegment, 12, '.') AS rpadded,
+               split_part(c_name, '#', 1) AS name_head,
+               split_part(c_name, '#', 2) AS name_tail,
+               CAST(strpos(c_name, '#') AS INT) AS hash_pos,
+               left(c_name, 4) AS name_left,
+               right(c_name, 3) AS name_right,
+               repeat(c_mktsegment, 2) AS seg_twice,
+               CAST(ascii(c_mktsegment) AS INT) AS first_ascii
+        FROM customer
+    """,
+    doc="§2.8 string functions round 2: pad/split_part/position/left/right/repeat/ascii",
+)
+def func_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.rpad("c_mktsegment", 12, ".").alias("rpadded"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("name_head"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_tail"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        F.substring("c_name", 1, 4).alias("name_left"),
+        F.substring(F.col("c_name"), -3, 3).alias("name_right"),
+        F.repeat(F.col("c_mktsegment"), 2).alias("seg_twice"),
+        F.ascii("c_mktsegment").alias("first_ascii"),
+    )
+
+
+@register(
+    "agg_bool_string",
+    oracle="""
+        SELECT l_returnflag,
+               bool_and(l_quantity > 0) AS all_positive,
+               bool_or(l_quantity > 49) AS any_maxed,
+               min(l_linestatus) AS min_status,
+               max(l_linestatus) AS max_status
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="§2.4 boolean aggregates (every/any) + string min/max",
+)
+def agg_bool_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_quantity") > 49).alias("any_maxed"),
+        F.min("l_linestatus").alias("min_status"),
+        F.max("l_linestatus").alias("max_status"),
+    )
+
+
+@register(
+    "stream_cumulate_window",
+    oracle="""
+        WITH p AS (
+            SELECT CAST(ts AS TIMESTAMP) AS ts,
+                   time_bucket(INTERVAL 4 HOUR, CAST(ts AS TIMESTAMP)) AS win_start
+            FROM events
+        ),
+        steps AS (SELECT unnest(range(1, 5)) AS k)
+        SELECT win_start,
+               win_start + INTERVAL 1 HOUR * k AS win_end,
+               count(*) AS n
+        FROM p JOIN steps ON ts < win_start + INTERVAL 1 HOUR * k
+        GROUP BY win_start, win_end
+    """,
+    doc="§2.9 cumulate window (Flink CUMULATE TVF): 4h max size, 1h step — "
+    "each row lands in every not-yet-closed step of its window",
+)
+def stream_cumulate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    base = e.select(
+        F.col("ts"), F.date_trunc("hour", F.col("ts")).alias("h")
+    ).withColumn(
+        "win_start",
+        F.timestamp_seconds((F.unix_timestamp("h") / 14400).cast("long") * 14400),
+    )
+    steps = spark.range(1, 5).select(F.col("id").alias("k"))
+    return (
+        base.join(
+            F.broadcast(steps),
+            F.col("ts")
+            < F.col("win_start") + F.col("k") * F.expr("INTERVAL 1 HOURS"),
+        )
+        .groupBy(
+            "win_start",
+            (F.col("win_start") + F.col("k") * F.expr("INTERVAL 1 HOURS")).alias("win_end"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "text_token_histogram",
+    oracle="""
+        SELECT token, count(*) AS n
+        FROM (
+            SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+            FROM documents
+        ) t
+        GROUP BY token
+    """,
+    doc="§2.12 corpus token histogram (explode+count — the wordcount of "
+    "training-data statistics; map-side partial agg keeps the shuffle tiny)",
+)
+def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.operators.dedup import fan_out, tokens
+
+    d = fan_out(read_table(spark, sf_dir, "documents"))
+    return (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "embedding_normalize",
+    oracle="""
+        SELECT vec_id,
+               CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE) AS sq_norm
+        FROM embeddings WHERE vec_id < 50
+    """,
+    doc="§2.12 vector math: squared L2 norm via sequential fold (same "
+    "summation order both engines)",
+)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select("vec_id", sq.alias("sq_norm"))
