@@ -19,7 +19,7 @@ reproducible across engines and runs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 
 def fan_out(df: DataFrame, *cols: str) -> DataFrame:
@@ -45,10 +45,14 @@ def tokens(col: Column | str) -> Column:
     return F.split(normalize_text(col), " ")
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Token n-gram shingles as an array of strings (distinct)."""
-    toks = tokens(col)
-    # slide a window of n over the token array: JVM-side transform, no UDF
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Token n-gram shingles (distinct) from an ALREADY-MATERIALIZED token
+    array column. ``toks`` must be a plain column reference: expressions
+    referenced inside a higher-order-function lambda are re-evaluated per
+    element (no subexpression elimination inside lambdas), so passing
+    ``tokens(text)`` directly here would re-run the regex tokenizer once per
+    shingle position — O(tokens²) per document. See :func:`shingles`.
+    """
     return F.array_distinct(
         F.filter(
             F.transform(
@@ -61,6 +65,17 @@ def shingles(col: Column | str, n: int = 3) -> Column:
             lambda x: x.isNotNull(),
         )
     )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Token n-gram shingles as an array of strings (distinct).
+
+    NOTE: as a single expression this re-tokenizes per shingle position
+    (see :func:`shingles_from_tokens`); prefer the two-step projection
+    (``select(tokens(x).alias("__toks"))`` then ``shingles_from_tokens``)
+    in anything performance-sensitive — :func:`_shingle_rows` does this.
+    """
+    return shingles_from_tokens(tokens(col), n)
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -78,37 +93,137 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingle_pairs_jaccard(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.2
-) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs via a shingle inverted index.
-
-    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
-    Jaccard = |∩| / (|A| + |B| - |∩|) — computed from exact integers, so the
-    double division is bit-identical across engines.
-    """
-    # join on a 64-bit shingle hash, not the string: the shuffle moves 8
-    # bytes per shingle and the join compares longs (collision odds across
-    # distinct shingles are ~n²/2^65 — irrelevant to the result)
-    sh = fan_out(df).select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("shingle")
-    ).select("id", F.xxhash64("shingle").alias("sh64"))
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh64") == F.col("b.sh64")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+def shingle_strings(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, n_sh, shingle): distinct shingles per doc as strings, with the
+    per-doc shingle count riding along. Two-step projection: tokenize once,
+    then slide the shingle window over the materialized token array (the
+    multi-reference to ``__toks`` stops CollapseProject from inlining the
+    tokenizer back into the lambda)."""
+    # InferFiltersFromGenerate would synthesize `size(<whole shingle expr>) > 0`
+    # from the explode and push it below the fan-out exchange — re-running the
+    # entire shingle computation on the unparallelized scan. Exclude the rule:
+    # it only saves skipping empty arrays, which explode handles anyway.
+    df.sparkSession.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("size_b"))
-    jac = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+    base = fan_out(df).select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    )
+    sh_arr = base.select("id", shingles_from_tokens(F.col("__toks"), n).alias("sh_arr"))
+    return sh_arr.select(
+        "id", F.size("sh_arr").alias("n_sh"), F.explode("sh_arr").alias("shingle")
+    )
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, n_sh, sh64): distinct 64-bit-hashed shingles per doc."""
+    return shingle_strings(df, id_col, text_col, n).select(
+        "id", "n_sh", F.xxhash64("shingle").alias("sh64")
+    )
+
+
+def shingle_pairs_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+    method: str = "auto",
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs: (id_a, id_b, jaccard) with
+    id_a < id_b and jaccard >= threshold.
+
+    Two exact strategies (identical results, different shuffle economics):
+
+    - ``inverted`` — shingle inverted-index self-join: every co-occurring
+      shingle yields a pair row; one exchange feeds both join sides
+      (shuffle_hash hint → ReusedExchange). Best at low thresholds, where
+      prefix filtering can't prune.
+    - ``prefix`` — prefix filtering (PPJoin family): order shingles globally
+      rarest-first, index only each doc's first ``|A| - ceil(t*|A|) + 1``
+      shingles (any pair with J >= t must collide inside those prefixes),
+      length-filter, then exact-verify the candidates. The prefix is
+      ``~(1-t)·|A|``, so this wins at high thresholds (t >= 0.5) — the
+      realistic near-dup setting at 100 TB, where it shrinks shuffle volume
+      by the same factor.
+
+    ``auto`` picks by threshold. Jaccard = |∩| / (|A| + |B| - |∩|) from
+    exact integers — the double division is bit-identical across engines.
+    """
+    if method == "auto":
+        method = "prefix" if threshold >= 0.5 else "inverted"
+    sh = _shingle_rows(df, id_col, text_col, n)
+
+    if method == "inverted":
+        a, b = sh.alias("a"), sh.hint("shuffle_hash").alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.sh64") == F.col("b.sh64")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(
+                F.count(F.lit(1)).alias("n_inter"),
+                F.first("a.n_sh").alias("size_a"),
+                F.first("b.n_sh").alias("size_b"),
+            )
+        )
+        jac = inter.withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
         )
+        return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+    # global rarest-first order: frequency, ties by hash (total, deterministic)
+    freq = sh.groupBy("sh64").agg(F.count(F.lit(1)).alias("df_freq"))
+    ranked = (
+        sh.join(freq, "sh64")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("id").orderBy(F.col("df_freq"), F.col("sh64"))
+            ),
+        )
+    )
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select("id", "n_sh", "sh64")
+
+    a, b = prefix.alias("a"), prefix.hint("shuffle_hash").alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh64") == F.col("b.sh64"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: J >= t requires t·|A| <= |B| and t·|B| <= |A|
+            & (F.col("b.n_sh") * threshold <= F.col("a.n_sh"))
+            & (F.col("a.n_sh") * threshold <= F.col("b.n_sh")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("size_a"),
+            F.col("b.n_sh").alias("size_b"),
+        )
+        .distinct()
+    )
+
+    # exact verification of the (small) candidate set
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh64").alias("ha"))
+    sb = sh.select(F.col("id").alias("idb2"), F.col("sh64").alias("hb"))
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, (F.col("id_b") == F.col("idb2")) & (F.col("ha") == F.col("hb")))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first("size_a").alias("size_a"),
+            F.first("size_b").alias("size_b"),
+        )
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
     )
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
@@ -124,9 +239,7 @@ def minhash_signatures(
     than unioning per-band scans, and the min() is a map-side partial
     aggregate before the one shuffle on (id, band).
     """
-    sh = fan_out(df).select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("shingle")
-    )
+    sh = shingle_strings(df, id_col, text_col, n).select("id", "shingle")
     bands = F.array(
         *[
             F.struct(

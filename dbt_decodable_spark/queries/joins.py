@@ -59,6 +59,21 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_right_outer",
+    oracle="""
+        SELECT c_custkey, o_orderkey
+        FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        WHERE c_acctbal < 0
+    """,
+    doc="§2.3 right outer join",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    o = read_table(spark, sf_dir, "orders")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select("c_custkey", "o_orderkey")
+
+
+@register(
     "join_full_outer",
     oracle="""
         SELECT n_nationkey, r_regionkey

@@ -1,0 +1,80 @@
+"""Source/connector tests: file formats (parquet/CSV/JSON), TIME-of-day
+helpers, kinesis gating."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_decodable_spark.functions import time_of_day as tod
+from dbt_decodable_spark.schema import SchemaField, StreamSchema
+from dbt_decodable_spark.sources.kinesis import KinesisUnavailable, kinesis_stream
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="dds_src_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+class TestFileFormats:
+    def test_json_source(self, spark, tmpdir):
+        """§2.1 file formats: JSON-lines read with a declared stream schema."""
+        path = f"{tmpdir}/events.jsonl"
+        with open(path, "w") as f:
+            f.write('{"id": 1, "v": "a"}\n{"id": 2, "v": null}\n')
+        schema = StreamSchema(
+            fields=(SchemaField(name="id", type="BIGINT"), SchemaField(name="v", type="STRING"))
+        )
+        df = spark.read.schema(schema.to_struct_type()).json(path)
+        assert {tuple(r) for r in df.collect()} == {(1, "a"), (2, None)}
+
+    def test_csv_roundtrip(self, spark, tmpdir):
+        out = f"{tmpdir}/csv_out"
+        spark.createDataFrame([(1, "x")], "id int, v string").write.option(
+            "header", True
+        ).csv(out)
+        back = spark.read.option("header", True).csv(out)
+        assert back.collect()[0]["v"] == "x"
+
+
+class TestTimeOfDay:
+    def test_parse_format_roundtrip(self, spark):
+        df = spark.createDataFrame(
+            [("01:02:03",), ("23:59:59.123",), ("bad",)], "t string"
+        ).select(
+            tod.time_from_string("t").alias("nanos"),
+        )
+        rows = df.select("nanos", tod.time_to_string("nanos").alias("s")).collect()
+        assert rows[0]["nanos"] == (1 * 3600 + 2 * 60 + 3) * 10**9
+        assert rows[0]["s"] == "01:02:03.000"
+        assert rows[1]["s"] == "23:59:59.123"
+        assert rows[2]["nanos"] is None
+
+    def test_time_from_timestamp(self, spark):
+        df = spark.sql("SELECT TIMESTAMP '2024-05-01 12:30:15.5' AS ts").select(
+            tod.time_from_timestamp("ts").alias("n")
+        )
+        assert df.collect()[0]["n"] == ((12 * 3600 + 30 * 60 + 15) * 10**9 + 500_000_000)
+
+    def test_time_add_wraps_midnight(self, spark):
+        near_midnight = (23 * 3600 + 59 * 60) * 10**9
+        df = spark.createDataFrame([(near_midnight,)], "t long").select(
+            tod.time_add("t", 2 * 60 * 10**9).alias("n")
+        )
+        assert df.collect()[0]["n"] == 60 * 10**9  # 00:01:00
+
+    def test_flink_time_type_maps_to_long(self):
+        from dbt_decodable_spark import ftypes
+        from pyspark.sql import types as T
+
+        assert ftypes.to_spark("TIME(3)") == T.LongType()
+
+
+class TestKinesisGating:
+    def test_unavailable_raises_cleanly(self, spark):
+        schema = StreamSchema(fields=(SchemaField(name="id", type="BIGINT"),))
+        with pytest.raises(KinesisUnavailable):
+            kinesis_stream(spark, "s", "us-east-1", schema)
