@@ -1,0 +1,176 @@
+"""Unit tests for the [X] extension operators on controlled synthetic data —
+known near-dups, known neighbors — so semantic properties (recall, exactness,
+determinism) are asserted directly rather than only via the oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_decodable_spark.operators import asof, dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "THE  QUICK   brown fox jumps over the lazy dog"),  # exact dup of 1 (normalized)
+        (4, "completely different words entirely unrelated content here"),
+        (5, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_normalized_exact_groups(self, docs):
+        out = {(r["doc_id"], r["n_copies"]) for r in dedup.exact_dedup(docs, "text", "doc_id").collect()}
+        # 1, 3, 5 normalize to the same text → representative min id 1, 3 copies
+        assert (1, 3) in out and (2, 1) in out and (4, 1) in out
+
+
+class TestJaccard:
+    def test_near_dup_pair_found(self, docs):
+        pairs = dedup.shingle_pairs_jaccard(docs, "doc_id", "text", n=3, threshold=0.5)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        # the exact-dup triplet pairs and the near-dup pair must all clear 0.5
+        assert {(1, 3), (1, 5), (3, 5), (1, 2)} <= got
+        assert not any(4 in p for p in got)
+
+    def test_prefix_and_inverted_agree(self, docs):
+        a = dedup.shingle_pairs_jaccard(docs, "doc_id", "text", threshold=0.5, method="prefix")
+        b = dedup.shingle_pairs_jaccard(docs, "doc_id", "text", threshold=0.5, method="inverted")
+        ra = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in a.collect()}
+        rb = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in b.collect()}
+        assert ra == rb
+
+    def test_jaccard_value_exact(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d x")], "doc_id long, text string"
+        )
+        # 3-shingles: {abc,bcd,cde} vs {abc,bcd,cdx} → inter 2, union 4 → 0.5
+        rows = dedup.shingle_pairs_jaccard(df, "doc_id", "text", threshold=0.4).collect()
+        assert len(rows) == 1 and rows[0]["jaccard"] == 0.5
+
+
+class TestMinHash:
+    def test_exact_dups_always_candidates(self, docs):
+        cand = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_candidates(docs, "doc_id", "text").collect()
+        }
+        # identical shingle sets → identical signatures → guaranteed candidates
+        assert {(1, 3), (1, 5), (3, 5)} <= cand
+
+    def test_signatures_deterministic(self, docs):
+        s1 = sorted(map(tuple, dedup.minhash_signatures(docs, "doc_id", "text").collect()))
+        s2 = sorted(map(tuple, dedup.minhash_signatures(docs, "doc_id", "text").collect()))
+        assert s1 == s2
+
+
+class TestSimHash:
+    def test_exact_dups_same_fingerprint(self, docs, spark):
+        fp = {
+            r["doc_id"]: r["f"]
+            for r in docs.select("doc_id", dedup.simhash("text", bits=16).alias("f")).collect()
+        }
+        assert fp[1] == fp[3] == fp[5]
+        assert fp[1] != fp[4]
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.99, 0.1, 0.0]),   # closest to 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.0, 0.95, 0.3]),   # closest to 2
+            (4, [-1.0, 0.0, 0.0]),   # opposite of 0
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_bruteforce_topk_ranks(self, vecs):
+        out = similarity.brute_force_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=2)
+        got = [(r["neighbor_id"], r["rank"]) for r in out.orderBy("rank").collect()]
+        assert got[0] == (1, 1)  # nearest neighbor of 0 is 1
+
+    def test_cosine_value(self, vecs, spark):
+        df = spark.createDataFrame(
+            [([1.0, 0.0], [0.0, 1.0]), ([1.0, 0.0], [1.0, 0.0])], "a array<double>, b array<double>"
+        )
+        vals = [r[0] for r in df.select(similarity.cosine(F.col("a"), F.col("b"))).collect()]
+        assert vals == [0.0, 1.0]
+
+    def test_lsh_bucket_deterministic(self, vecs):
+        b1 = sorted(map(tuple, vecs.select("vec_id", similarity.lsh_bucket(F.col("embedding"), 3).alias("b")).collect()))
+        b2 = sorted(map(tuple, vecs.select("vec_id", similarity.lsh_bucket(F.col("embedding"), 3).alias("b")).collect()))
+        assert b1 == b2
+
+    def test_ivf_assigns_nearest_centroid(self, vecs, spark):
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+            "centroid_id long, centroid_vec array<double>",
+        )
+        out = {r["vec_id"]: r["centroid_id"] for r in similarity.ivf_assign(vecs, cents).collect()}
+        assert out[0] == 0 and out[1] == 0 and out[2] == 1 and out[3] == 1
+
+
+class TestAsof:
+    def test_merge_asof_semantics(self, spark):
+        left = spark.createDataFrame(
+            [(1, 1, 100), (2, 1, 250), (3, 2, 50)], "id long, k long, t long"
+        )
+        right = spark.createDataFrame(
+            [(1, 90, "a"), (1, 200, "b"), (1, 300, "c"), (2, 60, "d")],
+            "k long, rt long, v string",
+        )
+        out = asof.asof_join(left, right, on="k", left_ts="t", right_ts="rt", value_cols=["v"])
+        got = {(r["id"], r["v"]) for r in out.collect()}
+        # id1@100 → 'a' (90), id2@250 → 'b' (200), id3@50 → no prior quote
+        assert got == {(1, "a"), (2, "b"), (3, None)}
+
+    def test_equal_timestamps_match(self, spark):
+        left = spark.createDataFrame([(1, 1, 100)], "id long, k long, t long")
+        right = spark.createDataFrame([(1, 100, "x")], "k long, rt long, v string")
+        out = asof.asof_join(left, right, on="k", left_ts="t", right_ts="rt", value_cols=["v"])
+        assert out.collect()[0]["v"] == "x"  # <= semantics
+
+
+class TestText:
+    def test_langid_markers(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat is on the mat and the dog"),
+                (2, "el gato es de la casa que es grande"),
+                (3, "der hund ist und die katze das haus"),
+                (4, "zzz qqq www"),
+            ],
+            "id long, text string",
+        )
+        out = {r["id"]: r["l"] for r in df.select("id", text.lang_id("text").alias("l")).collect()}
+        assert out == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame([("hello world, 42!",)], "t string")
+        r = df.select(
+            text.whitespace_token_count("t").alias("ws"),
+            text.bpe_token_count("t").alias("bpe"),
+        ).collect()[0]
+        assert r["ws"] == 3
+        assert r["bpe"] == 5  # hello / world / , / 42 / !
+
+    def test_fingerprint_order_invariant(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "alpha beta delta")],
+            "id long, text string",
+        )
+        fp = {r["id"]: r["f"] for r in df.select("id", text.fingerprint("text").alias("f")).collect()}
+        assert fp[1] == fp[2] != fp[3]
+
+    def test_quality_score_bounds(self, spark):
+        df = spark.createDataFrame(
+            [("the and of is a good long sentence with many words",), ("!!!???",)],
+            "t string",
+        )
+        vals = [r[0] for r in df.select(text.quality_score("t")).collect()]
+        assert all(0.0 <= v <= 1.0 for v in vals)
+        assert vals[0] > vals[1]  # prose beats punctuation soup
