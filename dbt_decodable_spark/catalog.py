@@ -291,6 +291,54 @@ class Engine:
         self._materialize(sdef, result)
         p.active = True
 
+    def activate_pipeline_streaming(self, name: str, available_now: bool = True):
+        """Run the pipeline as a continuous Structured Streaming query: every
+        source stream is re-bound to a file stream over its parquet path (so
+        appends to sources flow through), the pipeline SQL runs over the
+        streaming views, and the sink is written in append mode.
+
+        Requires ``warehouse_dir`` (streams must be parquet-backed). Returns
+        the StreamingQuery; the reference's actual_state RUNNING/STOPPED maps
+        to ``query.isActive`` (impl.py:218). ``available_now=True`` gives the
+        bounded-run form (preview protocol §3.2); False runs continuously
+        until ``deactivate``.
+        """
+        if not self.warehouse_dir:
+            raise CatalogError("streaming activation needs a warehouse_dir engine")
+        p = self.pipelines[self.qualify(name)]
+        sink = self.streams[p.sink]
+        # rebind each source view to a streaming reader over the same path
+        for src in p.sources:
+            sdef = self.streams[src]
+            if not sdef.path:
+                raise CatalogError(f"source stream {src!r} is not parquet-backed")
+            stream_df = (
+                self.spark.readStream.schema(self.spark.read.parquet(sdef.path).schema)
+                .parquet(sdef.path)
+            )
+            stream_df = sdef.schema.apply_watermarks(stream_df)
+            stream_df.createOrReplaceTempView(src)
+        try:
+            out = self.spark.sql(p.sql)
+            ckpt = os.path.join(self.warehouse_dir, f"_ckpt_{p.name}")
+            writer = (
+                out.writeStream.format("parquet")
+                .option("path", os.path.join(self.warehouse_dir, sink.name))
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+            )
+            if available_now:
+                writer = writer.trigger(availableNow=True)
+            q = writer.start()
+            p.active = True
+            return q
+        finally:
+            # restore batch views so batch reads keep working
+            for src in p.sources:
+                sdef = self.streams[src]
+                if sdef.path:
+                    self.spark.read.parquet(sdef.path).createOrReplaceTempView(src)
+
     def deactivate_pipeline(self, name: str) -> None:
         p = self.pipelines[self.qualify(name)]
         p.active = False
