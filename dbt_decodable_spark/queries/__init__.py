@@ -55,6 +55,7 @@ def load_all() -> dict[str, QueryDef]:
         relational2,
         scalar_functions,
         streaming_q,
+        tpch,
         windows,
     )
 
