@@ -60,8 +60,8 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
-          AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-          AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY n_name
     """,
     doc="TPC-H Q5 shape: 6-way join chain (Catalyst reorders; dims broadcast), "
@@ -70,7 +70,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1995-01-01")
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
     )
     li = read_table(spark, sf_dir, "lineitem")
     s = read_table(spark, sf_dir, "supplier")
@@ -99,8 +99,8 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28, 10))) AS revenue
         FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-          AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
           AND l_discount BETWEEN 0.05 AND 0.07
           AND l_quantity < 24
     """,
@@ -110,8 +110,8 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= "1994-01-01")
-            & (F.col("l_shipdate") < "1995-01-01")
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
