@@ -28,8 +28,12 @@ def main() -> None:
     registry = load_all()
     spark = get_spark(app_name="bench")
 
-    # one warm-up action so JVM/codegen startup doesn't land on the first query
+    # warm-up: JVM/codegen startup + the Python/Arrow worker pool, so
+    # one-time process spin-up doesn't land on the first queries
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(256).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0
