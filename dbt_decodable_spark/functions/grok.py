@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 # Public grok base patterns (subset; non-capturing groups only so compiled
 # group numbering stays stable).
@@ -99,13 +99,72 @@ def grok_columns(col: Column | str, pattern: str) -> dict[str, Column]:
     return {name: F.regexp_extract(c, regex, i + 1) for i, name in enumerate(names)}
 
 
-def grok_map(col: Column | str, pattern: str) -> Column:
-    """``grok()`` proper: MAP<STRING, STRING> of field → extracted text, NULL
-    when the line doesn't match (platform semantics)."""
+# Unit separator — cannot appear in log text (control char); used to pack all
+# capture groups into one string so a single regex execution extracts every
+# field.
+_SEP = "\x1f"
+
+
+def grok_array(col: Column | str, pattern: str) -> tuple[list[str], Column]:
+    """All grok fields in ONE regex execution.
+
+    ``regexp_extract`` re-runs the whole match once per group, so an n-field
+    pattern costs n+1 executions per row. Instead, rewrite the first match
+    into its capture groups joined by ``_SEP`` (one ``regexp_replace``), then
+    ``split`` — 2 regex runs per row regardless of field count. Returns
+    ``(field_names, array_column)``; the array is NULL on non-matching rows
+    (platform semantics)."""
     regex, names = compile_pattern(pattern)
     c = F.col(col) if isinstance(col, str) else col
-    pairs: list[Column] = []
-    for i, name in enumerate(names):
-        pairs.append(F.lit(name))
-        pairs.append(F.regexp_extract(c, regex, i + 1))
-    return F.when(c.rlike(regex), F.create_map(*pairs))
+    if not names:
+        return names, F.when(c.rlike(regex), F.array().cast("array<string>"))
+    repl = _SEP.join(f"${i + 1}" for i in range(len(names)))
+    consumed = "(?s)^.*?" + regex + ".*$"
+    arr = F.split(F.regexp_replace(c, consumed, repl), _SEP, -1)
+    if len(names) == 1:
+        # a non-match passes through unchanged with 0 separators — identical
+        # to a 1-field match, so the size test can't discriminate here
+        return names, F.when(c.rlike(regex), arr)
+    # Match detection WITHOUT a second regex run: a non-matching line passes
+    # through regexp_replace unchanged, and real text never contains the
+    # control char _SEP, so "split produced exactly n fields" ⇔ "matched".
+    # (Codegen subexpression elimination evaluates `arr` once per operator.)
+    # Caveat: input that already contains exactly n-1 U+001F chars and does
+    # not match would be misread — impossible for textual log data.
+    return names, F.when(F.size(arr) == len(names), arr)
+
+
+def grok_extract(df: DataFrame, col: str, pattern: str) -> DataFrame:
+    """Filter to matching rows and append one StringType column per grok
+    field — the FAST path for "parse then project" pipelines.
+
+    Exactly two regex executions per row: the match test (cheap ``rlike``
+    filter on the raw attribute — nothing for the optimizer to substitute)
+    and the group rewrite. The packed-array projection is aliased once and
+    extracted in a second Project; the multi-reference stops CollapseProject
+    from inlining the regex per field, and no filter sits above it to get
+    pushed through. Grok field names shadow same-named input columns."""
+    regex, names = compile_pattern(pattern)
+    c = F.col(col)
+    matched = df.where(c.rlike(regex))
+    if not names:
+        return matched
+    repl = _SEP.join(f"${i + 1}" for i in range(len(names)))
+    arr = F.split(F.regexp_replace(c, "(?s)^.*?" + regex + ".*$", repl), _SEP, -1)
+    packed = matched.select("*", arr.alias("__grok"))
+    keep = [F.col(x) for x in df.columns if x not in names]
+    fields = [F.col("__grok")[i].alias(nm) for i, nm in enumerate(names)]
+    return packed.select(*keep, *fields)
+
+
+def grok_map(col: Column | str, pattern: str) -> Column:
+    """``grok()`` proper: MAP<STRING, STRING> of field → extracted text, NULL
+    when the line doesn't match (platform semantics).
+
+    NOTE: callers projecting several fields from the result should alias the
+    map ONCE (``.select(grok_map(...).alias("g"))``) and extract from the
+    alias in a second projection — multi-referencing the raw expression
+    re-runs it per reference (CollapseProject only dedups attribute refs)."""
+    names, arr = grok_array(col, pattern)
+    # map_from_arrays is null-intolerant: NULL array (non-match) → NULL map
+    return F.map_from_arrays(F.array(*[F.lit(n) for n in names]), arr)

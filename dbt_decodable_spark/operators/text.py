@@ -41,16 +41,42 @@ def lang_score(col: Column | str, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
 
 
+def lang_id_from_tokens(toks: Column) -> Column:
+    """argmax over language marker scores; ties break in LANG_MARKERS order.
+
+    ``toks`` must be a materialized token-array column (plain attribute
+    reference) — see :func:`dbt_decodable_spark.operators.dedup.shingles_from_tokens`
+    for why expressions must not be re-tokenized per language.
+
+    Linear expression shape: one (score, priority) struct per language packed
+    into an ``array_max`` argmax. A running ``when``-chain would embed the
+    prior best-score expression twice per step — 2^n copies of the tokenizer
+    by the last language.
+    """
+    langs = list(LANG_MARKERS)
+    n = len(langs)
+    # sentinel: beats every all-zero score (langs are doubled, so any hit
+    # scores >= 2 > 1), loses to any real hit; priority 0 → "und"
+    entries = [F.struct(F.lit(1).alias("s"), F.lit(0).alias("i"))]
+
+    def _score(markers: Column) -> Column:
+        # single-param lambda: F.filter maps each python parameter to a
+        # lambda variable, so markers must come in via closure, not a param
+        return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+    for i, lang in enumerate(langs):
+        score = _score(F.array(*[F.lit(m) for m in LANG_MARKERS[lang]]))
+        # priority n-i: on score ties the EARLIER language wins (struct
+        # comparison is lexicographic: score first, then priority)
+        entries.append(F.struct((score * 2).alias("s"), F.lit(n - i).alias("i")))
+    lookup = ["und"] + [langs[n - p] for p in range(1, n + 1)]
+    best_i = F.array_max(F.array(*entries))["i"]
+    return F.element_at(F.array(*[F.lit(x) for x in lookup]), best_i + 1)
+
+
 def lang_id(col: Column | str) -> Column:
     """argmax over language marker scores; ties break in LANG_MARKERS order."""
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang in LANG_MARKERS:
-        score = lang_score(col, lang)
-        is_better = score > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return best_lang
+    return lang_id_from_tokens(tokens(col))
 
 
 def quality_metrics(col: Column | str) -> dict[str, Column]:

@@ -253,7 +253,11 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    return d.select("doc_id", text.lang_id("text").alias("pred_lang"))
+    # two-step projection: tokenize ONCE, then score per language off the
+    # materialized array (multi-reference stops CollapseProject from inlining
+    # the tokenizer back into each language's filter)
+    toks = d.select("doc_id", dedup.tokens("text").alias("__toks"))
+    return toks.select("doc_id", text.lang_id_from_tokens(F.col("__toks")).alias("pred_lang"))
 
 
 @register(

@@ -284,8 +284,15 @@ ENVOY_GROK = (
 
 
 def _envoy_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesize envoy_raw-style lines from events (FIXTURES.md §8 bridge)."""
-    e = read_table(spark, sf_dir, "events")
+    """Synthesize envoy_raw-style lines from events (FIXTURES.md §8 bridge).
+
+    fan_out first: the events parquet is one ~MB-scale file → one input
+    partition, which would serialize the downstream per-row regex work onto
+    a single core. At 100 TB the source is already thousands of partitions
+    and the rebalance is a cheap row-size-bounded shuffle."""
+    from dbt_decodable_spark.operators.dedup import fan_out
+
+    e = fan_out(read_table(spark, sf_dir, "events"))
     return e.select(
         "event_id",
         F.concat(
@@ -326,18 +333,19 @@ _ENVOY_REGEX, _ENVOY_FIELDS = compile_pattern(ENVOY_GROK)
     "regexp_extract (http_events.sql:42-45; no Python UDF — SURVEY §7.5)",
 )
 def func_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dbt_decodable_spark.functions.grok import grok_map
+    from dbt_decodable_spark.functions.grok import grok_extract
 
     lines = _envoy_lines(spark, sf_dir)
-    g = grok_map("line", ENVOY_GROK)
-    # project map entries to columns (CASTs mirror http_events.sql:22-37)
-    return lines.where(g.isNotNull()).select(
+    # grok_extract = rlike filter + ONE group-rewrite regex per row
+    g = grok_extract(lines, "line", ENVOY_GROK)
+    # project extracted fields (CASTs mirror http_events.sql:22-37)
+    return g.select(
         "event_id",
-        g["timestamp"].alias("ts_str"),
-        g["method"].alias("method"),
-        g["protocol"].alias("protocol"),
-        g["response_code"].cast("int").alias("response_code"),
-        g["bytes_sent"].cast("int").alias("bytes_sent"),
+        F.col("timestamp").alias("ts_str"),
+        "method",
+        "protocol",
+        F.col("response_code").cast("int").alias("response_code"),
+        F.col("bytes_sent").cast("int").alias("bytes_sent"),
     )
 
 
@@ -356,13 +364,12 @@ def func_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SUM GROUP BY map-access (the reference's change-stream aggregate)",
 )
 def func_grok_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dbt_decodable_spark.functions.grok import grok_map
+    from dbt_decodable_spark.functions.grok import grok_extract
 
     lines = _envoy_lines(spark, sf_dir)
-    g = grok_map("line", ENVOY_GROK)
+    g = grok_extract(lines, "line", ENVOY_GROK)
     return (
-        lines.where(g.isNotNull())
-        .select(g["method"].alias("method"), g["bytes_sent"].cast("int").alias("bytes_sent"))
+        g.select("method", F.col("bytes_sent").cast("int").alias("bytes_sent"))
         .groupBy("method")
         .agg(F.sum(F.col("bytes_sent").cast("decimal(28,0)")).cast("bigint").alias("total_bytes_sent"))
     )

@@ -64,7 +64,10 @@ class TestJvmHotPath:
     def test_grok_is_jvm_side(self, spark, registry):
         plan = plan_of(spark, registry, "func_grok")
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-        assert "*(1)" in plan  # whole-stage-codegen stage marker
+        # exactly one group-rewrite regex in the projection + one rlike match
+        # test (pushed to the scan) — not one regexp_extract per field
+        assert plan.count("regexp_replace") == 1
+        assert "regexp_extract" not in plan
 
     def test_dedup_exact_is_jvm_side(self, spark, registry):
         plan = plan_of(spark, registry, "dedup_exact")
