@@ -56,6 +56,7 @@ def load_all() -> dict[str, QueryDef]:
         scalar_functions,
         streaming_q,
         tpch,
+        tpch2,
         windows,
     )
 
