@@ -28,9 +28,19 @@ def main() -> None:
     registry = load_all()
     spark = get_spark(app_name="bench")
 
-    # warm-up: JVM/codegen startup + the Python/Arrow worker pool, so
-    # one-time process spin-up doesn't land on the first queries
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # warm-up: JVM/codegen/AQE spin-up + the Python/Arrow worker pool, so
+    # one-time process costs don't land on the first queries. Synthetic data
+    # only — no bench-table reads, so nothing data-dependent is cached.
+    a = spark.range(100_000).selectExpr("id", "id % 97 AS k")
+    b = spark.range(97).selectExpr("id AS k", "id * 2 AS v")
+    (
+        a.join(b, "k")  # broadcast join
+        .groupBy("k")  # shuffle + partial/final hash agg under AQE
+        .agg({"v": "sum"})
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     spark.range(256).repartition(32).mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
