@@ -165,3 +165,96 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@register(
+    "stream_sessionize_stateful",
+    oracle="""
+        WITH e AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        marked AS (
+          SELECT user_id, ts, cents,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          > INTERVAL 21600 SECOND
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e
+        ),
+        sess AS (
+          SELECT user_id, ts, cents,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        ),
+        agg AS (
+          SELECT user_id, sid,
+                 min(ts) AS session_start, max(ts) AS session_end,
+                 count(*) AS n_events, SUM(cents) AS total_cents
+          FROM sess GROUP BY user_id, sid
+        ),
+        wm AS (SELECT epoch_ms(max(CAST(ts AS TIMESTAMP))) - 3600000 AS watermark_ms
+               FROM events)
+        SELECT user_id, session_start, session_end,
+               n_events, CAST(total_cents AS BIGINT) AS total_cents
+        FROM agg, wm
+        WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+           OR epoch_ms(session_end) + 21600000 < watermark_ms
+    """,
+    doc="§2.9 custom stateful operator: applyInPandasWithState event-time "
+    "sessionization, executed as a REAL bounded streaming query (file source "
+    "→ watermark → state → memory sink). Oracle = gaps-and-islands with the "
+    "same watermark-closure rule: sessions closed by data always emit; the "
+    "final open session emits only if the watermark passed end+gap.",
+)
+def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.schema import SchemaField, StreamSchema, Watermark
+    from dbt_decodable_spark.sources.datagen import file_stream
+    from dbt_decodable_spark.streaming.stateful import sessionize_stateful
+
+    # the events parquet stores ns timestamps (TESTDATA quirk — same handling
+    # as sources.tables.read_table)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = StreamSchema(
+        fields=(
+            SchemaField(name="event_id", type="BIGINT"),
+            SchemaField(name="ts", type="BIGINT"),
+            SchemaField(name="user_id", type="BIGINT"),
+            SchemaField(name="event_type", type="STRING"),
+            SchemaField(name="value", type="DOUBLE"),
+            SchemaField(name="props", type="STRING"),
+            SchemaField(
+                name="ts_event",
+                kind="computed",
+                expression="timestamp_micros(ts div 1000)",
+            ),
+            SchemaField(
+                name="cents",
+                kind="computed",
+                expression="CAST(round(value * 100) AS BIGINT)",
+            ),
+        ),
+        watermarks=(Watermark("ts_event", "`ts_event` - INTERVAL '1' HOUR"),),
+    )
+    stream = file_stream(
+        spark, sf_dir, schema, options={"pathGlobFilter": "events.parquet"}
+    )
+    sessions = sessionize_stateful(
+        stream, "user_id", "ts_event", "cents", gap_seconds=21600
+    )
+    sink = "stream_sessionize_sink"
+    try:
+        spark.catalog.dropTempView(sink)
+    except Exception:
+        pass
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)

@@ -59,14 +59,15 @@ def file_stream(
     path: str,
     schema: StreamSchema,
     fmt: str = "parquet",
+    options: dict[str, str] | None = None,
 ) -> DataFrame:
     """File-drop source (the ``s3`` connector shape: the same reader works on
-    ``s3a://`` URIs on a real cluster)."""
-    df = (
-        spark.readStream.format(fmt)
-        .schema(schema.to_struct_type())
-        .load(path)
-    )
+    ``s3a://`` URIs on a real cluster). ``path`` must be a directory; use
+    ``options={"pathGlobFilter": "x.parquet"}`` to select files within it."""
+    reader = spark.readStream.format(fmt).schema(schema.to_struct_type())
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    df = reader.load(path)
     df = schema.apply_computed_fields(df)
     return schema.apply_watermarks(df)
 

@@ -220,3 +220,56 @@ class TestDatagenAndLifecycle:
         runner.wait("dd")
         docs = sorted(r["doc"] for r in spark.table("dd").collect())
         assert docs == ["x", "y"]
+
+
+class TestStatefulSessionize:
+    def test_sessions_close_by_data_and_watermark(self, spark, tmpdir, runner):
+        """applyInPandasWithState sessionization: sessions closed by a
+        later event always emit; the final open session emits only when the
+        watermark (max_ts - delay) passes session_end + gap."""
+        import pandas as pd
+
+        from dbt_decodable_spark.streaming.stateful import sessionize_stateful
+
+        in_dir = f"{tmpdir}/sess_in"
+        # user 1: two events 1 min apart (session A), then one 30 min later
+        #   (session B, closed by watermark: global max is user 2's event).
+        # user 2: one event far in the future (session open at end → NOT
+        #   emitted) — it also drives the watermark that closes B.
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime(
+                    [
+                        "2024-01-01 10:00:00",
+                        "2024-01-01 10:01:00",
+                        "2024-01-01 10:31:00",
+                        "2024-01-02 09:00:00",
+                    ]
+                ),
+                "user_id": [1, 1, 1, 2],
+                "cents": [100, 200, 400, 800],
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(in_dir)
+        schema = StreamSchema(
+            fields=(
+                SchemaField(name="ts", type="TIMESTAMP_LTZ(6)"),
+                SchemaField(name="user_id", type="BIGINT"),
+                SchemaField(name="cents", type="BIGINT"),
+            ),
+            watermarks=(Watermark("ts", "`ts` - INTERVAL '1' MINUTE"),),
+        )
+        stream = file_stream(spark, in_dir, schema)
+        sessions = sessionize_stateful(stream, "user_id", "ts", "cents", gap_seconds=600)
+        runner.activate_memory("sess", sessions)
+        runner.wait("sess")
+        rows = sorted(
+            (
+                (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"], r["total_cents"])
+                for r in spark.table("sess").collect()
+            )
+        )
+        assert rows == [
+            (1, "2024-01-01 10:00:00", "2024-01-01 10:01:00", 2, 300),
+            (1, "2024-01-01 10:31:00", "2024-01-01 10:31:00", 1, 400),
+        ]
