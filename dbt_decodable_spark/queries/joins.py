@@ -202,3 +202,40 @@ def join_lookup_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
         "o_orderkey", F.col("c_mktsegment").alias("segment")
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+        SELECT s_name,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28, 10))) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name
+    """,
+    doc="§2.3 + SCALING: salted equi-join (hot keys scattered over salt "
+    "buckets, small side replicated) — result-identical to the plain join; "
+    "the planned skew fix where AQE's runtime split can't reach",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.operators.skew import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    # 100 suppliers × 600k lineitems at sf0.1 → every key is "hot" relative
+    # to a by-key shuffle; salting spreads each over 16 buckets
+    return (
+        salted_join(
+            li.withColumnRenamed("l_suppkey", "suppkey"),
+            s.withColumnRenamed("s_suppkey", "suppkey"),
+            on=["suppkey"],
+            salt=16,
+        )
+        .groupBy("s_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

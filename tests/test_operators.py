@@ -174,3 +174,37 @@ class TestText:
         vals = [r[0] for r in df.select(text.quality_score("t")).collect()]
         assert all(0.0 <= v <= 1.0 for v in vals)
         assert vals[0] > vals[1]  # prose beats punctuation soup
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join(self, spark):
+        from dbt_decodable_spark.operators.skew import salted_join
+        from dbt_decodable_spark.sources.tables import read_table
+
+        li = read_table(spark, "/root/testdata/sf0.001", "lineitem").withColumnRenamed(
+            "l_suppkey", "suppkey"
+        )
+        s = read_table(spark, "/root/testdata/sf0.001", "supplier").withColumnRenamed(
+            "s_suppkey", "suppkey"
+        )
+        plain = li.join(s, "suppkey").groupBy("s_name").count()
+        salted = salted_join(li, s, on=["suppkey"], salt=8).groupBy("s_name").count()
+        assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    def test_left_join_unmatched_rows_survive_once(self, spark):
+        from dbt_decodable_spark.operators.skew import salted_join
+
+        big = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+        small = spark.createDataFrame([(1, "x")], "k int, w string")
+        out = salted_join(big, small, on=["k"], how="left", salt=4)
+        rows = sorted(map(tuple, out.select("k", "v", "w").collect()))
+        assert rows == [(1, "a", "x"), (2, "b", None), (3, "c", None)]
+
+    def test_rejects_unsalted_safe_modes(self, spark):
+        import pytest as _pytest
+
+        from dbt_decodable_spark.operators.skew import salted_join
+
+        df = spark.range(1)
+        with _pytest.raises(ValueError):
+            salted_join(df, df, on=["id"], how="full")

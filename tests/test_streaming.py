@@ -273,3 +273,30 @@ class TestStatefulSessionize:
             (1, "2024-01-01 10:00:00", "2024-01-01 10:01:00", 2, 300),
             (1, "2024-01-01 10:31:00", "2024-01-01 10:31:00", 1, 400),
         ]
+
+
+class TestStreamStaticJoin:
+    def test_stream_static_broadcast_lookup(self, spark, tmpdir, runner):
+        """Stream-static join — the streaming form of the reference's lookup
+        join (SURVEY §2.3 'lookup join'): each micro-batch joins against a
+        broadcast snapshot of the dimension."""
+        import pandas as pd
+
+        in_dir = f"{tmpdir}/ss_in"
+        pdf = pd.DataFrame({"k": [1, 2, 3, 2], "v": [10.0, 20.0, 30.0, 40.0]})
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(in_dir)
+        dim = spark.createDataFrame(
+            [(1, "one"), (2, "two"), (3, "three")], "k long, name string"
+        )
+        schema = StreamSchema(
+            fields=(
+                SchemaField(name="k", type="BIGINT"),
+                SchemaField(name="v", type="DOUBLE"),
+            )
+        )
+        stream = file_stream(spark, in_dir, schema)
+        joined = stream.join(F.broadcast(dim), "k").select("name", "v")
+        runner.activate_memory("ss_join", joined)
+        runner.wait("ss_join")
+        rows = sorted(map(tuple, spark.table("ss_join").collect()))
+        assert rows == [("one", 10.0), ("three", 30.0), ("two", 20.0), ("two", 40.0)]
