@@ -40,6 +40,36 @@ def _sql_escape_regex(regex: str) -> str:
     return regex.replace("\\", "\\\\").replace("'", "''")
 
 
+def _comment_spans(sql: str) -> list[tuple[int, int]]:
+    """(start, end) spans of ``--``-to-EOL and ``/* */`` comments, tracked
+    outside string literals (a ``--`` inside a literal is data, and a quote
+    inside a comment doesn't open a string)."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            m = _STRING_LIT.match(sql, i)
+            i = m.end() if m else i + 1
+        elif sql.startswith("--", i):
+            end = sql.find("\n", i)
+            end = n if end == -1 else end
+            spans.append((i, end))
+            i = end
+        elif sql.startswith("/*", i):
+            end = sql.find("*/", i + 2)
+            end = n if end == -1 else end + 2
+            spans.append((i, end))
+            i = end
+        else:
+            i += 1
+    return spans
+
+
+def _in_comment(spans: list[tuple[int, int]], pos: int) -> bool:
+    return any(s <= pos < e for s, e in spans)
+
+
 def _split_args(arglist: str) -> list[str]:
     """Split a SQL argument list on top-level commas."""
     args, depth, cur, i = [], 0, [], 0
@@ -90,8 +120,9 @@ def _find_call(sql: str, m: re.Match) -> tuple[str, int]:
 def rewrite_grok(sql: str) -> str:
     """``grok(col, 'pattern')`` → native map-of-regexp_extract expression."""
     out, pos = [], 0
+    comments = _comment_spans(sql)
     for m in _GROK_RE.finditer(sql):
-        if m.start() < pos:
+        if m.start() < pos or _in_comment(comments, m.start()):
             continue
         out.append(sql[pos : m.start()])
         argtext, end = _find_call(sql, m)
