@@ -188,3 +188,69 @@ def ivf_assign(
         .filter(F.col("rn") == 1)
         .select(id_col, vec_col, "centroid_id")
     )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    stride: int = 97,
+) -> DataFrame:
+    """Deterministic coarse quantizer: a strided sample of corpus vectors
+    (``id % stride == 0``, first ``n_lists`` by id). A Lloyd refinement would
+    sharpen the lists but makes centroids float-sum-order dependent; the
+    sampled quantizer keeps the whole index reproducible bit-for-bit."""
+    return (
+        corpus.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0)
+        .orderBy(id_col)
+        .limit(n_lists)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    stride: int = 97,
+) -> DataFrame:
+    """IVF-Flat ANN top-k: assign the corpus to inverted lists once, probe
+    each query's ``n_probe`` nearest lists, exact re-rank inside them.
+
+    At 100 TB: the corpus is written PARTITIONED BY centroid_id (one-time
+    shuffle); a query then scans ~n_probe/n_lists of the data — partition
+    pruning does the skipping, the broadcast centroid table is KB-sized.
+    Fully deterministic (sampled quantizer + tie-broken ranks), so the same
+    algorithm is SQL-expressible for the oracle."""
+    cent = ivf_centroids(corpus, id_col, vec_col, n_lists, stride)
+    lists = ivf_assign(corpus, cent, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    probe_w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q.join(F.broadcast(cent))
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("centroid_vec")))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+    cand = probes.join(lists, "centroid_id").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    scored = cand.withColumn("cos_sim", cosine(F.col("q_vec"), F.col(vec_col)))
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "rank", "cos_sim"
+        )
+    )

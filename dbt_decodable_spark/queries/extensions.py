@@ -295,3 +295,53 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fake_decode_meta(with_bin).select(
         "doc_id", "n_bytes", "mime", "fake_width", "fake_height"
     )
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle="""
+        WITH cent AS (
+          SELECT vec_id AS centroid_id, embedding AS centroid_vec
+          FROM embeddings WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16
+        ),
+        assigned AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT c.vec_id, c.embedding, ct.centroid_id,
+                   row_number() OVER (PARTITION BY c.vec_id
+                     ORDER BY list_cosine_similarity(c.embedding, ct.centroid_vec) DESC,
+                              ct.centroid_id) AS rn
+            FROM embeddings c, cent ct) t WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, embedding AS q_vec
+              FROM embeddings WHERE vec_id < 10),
+        probes AS (
+          SELECT query_id, q_vec, centroid_id FROM (
+            SELECT q.query_id, q.q_vec, ct.centroid_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY list_cosine_similarity(q.q_vec, ct.centroid_vec) DESC,
+                              ct.centroid_id) AS rn
+            FROM q, cent ct) t WHERE rn <= 4
+        ),
+        cand AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 list_cosine_similarity(p.q_vec, a.embedding) AS cos_sim
+          FROM probes p JOIN assigned a USING (centroid_id)
+          WHERE a.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM cand) t WHERE rank <= 5
+    """,
+    doc="§2.12 IVF-Flat ANN top-k: deterministic sampled coarse quantizer, "
+    "inverted-list assignment, 4-of-16 probe, exact re-rank. The whole index "
+    "is reproducible, so even the ANN path is oracle-checked (rank-only "
+    "output). At scale the lists are partition-pruned parquet.",
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(e, q, k=5, n_lists=16, n_probe=4, stride=97).select(
+        "query_id", "neighbor_id", "rank"
+    )

@@ -208,3 +208,36 @@ class TestSaltedJoin:
         df = spark.range(1)
         with _pytest.raises(ValueError):
             salted_join(df, df, on=["id"], how="full")
+
+
+class TestIvf:
+    def test_ivf_recall_against_bruteforce(self, spark):
+        from dbt_decodable_spark.operators import similarity
+        from dbt_decodable_spark.sources.tables import read_table
+
+        e = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+        q = e.filter(F.col("vec_id") < 10)
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.brute_force_topk(e, q, k=5).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_topk(e, q, k=5, n_lists=16, n_probe=4).collect()
+        }
+        n_q = q.count()
+        assert len(approx) == 5 * n_q  # probing always yields a full top-k here
+        recall = len(exact & approx) / len(exact)
+        # 4-of-16 probe on random embeddings: recall well above the 4/16
+        # floor because near neighbors concentrate in near lists
+        assert recall >= 0.3, recall
+
+    def test_every_vector_lands_in_exactly_one_list(self, spark):
+        from dbt_decodable_spark.operators import similarity
+        from dbt_decodable_spark.sources.tables import read_table
+
+        e = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+        cent = similarity.ivf_centroids(e)
+        lists = similarity.ivf_assign(e, cent)
+        assert lists.count() == e.count()
+        assert lists.select("vec_id").distinct().count() == e.count()
