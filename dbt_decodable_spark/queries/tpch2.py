@@ -393,3 +393,69 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numcust"), F.sum(bal).alias("totacctbal"))
         .orderBy("cntrycode")
     )
+
+
+@register(
+    "tpch_q8_national_market_share",
+    oracle="""
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               SUM(CAST(CASE WHEN n2.n_name = 'NATION_3'
+                             THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                        AS DECIMAL(28, 10))) AS nation_volume,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28, 10))) AS total_volume
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA'
+          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                              AND TIMESTAMP '1996-12-31 00:00:00'
+          AND p_type = 'ECONOMY'
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    doc="TPC-H Q8 shape: 8-way join with the nation dim joined TWICE "
+    "(customer side restricts the market region, supplier side names the "
+    "share-holder), conditional volume split per order year. The market "
+    "share itself is the caller's IEEE division over the two exact DECIMAL "
+    "sums (same policy as Q14). Dims broadcast; the fact-fact joins shuffle "
+    "on their keys. Classic form: TPC-H spec Q8 (reference has no local "
+    "execution; platform SQL surface per decodable/client/client.py:364-373).",
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+    )
+    c = read_table(spark, sf_dir, "customer")
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_nationkey"), F.col("n_regionkey").alias("n1_regionkey")
+    )
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_nationkey"))
+        .join(F.broadcast(r), F.col("n1_regionkey") == r.r_regionkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0)).cast(_DEC)
+            ).alias("nation_volume"),
+            F.sum(vol.cast(_DEC)).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
