@@ -7,9 +7,9 @@ Reference surface: ``GROUP BY`` + count/min/max (``events_count.sql:18-25``),
 (``macros/materializations/test/test.sql:68-72``), distinct/rollup/cube from
 the Flink SQL platform surface.
 
-Float determinism: per-row CAST to DECIMAL before SUM (exact, partition-order
-independent), result cast back to DOUBLE — Spark and DuckDB produce identical
-bits. See queries/__init__.py.
+Float determinism: per-row integer scaling (exact cents), exact BIGINT
+accumulation, one final int64→double conversion — identical bits from Spark
+and DuckDB. See queries/money.py for the full policy and its rationale.
 """
 
 from __future__ import annotations
@@ -17,17 +17,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dbt_decodable_spark.queries import register
+from dbt_decodable_spark.queries.money import (
+    cents,
+    charge_units,
+    disc_price_units,
+    money_sum,
+    sql_cents,
+    sql_charge_units,
+    sql_disc_price_units,
+    sql_money_sum,
+)
 from dbt_decodable_spark.sources.tables import read_table
-
-
-def _dsum(col: str | F.Column, alias: str, scale: str = "DECIMAL(28, 10)") -> F.Column:
-    """Deterministic sum of doubles: exact decimal accumulation, DECIMAL
-    result. Kept decimal (not cast back to double) because DuckDB's
-    DECIMAL(38,·)→DOUBLE cast is not correctly rounded on the int128 path,
-    while Spark's BigDecimal.doubleValue is — decimal output is bit-exact on
-    both engines."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(scale)).alias(alias)
 
 
 @register(
@@ -70,31 +70,30 @@ def events_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_groupby_q1",
-    oracle="""
+    oracle=f"""
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(l_quantity AS DECIMAL(28, 10))) AS sum_qty,
-               SUM(CAST(l_extendedprice AS DECIMAL(28, 10))) AS sum_base_price,
-               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28, 10))) AS sum_disc_price,
-               SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28, 10))) AS sum_charge,
+               {sql_money_sum(sql_cents('l_quantity'), 'sum_qty')},
+               {sql_money_sum(sql_cents('l_extendedprice'), 'sum_base_price')},
+               {sql_money_sum(sql_disc_price_units(), 'sum_disc_price', scale=4)},
+               {sql_money_sum(sql_charge_units(), 'sum_charge', scale=6)},
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
     """,
-    doc="§2.4 TPC-H Q1 shape: hash agg w/ partial+final, 8-col agg over 2 keys",
+    doc="§2.4 TPC-H Q1 shape: hash agg w/ partial+final, 8-col agg over 2 keys; "
+    "exact integer-cent accumulation → DOUBLE output (queries/money.py)",
 )
 def agg_groupby_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum("l_quantity", "sum_qty"),
-            _dsum("l_extendedprice", "sum_base_price"),
-            _dsum(disc_price, "sum_disc_price"),
-            _dsum(charge, "sum_charge"),
+            money_sum(cents("l_quantity"), "sum_qty"),
+            money_sum(cents("l_extendedprice"), "sum_base_price"),
+            money_sum(disc_price_units(), "sum_disc_price", scale=4),
+            money_sum(charge_units(), "sum_charge", scale=6),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -123,10 +122,10 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_groupby_expression",
-    oracle="""
+    oracle=f"""
         SELECT CAST(year(o_orderdate) AS INT) AS order_year,
                count(*) AS n_orders,
-               SUM(CAST(o_totalprice AS DECIMAL(28, 10))) AS total_price
+               {sql_money_sum(sql_cents('o_totalprice'), 'total_price')}
         FROM orders
         GROUP BY CAST(year(o_orderdate) AS INT)
     """,
@@ -138,7 +137,7 @@ def agg_groupby_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            _dsum("o_totalprice", "total_price"),
+            money_sum(cents("o_totalprice"), "total_price"),
         )
     )
 

@@ -25,7 +25,9 @@ TABLES = (
 
 def _norm_cell(v):
     if isinstance(v, Decimal):
-        return float(v)
+        # Exact numeric comparison, scale-insensitive: the driver hashes
+        # values, so 1e-10 drift that float() would smooth over must FAIL here.
+        return format(v.normalize(), "f")
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -77,16 +79,9 @@ def compare(name, spark_df, oracle, con):
     else:
         for i, (a, b) in enumerate(zip(sr, dr)):
             if a != b:
-                close = all(
-                    (x == y)
-                    or (
-                        isinstance(x, float)
-                        and isinstance(y, float)
-                        and math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-12)
-                    )
-                    for x, y in zip(a, b)
-                )
-                status = "FAIL-VALUES" if not close else "FLOAT-DRIFT"
+                # Exact comparison only — the driver hashes values, so any
+                # bit-level difference is a FAIL there and must be one here.
+                status = "FAIL-VALUES"
                 detail = f"row {i}: spark={a} duck={b}"
                 break
     print(f"{status:12s} {name:32s} rows={len(sr):7d} spark={t_spark:5.1f}s duck={t_duck:4.1f}s {detail[:220]}")
