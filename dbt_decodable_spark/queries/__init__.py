@@ -6,10 +6,11 @@ Conventions (driver contract):
 - each query fn takes ``(spark, sf_dir)`` and returns a DataFrame;
 - every computed/aggregate column is aliased identically in the Spark code
   and the oracle SQL (the driver sorts columns by name before hashing);
-- float aggregates are made *deterministic* by casting per-row values to
-  DECIMAL before SUM (exact arithmetic regardless of partition order), then
-  casting the result back to DOUBLE — the same double comes out of Spark and
-  DuckDB bit-for-bit;
+- money/float aggregates are made *deterministic* via the exact integer-unit
+  policy of :mod:`dbt_decodable_spark.queries.money` (scale the 2-decimal
+  values to BIGINT units per row, sum exactly, convert to DOUBLE once at the
+  end) — the same double comes out of Spark and DuckDB bit-for-bit, and no
+  query emits a DECIMAL output column;
 - queries whose semantics aren't ANSI-SQL-expressible register
   ``oracle=None`` → the driver records a weaker rows-only check.
 """

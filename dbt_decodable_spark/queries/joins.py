@@ -12,19 +12,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dbt_decodable_spark.queries import register
+from dbt_decodable_spark.queries.money import (
+    cents,
+    money_sum,
+    revenue,
+    sql_cents,
+    sql_money_sum,
+    sql_revenue,
+)
 from dbt_decodable_spark.sources.tables import read_table
 
 
 @register(
     "join_inner",
-    oracle="""
+    oracle=f"""
         SELECT n_name,
                count(*) AS n_customers,
-               SUM(CAST(c_acctbal AS DECIMAL(28, 10))) AS total_bal
+               {sql_money_sum(sql_cents('c_acctbal'), 'total_bal')}
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
     """,
-    doc="§2.3 inner equi-join; nation is broadcast (25 rows)",
+    doc="§2.3 inner equi-join; nation is broadcast (25 rows); "
+    "exact integer-cent accumulation → DOUBLE output (queries/money.py)",
 )
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer")
@@ -34,7 +43,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast("decimal(28,10)")).alias("total_bal"),
+            money_sum(cents("c_acctbal"), "total_bal"),
         )
     )
 
@@ -206,9 +215,9 @@ def join_lookup_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_salted_skew",
-    oracle="""
+    oracle=f"""
         SELECT s_name,
-               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28, 10))) AS revenue,
+               {sql_revenue()},
                count(*) AS n_items
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_name
@@ -233,9 +242,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("s_name")
         .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
-            ).alias("revenue"),
+            revenue(),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

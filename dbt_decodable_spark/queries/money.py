@@ -32,10 +32,20 @@ Policy, applied to every oracle-checked query:
   conversion and division by an exact power-of-ten constant are
   correctly-rounded IEEE-754 ops in both engines → bit-identical doubles.
 
-Overflow headroom: scale-6 unit sums reach ~6e15 at sf0.1 and ~6e18 at
-sf100 against the int64 max 9.2e18. At larger scale the accumulator would
-be widened to DECIMAL(38,0) *internally* (still exact, still emitting
-DOUBLE); the driver's compare never sees a decimal either way.
+Overflow headroom (per accumulator scale, against int64 max 9.22e18, using
+the sf1 lineitem sums sum(extendedprice) ~= 2.3e11 dollars and TPC-H Q1's
+largest group holding ~half the table):
+
+- scale 2 (cents) and scale 4 (price*(1-disc)): ~2.3e13 and ~2.3e17 units
+  at sf100 — BIGINT sums are safe with >=40x headroom, and stay on the
+  fast long-adder path in both engines (DuckDB promotes SUM(BIGINT) to
+  HUGEINT anyway; Spark SUM(LONG) never reaches the wrap point).
+- scale 6 (charge = price*(1-disc)*(1+tax)): ~1.1e19 units at sf100 —
+  ABOVE int64. Spark SUM(LONG) would silently wrap while DuckDB promotes,
+  so ``money_sum(..., scale=6)`` (and any caller passing ``wide=True``)
+  sums over ``CAST(units AS DECIMAL(38,0))`` *internally* in BOTH engines:
+  still exact integer arithmetic, still emitting DOUBLE — the driver's
+  compare never sees a decimal, and int128 sums cannot wrap below ~1e38.
 
 Reference: money semantics follow the platform SQL surface the reference
 ships verbatim to Flink (``decodable/client/client.py:364-373``); the
@@ -68,10 +78,17 @@ def one_plus(col: str | Column) -> Column:
     return F.lit(100) + cents(col)
 
 
-def money_sum(units: Column, alias: str, scale: int = 2) -> Column:
+def money_sum(units: Column, alias: str, scale: int = 2,
+              wide: bool | None = None) -> Column:
     """SUM the integer units exactly, then emit DOUBLE via the deterministic
-    int64→double→/10^scale sequence (identical in Spark and DuckDB)."""
-    return (F.sum(units).cast("double") / F.lit(float(10**scale))).alias(alias)
+    int→double→/10^scale sequence (identical in Spark and DuckDB).
+
+    ``wide`` (default: scale >= 6) widens the accumulator to DECIMAL(38,0)
+    so scale-6 sums can't wrap int64 at sf~84+ (see module docstring)."""
+    if wide is None:
+        wide = scale >= 6
+    acc = units.cast("decimal(38,0)") if wide else units
+    return (F.sum(acc).cast("double") / F.lit(float(10**scale))).alias(alias)
 
 
 def disc_price_units(price: str | Column = "l_extendedprice",
@@ -111,8 +128,12 @@ def sql_one_plus(col: str) -> str:
     return f"(100 + {sql_cents(col)})"
 
 
-def sql_money_sum(units: str, alias: str, scale: int = 2) -> str:
-    return f"CAST(SUM({units}) AS DOUBLE) / {float(10**scale)!r} AS {alias}"
+def sql_money_sum(units: str, alias: str, scale: int = 2,
+                  wide: bool | None = None) -> str:
+    if wide is None:
+        wide = scale >= 6
+    acc = f"CAST({units} AS DECIMAL(38,0))" if wide else units
+    return f"CAST(SUM({acc}) AS DOUBLE) / {float(10**scale)!r} AS {alias}"
 
 
 def sql_disc_price_units(price: str = "l_extendedprice",

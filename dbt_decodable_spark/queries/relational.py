@@ -38,18 +38,23 @@ def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "projection_cast_alias",
     oracle="""
         SELECT o_orderkey,
-               CAST(o_totalprice AS DECIMAL(12, 2)) AS price_dec,
+               CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS price_dec,
                CAST(o_orderkey AS VARCHAR) AS key_str,
                upper(o_orderstatus) AS status_u
         FROM orders WHERE o_orderkey <= 1000
     """,
-    doc="§2.2 SELECT aliases + CAST (http_events.sql:22-37)",
+    doc="§2.2 SELECT aliases + CAST (http_events.sql:22-37). The 2-decimal "
+    "money projection goes through exact integer cents → DOUBLE "
+    "(queries/money.py) instead of CAST(double AS DECIMAL), whose rounding "
+    "differs between Spark and DuckDB",
 )
 def projection_cast_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.queries.money import cents
+
     o = read_table(spark, sf_dir, "orders")
     return o.filter(F.col("o_orderkey") <= 1000).select(
         "o_orderkey",
-        F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+        (cents("o_totalprice") / F.lit(100.0)).alias("price_dec"),
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.upper("o_orderstatus").alias("status_u"),
     )

@@ -352,7 +352,7 @@ def func_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "func_grok_agg",
     oracle=f"""
-        SELECT method, CAST(SUM(CAST(bytes_sent AS DECIMAL(28, 0))) AS BIGINT) AS total_bytes_sent
+        SELECT method, CAST(SUM(bytes_sent) AS BIGINT) AS total_bytes_sent
         FROM (
             SELECT regexp_extract(line, '{_ENVOY_REGEX}', 2) AS method,
                    CAST(regexp_extract(line, '{_ENVOY_REGEX}', 6) AS INT) AS bytes_sent
@@ -371,5 +371,7 @@ def func_grok_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         g.select("method", F.col("bytes_sent").cast("int").alias("bytes_sent"))
         .groupBy("method")
-        .agg(F.sum(F.col("bytes_sent").cast("decimal(28,0)")).cast("bigint").alias("total_bytes_sent"))
+        # bytes_sent is INT → Spark SUM gives LONG; DuckDB SUM(INT) promotes to
+        # HUGEINT, so the oracle casts back to BIGINT — both exact integers
+        .agg(F.sum("bytes_sent").alias("total_bytes_sent"))
     )

@@ -25,20 +25,23 @@ from dbt_decodable_spark.sources.tables import read_table
         SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
                event_type,
                count(*) AS n,
-               SUM(CAST(value AS DECIMAL(28, 10))) AS total_value
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
         FROM events
         GROUP BY 1, 2
     """,
     doc="§2.9 tumbling event-time window (Flink TUMBLE TVF → F.window); "
-    "streaming twin in tests/test_streaming.py",
+    "streaming twin in tests/test_streaming.py; value is a 2-decimal money "
+    "column → exact integer-cent accumulation (queries/money.py)",
 )
 def stream_tumble_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.queries.money import cents, money_sum
+
     e = read_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(28,10)")).alias("total_value"),
+            money_sum(cents("value"), "total_value"),
         )
         .select(F.col("window.start").alias("window_start"), "event_type", "n", "total_value")
     )

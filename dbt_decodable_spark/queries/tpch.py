@@ -1,21 +1,30 @@
 """Classic TPC-H-shaped analytics over the driver's star schema (the
 multi-join + agg + top-k workloads a platform user actually runs; SURVEY §2.3
 join chains + §2.4 aggregates under one roof). Revenue sums use the exact
-decimal-accumulation policy (queries/__init__.py)."""
+integer-cent accumulation policy (queries/money.py) — BIGINT unit sums,
+DOUBLE outputs, no DECIMAL anywhere in the output schema."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dbt_decodable_spark.queries import register
+from dbt_decodable_spark.queries.money import (
+    cents,
+    money_sum,
+    revenue,
+    sql_cents,
+    sql_money_sum,
+    sql_revenue,
+)
 from dbt_decodable_spark.sources.tables import read_table
 
 
 @register(
     "tpch_q3_shipping_priority",
-    oracle="""
+    oracle=f"""
         SELECT l_orderkey,
-               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28, 10))) AS revenue,
+               {sql_revenue()},
                o_orderdate
         FROM customer
         JOIN orders ON c_custkey = o_custkey
@@ -37,11 +46,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
-            ).alias("revenue")
-        )
+        .agg(revenue())
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
         .limit(10)
@@ -50,9 +55,9 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q5_local_supplier_volume",
-    oracle="""
+    oracle=f"""
         SELECT n_name,
-               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28, 10))) AS revenue
+               {sql_revenue()}
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -86,18 +91,14 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
-            ).alias("revenue")
-        )
+        .agg(revenue())
     )
 
 
 @register(
     "tpch_q6_forecast_revenue",
-    oracle="""
-        SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28, 10))) AS revenue
+    oracle=f"""
+        SELECT {sql_money_sum(f"{sql_cents('l_extendedprice')} * {sql_cents('l_discount')}", 'revenue', scale=4)}
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -115,11 +116,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(
-            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(28,10)")).alias(
-                "revenue"
-            )
-        )
+        .agg(money_sum(cents("l_extendedprice") * cents("l_discount"), "revenue", scale=4))
     )
 
 

@@ -8,8 +8,10 @@ Spark-first stance: every correlated subquery is written in its decorrelated
 join form (semi/anti join, per-key aggregate join, broadcast scalar), which
 is exactly the plan Catalyst would rewrite to — but stated explicitly so the
 intent survives at 100 TB (no accidental BroadcastNestedLoop on a correlated
-predicate). Division is avoided or done in IEEE doubles over exactly-summed
-DECIMALs (see queries/__init__.py float policy).
+predicate). Money arithmetic follows the exact integer-cent policy of
+queries/money.py: BIGINT unit accumulation, DOUBLE outputs, no DECIMAL
+output columns (division, where unavoidable, is the same IEEE double op in
+both engines over identical exact inputs).
 """
 
 from __future__ import annotations
@@ -17,13 +19,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dbt_decodable_spark.queries import register
+from dbt_decodable_spark.queries.money import (
+    cents,
+    disc_price_units,
+    money_sum,
+    revenue as _rev,
+    sql_cents,
+    sql_disc_price_units,
+    sql_money_sum,
+    sql_revenue,
+)
 from dbt_decodable_spark.sources.tables import read_table
-
-_DEC = "decimal(28,10)"
-
-
-def _rev(price="l_extendedprice", disc="l_discount") -> F.Column:
-    return F.sum((F.col(price) * (1 - F.col(disc))).cast(_DEC)).alias("revenue")
 
 
 @register(
@@ -61,13 +67,13 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q7_volume_shipping",
-    oracle="""
+    oracle=f"""
         SELECT supp_nation, cust_nation, l_year,
-               SUM(CAST(volume AS DECIMAL(28, 10))) AS revenue
+               {sql_money_sum('volume_units', 'revenue', scale=4)}
         FROM (
           SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                  year(l_shipdate) AS l_year,
-                 l_extendedprice * (1 - l_discount) AS volume
+                 {sql_disc_price_units()} AS volume_units
           FROM supplier
           JOIN lineitem ON s_suppkey = l_suppkey
           JOIN orders ON o_orderkey = l_orderkey
@@ -83,20 +89,28 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY supp_nation, cust_nation, l_year
     """,
     doc="TPC-H Q7 shape: self-joined dim (nation twice, both broadcast), "
-    "nation-pair OR predicate, year rollup",
+    "nation-pair OR predicate, year rollup. The two-nation restriction is "
+    "pushed into each dim scan (inner broadcast joins against the filtered "
+    "dims prune both fact sides before the fact-fact shuffle); the OR pair "
+    "filter after the joins only removes the same-nation combinations",
 )
 def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pair_nations = ["NATION_1", "NATION_2"]
     s = read_table(spark, sf_dir, "supplier")
     li = read_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
     )
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
-    n1 = read_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    n1 = (
+        read_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(pair_nations))
+        .select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
     )
-    n2 = read_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    n2 = (
+        read_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(pair_nations))
+        .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
     )
     pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
         F.col("supp_nation") == "NATION_2"
@@ -117,9 +131,9 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q10_returned_items",
-    oracle="""
+    oracle=f"""
         SELECT c_custkey, c_name,
-               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28, 10))) AS revenue,
+               {sql_revenue()},
                c_acctbal, n_name
         FROM customer
         JOIN orders ON c_custkey = o_custkey
@@ -191,11 +205,9 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q14_promo_revenue",
-    oracle="""
-        SELECT SUM(CAST(CASE WHEN p_type = 'PROMO'
-                             THEN l_extendedprice * (1 - l_discount) ELSE 0 END
-                        AS DECIMAL(28, 10))) AS promo_revenue,
-               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28, 10))) AS total_revenue
+    oracle=f"""
+        SELECT {sql_money_sum(f"CASE WHEN p_type = 'PROMO' THEN {sql_disc_price_units()} ELSE 0 END", 'promo_revenue', scale=4)},
+               {sql_revenue(alias='total_revenue')}
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
@@ -209,24 +221,26 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
     )
     p = read_table(spark, sf_dir, "part")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    units = disc_price_units()
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .agg(
-            F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0)).cast(_DEC)).alias(
-                "promo_revenue"
+            money_sum(
+                F.when(F.col("p_type") == "PROMO", units).otherwise(F.lit(0)),
+                "promo_revenue",
+                scale=4,
             ),
-            F.sum(vol.cast(_DEC)).alias("total_revenue"),
+            _rev(alias="total_revenue"),
         )
     )
 
 
 @register(
     "tpch_q15_top_supplier",
-    oracle="""
+    oracle=f"""
         WITH revenue AS (
           SELECT l_suppkey AS supplier_no,
-                 SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28, 10))) AS total_revenue
+                 {sql_revenue(alias='total_revenue')}
           FROM lineitem
           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
             AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -238,7 +252,8 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s_suppkey
     """,
     doc="TPC-H Q15 shape: scalar subquery over an aggregate CTE (max revenue "
-    "supplier; exact DECIMAL equality, broadcast scalar)",
+    "supplier; equality over identical exact-integer-derived doubles, "
+    "broadcast scalar)",
 )
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").filter(
@@ -246,7 +261,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = read_table(spark, sf_dir, "supplier")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        _rev().alias("total_revenue")
+        _rev(alias="total_revenue")
     )
     top = revenue.agg(F.max("total_revenue").alias("__max_rev"))
     return (
@@ -259,8 +274,8 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q17_small_quantity_revenue",
-    oracle="""
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28, 10))) AS DOUBLE) / 7.0 AS avg_yearly
+    oracle=f"""
+        SELECT CAST(SUM({sql_cents('l_extendedprice')}) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#23'
@@ -281,7 +296,9 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per_part, li.l_partkey == F.col("pp_key"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            (F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / 7.0).alias("avg_yearly")
+            (F.sum(cents("l_extendedprice")).cast("double") / F.lit(100.0) / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
         )
     )
 
@@ -290,7 +307,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q18_large_volume_customer",
     oracle="""
         SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
-               SUM(CAST(l_quantity AS DECIMAL(18, 2))) AS total_qty
+               CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
@@ -317,8 +334,9 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li.withColumnRenamed("l_orderkey", "li_orderkey"), F.col("o_orderkey") == F.col("li_orderkey"))
         .join(big, F.col("o_orderkey") == big.l_orderkey, "left_semi")
+        # l_quantity is integer-valued; round→BIGINT sum is exact in both engines
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty"))
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
@@ -326,8 +344,8 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q19_discounted_revenue",
-    oracle="""
-        SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28, 10))) AS revenue
+    oracle=f"""
+        SELECT {sql_revenue()}
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
@@ -350,59 +368,57 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q22_sales_opportunity",
-    oracle="""
-        WITH pos AS (SELECT CAST(c_acctbal AS DECIMAL(18, 2)) AS bal
+    oracle=f"""
+        WITH pos AS (SELECT {sql_cents('c_acctbal')} AS bal_cents
                      FROM customer WHERE c_acctbal > 0.0),
-        thresh AS (SELECT SUM(bal) AS total, count(*) AS n FROM pos)
+        thresh AS (SELECT CAST(SUM(bal_cents) AS BIGINT) AS total, count(*) AS n FROM pos)
         SELECT cntrycode, count(*) AS numcust,
-               SUM(CAST(c_acctbal AS DECIMAL(18, 2))) AS totacctbal
+               {sql_money_sum(sql_cents('c_acctbal'), 'totacctbal')}
         FROM (
           SELECT c_nationkey % 5 AS cntrycode, c_acctbal, c_custkey
           FROM customer, thresh
-          WHERE CAST(c_acctbal AS DECIMAL(18, 2)) * n > total
+          WHERE {sql_cents('c_acctbal')} * n > total
         ) cust
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                           AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         GROUP BY cntrycode
         ORDER BY cntrycode
     """,
-    doc="TPC-H Q22 shape: above-average balance (exact DECIMAL cross-multiply "
-    "instead of an avg division) + NOT EXISTS anti join (no orders since "
-    "1999 — every customer has SOME order in this data); cntrycode from "
-    "nationkey (no phone column)",
+    doc="TPC-H Q22 shape: above-average balance (exact integer-cent "
+    "cross-multiply instead of an avg division) + NOT EXISTS anti join (no "
+    "orders since 1999 — every customer has SOME order in this data); "
+    "cntrycode from nationkey (no phone column)",
 )
 def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders")
-    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    bal_cents = cents("c_acctbal")
     thresh = (
         c.filter(F.col("c_acctbal") > 0.0)
-        .agg(F.sum(bal).alias("total"), F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(bal_cents).alias("total"), F.count(F.lit(1)).alias("n"))
     )
-    # avg comparison as an exact cross-multiply: bal * n > total (division of
-    # decimals has engine-specific scale rules; multiplication doesn't)
+    # avg comparison as an exact cross-multiply: cents * n > total_cents (all
+    # BIGINT — no division, no decimal scale rules, identical in both engines)
     rich = (
         c.join(F.broadcast(thresh))
-        .filter(bal * F.col("n") > F.col("total"))
+        .filter(bal_cents * F.col("n") > F.col("total"))
         .select((F.col("c_nationkey") % 5).alias("cntrycode"), "c_acctbal", "c_custkey")
     )
     recent = o.filter(F.col("o_orderdate") >= "1999-01-01")
     return (
         rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
         .groupBy("cntrycode")
-        .agg(F.count(F.lit(1)).alias("numcust"), F.sum(bal).alias("totacctbal"))
+        .agg(F.count(F.lit(1)).alias("numcust"), money_sum(cents("c_acctbal"), "totacctbal"))
         .orderBy("cntrycode")
     )
 
 
 @register(
     "tpch_q8_national_market_share",
-    oracle="""
+    oracle=f"""
         SELECT EXTRACT(year FROM o_orderdate) AS o_year,
-               SUM(CAST(CASE WHEN n2.n_name = 'NATION_3'
-                             THEN l_extendedprice * (1 - l_discount) ELSE 0 END
-                        AS DECIMAL(28, 10))) AS nation_volume,
-               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28, 10))) AS total_volume
+               {sql_money_sum(f"CASE WHEN n2.n_name = 'NATION_3' THEN {sql_disc_price_units()} ELSE 0 END", 'nation_volume', scale=4)},
+               {sql_money_sum(sql_disc_price_units(), 'total_volume', scale=4)}
         FROM part
         JOIN lineitem ON p_partkey = l_partkey
         JOIN supplier ON s_suppkey = l_suppkey
@@ -412,8 +428,8 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN region ON n1.n_regionkey = r_regionkey
         JOIN nation n2 ON s_nationkey = n2.n_nationkey
         WHERE r_name = 'AMERICA'
-          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
-                              AND TIMESTAMP '1996-12-31 00:00:00'
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
           AND p_type = 'ECONOMY'
         GROUP BY o_year
         ORDER BY o_year
@@ -421,17 +437,20 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q8 shape: 8-way join with the nation dim joined TWICE "
     "(customer side restricts the market region, supplier side names the "
     "share-holder), conditional volume split per order year. The market "
-    "share itself is the caller's IEEE division over the two exact DECIMAL "
-    "sums (same policy as Q14). Dims broadcast; the fact-fact joins shuffle "
-    "on their keys. Classic form: TPC-H spec Q8 (reference has no local "
-    "execution; platform SQL surface per decodable/client/client.py:364-373).",
+    "share itself is the caller's IEEE division over the two exact "
+    "integer-unit sums (same policy as Q14). Only the genuinely small dims "
+    "(nation/region) are force-broadcast; part and supplier scale with sf, "
+    "so AQE decides their join strategy — a forced broadcast there would "
+    "OOM the executors at the 100 TB target. Classic form: TPC-H spec Q8 "
+    "(reference has no local execution; platform SQL surface per "
+    "decodable/client/client.py:364-373).",
 )
 def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     li = read_table(spark, sf_dir, "lineitem")
     s = read_table(spark, sf_dir, "supplier")
     o = read_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
     )
     c = read_table(spark, sf_dir, "customer")
     n1 = read_table(spark, sf_dir, "nation").select(
@@ -441,10 +460,10 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_nationkey"), F.col("n_name").alias("supp_nation")
     )
     r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    units = disc_price_units()
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_nationkey"))
@@ -452,10 +471,12 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_nationkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.sum(
-                F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0)).cast(_DEC)
-            ).alias("nation_volume"),
-            F.sum(vol.cast(_DEC)).alias("total_volume"),
+            money_sum(
+                F.when(F.col("supp_nation") == "NATION_3", units).otherwise(F.lit(0)),
+                "nation_volume",
+                scale=4,
+            ),
+            money_sum(units, "total_volume", scale=4),
         )
         .orderBy("o_year")
     )

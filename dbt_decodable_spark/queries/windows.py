@@ -113,15 +113,19 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rows_frame",
     oracle="""
         SELECT o_orderkey,
-               SUM(CAST(o_totalprice AS DECIMAL(28, 10))) OVER (
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS running_total
+               ) AS DOUBLE) / 100.0 AS running_total
         FROM orders
     """,
-    doc="§2.5 aggregate over ROWS frame (running total)",
+    doc="§2.5 aggregate over ROWS frame (running total); exact integer-cent "
+    "prefix sums over a unique ordering → deterministic DOUBLE "
+    "(queries/money.py)",
 )
 def window_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.queries.money import cents
+
     o = read_table(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_custkey")
@@ -130,7 +134,9 @@ def window_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.select(
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(28,10)")).over(w).alias("running_total"),
+        (F.sum(cents("o_totalprice")).over(w).cast("double") / F.lit(100.0)).alias(
+            "running_total"
+        ),
     )
 
 
