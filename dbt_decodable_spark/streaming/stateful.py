@@ -17,9 +17,24 @@ Semantics (deterministic, oracle-checkable):
   NOT emitted — exactly Flink/Spark session-window late-closure semantics.
 
 Scale notes: state is O(keys) (one open session each, 4 longs); the shuffle
-is one hash partitioning by key; per-group work is Arrow-batched pandas.
+is one hash partitioning by key; per-group work is Arrow-batched and fully
+vectorized (numpy cut points: ``diff(ts) > gap`` → segment boundaries →
+``add.reduceat`` per-segment aggregates — no per-event Python loop), and the
+operator projects to exactly (key, ts, measure) before the stateful shuffle.
 Value totals ride as integer cents so emission is order-exact at any
 parallelism.
+
+Cost model (measured, local[32], sf0.1 = 100k events / 1500 keys): the
+dominant term is ``applyInPandasWithState``'s per-KEY overhead — each key
+becomes its own Arrow record batch + Python function call (~2 ms/key/batch;
+a no-op stateful fn measures ~3 s for batch 0 alone), and event-time
+timeouts force a second micro-batch that calls every keyed state again. So
+wall time ≈ 2 × keys × 2 ms + fixed streaming costs, regardless of how lean
+the per-group body is. Per-EVENT work is what scales with data volume, and
+that is fully vectorized here. For gap sessionization that needs no custom
+state, the declarative ``F.session_window`` twin (queries/streaming_q.py
+``stream_session_window``) is ~10× faster — this operator is the escape
+hatch for semantics declarative windows can't express.
 """
 
 from __future__ import annotations
@@ -27,6 +42,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -67,14 +83,16 @@ def sessionize_stateful(
     gap_us = gap_seconds * 1_000_000
     gap_ms = gap_seconds * 1_000
 
-    def _emit(key: int, s: int, e: int, n: int, c: int) -> pd.DataFrame:
+    def _emit_batch(key: int, s, e, n, c) -> pd.DataFrame:
+        # int64 micros → datetime64[us] is a reinterpreting view (no parse
+        # cost, unlike pd.to_datetime) — this runs once per group, keep it lean
         return pd.DataFrame(
             {
-                key_col: [key],
-                "session_start": pd.to_datetime([s], unit="us"),
-                "session_end": pd.to_datetime([e], unit="us"),
-                "n_events": [n],
-                "total_cents": [c],
+                key_col: np.full(len(s), key, dtype="int64"),
+                "session_start": np.asarray(s, dtype="int64").view("datetime64[us]"),
+                "session_end": np.asarray(e, dtype="int64").view("datetime64[us]"),
+                "n_events": np.asarray(n, dtype="int64"),
+                "total_cents": np.asarray(c, dtype="int64"),
             }
         )
 
@@ -85,27 +103,74 @@ def sessionize_stateful(
         if state.hasTimedOut:
             s, e, n, c = state.get
             state.remove()
-            yield _emit(k, s, e, n, c)
+            yield _emit_batch(k, [s], [e], [n], [c])
             return
-        rows = pd.concat(list(pdfs)).sort_values(ts_col)
-        ts_us = (rows[ts_col].astype("int64") // 1000).to_numpy()  # ns → us
-        cents = rows[cents_col].to_numpy()
-        cur: list[int] | None = list(state.get) if state.exists else None
-        for t, c in zip(ts_us, cents):
-            t, c = int(t), int(c)
-            if cur is None:
-                cur = [t, t, 1, c]
-            elif t - cur[1] <= gap_us:
-                cur[1], cur[2], cur[3] = t, cur[2] + 1, cur[3] + c
-            else:
-                yield _emit(k, *cur)
-                cur = [t, t, 1, c]
-        if cur is not None:
-            state.update(tuple(cur))
-            # fire when the watermark passes session_end + gap (ms floor —
-            # the same truncation Spark's watermark tracker applies)
-            state.setTimeoutTimestamp(cur[1] // 1000 + gap_ms)
+        # pull only the two needed columns into numpy; sorting two flat arrays
+        # via argsort is far cheaper than DataFrame.sort_values
+        ts_parts, cents_parts = [], []
+        for pdf in pdfs:
+            ts_parts.append(pdf[ts_col].to_numpy(dtype="datetime64[ns]").astype("int64"))
+            cents_parts.append(pdf[cents_col].to_numpy(dtype="int64"))
+        ts_us = (np.concatenate(ts_parts) // 1000) if ts_parts else np.empty(0, dtype="int64")
+        if ts_us.size == 0:
+            if state.exists:  # keep the open session + its timeout armed
+                cur = state.get
+                state.update(cur)
+                state.setTimeoutTimestamp(cur[1] // 1000 + gap_ms)
+            return
+        cents = np.concatenate(cents_parts)
+        order = np.argsort(ts_us, kind="stable")
+        ts_us = ts_us[order]
+        cents = cents[order]
 
-    return events.groupBy(key_col).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        # Vectorized gaps-and-islands: an event starts a new session iff its
+        # gap from the previous event exceeds gap_us (the first event compares
+        # to the open-state session end, if any).
+        starts = np.empty(len(ts_us), dtype=bool)
+        starts[0] = True
+        starts[1:] = np.diff(ts_us) > gap_us
+        idx = np.flatnonzero(starts)  # segment start offsets
+        seg_start = ts_us[idx]
+        seg_end = ts_us[np.append(idx[1:] - 1, len(ts_us) - 1)]
+        seg_n = np.diff(np.append(idx, len(ts_us))).astype("int64")
+        seg_cents = np.add.reduceat(cents, idx)
+
+        closed_state = None
+        if state.exists:
+            s0, e0, n0, c0 = state.get
+            if ts_us[0] - e0 <= gap_us:
+                # first segment continues the open session
+                seg_start[0], seg_n[0], seg_cents[0] = s0, seg_n[0] + n0, seg_cents[0] + c0
+            else:
+                closed_state = (s0, e0, n0, c0)  # closed by data, emit first
+
+        # every segment but the last is closed by data; the last goes to state
+        last = len(idx) - 1
+        emit_s = list(seg_start[:last])
+        emit_e = list(seg_end[:last])
+        emit_n = list(seg_n[:last])
+        emit_c = list(seg_cents[:last])
+        if closed_state is not None:
+            emit_s.insert(0, closed_state[0])
+            emit_e.insert(0, closed_state[1])
+            emit_n.insert(0, closed_state[2])
+            emit_c.insert(0, closed_state[3])
+        if emit_s:
+            yield _emit_batch(k, emit_s, emit_e, emit_n, emit_c)
+
+        state.update((int(seg_start[last]), int(seg_end[last]), int(seg_n[last]), int(seg_cents[last])))
+        # fire when the watermark passes session_end + gap (ms floor — the
+        # same truncation Spark's watermark tracker applies)
+        state.setTimeoutTimestamp(int(seg_end[last]) // 1000 + gap_ms)
+
+    # project to exactly the columns the operator needs BEFORE the stateful
+    # shuffle: the stream may carry wide payloads (props/text/etc.) that would
+    # otherwise ride through the exchange and every Arrow batch (the watermark
+    # column survives a projection that keeps it)
+    return (
+        events.select(key_col, ts_col, cents_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
     )
