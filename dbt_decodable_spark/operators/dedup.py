@@ -93,21 +93,42 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _shingle_session_df(df: DataFrame) -> DataFrame:
+    """Rebind ``df`` into a dedicated child SparkSession whose optimizer
+    excludes ``InferFiltersFromGenerate``.
+
+    Why: that rule synthesizes ``size(<whole shingle expr>) > 0`` from the
+    explode and pushes it below the fan-out exchange — re-running the entire
+    shingle computation on the unparallelized scan. The exclusion only saves
+    skipping empty arrays, which explode handles anyway. Because DataFrames
+    optimize lazily (at action time, long after this function returns),
+    set-and-restore around this call would not scope the conf — so the
+    exclusion lives in a child session (same SparkContext, cloned conf) that
+    ONLY shingle pipelines execute in; the caller's session conf is never
+    touched. The handoff goes through a global temp view (the one
+    cross-session-visible relation kind)."""
+    parent = df.sparkSession
+    child = getattr(parent, "_shingle_session", None)
+    if child is None:
+        child = parent.newSession()
+        child.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
+        parent._shingle_session = child
+    name = "__dedup_shingle_input"
+    df.createOrReplaceGlobalTempView(name)
+    return child.table(f"global_temp.{name}")
+
+
 def shingle_strings(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, n_sh, shingle): distinct shingles per doc as strings, with the
     per-doc shingle count riding along. Two-step projection: tokenize once,
     then slide the shingle window over the materialized token array (the
     multi-reference to ``__toks`` stops CollapseProject from inlining the
-    tokenizer back into the lambda)."""
-    # InferFiltersFromGenerate would synthesize `size(<whole shingle expr>) > 0`
-    # from the explode and push it below the fan-out exchange — re-running the
-    # entire shingle computation on the unparallelized scan. Exclude the rule:
-    # it only saves skipping empty arrays, which explode handles anyway.
-    df.sparkSession.conf.set(
-        "spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
-    )
-    base = fan_out(df).select(
+    tokenizer back into the lambda). Runs in the shingle child session —
+    see :func:`_shingle_session_df`."""
+    base = fan_out(_shingle_session_df(df)).select(
         F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
     )
     sh_arr = base.select("id", shingles_from_tokens(F.col("__toks"), n).alias("sh_arr"))
