@@ -10,6 +10,10 @@ Entity model (SURVEY §1.1):
 - **pipeline** — ``INSERT INTO <sink> <select>`` transformation
   (``impl.py:690-692``); activating it runs the insert (batch) or starts a
   StreamingQuery (streaming layer).
+- **connection** — (connector, source|sink) binding to a stream with its own
+  activate/deactivate lifecycle (``decodable/client/api.py:36-48``,
+  ``client.py:455-491``); the seed path creates a REST source connection and
+  posts stringified events through it (``impl.py:502-574``).
 - namespace prefixing: every entity name gets ``<namespace>__``
   (``dbt/include/decodable/macros/adapters.sql:17-28``).
 
@@ -67,6 +71,26 @@ class PipelineDef:
     fingerprint: str = ""
 
 
+#: the reference's connector enum (decodable/client/api.py:36-43)
+CONNECTORS = ("datagen", "kafka", "kinesis", "rest", "s3")
+
+
+@dataclass
+class ConnectionDef:
+    """A connection binds (connector, source|sink) to a stream — the
+    reference's first-class connection entity (decodable/client/api.py:36-48;
+    created bound to a stream via client.py:455-471, lifecycle
+    activate/deactivate/delete via client.py:474-491)."""
+
+    name: str
+    connector: str  # ∈ CONNECTORS
+    conn_type: str  # "source" | "sink" (api.py:45-48)
+    stream: str  # bound stream name (qualified)
+    properties: dict[str, str] = field(default_factory=dict)
+    active: bool = False
+    fingerprint: str = ""
+
+
 def _fingerprint(sql: str, schema_dict: dict[str, Any] | None) -> str:
     payload = json.dumps({"sql": sql, "schema": schema_dict}, sort_keys=True)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
@@ -89,6 +113,7 @@ class Engine:
         self.warehouse_dir = warehouse_dir
         self.streams: dict[str, StreamDef] = {}
         self.pipelines: dict[str, PipelineDef] = {}
+        self.connections: dict[str, ConnectionDef] = {}
 
     # -- naming -------------------------------------------------------------
 
@@ -170,6 +195,11 @@ class Engine:
         if name not in self.streams:
             return []
         dropped: list[str] = []
+        # 0. connections bound to this stream (the reference's cascade drops
+        # the attached connection before the stream, impl.py:197-257)
+        for c in [c for c in self.connections.values() if c.stream == name]:
+            self.delete_connection(c.name)
+            dropped.append(f"connection:{c.name}")
         # 1. pipeline writing this stream
         writer = self._pipeline_writing(name)
         if writer:
@@ -349,6 +379,105 @@ class Engine:
             self.deactivate_pipeline(name)
             del self.pipelines[name]
 
+    # -- connection lifecycle (api.py:36-48, client.py:455-491) --------------
+
+    def create_connection(
+        self,
+        name: str,
+        connector: str,
+        stream: str | None = None,
+        conn_type: str = "source",
+        schema: StreamSchema | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> ConnectionDef:
+        """Create a connection bound to a stream. Mirrors
+        ``client.create_connection(name, schema, stream_name)``
+        (client.py:455-471): the bound stream is created from ``schema`` when
+        it doesn't exist yet (the seed path relies on this — one call yields
+        the connection *and* its stream, impl.py:537-546)."""
+        if connector not in CONNECTORS:
+            raise CatalogError(
+                f"unknown connector {connector!r} (expected one of {CONNECTORS})"
+            )
+        if conn_type not in ("source", "sink"):
+            raise CatalogError(f"connection type must be source|sink, got {conn_type!r}")
+        name = self.qualify(name)
+        stream = self.qualify(stream or name)
+        if stream not in self.streams:
+            if schema is None:
+                raise CatalogError(
+                    f"connection {name!r}: bound stream {stream!r} does not exist "
+                    "and no schema was given to create it"
+                )
+            self.create_stream(stream, schema=schema)
+        cdef = ConnectionDef(
+            name=name,
+            connector=connector,
+            conn_type=conn_type,
+            stream=stream,
+            properties=dict(properties or {}),
+            fingerprint=_fingerprint(
+                f"{connector}|{conn_type}|{stream}", dict(properties or {})
+            ),
+        )
+        self.connections[name] = cdef
+        return cdef
+
+    def get_connection(self, name: str) -> ConnectionDef:
+        name = self.qualify(name)
+        try:
+            return self.connections[name]
+        except KeyError:
+            raise CatalogError(f"no such connection: {name}") from None
+
+    def activate_connection(self, name: str) -> None:
+        """client.activate_connection (client.py:474-479): events flow only
+        while active — ``send_events`` enforces this."""
+        self.get_connection(name).active = True
+
+    def deactivate_connection(self, name: str) -> None:
+        self.get_connection(name).active = False
+
+    def delete_connection(self, name: str) -> None:
+        name = self.qualify(name)
+        if name in self.connections:
+            self.connections[name].active = False
+            del self.connections[name]
+
+    def send_events(self, name: str, events: list[dict[str, Any]]) -> int:
+        """REST-connection ingest (client.py:492-501 → /events): values are
+        stringified by the sender and coerced to the bound stream's declared
+        schema on ingest (impl.py:560-566) — appended to the stream."""
+        from dbt_decodable_spark import ftypes
+
+        cdef = self.get_connection(name)
+        if not cdef.active:
+            raise CatalogError(f"connection {cdef.name!r} is not active")
+        sdef = self.streams[cdef.stream]
+        cols = [
+            (f.name, f.type or "STRING")
+            for f in sdef.schema.fields
+            if f.kind == "physical"
+        ]
+        str_rows = [
+            [None if e.get(c) is None else str(e.get(c)) for c, _ in cols]
+            for e in events
+        ]
+        from pyspark.sql import functions as F, types as T
+
+        raw = self.spark.createDataFrame(
+            str_rows, T.StructType([T.StructField(c, T.StringType()) for c, _ in cols])
+        )
+        typed = raw.select(
+            *[F.col(c).cast(ftypes.to_spark(t)).alias(c) for c, t in cols]
+        )
+        typed = sdef.schema.apply_computed_fields(typed)
+        current = self.read_stream(cdef.stream)
+        # localCheckpoint breaks lineage: the union must not lazily re-read
+        # the same view/parquet path that _materialize is about to overwrite
+        self._materialize(sdef, current.unionByName(typed).localCheckpoint(eager=True))
+        return len(events)
+
     # -- declarative apply (client.py:510-529 / impl.py:402-417) ------------
 
     def apply(self, resources: list[dict[str, Any]], dry_run: bool = False) -> list[dict]:
@@ -371,6 +500,36 @@ class Engine:
                     result = "unchanged"
                 if not dry_run and result != "unchanged":
                     self.create_stream(name, schema=schema)
+            elif kind == "connection":
+                connector = spec["connector"]
+                conn_type = spec.get("type", "source")
+                stream = self.qualify(spec.get("stream", meta["name"]))
+                props = dict(spec.get("properties", {}))
+                fp = _fingerprint(f"{connector}|{conn_type}|{stream}", props)
+                current_c = self.connections.get(name)
+                if current_c is None:
+                    result = "created"
+                elif current_c.fingerprint != fp:
+                    result = "updated"
+                else:
+                    result = "unchanged"
+                if not dry_run and result != "unchanged":
+                    schema = (
+                        StreamSchema.from_dict(spec["schema"])
+                        if spec.get("schema")
+                        else None
+                    )
+                    was_active = current_c.active if current_c else False
+                    cdef = self.create_connection(
+                        name,
+                        connector,
+                        stream=spec.get("stream", meta["name"]),
+                        conn_type=conn_type,
+                        schema=schema,
+                        properties=props,
+                    )
+                    if spec.get("active", was_active):
+                        self.activate_connection(cdef.name)
             elif kind == "pipeline":
                 sql = normalize(spec["sql"])
                 target_sink = self.qualify(spec.get("sink", meta["name"]))
@@ -442,11 +601,27 @@ class Engine:
                 n += 1
         return n
 
+    def delete_connections(self, names: list[str] | None = None) -> int:
+        targets = [self.qualify(n) for n in names] if names else list(self.connections)
+        n = 0
+        for t in targets:
+            if t in self.connections:
+                self.delete_connection(t)
+                n += 1
+        return n
+
     def cleanup(self) -> dict[str, int]:
-        """Project-wide GC: everything in this namespace."""
+        """Project-wide GC: everything in this namespace (the reference's
+        cleanup deletes connections too, operations.sql:66-105)."""
+        nc = self.delete_connections()
         np = self.delete_pipelines()
         ns = self.delete_streams()
-        return {"pipelines": np, "streams": ns}
+        return {"connections": nc, "pipelines": np, "streams": ns}
 
     def count_resources(self) -> dict[str, int]:
-        return {"streams": len(self.streams), "pipelines": len(self.pipelines)}
+        """operations.sql:107-127 counts streams, pipelines AND connections."""
+        return {
+            "streams": len(self.streams),
+            "pipelines": len(self.pipelines),
+            "connections": len(self.connections),
+        }

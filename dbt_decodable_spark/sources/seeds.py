@@ -22,7 +22,7 @@ import csv
 import datetime as dt
 from typing import Any
 
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame
 
 from dbt_decodable_spark import ftypes
 from dbt_decodable_spark.catalog import Engine
@@ -100,19 +100,19 @@ def seed_from_rows(
     schema = StreamSchema(
         fields=tuple(SchemaField(name=c, type=t) for c, t in cols.items())
     )
-    spark = engine.spark
-    raw = spark.createDataFrame(
-        str_rows, T.StructType([T.StructField(c, T.StringType()) for c in header])
+    # the reference's seed path: create a REST source connection (which also
+    # creates the bound stream), activate it, then POST the stringified rows
+    # as events (impl.py:537-546 create+activate, impl.py:548-574 send);
+    # Engine.send_events does the stringify-then-coerce ingest (impl.py:560-566)
+    conn = engine.create_connection(name, connector="rest", schema=schema)
+    engine.activate_connection(conn.name)
+    sent = engine.send_events(
+        conn.name, [dict(zip(header, r)) for r in str_rows]
     )
-    # stringified values coerced to the declared schema (impl.py:560-566)
-    typed = raw.select(
-        *[F.col(c).cast(ftypes.to_spark(t)).alias(c) for c, t in cols.items()]
-    )
-    engine.create_stream(name, schema=schema, data=typed)
     out = engine.read_stream(name)
     loaded = out.count()
-    if loaded != len(rows):  # ingest verification (impl.py:568-572)
-        raise RuntimeError(f"seed {name!r}: sent {len(rows)} rows, loaded {loaded}")
+    if loaded != sent:  # ingest verification (impl.py:568-572)
+        raise RuntimeError(f"seed {name!r}: sent {sent} rows, loaded {loaded}")
     return out
 
 

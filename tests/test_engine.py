@@ -86,6 +86,69 @@ class TestSeeds:
         assert dict(df.dtypes) == {"ts": "timestamp", "d": "date"}
 
 
+class TestConnections:
+    """Connection entity lifecycle (api.py:36-48, client.py:455-491): create →
+    activate → send_events → deactivate → delete, seed parity, apply(), and
+    cleanup/count_resources accounting."""
+
+    SCHEMA = StreamSchema(
+        fields=(SchemaField(name="k", type="BIGINT"), SchemaField(name="v", type="STRING"))
+    )
+
+    def test_create_activate_send_deactivate_delete(self, engine):
+        conn = engine.create_connection("c1", connector="rest", schema=self.SCHEMA)
+        assert conn.stream == "t__c1" and not conn.active
+        assert engine.read_stream("c1").count() == 0  # bound stream created
+        engine.activate_connection("c1")
+        assert engine.send_events("c1", [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}]) == 2
+        rows = {(r["k"], r["v"]) for r in engine.read_stream("c1").collect()}
+        assert rows == {(1, "a"), (2, "b")}
+        engine.deactivate_connection("c1")
+        with pytest.raises(CatalogError):  # events only flow while active
+            engine.send_events("c1", [{"k": 3, "v": "c"}])
+        engine.delete_connection("c1")
+        with pytest.raises(CatalogError):
+            engine.get_connection("c1")
+
+    def test_unknown_connector_rejected(self, engine):
+        with pytest.raises(CatalogError):
+            engine.create_connection("bad", connector="ftp", schema=self.SCHEMA)
+
+    def test_seed_creates_rest_connection(self, engine):
+        # impl.py:537-546: the seed path creates + activates a REST connection
+        _seed(engine)
+        conn = engine.get_connection("my_seed")
+        assert conn.connector == "rest" and conn.active
+        assert conn.stream == "t__my_seed"
+
+    def test_apply_connection_reconcile(self, engine):
+        res = [{
+            "kind": "connection",
+            "metadata": {"name": "c_apply"},
+            "spec": {
+                "connector": "datagen",
+                "type": "source",
+                "schema": {"fields": [{"name": "x", "type": "BIGINT"}]},
+                "active": True,
+            },
+        }]
+        assert [r["result"] for r in engine.apply(res)] == ["created"]
+        assert engine.get_connection("c_apply").active
+        assert [r["result"] for r in engine.apply(res)] == ["unchanged"]
+        res[0]["spec"]["properties"] = {"rows_per_second": "5"}
+        assert [r["result"] for r in engine.apply(res)] == ["updated"]
+
+    def test_cascade_drop_and_counts(self, engine):
+        engine.create_connection("c2", connector="s3", schema=self.SCHEMA, stream="s_bound")
+        counts = engine.count_resources()
+        assert counts["connections"] == 1
+        dropped = engine.drop_stream("s_bound")
+        assert "connection:t__c2" in dropped
+        assert engine.count_resources()["connections"] == 0
+        engine.create_connection("c3", connector="kafka", schema=self.SCHEMA)
+        assert engine.cleanup()["connections"] == 1
+
+
 class TestPipelines:
     def test_create_table_flow(self, engine):
         """create_table: stream+pipeline pair from model SQL (impl.py:419-447)."""
@@ -131,7 +194,7 @@ class TestPipelines:
         dropped = engine.drop_stream("my_seed")
         assert "pipeline:t__m2" in dropped and "stream:t__my_seed" in dropped
         assert "stream:t__m2" in dropped  # m2's sink cascades as well
-        assert engine.count_resources() == {"streams": 0, "pipelines": 0}
+        assert engine.count_resources() == {"streams": 0, "pipelines": 0, "connections": 0}
 
     def test_rename_repoints_dependents(self, engine):
         """rename_relation rewrites dependent pipeline SQL (impl.py:277-352)."""
@@ -146,11 +209,11 @@ class TestPipelines:
     def test_run_operations(self, engine):
         _seed(engine)
         engine.create_pipeline("m4", "select name from t__my_seed")
-        assert engine.count_resources() == {"streams": 2, "pipelines": 1}
+        assert engine.count_resources() == {"streams": 2, "pipelines": 1, "connections": 1}
         assert engine.stop_pipelines() == 1
         assert engine.delete_pipelines() == 1
         assert engine.delete_streams() == 2
-        assert engine.count_resources() == {"streams": 0, "pipelines": 0}
+        assert engine.count_resources() == {"streams": 0, "pipelines": 0, "connections": 0}
 
 
 class TestPreview:
