@@ -5,7 +5,10 @@
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is materialized through the ``noop`` sink (full execution, no
-driver collect). value = total wall seconds across all queries.
+driver collect). Every query runs ``$SPARK_GRAFT_BENCH_REPEAT`` times
+(default 3) and reports the per-query BEST — separating real regressions
+from run-to-run noise (VERDICT r2 #10). value = total of per-query best
+wall seconds across all queries.
 """
 
 from __future__ import annotations
@@ -45,20 +48,25 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")))
     timings: dict[str, float] = {}
     total = 0.0
     for name, q in sorted(registry.items()):
-        t0 = time.time()
-        try:
-            df = q.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-        except Exception as e:  # a failing query gets a sentinel, not a crash
-            print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
-            dt = -1.0
-        timings[name] = round(dt, 3)
-        if dt > 0:
-            total += dt
+        best = -1.0
+        for _ in range(repeat):
+            t0 = time.time()
+            try:
+                df = q.fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+            except Exception as e:  # a failing query gets a sentinel, not a crash
+                print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+                dt = -1.0
+                break
+            best = dt if best < 0 else min(best, dt)
+        timings[name] = round(best, 3)
+        if best > 0:
+            total += best
 
     print(
         json.dumps(
@@ -69,6 +77,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
+                "repeat": repeat,
+                "aggregation": "best_of_n",
             }
         )
     )
