@@ -59,6 +59,31 @@ class TestJoinStrategies:
         assert "NestedLoop" not in plan and "Cartesian" not in plan
         assert "Window" in plan
 
+    def test_q8_forces_broadcast_only_on_tiny_dims(self, spark, registry):
+        """VERDICT r2 #3: tpch_q8 must not force-broadcast part/supplier —
+        they scale with sf and would OOM executors at the 100 TB target. The
+        only broadcast HINTS allowed are the three genuinely tiny dims
+        (nation ×2, region); AQE remains free to pick broadcast physically
+        at small sf, which is why this asserts on the analyzed plan's hints
+        rather than the physical join choice."""
+        df = registry["tpch_q8_national_market_share"].fn(spark, SF_DIR)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        hints = [ln for ln in analyzed.splitlines() if "ResolvedHint" in ln]
+        assert len(hints) == 3, hints
+        lowered = analyzed.lower()
+        # hint nodes sit directly above the nation/region reads, never above
+        # part/supplier (checked structurally: each hint's subtree root)
+        import re
+
+        for m in re.finditer(r"ResolvedHint", analyzed):
+            tail = analyzed[m.start() : m.start() + 2000].lower()
+            first_rel = re.search(r"relation \[?[a-z_0-9]*\]? ?\[([a-z_0-9]+)", tail)
+            if first_rel:
+                assert not first_rel.group(1).startswith(("p_", "s_")), tail[:200]
+        # sanity: part/supplier ARE joined (by their key columns; the
+        # analyzed plan prints relations as column lists, not table names)
+        assert "p_partkey" in lowered and "s_suppkey" in lowered
+
 
 class TestJvmHotPath:
     def test_grok_is_jvm_side(self, spark, registry):
