@@ -87,6 +87,26 @@ def score_pairs_numpy(
     )
 
 
+def cosine_dedup(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup DEDUP: given near-dup ``pairs``
+    (id_a < id_b, already thresholded), suppress every row whose id appears
+    as the HIGHER member of a pair — the standard min-id-wins single-pass
+    near-dup removal (pairwise suppression, not transitive clustering: a doc
+    survives iff no lower-id near-dup exists).
+
+    At 100 TB the pairs come from an LSH-blocked join (:func:`lsh_bucket` →
+    bucket-local scoring) rather than all-pairs; this function is agnostic —
+    it's one distinct + one left-anti join on the id, both broadcastable
+    when the duplicate fraction is small.
+    """
+    suppressed = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return corpus.select(id_col).join(suppressed, id_col, "left_anti")
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -174,6 +174,32 @@ def similarity_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_cosine",
+    oracle="""
+        SELECT v.vec_id
+        FROM embeddings v
+        WHERE NOT EXISTS (
+            SELECT 1 FROM embeddings a
+            WHERE a.vec_id < v.vec_id
+              AND list_cosine_similarity(a.embedding, v.embedding) > 0.4
+        )
+    """,
+    doc="§2.12 embedding-cosine near-dup DEDUP: min-id-wins pairwise "
+    "suppression over the thresholded cosine pairs (the same pair source as "
+    "similarity_threshold_join; at 100 TB the pairs come LSH-blocked)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    q_local = [(r[0], list(r[1])) for r in e.select("vec_id", "embedding").collect()]
+    pairs = (
+        similarity.score_pairs_numpy(e, q_local)
+        .filter((F.col("neighbor_id") < F.col("query_id")) & (F.col("cos_sim") > 0.4))
+        .select(F.col("neighbor_id").alias("id_a"), F.col("query_id").alias("id_b"))
+    )
+    return similarity.cosine_dedup(e, pairs)
+
+
+@register(
     "text_token_count",
     oracle=f"""
         SELECT doc_id,

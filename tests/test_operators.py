@@ -51,6 +51,20 @@ class TestJaccard:
         assert len(rows) == 1 and rows[0]["jaccard"] == 0.5
 
 
+class TestCosineDedup:
+    def test_min_id_wins_pairwise_suppression(self, spark):
+        corpus = spark.createDataFrame(
+            [(i, [1.0, 0.0]) for i in (1, 2, 3)] + [(4, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        # near-dup pairs (id_a < id_b): 1-2, 1-3, 2-3 → 2 and 3 suppressed
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3)], "id_a long, id_b long"
+        )
+        kept = {r["vec_id"] for r in similarity.cosine_dedup(corpus, pairs).collect()}
+        assert kept == {1, 4}
+
+
 class TestShingleSessionIsolation:
     def test_excluded_rules_do_not_leak_to_caller_session(self, docs, spark):
         # VERDICT r2 #4: shingle pipelines exclude InferFiltersFromGenerate,
