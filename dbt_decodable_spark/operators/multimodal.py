@@ -73,6 +73,68 @@ def decode_image_meta_pandas(df: DataFrame, use_fake: bool = True) -> DataFrame:
     )
 
 
+FEATURE_SCHEMA = "doc_id bigint, features array<float>"
+
+
+def extract_features_pandas(df: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Feature extraction over binary payloads: an L1-normalized byte
+    histogram (``n_bins`` buckets over 0..255) via Arrow-batched
+    ``mapInPandas`` + numpy. Unlike the decode step this needs no imaging
+    library — it is a REAL feature extractor (byte-distribution signature,
+    usable for near-dup blocking on payloads), and doubles as the reference
+    plumbing for swapping in a CNN/CLIP embedder: same signature, same
+    batch shape, same output schema as an embedding column."""
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches):
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype="uint8")
+                hist = np.bincount(arr >> (8 - n_bins.bit_length() + 1), minlength=n_bins)[
+                    :n_bins
+                ].astype("float64")
+                total = hist.sum()
+                feats.append((hist / total if total else hist).astype("float32"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return df.select("doc_id", "payload").mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def resize_image_pandas(
+    df: DataFrame, width: int, height: int, use_fake: bool = True
+) -> DataFrame:
+    """Resize plumbing (same contract as :func:`decode_image_meta_pandas`):
+    Arrow-batched ``mapInPandas`` emitting (doc_id, payload, width, height).
+    The real branch is environment-gated (PIL/libvips absent); the fake
+    branch deterministically truncates/pads the payload to width*height
+    bytes so batch shapes and sizes behave like a real resize."""
+    import pandas as pd
+
+    n_out = width * height
+
+    def resize(batches):
+        for pdf in batches:
+            if not use_fake:
+                raise NotImplementedError(
+                    "real image resize needs PIL/libvips — not available in this container"
+                )
+            out = [bytes(p)[:n_out].ljust(n_out, b"\0") for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        resize, schema="doc_id bigint, payload binary, width int, height int"
+    )
+
+
 def frame_sample(df: DataFrame, every_nth: int = 10) -> DataFrame:
     """Video-frame-sampling convention: rows are (doc_id, frame_no, payload);
     keep every nth frame. Expressed as a plain filter so partition pruning

@@ -324,6 +324,24 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_features",
+    oracle=None,  # byte-level blob iteration isn't portable DuckDB SQL → rows-only
+    doc="§2.12 multimodal feature extraction: L1-normalized byte histogram "
+    "over binary payloads (Arrow-batched mapInPandas + numpy — a real "
+    "extractor, and the drop-in plumbing slot for a CNN/CLIP embedder); "
+    "exactness unit-tested in tests/test_multimodal.py",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features_pandas,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return extract_features_pandas(attach_binary_payload(d, "text"), n_bins=16)
+
+
+@register(
     "similarity_ivf_topk",
     oracle="""
         WITH cent AS (

@@ -77,6 +77,46 @@ class TestDecodeImageMetaPandas:
             out.collect()
 
 
+class TestExtractFeatures:
+    def test_byte_histogram_is_exact(self, docs, spark):
+        import numpy as np
+
+        payloads = multimodal.attach_binary_payload(docs, "text")
+        out = {r["doc_id"]: r["features"] for r in
+               multimodal.extract_features_pandas(payloads, n_bins=16).collect()}
+        raw = {r["doc_id"]: bytes(r["payload"]) for r in payloads.collect()}
+        for doc_id, payload in raw.items():
+            arr = np.frombuffer(payload, dtype="uint8")
+            expect = np.bincount(arr >> 4, minlength=16)[:16].astype("float64")
+            expect = (expect / expect.sum()).astype("float32")
+            assert np.allclose(out[doc_id], expect), doc_id
+            assert abs(sum(out[doc_id]) - 1.0) < 1e-5  # L1-normalized
+
+    def test_features_shape_matches_embedding_contract(self, docs):
+        payloads = multimodal.attach_binary_payload(docs, "text")
+        out = multimodal.extract_features_pandas(payloads, n_bins=8)
+        assert dict(out.dtypes) == {"doc_id": "bigint", "features": "array<float>"}
+        assert all(len(r["features"]) == 8 for r in out.collect())
+
+
+class TestResize:
+    def test_fake_resize_pads_and_truncates(self, docs):
+        payloads = multimodal.attach_binary_payload(docs, "text")
+        out = {r["doc_id"]: r for r in
+               multimodal.resize_image_pandas(payloads, 4, 3).collect()}
+        for r in out.values():
+            assert len(bytes(r["payload"])) == 12
+            assert (r["width"], r["height"]) == (4, 3)
+        assert bytes(out[1]["payload"]) == b"tiny" + b"\0" * 8  # padded
+
+    def test_real_resize_branch_is_gated(self, docs):
+        out = multimodal.resize_image_pandas(
+            multimodal.attach_binary_payload(docs, "text"), 4, 3, use_fake=False
+        )
+        with pytest.raises(PythonException, match="NotImplementedError"):
+            out.collect()
+
+
 class TestFrameSample:
     def test_keeps_every_nth_frame(self, spark):
         frames = spark.range(0, 100).select(
