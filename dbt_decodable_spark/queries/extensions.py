@@ -67,10 +67,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.shingle_pairs_jaccard(d, "doc_id", "text", n=3, threshold=0.2)
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-        WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+# MinHash signature + band-bucket candidate pairs as reusable CTE text
+# (shared by dedup_minhash_lsh and dedup_connected_components)
+_MINHASH_PAIRS_CTES = f"""base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
         sh AS (
             SELECT DISTINCT id, shingle FROM (
                 SELECT doc_id AS id,
@@ -84,10 +83,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT id, band, min(md5(CAST(band AS VARCHAR) || '#' || shingle)) AS minhash
             FROM sh, (SELECT unnest(range(6)) AS band)
             GROUP BY id, band
-        )
-        SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        FROM sig a JOIN sig b
-          ON a.band = b.band AND a.minhash = b.minhash AND a.id < b.id
+        ),
+        pairs AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM sig a JOIN sig b
+              ON a.band = b.band AND a.minhash = b.minhash AND a.id < b.id
+        )"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH {_MINHASH_PAIRS_CTES}
+        SELECT id_a, id_b FROM pairs
     """,
     doc="§2.12 MinHash-LSH candidate pairs: 6 md5-keyed min-hashes, "
     "band-bucket join (deterministic, so even the LSH step is oracle-able)",
@@ -95,6 +103,42 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(d, "doc_id", "text", n=3, num_hashes=6)
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+        WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+        sym AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT s AS id, d AS r FROM sym
+            UNION
+            SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s
+        ),
+        comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id)
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS component,
+               (COALESCE(c.component, d.doc_id) = d.doc_id) AS is_representative
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+    doc="§2.12 dedup clustering: MinHash-LSH candidate pairs → connected "
+    "components (alternating large-star/small-star, operators/graph.py) → "
+    "one canonical representative (min doc_id) per near-dup cluster. The "
+    "oracle computes the same components via a recursive-CTE transitive "
+    "closure — tractable at test scale, while the Spark side is the "
+    "O(log n)-round 100 TB path.",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.operators.graph import dedup_by_components
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(d, "doc_id", "text", n=3, num_hashes=6)
+    return dedup_by_components(d, pairs, "doc_id").select(
+        "doc_id", "component", "is_representative"
+    )
 
 
 @register(
