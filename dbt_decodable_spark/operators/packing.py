@@ -1,0 +1,100 @@
+"""Token-budget shard packing for training-data pipelines (SURVEY §2.12).
+
+Training corpora are shipped as shards of roughly equal token counts. The
+primitive underneath is an exact *global running sum* of token weights in a
+deterministic document order — which naive Spark expresses as
+``sum(w).over(Window.orderBy(id))``: a single-task global sort that cannot
+scale (every row funnels through one partition).
+
+``global_running_sum`` computes the identical result with the classic
+two-phase distributed prefix sum:
+
+1. range-repartition on the order key (P ordered ranges, Spark's
+   ``repartitionByRange`` — boundary sampling is cheap and the result is
+   *invariant* to where the boundaries land, see below);
+2. partition-local running sum (window partitioned by the range id — P
+   concurrent tasks, no global sort);
+3. per-range totals → exclusive prefix offsets (a P-row aggregate — tiny,
+   one task) broadcast-joined back.
+
+Step 3's offsets are computed from the *actual* per-range sums, so the
+final ``local_cum + offset`` equals the global ordered cumsum no matter
+how the sampled range boundaries fell — nondeterministic partitioning,
+deterministic result. The ranged projection is snapshotted
+(``localCheckpoint``) so the local-cumsum branch and the totals branch see
+the same partition assignment; on a multi-node cluster use
+``persist(DISK_ONLY)``/``checkpoint()`` for the same guarantee with fault
+tolerance.
+
+``pack_by_budget`` then assigns ``shard_id = floor(cum_before / budget)``:
+a document opens in the shard where its token interval starts, giving
+shards of >= ``budget`` tokens (the last document of a shard spills its
+tail over the boundary — the standard greedy packing, exact and
+order-stable).
+
+The reference (decodableco/dbt-decodable) has no packing surface; this is
+part of the training-data extension set the driver mandates. All outputs
+are integers — oracle-checkable bit-for-bit against DuckDB's
+``SUM(...) OVER (ORDER BY ...)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    out_col: str = "cum",
+    partitions: int | None = None,
+) -> DataFrame:
+    """df + ``out_col``: exact running sum of ``weight_col`` in ascending
+    ``order_col`` order. ``order_col`` values must be unique (document ids);
+    with duplicates the intra-tie order — and thus the cumsum — would be
+    engine-dependent."""
+    p = partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(p, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        # snapshot: both consumers below must observe the same boundaries
+        .localCheckpoint(eager=True)
+    )
+    local_w = (
+        W.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = ranged.withColumn("__local_cum", F.sum(weight_col).over(local_w))
+
+    totals = ranged.groupBy("__pid").agg(F.sum(weight_col).alias("__tot"))
+    # exclusive prefix over P rows — a deliberately tiny single-task window
+    off_w = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.coalesce(F.sum("__tot").over(off_w), F.lit(0)).alias("__off")
+    )
+
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__local_cum") + F.col("__off"))
+        .drop("__pid", "__local_cum", "__off")
+    )
+
+
+def pack_by_budget(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    cum_col: str = "cum_weight",
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Assign each row a shard id so consecutive rows (by ``id_col``) fill
+    ~``budget`` weight per shard. Greedy interval packing off the exact
+    global running sum: shard = floor((cum - w) / budget)."""
+    cum = global_running_sum(df, id_col, weight_col, out_col=cum_col)
+    return cum.withColumn(
+        shard_col,
+        F.floor((F.col(cum_col) - F.col(weight_col)) / F.lit(budget)).cast("long"),
+    )

@@ -433,3 +433,35 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(e, q, k=5, n_lists=16, n_probe=4, stride=97).select(
         "query_id", "neighbor_id", "rank"
     )
+
+
+@register(
+    "pack_token_shards",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            FROM w
+        )
+        SELECT doc_id, n_tokens, cum_tokens,
+               CAST(FLOOR((cum_tokens - n_tokens) / 2000) AS BIGINT) AS shard_id
+        FROM c
+    """,
+    doc="§2.12 token-budget shard packing: exact global running token count "
+    "via the two-phase distributed prefix sum (operators/packing.py — no "
+    "single-task global window), then greedy ~2000-token shard assignment. "
+    "All-integer outputs; the oracle is the naive SUM() OVER (ORDER BY).",
+)
+def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.operators import packing
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", text.whitespace_token_count("text").alias("n_tokens")
+    )
+    return packing.pack_by_budget(
+        d, "doc_id", "n_tokens", budget=2000, cum_col="cum_tokens"
+    ).select("doc_id", "n_tokens", "cum_tokens", "shard_id")

@@ -1,0 +1,76 @@
+"""Distributed prefix sum + shard packing (operators/packing.py): the
+two-phase range-partitioned cumsum must equal the naive single-window
+cumsum exactly, across partition counts."""
+
+from pyspark.sql import Window as W, functions as F
+
+from dbt_decodable_spark.operators.packing import global_running_sum, pack_by_budget
+
+
+def _naive_cumsum(df, order_col, weight_col):
+    w = W.orderBy(order_col).rowsBetween(W.unboundedPreceding, W.currentRow)
+    return {
+        r["id"]: r["cum"]
+        for r in df.withColumn("cum", F.sum(weight_col).over(w)).collect()
+    }
+
+
+class TestGlobalRunningSum:
+    def test_matches_naive_window(self, spark):
+        # deterministic LCG weights, ids deliberately unsorted in input
+        x, rows = 11, []
+        for i in range(300):
+            x = (x * 48271) % 2147483647
+            rows.append(((i * 7919) % 1000, x % 50 + 1))
+        df = spark.createDataFrame(rows, "id long, w long")
+        expected = _naive_cumsum(df, "id", "w")
+        for p in (1, 4, 13):
+            got = {
+                r["id"]: r["cum"]
+                for r in global_running_sum(df, "id", "w", partitions=p).collect()
+            }
+            assert got == expected, f"partitions={p}"
+
+    def test_uses_multiple_range_partitions(self, spark):
+        df = spark.createDataFrame([(i, 1) for i in range(100)], "id long, w long")
+        ranged = df.repartitionByRange(8, F.col("id")).withColumn(
+            "pid", F.spark_partition_id()
+        )
+        assert ranged.select("pid").distinct().count() > 1
+
+    def test_preserves_other_columns(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")], "id long, w long, tag string"
+        )
+        out = global_running_sum(df, "id", "w", partitions=2)
+        assert sorted((r.id, r.w, r.tag, r.cum) for r in out.collect()) == [
+            (1, 10, "a", 10),
+            (2, 20, "b", 30),
+            (3, 30, "c", 60),
+        ]
+
+
+class TestPackByBudget:
+    def test_greedy_shard_assignment(self, spark):
+        df = spark.createDataFrame(
+            [(1, 40), (2, 40), (3, 40), (4, 100), (5, 10)], "id long, w long"
+        )
+        out = {r.id: r.shard_id for r in pack_by_budget(df, "id", "w", budget=100).collect()}
+        # cum_before: 0, 40, 80, 120, 220 → shards 0,0,0,1,2
+        assert out == {1: 0, 2: 0, 3: 0, 4: 1, 5: 2}
+
+    def test_every_shard_reaches_budget_except_last(self, spark):
+        x, rows = 3, []
+        for i in range(200):
+            x = (x * 48271) % 2147483647
+            rows.append((i, x % 90 + 10))
+        df = spark.createDataFrame(rows, "id long, w long")
+        out = pack_by_budget(df, "id", "w", budget=500).collect()
+        per_shard = {}
+        for r in out:
+            per_shard[r.shard_id] = per_shard.get(r.shard_id, 0) + r.w
+        last = max(per_shard)
+        # a boundary-spilling document shifts the next shard's start by up to
+        # (max weight - 1), so non-last shards hold > budget - max_weight
+        assert all(tot > 500 - 99 for s, tot in per_shard.items() if s != last)
+        assert set(per_shard) == set(range(last + 1))  # contiguous shard ids
