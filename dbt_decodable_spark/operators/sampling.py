@@ -1,0 +1,94 @@
+"""Deterministic sampling for training-data pipelines (SURVEY §2.12).
+
+Training-data mixes are built by sampling sources/languages at different
+rates ("50% of English web text, 10% of everything else"). Spark's
+``df.sample``/``sampleBy`` draw from a seeded RNG whose stream depends on
+partitioning — re-running on a repartitioned input changes the sample, and
+no external system can reproduce it.
+
+These operators sample by *hashing the row key* instead: keep a row iff
+``md5(key)``'s first 6 hex digits, read as a number, fall below
+``fraction * 16^6``. Properties:
+
+- **deterministic & partition-independent** — membership depends only on
+  the key, so the sample is stable across runs, partitionings, engines,
+  and incremental re-processing (a re-ingested document gets the same
+  verdict);
+- **uniform** — md5 is uniform on the 24-bit prefix; realized rates
+  converge to the target at ~1/sqrt(n·f) like any Bernoulli sample;
+- **consistent across rates** — the keep-sets are nested (a 10% sample is
+  a subset of the 50% sample), which makes down-sampling reruns cheap;
+- **JVM-only hot path** — one md5 + substring compare per row, no RNG
+  state, trivially whole-stage-codegen'd; the comparison is done on the
+  hex *string* (fixed 6 lowercase chars, so lexicographic = numeric) to
+  stay portable to any SQL oracle.
+
+Stratified sampling joins a broadcast (stratum → threshold) table: at
+100 TB the fact side streams through map-side, no shuffle at all.
+
+The reference (decodableco/dbt-decodable) has no sampling surface; part of
+the driver-mandated training-data extension set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_HEX_SPACE = 16**6
+
+
+def _threshold_hex(fraction: float) -> str:
+    """6-lowercase-hex threshold for a [0,1) fraction; >=1 keeps all."""
+    if fraction >= 1.0:
+        return "g"  # lexicographically above every hex digit → keep all
+    if fraction <= 0.0:
+        return "000000"
+    return format(int(fraction * _HEX_SPACE), "06x")
+
+
+def _key_hash(key: Column) -> Column:
+    return F.substring(F.md5(key.cast("string")), 1, 6)
+
+
+def deterministic_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Uniform hash-based sample: keep iff md5(key)[:6] < fraction·16^6."""
+    return df.filter(_key_hash(F.col(key_col)) < F.lit(_threshold_hex(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum hash sampling: each stratum keeps its configured
+    fraction; strata not in ``fractions`` keep ``default_fraction``.
+
+    The (stratum, threshold) table is broadcast — the scan side filters
+    map-side with no shuffle."""
+    spark = df.sparkSession
+    thr = spark.createDataFrame(
+        [(s, _threshold_hex(f)) for s, f in sorted(fractions.items())],
+        f"{stratum_col} string, __thr string",
+    )
+    return (
+        df.join(F.broadcast(thr), stratum_col, "left")
+        .withColumn(
+            "__thr", F.coalesce(F.col("__thr"), F.lit(_threshold_hex(default_fraction)))
+        )
+        .filter(_key_hash(F.col(key_col)) < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+def sql_stratified_filter(
+    stratum_col: str, key_col: str, fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> str:
+    """The equivalent DuckDB WHERE fragment (for oracle pairing)."""
+    whens = " ".join(
+        f"WHEN '{s}' THEN '{_threshold_hex(f)}'" for s, f in sorted(fractions.items())
+    )
+    case = f"CASE {stratum_col} {whens} ELSE '{_threshold_hex(default_fraction)}' END"
+    return f"substr(md5(CAST({key_col} AS VARCHAR)), 1, 6) < {case}"

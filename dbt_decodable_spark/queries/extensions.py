@@ -465,3 +465,27 @@ def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_by_budget(
         d, "doc_id", "n_tokens", budget=2000, cum_col="cum_tokens"
     ).select("doc_id", "n_tokens", "cum_tokens", "shard_id")
+
+
+_SAMPLE_FRACTIONS = {"en": 0.5, "zh": 0.25, "es": 0.25}
+from dbt_decodable_spark.operators.sampling import sql_stratified_filter as _ssf  # noqa: E402
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {_ssf('lang', 'doc_id', _SAMPLE_FRACTIONS, 0.1)}
+    """,
+    doc="§2.12 deterministic stratified sampling: per-language hash-gate "
+    "(md5-prefix threshold, operators/sampling.py) — partition-independent, "
+    "reproducible across engines/runs, nested keep-sets across rates, "
+    "broadcast threshold table so the 100 TB scan filters map-side.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.operators.sampling import stratified_sample
+
+    d = read_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, "lang", "doc_id", _SAMPLE_FRACTIONS, default_fraction=0.1
+    ).select("doc_id", "lang")
