@@ -1,0 +1,82 @@
+"""Bucketed materialization — the shuffle-elimination path for repeated
+big⋈big joins (SCALING.md "Joins").
+
+At 100 TB, a lineitem⋈orders-class join shuffles both fact tables on the
+key every time it runs. When the same join recurs (daily pipelines over
+the same keys), the winning strategy is to pay one shuffle at *write*
+time: persist both tables bucketed (hash-clustered + per-bucket sorted)
+on the join key. Every subsequent join plans as a zip of pre-clustered
+buckets — ``.explain`` shows **no Exchange on either side** (asserted in
+``tests/test_bucketing.py``), and with ``sortBy`` no Sort either: the
+SortMergeJoin reads both scans directly.
+
+This is Spark's native bucketing (``DataFrameWriter.bucketBy`` →
+``spark.sql.sources.bucketing.enabled``), not a reimplementation: the
+operator's job is to make it a one-call materialization primitive with
+the correct invariants —
+
+- both sides must agree on bucket count (Spark only elides the shuffle
+  when the bucket counts match, or one divides the other with
+  ``bucketing.autoBucketedScan`` semantics);
+- the bucket column set must equal the join key set;
+- writes go through ``saveAsTable`` (bucket metadata lives in the
+  catalog; a bare ``.parquet()`` write silently drops it).
+
+Bucket-count sizing at 100 TB: target ~128–512 MB per bucket file per
+partition — e.g. 100 TB / 256 MB ≈ 400k total files ⇒ thousands of
+buckets; here tests use small counts, the API is count-agnostic.
+
+The reference (decodableco/dbt-decodable) ships SQL to a managed Flink
+platform and has no physical-layout surface; this operator is the
+Spark-native equivalent of its "stream as durable table" materialization
+(`dbt/adapters/decodable/impl.py` create-table path) with a scale-aware
+layout attached.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def materialize_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort: bool = True,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and per-bucket sorted) parquet table.
+
+    ``path`` makes it an external table (tests point this at a tmp dir);
+    omitted, the session's warehouse location is used."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort:
+        writer = writer.sortBy(*bucket_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two bucketed tables on their bucket columns. When both were
+    materialized with matching bucket specs this plans with no Exchange —
+    callers can assert that via ``plan_has_no_exchange``."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def plan_has_no_exchange(df: DataFrame) -> bool:
+    """True iff the physical plan contains no shuffle (Exchange) operator.
+    (BroadcastExchange doesn't count — it's not a data shuffle.)"""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return not any(
+        line.strip().lstrip("+-* ").startswith("Exchange")
+        for line in plan.splitlines()
+    )
