@@ -96,6 +96,7 @@ def load_all() -> dict[str, QueryDef]:
         streaming_q,
         tpch,
         tpch2,
+        tpch3,
         windows,
     )
 
