@@ -317,3 +317,50 @@ def simhash(col: Column | str, bits: int = 32) -> Column:
         )
         out = out + F.when(contrib > 0, F.lit(mask)).otherwise(0).cast("long")
     return out
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share n-gram
+    shingles with an evaluation set (the GPT-3-style overlap removal every
+    LLM data pipeline runs before training).
+
+    Returns one row per training doc: ``(id, n_shared, contaminated)`` where
+    ``n_shared`` counts DISTINCT shingles also present anywhere in the
+    benchmark and ``contaminated = n_shared >= min_shared``. Callers drop the
+    flagged rows (kept here so the clean/dirty split is auditable).
+
+    100 TB shape: the benchmark side is an eval suite — thousands of docs,
+    not billions — so its distinct-shingle set is broadcast and the training
+    corpus is touched by exactly one scan + one shingle explode + one
+    groupBy(id). No shuffle ever carries the corpus text, only (id, shingle)
+    pairs. If the benchmark outgrows broadcast, the same code path falls
+    back to a shuffle join on the shingle key (drop the broadcast hint) —
+    the aggregation shape is unchanged.
+    """
+    bench_sh = (
+        shingle_strings(benchmark, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    train_sh = shingle_strings(train, id_col, text_col, n)
+    shared = (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))  # rows are distinct per (id, shingle)
+    )
+    return (
+        train.select(F.col(id_col).alias("id"))
+        .join(shared, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) >= min_shared).alias("contaminated"),
+        )
+    )

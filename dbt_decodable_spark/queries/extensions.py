@@ -142,6 +142,44 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_against_benchmark",
+    oracle=f"""
+        WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sh AS (
+            SELECT DISTINCT id, shingle FROM (
+                SELECT doc_id AS id,
+                       unnest(list_transform(
+                           generate_series(1, len(toks) - 2),
+                           i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+                FROM base
+            )
+        ),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 37 = 0),
+        shared AS (
+            SELECT id, count(*) AS n_shared
+            FROM sh JOIN bench USING (shingle)
+            WHERE id % 37 <> 0
+            GROUP BY id
+        )
+        SELECT doc_id AS id,
+               COALESCE(n_shared, 0) AS n_shared,
+               COALESCE(n_shared, 0) >= 3 AS contaminated
+        FROM documents LEFT JOIN shared ON doc_id = id
+        WHERE doc_id % 37 <> 0
+    """,
+    doc="§2.12 benchmark decontamination: flag training docs sharing ≥3 "
+    "distinct 3-gram shingles with the eval subset (doc_id % 37 = 0 stands "
+    "in for the benchmark corpus); broadcast bench-shingle set, one corpus "
+    "scan (GPT-3-style overlap removal)",
+)
+def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    train = d.filter(F.col("doc_id") % 37 != 0)
+    return dedup.decontaminate(train, bench, "doc_id", "text", n=3, min_shared=3)
+
+
+@register(
     "dedup_simhash",
     oracle=None,  # 32-bit conv/bit arithmetic isn't portable DuckDB SQL → rows-only
     doc="§2.12 SimHash fingerprint groups (sign-of-weighted-bits, JVM bit ops)",

@@ -79,6 +79,22 @@ class TestShingleSessionIsolation:
         assert "InferFiltersFromGenerate" in child.conf.get(key)
 
 
+class TestDecontaminate:
+    def test_overlap_flags_and_counts(self, docs, spark):
+        # benchmark = doc 1; docs 2 (near-dup), 3/5 (exact dups) share 3-gram
+        # shingles with it; doc 4 shares none
+        bench = docs.filter(F.col("doc_id") == 1)
+        train = docs.filter(F.col("doc_id") != 1)
+        out = {r["id"]: (r["n_shared"], r["contaminated"])
+               for r in dedup.decontaminate(train, bench, "doc_id", "text",
+                                            n=3, min_shared=3).collect()}
+        assert set(out) == {2, 3, 4, 5}          # one row per training doc
+        assert out[3][0] == 7 and out[3][1]      # exact dup: all 7 shingles shared
+        assert out[5] == out[3]
+        assert out[2][0] == 6 and out[2][1]      # near-dup: all but the last
+        assert out[4] == (0, False)              # clean doc kept, not flagged
+
+
 class TestMinHash:
     def test_exact_dups_always_candidates(self, docs):
         cand = {
