@@ -108,8 +108,11 @@ def connected_components(
             cur = stars
             break
         prev_sig = sig
-        # re-symmetrize: large-star expects the undirected adjacency view
-        cur = _symmetrize(stars, "u", "v")
+        # re-symmetrize WITHOUT the distinct shuffle: small-star output is
+        # already distinct and strictly oriented u > v, so the reversed copy
+        # is disjoint from the forward one — a plain union is exact here
+        # (one less shuffle per round than _symmetrize)
+        cur = stars.union(stars.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # cur is a star forest oriented node→root; roots map to themselves
     members = cur.filter(F.col("u") != F.col("v")).select(
         F.col("u").alias("id"), F.col("v").alias("component")

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-from dbt_decodable_spark.operators.dedup import normalize_text, tokens
+from dbt_decodable_spark.operators.dedup import fan_out, normalize_text, tokens
 
 # tiny, deterministic per-language marker lists (n-gram heuristic stand-in;
 # a real deployment swaps in fastText — the Spark plumbing is identical)
@@ -124,3 +124,101 @@ def rolling_hashes(col: Column | str, window: int = 4) -> Column:
         F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0))),
         lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))),
     )
+
+
+# ------------------------------------------------------------ repetition
+# Gopher/MassiveText-style repetition signals (Rae et al. 2021, table A1):
+# heavily repetitive documents are low-quality training data. Adapted to
+# token/bigram fractions (the driver's texts are single-line).
+
+def repetition_metrics(df, id_col: str, text_col: str):
+    """Per-document repetition signals as a DataFrame:
+    ``(id, n_tokens, dup_token_frac, top_bigram_frac)``.
+
+    - ``dup_token_frac``: 1 − distinct/total tokens — high when a few words
+      repeat (pure array arithmetic, no shuffle);
+    - ``top_bigram_frac``: occurrences of the most frequent bigram / total
+      bigrams — the "top n-gram fraction" rule. Counted via explode +
+      two-level aggregate; the shuffle carries (id, bigram) pairs, never
+      document text, and both aggregates partition by id so the second
+      reuses the first's exchange.
+
+    Fractions are exact-int divisions evaluated once per doc — the same
+    IEEE double in any engine.
+    """
+    toks = tokens(text_col)
+    base = fan_out(df).select(
+        F.col(id_col).alias("id"), toks.alias("__toks")
+    )
+    per_doc = base.select(
+        "id",
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).cast("long").alias("__n_distinct"),
+        ngrams_from_tokens(F.col("__toks"), 2).alias("__grams"),
+    )
+    gram_rows = per_doc.select("id", F.explode("__grams").alias("gram"))
+    top = (
+        gram_rows.groupBy("id", "gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("id")
+        .agg(F.max("__c").alias("__top"), F.sum("__c").alias("__total"))
+    )
+    return (
+        per_doc.join(top, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            (F.lit(1.0) - F.col("__n_distinct").cast("double") / F.col("n_tokens"))
+            .alias("dup_token_frac"),
+            F.coalesce(
+                F.col("__top").cast("double") / F.col("__total"), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def ngrams_from_tokens(toks, n: int = 2):
+    """Token n-grams WITH multiplicity (unlike
+    :func:`dbt_decodable_spark.operators.dedup.shingles_from_tokens`, which
+    dedups) — repetition counting needs every occurrence. ``toks`` must be a
+    materialized column reference (lambda re-evaluation hazard, see dedup)."""
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.when(
+                F.size(toks) >= n, F.concat_ws(" ", F.slice(toks, i + 1, n))
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+
+# ----------------------------------------------------------------- PII
+# Deterministic regex scrubbing (emails, North-American phone shapes, IPv4).
+# Patterns are RE2-safe (no backrefs/lookaround) so the same pattern text
+# runs on Spark (Java regex) and any RE2-based oracle engine.
+
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with its tag, in PII_PATTERNS order (order
+    matters: emails are consumed before the bare-number patterns can bite
+    their digits). Chained JVM regexp_replace — no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-kind match counts (audit trail for the redaction)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        f"n_{name}": F.regexp_count(c, F.lit(pat)).cast("long")
+        for name, pat, _ in PII_PATTERNS
+    }

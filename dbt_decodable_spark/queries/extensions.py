@@ -383,6 +383,79 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_filter",
+    oracle=f"""
+        WITH base AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+        per_doc AS (
+            SELECT id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+                   list_transform(generate_series(1, len(toks) - 1),
+                                  i -> array_to_string(toks[i:i+1], ' ')) AS grams
+            FROM base
+        ),
+        gram_rows AS (SELECT id, unnest(grams) AS gram FROM per_doc),
+        top AS (
+            SELECT id, max(c) AS top_c, CAST(SUM(c) AS BIGINT) AS total_c FROM (
+                SELECT id, gram, count(*) AS c FROM gram_rows GROUP BY id, gram
+            ) GROUP BY id
+        )
+        SELECT id, n_tokens,
+               1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+               COALESCE(CAST(top_c AS DOUBLE) / total_c, 0.0) AS top_bigram_frac
+        FROM per_doc LEFT JOIN top USING (id)
+    """,
+    doc="§2.12 Gopher-style repetition signals: duplicate-token fraction "
+    "(array arithmetic, no shuffle) + top-bigram fraction (explode + "
+    "two-level agg on id — the shuffle carries (id, bigram), never text)",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return text.repetition_metrics(d, "doc_id", "text")
+
+
+@register(
+    "text_redact_pii",
+    oracle="""
+        SELECT doc_id,
+            regexp_replace(regexp_replace(regexp_replace(
+                text || ' reach me: user' || doc_id || '@example.com or 555-01' ||
+                    CAST(doc_id % 10 AS VARCHAR) || '-' ||
+                    CAST(1000 + doc_id % 9000 AS VARCHAR) || ' ip 10.0.' ||
+                    CAST(doc_id % 256 AS VARCHAR) || '.7',
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+                '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
+                AS redacted,
+            CAST(1 AS BIGINT) AS n_email,
+            CAST(1 AS BIGINT) AS n_phone,
+            CAST(1 AS BIGINT) AS n_ipv4
+        FROM documents
+    """,
+    doc="§2.12 PII scrubbing: chained JVM regexp_replace (email → phone → "
+    "IPv4, RE2-safe patterns, no UDF). The corpus is synthetic word-soup "
+    "with no PII, so each doc gets a deterministic PII suffix appended "
+    "in-query; both engines then redact the identical string",
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" reach me: user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-01"), (F.col("doc_id") % 10).cast("string"),
+        F.lit("-"), (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+    )
+    counts = text.pii_counts(seeded)
+    return d.select(
+        "doc_id",
+        text.redact_pii(seeded).alias("redacted"),
+        counts["n_email"].alias("n_email"),
+        counts["n_phone"].alias("n_phone"),
+        counts["n_ipv4"].alias("n_ipv4"),
+    )
+
+
+@register(
     "multimodal_metadata",
     oracle="""
         SELECT doc_id,

@@ -220,6 +220,30 @@ class TestText:
         assert vals[0] > vals[1]  # prose beats punctuation soup
 
 
+class TestRepetitionAndPii:
+    def test_repetition_fractions(self, spark):
+        rows = [(1, "a a a a"), (2, "w x y z")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["id"]: r for r in
+               text.repetition_metrics(df, "doc_id", "text").collect()}
+        # doc 1: 4 tokens, 1 distinct -> dup 0.75; bigrams ['a a']*3 -> top 1.0
+        assert out[1]["dup_token_frac"] == 0.75
+        assert out[1]["top_bigram_frac"] == 1.0
+        # doc 2: all distinct -> dup 0.0; 3 distinct bigrams -> top 1/3
+        assert out[2]["dup_token_frac"] == 0.0
+        assert abs(out[2]["top_bigram_frac"] - 1 / 3) < 1e-12
+
+    def test_pii_redaction_and_counts(self, spark):
+        s = "mail a@b.io and c.d@e.org, call 555-123-4567, host 192.168.0.1 v1.2"
+        df = spark.createDataFrame([(s,)], "text string")
+        row = df.select(
+            text.redact_pii("text").alias("red"),
+            *[c.alias(k) for k, c in text.pii_counts("text").items()],
+        ).collect()[0]
+        assert row["red"] == "mail <EMAIL> and <EMAIL>, call <PHONE>, host <IP> v1.2"
+        assert (row["n_email"], row["n_phone"], row["n_ipv4"]) == (2, 1, 1)
+
+
 class TestSaltedJoin:
     def test_matches_plain_join(self, spark):
         from dbt_decodable_spark.operators.skew import salted_join
