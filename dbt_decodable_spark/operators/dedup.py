@@ -93,7 +93,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _shingle_session_df(df: DataFrame) -> DataFrame:
+def _shingle_session_df(df: DataFrame, name: str = "__dedup_shingle_input") -> DataFrame:
     """Rebind ``df`` into a dedicated child SparkSession whose optimizer
     excludes ``InferFiltersFromGenerate``.
 
@@ -116,8 +116,11 @@ def _shingle_session_df(df: DataFrame) -> DataFrame:
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
         parent._shingle_session = child
-    name = "__dedup_shingle_input"
     df.createOrReplaceGlobalTempView(name)
+    # spark.table() analyzes EAGERLY, so the returned DataFrame captures the
+    # view definition as of now — later re-registrations of the same name
+    # don't retroactively change it (callers rely on this for multi-input
+    # compositions like decontaminate)
     return child.table(f"global_temp.{name}")
 
 
@@ -355,8 +358,16 @@ def decontaminate(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_shared"))  # rows are distinct per (id, shingle)
     )
+    # the id spine must ALSO live in the shingle child session: joining a
+    # parent-session DataFrame in would make the parent analyze the final
+    # plan, re-enabling InferFiltersFromGenerate on the shingle explodes
+    # (measured: 9s instead of 1s at sf0.1 — the whole shingle pipeline
+    # re-ran as a pushed-down filter on the unparallelized scan)
+    train_ids = _shingle_session_df(
+        train.select(F.col(id_col).alias("id")), name="__decontam_train_ids"
+    )
     return (
-        train.select(F.col(id_col).alias("id"))
+        train_ids
         .join(shared, "id", "left")
         .select(
             "id",

@@ -145,9 +145,16 @@ def repetition_metrics(df, id_col: str, text_col: str):
 
     Fractions are exact-int divisions evaluated once per doc — the same
     IEEE double in any engine.
+
+    Runs in the generate-isolated child session (see
+    ``dedup._shingle_session_df``): without it, InferFiltersFromGenerate
+    pushes ``size(<ngram expr>) > 0`` below the fan-out exchange and the
+    whole tokenize+ngram pipeline re-runs on the unparallelized scan.
     """
+    from dbt_decodable_spark.operators.dedup import _shingle_session_df
+
     toks = tokens(text_col)
-    base = fan_out(df).select(
+    base = fan_out(_shingle_session_df(df, name="__repetition_input")).select(
         F.col(id_col).alias("id"), toks.alias("__toks")
     )
     per_doc = base.select(
@@ -222,3 +229,49 @@ def pii_counts(col: Column | str) -> dict[str, Column]:
         f"n_{name}": F.regexp_count(c, F.lit(pat)).cast("long")
         for name, pat, _ in PII_PATTERNS
     }
+
+
+# ------------------------------------------------------------- chunking
+# Context-window chunking: documents → fixed-size token windows with
+# overlap, the step that turns a cleaned corpus into training sequences.
+
+def chunk_tokens(df, id_col: str, text_col: str, chunk_size: int = 128,
+                 stride: int = 96):
+    """Explode each document into token chunks of ``chunk_size`` starting
+    every ``stride`` tokens (overlap = chunk_size − stride). Returns
+    ``(id, chunk_id, chunk_text, n_chunk_tokens)``; trailing chunks may be
+    short, callers filter if they need full windows only.
+
+    Narrow until the explode; the chunk windows are sliced from ONE
+    materialized token array per document (no per-chunk re-tokenization —
+    the lambda multi-reference hazard, see operators/dedup.py). At 100 TB
+    the explode multiplies rows by ~n_tokens/stride but each output row is
+    a bounded slice, and no shuffle is needed at all — chunking is a map.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    from dbt_decodable_spark.operators.dedup import _shingle_session_df
+
+    toks = tokens(text_col)
+    base = fan_out(_shingle_session_df(df, name="__chunk_input")).select(
+        F.col(id_col).alias("id"), toks.alias("__toks")
+    )
+    n = F.size("__toks")
+    # chunk start offsets 0, stride, 2·stride, … < n_tokens
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_id"),
+            F.slice(F.col("__toks"), s + 1, chunk_size).alias("toks"),
+        ),
+    )
+    exploded = base.select(
+        "id", F.explode(F.when(n > 0, chunks)).alias("ch")
+    )
+    return exploded.select(
+        "id",
+        F.col("ch.chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", F.col("ch.toks")).alias("chunk_text"),
+        F.size("ch.toks").cast("long").alias("n_chunk_tokens"),
+    )

@@ -456,6 +456,26 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_chunk_windows",
+    oracle=f"""
+        WITH base AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents)
+        SELECT id,
+               CAST((start - 1) // 6 AS BIGINT) AS chunk_id,
+               array_to_string(toks[start:start+7], ' ') AS chunk_text,
+               CAST(len(toks[start:start+7]) AS BIGINT) AS n_chunk_tokens
+        FROM (SELECT id, toks, unnest(generate_series(1, len(toks), 6)) AS start
+              FROM base WHERE len(toks) > 0)
+    """,
+    doc="§2.12 context-window chunking: documents → 8-token chunks every 6 "
+    "tokens (overlap 2) — one materialized token array per doc, explode, "
+    "no shuffle (chunking is a map)",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return text.chunk_tokens(d, "doc_id", "text", chunk_size=8, stride=6)
+
+
+@register(
     "multimodal_metadata",
     oracle="""
         SELECT doc_id,

@@ -244,6 +244,31 @@ class TestRepetitionAndPii:
         assert (row["n_email"], row["n_phone"], row["n_ipv4"]) == (2, 1, 1)
 
 
+class TestChunking:
+    def test_chunks_with_overlap(self, spark):
+        df = spark.createDataFrame([(1, "t0 t1 t2 t3 t4 t5 t6"), (2, "")],
+                                   "doc_id long, text string")
+        out = sorted(
+            (r["id"], r["chunk_id"], r["chunk_text"], r["n_chunk_tokens"])
+            for r in text.chunk_tokens(df, "doc_id", "text",
+                                       chunk_size=4, stride=3).collect())
+        # doc 1: starts 0,3,6 -> [t0..t3], [t3..t6], [t6]. doc 2: the empty
+        # string tokenizes to [""] (shared tokens() semantics, same in the
+        # DuckDB oracle), so it yields one empty chunk
+        assert out == [
+            (1, 0, "t0 t1 t2 t3", 4),
+            (1, 1, "t3 t4 t5 t6", 4),
+            (1, 2, "t6", 1),
+            (2, 0, "", 1),
+        ]
+
+    def test_invalid_params_raise(self, spark):
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            text.chunk_tokens(df, "doc_id", "text", chunk_size=0)
+
+
 class TestSaltedJoin:
     def test_matches_plain_join(self, spark):
         from dbt_decodable_spark.operators.skew import salted_join
