@@ -603,6 +603,23 @@ from dbt_decodable_spark.operators.sampling import sql_stratified_filter as _ssf
 
 
 @register(
+    "sample_uniform",
+    oracle="""
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '333333'
+    """,
+    doc="§2.12 deterministic uniform sampling: md5-prefix hash gate at "
+    "fraction 0.2 (0.2·16^6 = 0x333333) — map-side filter, no shuffle, "
+    "reproducible across engines/partitionings",
+)
+def sample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.operators.sampling import deterministic_sample
+
+    d = read_table(spark, sf_dir, "documents")
+    return deterministic_sample(d, "doc_id", 0.2).select("doc_id", "lang")
+
+
+@register(
     "sample_stratified",
     oracle=f"""
         SELECT doc_id, lang FROM documents
