@@ -275,3 +275,40 @@ def chunk_tokens(df, id_col: str, text_col: str, chunk_size: int = 128,
         F.concat_ws(" ", F.col("ch.toks")).alias("chunk_text"),
         F.size("ch.toks").cast("long").alias("n_chunk_tokens"),
     )
+
+
+# ------------------------------------------------------- quality gating
+
+def quality_quantile_gate(df, stratum_col: str, score_col, id_col: str,
+                          keep_frac: float = 0.5):
+    """Keep the top ``keep_frac`` of rows per stratum by score — the
+    "train only on the best X% per language" gate.
+
+    Exact discrete-quantile semantics via integer rank arithmetic (no
+    float quantile interpolation, so any engine agrees): a row survives iff
+    ``rank > floor((1-keep_frac) * n_stratum)`` where rank orders ascending
+    by (score, id) — deterministic under ties.
+
+    One shuffle on the stratum key; rank and count share the same window
+    partitioning, so Catalyst evaluates both in a single Window exec. At
+    100 TB a handful of language strata can skew — if one stratum dominates,
+    pre-aggregate the per-stratum counts (tiny) and broadcast-join them
+    instead of the count window, then rank within range-partitioned score
+    buckets. The gate semantics are unchanged.
+    """
+    from pyspark.sql.window import Window
+
+    if not (0.0 < keep_frac <= 1.0):
+        raise ValueError("keep_frac must be in (0, 1]")
+    sc = score_col if not isinstance(score_col, str) else F.col(score_col)
+    w_rank = Window.partitionBy(stratum_col).orderBy(sc.asc(), F.col(id_col).asc())
+    w_all = Window.partitionBy(stratum_col)
+    ranked = df.withColumn("__rn", F.row_number().over(w_rank)).withColumn(
+        "__n", F.count(F.lit(1)).over(w_all)
+    )
+    # floor((1-keep)*n) in exact integer arithmetic: with keep_frac as an
+    # exact-ish double, floor(x) differences can only bite at integer
+    # boundaries — avoid by scaling to micro-units (both engines compute
+    # the identical integer for any keep_frac with <= 6 decimals)
+    cut = F.floor(F.col("__n") * F.lit(round((1.0 - keep_frac) * 1_000_000)) / F.lit(1_000_000))
+    return ranked.filter(F.col("__rn") > cut).drop("__rn", "__n")

@@ -56,7 +56,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # tools/oracle_check.py (local replica of the same comparison) and pytest.
 # Still unmeasured after this rotation (next round's window): unpivot_stack,
 # join_interval, join_asof_merge, agg_bool_string, text_token_histogram,
-# embedding_normalize.
+# embedding_normalize, plus everything registered during round 3 (the tpch3
+# battery, decontaminate_against_benchmark, text_repetition_filter,
+# text_redact_pii, text_chunk_windows, sample_uniform, sample_stratified,
+# pack_token_shards, dedup_connected_components, dedup_embedding_cosine,
+# multimodal_features) — all verified by tools/oracle_check.py meanwhile.
 _DRIVER_WINDOW_PRIORITY = (
     # red in CORRECTNESS_r01/r02, fixed via queries/money.py:
     "join_inner", "join_salted_skew", "projection_cast_alias",

@@ -332,6 +332,42 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_quality_quantile_gate",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+        scored AS (
+            SELECT doc_id, lang,
+                   len(list_filter(toks, x -> list_contains(
+                       ['the','a','of','and','is','el','la','de','que','es',
+                        'der','die','das','und','ist','le','et','est'], x)))
+                       / len(toks) AS q
+            FROM t
+        )
+        SELECT doc_id, lang, q FROM (
+            SELECT doc_id, lang, q,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY q ASC, doc_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM scored
+        )
+        WHERE rn > floor(n * 400000 / 1000000)
+    """,
+    doc="§2.12 per-stratum quality gate: keep the top 60% of docs per "
+    "language by stopword-ratio score — exact discrete-quantile semantics "
+    "via integer rank arithmetic (row_number > floor((1-keep)·n)), no "
+    "float quantile interpolation; rank and count share one Window "
+    "partitioning (single shuffle on lang)",
+)
+def text_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    m = text.quality_metrics("text")
+    scored = d.select("doc_id", "lang", m["stopword_ratio"].alias("q"))
+    return text.quality_quantile_gate(
+        scored, "lang", "q", "doc_id", keep_frac=0.6
+    ).select("doc_id", "lang", "q")
+
+
+@register(
     "text_langid",
     oracle="""
         WITH scores AS (

@@ -269,6 +269,25 @@ class TestChunking:
             text.chunk_tokens(df, "doc_id", "text", chunk_size=0)
 
 
+class TestQualityGate:
+    def test_keeps_top_fraction_per_stratum(self, spark):
+        rows = [("en", i, float(i)) for i in range(10)] + [("de", 100, 5.0), ("de", 101, 4.0)]
+        df = spark.createDataFrame(rows, "lang string, doc_id long, q double")
+        out = text.quality_quantile_gate(df, "lang", "q", "doc_id", keep_frac=0.5)
+        kept = {(r["lang"], r["doc_id"]) for r in out.collect()}
+        # en: 10 rows, cut = floor(0.5*10) = 5 -> keep q >= 5 (ids 5..9)
+        assert {d for l, d in kept if l == "en"} == {5, 6, 7, 8, 9}
+        # de: 2 rows, cut = 1 -> keep the higher-scored row only
+        assert {d for l, d in kept if l == "de"} == {100}
+
+    def test_keep_all_and_invalid(self, spark):
+        df = spark.createDataFrame([("en", 1, 0.5)], "lang string, doc_id long, q double")
+        assert text.quality_quantile_gate(df, "lang", "q", "doc_id", 1.0).count() == 1
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            text.quality_quantile_gate(df, "lang", "q", "doc_id", 0.0)
+
+
 class TestSaltedJoin:
     def test_matches_plain_join(self, spark):
         from dbt_decodable_spark.operators.skew import salted_join
