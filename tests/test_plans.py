@@ -85,6 +85,33 @@ class TestJoinStrategies:
         assert "p_partkey" in lowered and "s_suppkey" in lowered
 
 
+class TestTpch3Plans:
+    def test_q2_single_lineitem_scan(self, spark, registry):
+        # the per-part minimum must be a window over ONE supply aggregate;
+        # a second groupBy would re-scan lineitem (two full scans at 100 TB)
+        plan = plan_of(spark, registry, "tpch_q2_min_cost_supplier")
+        assert plan.count("lineitem.parquet") == 1
+        assert "Window" in plan
+
+    def test_q21_no_expand_no_forced_fact_broadcast(self, spark, registry):
+        # the two-level per-order aggregate replaces countDistinct's Expand
+        plan = plan_of(spark, registry, "tpch_q21_suppliers_kept_waiting")
+        assert "Expand" not in plan
+
+    def test_q16_part_not_force_broadcast(self, spark, registry):
+        # part scales with sf — only AQE may choose to broadcast it at
+        # runtime; the static plan must not force it
+        df = registry["tpch_q16_supplier_part_count"].fn(spark, SF_DIR)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        # the only explicit hint allowed is the tiny bad-supplier list
+        assert logical.lower().count("broadcast") <= 1
+
+    def test_q12_filters_reach_scan(self, spark, registry):
+        plan = plan_of(spark, registry, "tpch_q12_late_shipment_priority")
+        assert "PushedFilters" in plan
+        assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+
+
 class TestJvmHotPath:
     def test_grok_is_jvm_side(self, spark, registry):
         plan = plan_of(spark, registry, "func_grok")
