@@ -614,7 +614,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
             FROM w
         )
-        SELECT doc_id, n_tokens, cum_tokens,
+        SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
                CAST(FLOOR((cum_tokens - n_tokens) / 2000) AS BIGINT) AS shard_id
         FROM c
     """,

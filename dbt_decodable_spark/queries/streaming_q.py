@@ -142,7 +142,8 @@ def stream_start_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ) AS session_id
             FROM marked
         )
-        SELECT user_id, session_id, count(*) AS n_events,
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events,
                min(ts) AS session_start, max(ts) AS session_end
         FROM sess GROUP BY user_id, session_id
     """,

@@ -1,6 +1,24 @@
 """Local replica of the driver's correctness gate: run every ``queries()``
 entry on Spark and its ``oracle_sql()`` twin on DuckDB at the same sf dir,
-then compare row count, column names, and order-insensitive values.
+then compare row count, column names, column *types*, and order-insensitive
+values.
+
+Type-strict by design (round-4 fix): the driver's value-hash encodes the
+result *encoding*, not just the printable value — a DuckDB ``HUGEINT`` column
+hashes differently from a Spark ``BIGINT`` even when every integer is equal
+(CORRECTNESS_r03 ``stream_session_window``), and the same holds for
+Decimal-vs-double and tz-aware-vs-naive timestamps. The round-3 version of
+this tool smoothed all three over (tz-drop, Decimal/HUGEINT stringification),
+so it said PASS on the driver's one FAIL. This version:
+
+- flags any DuckDB ``HUGEINT``/``UHUGEINT`` output column as FAIL-TYPES
+  (Spark cannot emit one; the oracle needs an explicit CAST);
+- fails when exactly one side is DECIMAL, or one side float and the other
+  integer (numeric *class* must match; int width is not enforced — the
+  driver's hash is width-insensitive for plain ints, per rounds 1-3);
+- keeps timezone info on timestamps (tz-aware vs naive is a value diff);
+- tags every cell with its Python type class so ``1 == 1.0`` coercion can't
+  mask an int-vs-float schema drift inside arrays/structs either.
 
 Usage: python tools/oracle_check.py [sf_dir] [query_name ...]
 """
@@ -24,26 +42,28 @@ TABLES = (
 
 
 def _norm_cell(v):
+    """Type-tagged normal form: equal only if type class AND value agree."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
     if isinstance(v, Decimal):
-        # Exact numeric comparison, scale-insensitive: the driver hashes
-        # values, so 1e-10 drift that float() would smooth over must FAIL here.
-        return format(v.normalize(), "f")
+        return ("dec", format(v.normalize(), "f"))
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
+        return ("float", "NaN" if math.isnan(v) else v)
     if isinstance(v, datetime):
-        if v.tzinfo is not None:
-            v = v.replace(tzinfo=None)
-        return v.isoformat()
+        # keep tzinfo: aware-vs-naive must FAIL (driver encodes the offset)
+        return ("ts", v.isoformat())
     if isinstance(v, date):
-        return v.isoformat()
+        return ("date", v.isoformat())
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
     if isinstance(v, dict):
         return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
     if isinstance(v, (bytes, bytearray)):
-        return bytes(v).hex()
+        return ("bytes", bytes(v).hex())
     return v
 
 
@@ -55,25 +75,60 @@ def normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
     out.sort(key=_sort_key)
-    return [cols[i] for i in order], out
+    return [cols[i] for i in order], out, order
+
+
+def _numeric_class(type_str: str) -> str:
+    """Coarse numeric class of a top-level column type (either engine)."""
+    u = type_str.upper()
+    if u in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if u.startswith(("DECIMAL", "NUMERIC", "DEC(")):
+        return "decimal"
+    if u in ("FLOAT", "DOUBLE", "REAL", "FLOAT4", "FLOAT8"):
+        return "float"
+    if u in ("TINYINT", "SMALLINT", "INTEGER", "INT", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+             "BYTE", "SHORT", "LONG"):
+        return "int"
+    return "other"
+
+
+def check_types(s_types, d_types, s_order, d_order):
+    """Column-type strictness: HUGEINT anywhere, or a numeric-class mismatch
+    between the name-aligned Spark and DuckDB columns, is a driver hash-fail
+    even when every value prints identically."""
+    for si, di in zip(s_order, d_order):
+        sc, dc = _numeric_class(s_types[si]), _numeric_class(d_types[di])
+        if dc == "hugeint":
+            return (f"oracle col type {d_types[di]} (HUGEINT class) has no "
+                    f"Spark encoding — CAST it (spark side: {s_types[si]})")
+        if {sc, dc} <= {"int", "float", "decimal"} and sc != dc:
+            return f"numeric class mismatch: spark={s_types[si]} duck={d_types[di]}"
+    return None
 
 
 def compare(name, spark_df, oracle, con):
     t0 = time.time()
     s_cols = spark_df.columns
+    s_types = [f.dataType.simpleString() for f in spark_df.schema.fields]
     s_rows = [tuple(r) for r in spark_df.collect()]
     t_spark = time.time() - t0
     t0 = time.time()
     res = con.sql(oracle)
     d_cols = res.columns
+    d_types = [str(t) for t in res.types]
     d_rows = res.fetchall()
     t_duck = time.time() - t0
 
-    sc, sr = normalize(s_rows, s_cols)
-    dc, dr = normalize(d_rows, d_cols)
+    sc, sr, s_order = normalize(s_rows, s_cols)
+    dc, dr, d_order = normalize(d_rows, d_cols)
     status, detail = "PASS", ""
+    type_err = check_types(s_types, d_types, s_order, d_order)
     if sc != [c.lower() for c in dc] and sc != dc:
         status, detail = "FAIL-COLS", f"spark={sc} duck={dc}"
+    elif type_err:
+        status, detail = "FAIL-TYPES", type_err
     elif len(sr) != len(dr):
         status, detail = "FAIL-COUNT", f"spark={len(sr)} duck={len(dr)}"
     else:
