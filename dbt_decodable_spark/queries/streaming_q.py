@@ -218,22 +218,34 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_decodable_spark.sources.datagen import file_stream
     from dbt_decodable_spark.streaming.stateful import sessionize_stateful
 
-    # the events parquet stores ns timestamps (TESTDATA quirk — same handling
-    # as sources.tables.read_table)
+    # the events parquet has shipped with two ts encodings across testdata
+    # generations (ns int64 vs timestamp[us] NTZ — sources.tables module doc);
+    # probe the footer and declare the matching stream schema.
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts_physical = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    if pa.types.is_timestamp(ts_physical):
+        # parquet NTZ reads fine into a declared TIMESTAMP_LTZ column under
+        # a UTC session (verified: identical epochs, watermark works).
+        ts_field = SchemaField(name="ts", type="TIMESTAMP_LTZ")
+        ts_event = SchemaField(name="ts_event", kind="computed", expression="ts")
+    else:
+        ts_field = SchemaField(name="ts", type="BIGINT")
+        ts_event = SchemaField(
+            name="ts_event", kind="computed", expression="timestamp_micros(ts div 1000)"
+        )
     schema = StreamSchema(
         fields=(
             SchemaField(name="event_id", type="BIGINT"),
-            SchemaField(name="ts", type="BIGINT"),
+            ts_field,
             SchemaField(name="user_id", type="BIGINT"),
             SchemaField(name="event_type", type="STRING"),
             SchemaField(name="value", type="DOUBLE"),
             SchemaField(name="props", type="STRING"),
-            SchemaField(
-                name="ts_event",
-                kind="computed",
-                expression="timestamp_micros(ts div 1000)",
-            ),
+            ts_event,
             SchemaField(
                 name="cents",
                 kind="computed",

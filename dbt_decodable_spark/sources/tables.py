@@ -10,12 +10,18 @@ pushes filters/projections into the scan, so at 100 TB the same registration
 works unchanged (parquet footer pruning + predicate pushdown + partition
 pruning if the lake is partitioned).
 
-The ``events`` table needs special care: the driver generated it with
-nanosecond parquet timestamps, which Spark refuses by default
-(PARQUET_TYPE_ILLEGAL). We flip ``spark.sql.legacy.parquet.nanosAsLong`` and
-expose ``ts`` as a proper TimestampType column via integer-division
-``ts div 1000`` → ``timestamp_micros`` (floor truncation, matching DuckDB's
-ns→us behavior). Double division would lose precision at 1.7e18 ns.
+The ``events`` table needs special care: the driver has generated it with
+either (a) nanosecond int64 parquet timestamps, which Spark refuses by
+default (PARQUET_TYPE_ILLEGAL) — we flip
+``spark.sql.legacy.parquet.nanosAsLong`` and expose ``ts`` via
+integer-division ``ts div 1000`` → ``timestamp_micros`` (floor truncation,
+matching DuckDB's ns→us behavior); or (b) ``timestamp[us]`` without a
+timezone annotation, which Spark infers as TIMESTAMP_NTZ — we cast every
+TIMESTAMP_NTZ column to TIMESTAMP (LTZ) under a UTC session, which is
+value-preserving (same epoch micros) and restores the type that every
+time-arithmetic builtin (``unix_micros``, watermarks, ``window``) accepts.
+DuckDB reads the same column as naive TIMESTAMP, so the oracle comparison
+sees identical wall-clock values either way.
 """
 
 from __future__ import annotations
@@ -23,6 +29,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 
 TESTDATA_TABLES = (
     "region",
@@ -41,13 +48,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one test table; normalizes the events ns-timestamp column."""
+    """Read one test table; normalizes timestamp encodings (see module doc)."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the NTZ→LTZ cast below reinterprets wall-clock in the session tz;
+        # pin UTC so the epoch mapping matches DuckDB's naive read.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns → µs timestamp; integer div keeps full precision.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 
