@@ -131,6 +131,44 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def threshold_join_chunked(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk_rows: int = 4096,
+) -> DataFrame:
+    """Exact cosine threshold self-join (id_a < id_b, cos_sim > threshold)
+    with BOUNDED driver memory: the query side is swept in id-hash chunks of
+    ≤ ``chunk_rows`` vectors — each chunk is collected (O(chunk·dim) driver
+    bytes, independent of corpus size), scored against the distributed corpus
+    with the Arrow/numpy matmul scorer, and the per-chunk pair streams are
+    unioned. Replaces the previous full-corpus ``.collect()`` (OOM at scale).
+
+    Work is inherently O(n²/p) for the *exact* semantic — at 100 TB you run
+    the sublinear :func:`lsh_topk`/:func:`lsh_bucket` blocking instead and
+    accept recall < 1; this operator is the exact oracle-matched form.
+    """
+    n = corpus.count()
+    n_chunks = max(1, -(-n // chunk_rows))
+    parts = []
+    for i in range(n_chunks):
+        chunk = corpus.filter(F.pmod(F.col(id_col), F.lit(n_chunks)) == i)
+        q_local = [(r[0], list(r[1])) for r in chunk.select(id_col, vec_col).collect()]
+        if not q_local:
+            continue
+        parts.append(
+            score_pairs_numpy(corpus, q_local, id_col, vec_col).filter(
+                (F.col("neighbor_id") < F.col("query_id"))
+                & (F.col("cos_sim") > threshold)
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 # --- deterministic random-hyperplane LSH -----------------------------------
 
 
@@ -146,17 +184,79 @@ def _hyperplane(dim: int, seed: int) -> list[float]:
     return vals
 
 
-def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
-    """Sign-bit sketch: n_planes-bit integer bucket id."""
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, band: int = 0) -> Column:
+    """Sign-bit sketch: n_planes-bit integer bucket id. ``band`` selects an
+    independent plane family (seed offset) for banded/OR-amplified LSH."""
     out = F.lit(0).cast("long")
     dvec = _to_double_array(vec)
     for p in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, seed=p + 1)])
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, seed=band * n_planes + p + 1)])
         proj = F.aggregate(
             F.zip_with(dvec, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
         )
         out = out + F.when(proj > 0, F.lit(1 << p)).otherwise(0).cast("long")
     return out
+
+
+def lsh_buckets(vec: Column, dim: int, n_planes: int, n_bands: int) -> Column:
+    """Array of ``n_bands`` independent sketch buckets (banded LSH): a pair
+    is a candidate if ANY band matches — the OR-construction that dials
+    recall up at the cost of more candidates (recall = 1-(1-p^b)^L)."""
+    return F.array(*[lsh_bucket(vec, dim, n_planes, band=b) for b in range(n_bands)])
+
+
+def lsh_sketch(
+    df: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded sign-sketch as ONE narrow Arrow/numpy map: (id, vec) →
+    (id, vec, band, bucket) × n_bands. The plane matrix (n_bands·n_planes ×
+    dim, same deterministic :func:`_hyperplane` constants as the JVM
+    expression form) rides in the closure; per batch the whole sketch is a
+    single matmul + sign + bit-pack. Inlining n_bands·n_planes 64-literal
+    arrays into the plan (the expression form) is codegen-bound at ~24
+    planes — the matmul form is O(batch) with a constant-size plan, and at
+    100 TB it's the same one-scan, zero-shuffle shape."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [
+            _hyperplane(dim, seed=b * n_planes + p + 1)
+            for b in range(n_bands)
+            for p in range(n_planes)
+        ],
+        dtype="float64",
+    )  # (n_bands*n_planes, dim)
+    weights = (1 << np.arange(n_planes, dtype="int64"))
+    vec_type = dict(df.dtypes)[vec_col]
+
+    def sketch(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            proj = (m @ planes.T) > 0  # (n, n_bands*n_planes)
+            buckets = (
+                proj.reshape(len(pdf), n_bands, n_planes) * weights
+            ).sum(axis=2)  # (n, n_bands)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_bands),
+                    vec_col: np.repeat(pdf[vec_col].to_numpy(), n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype="int32"), len(pdf)),
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        sketch,
+        schema=f"{id_col} long, {vec_col} {vec_type}, band int, bucket long",
+    )
 
 
 def lsh_topk(
@@ -167,25 +267,39 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 8,
+    n_bands: int = 1,
 ) -> DataFrame:
-    """ANN top-k: bucket-join on the hyperplane sketch, exact re-rank inside
-    the bucket. At 100 TB the corpus is pre-bucketed and bucket-partitioned,
-    so a query touches ~corpus/2^n_planes vectors."""
-    c = corpus.select(
+    """ANN top-k: candidates from a bucket-join on banded hyperplane
+    sketches (a pair qualifies if ANY of the ``n_bands`` independent
+    ``n_planes``-bit sketches collides), then exact cosine re-rank.
+
+    The (n_planes, n_bands) pair is the recall/cost dial: recall ≈
+    1-(1-p^b)^L for per-plane agreement p, candidate volume ≈
+    corpus·L/2^b per query. At 100 TB the corpus sketches are precomputed
+    and bucket-partitioned, so a query touches only its candidate lists;
+    the (band, bucket) key makes the candidate join a plain broadcast HASH
+    join (both sides sketch map-side via :func:`lsh_sketch` — no shuffle),
+    and pairs colliding in several bands are de-duped before scoring."""
+    c = lsh_sketch(corpus, dim, n_planes, n_bands, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        "band",
+        "bucket",
     )
-    q = queries.select(
+    q = lsh_sketch(queries, dim, n_planes, n_bands, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        "band",
+        "bucket",
     )
-    scored = (
-        c.join(F.broadcast(q), on="bucket")
+    cand = (
+        c.join(F.broadcast(q), on=["band", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
-        .select("query_id", "neighbor_id", "cos_sim")
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec"))).select(
+        "query_id", "neighbor_id", "cos_sim"
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -198,15 +312,45 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (IVF list). ``centroids``:
-    (centroid_id, centroid_vec) — broadcast; one pass over the corpus."""
-    scored = corpus.join(F.broadcast(centroids)).withColumn(
-        "sim", cosine(F.col(vec_col), F.col("centroid_vec"))
-    )
-    w = W.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "centroid_id")
+    (centroid_id, centroid_vec) — bounded at ``n_lists`` rows by contract, so
+    it is collected and inlined as literal arrays: the assignment becomes a
+    PURE MAP over the corpus (argmax over an inlined sim array), zero
+    shuffle. The previous version cross-joined corpus × centroids and ranked
+    with a Window partitioned by ``id_col`` — a full shuffle of a 16×
+    expanded frame, the exact anti-pattern this engine bans at 100 TB.
+
+    Tie-break: numpy ``argmax`` takes the first max in centroid_id order —
+    i.e. the lowest centroid_id among equal sims, matching the oracle's
+    ``ORDER BY sim DESC, centroid_id`` window rule. The assignment runs as
+    one Arrow/numpy matmul map (constant-size plan; inlining n_lists
+    64-literal centroid arrays as JVM expressions was codegen-bound).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = centroids.select("centroid_id", "centroid_vec").orderBy("centroid_id").collect()
+    c_ids = np.array([int(r["centroid_id"]) for r in cents], dtype="int64")
+    c_mat = np.array([list(r["centroid_vec"]) for r in cents], dtype="float64")
+    c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+    vec_type = dict(corpus.dtypes)[vec_col]
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            v_norm = np.sqrt((m * m).sum(axis=1))
+            sims = (m @ c_mat.T) / np.outer(v_norm, c_norm)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col],
+                    "centroid_id": c_ids[np.argmax(sims, axis=1)],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, {vec_col} {vec_type}, centroid_id long"
     )
 
 

@@ -222,13 +222,14 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "similarity_lsh_topk",
     oracle=None,  # bucketing recall is algorithm-specific → rows-only
-    doc="§2.12 LSH-bucketed ANN top-k (random-hyperplane sketch, bucket join, "
-    "exact re-rank — the 100 TB scale path)",
+    doc="§2.12 LSH-bucketed ANN top-k (banded random-hyperplane sketches, "
+    "(band,bucket) hash join, exact re-rank — the 100 TB scale path; "
+    "recall floor asserted in tests/test_operators.py)",
 )
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    return similarity.lsh_topk(e, q, dim=64, k=5, n_planes=6).select(
+    return similarity.lsh_topk(e, q, dim=64, k=5, n_planes=4, n_bands=6).select(
         "query_id", "neighbor_id", "rank"
     )
 
@@ -244,14 +245,10 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
-    # all-pairs via the vectorized numpy scorer: one side rides in the
-    # closure (broadcast-sized at test scale; at 100 TB both sides are
-    # LSH-blocked first — see similarity.lsh_topk)
-    q_local = [(r[0], list(r[1])) for r in e.select("vec_id", "embedding").collect()]
-    return (
-        similarity.score_pairs_numpy(e, q_local)
-        .filter((F.col("neighbor_id") < F.col("query_id")) & (F.col("cos_sim") > 0.4))
-        .select(F.col("neighbor_id").alias("id_a"), F.col("query_id").alias("id_b"))
+    # chunked-broadcast exact sweep: driver memory bounded at chunk_rows·dim
+    # regardless of corpus size (the old form collected the whole table)
+    return similarity.threshold_join_chunked(e, threshold=0.4).select(
+        F.col("neighbor_id").alias("id_a"), F.col("query_id").alias("id_b")
     )
 
 
@@ -272,11 +269,8 @@ def similarity_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
-    q_local = [(r[0], list(r[1])) for r in e.select("vec_id", "embedding").collect()]
-    pairs = (
-        similarity.score_pairs_numpy(e, q_local)
-        .filter((F.col("neighbor_id") < F.col("query_id")) & (F.col("cos_sim") > 0.4))
-        .select(F.col("neighbor_id").alias("id_a"), F.col("query_id").alias("id_b"))
+    pairs = similarity.threshold_join_chunked(e, threshold=0.4).select(
+        F.col("neighbor_id").alias("id_a"), F.col("query_id").alias("id_b")
     )
     return similarity.cosine_dedup(e, pairs)
 
@@ -452,20 +446,29 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_redact_pii",
     oracle="""
-        SELECT doc_id,
-            regexp_replace(regexp_replace(regexp_replace(
+        WITH seeded AS (
+            SELECT doc_id,
                 text || ' reach me: user' || doc_id || '@example.com or 555-01' ||
                     CAST(doc_id % 10 AS VARCHAR) || '-' ||
                     CAST(1000 + doc_id % 9000 AS VARCHAR) || ' ip 10.0.' ||
-                    CAST(doc_id % 256 AS VARCHAR) || '.7',
+                    CAST(doc_id % 256 AS VARCHAR) || '.7' AS s
+            FROM documents
+        )
+        SELECT doc_id,
+            regexp_replace(regexp_replace(regexp_replace(s,
                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                 '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
                 AS redacted,
-            CAST(1 AS BIGINT) AS n_email,
-            CAST(1 AS BIGINT) AS n_phone,
-            CAST(1 AS BIGINT) AS n_ipv4
-        FROM documents
+            CAST(len(regexp_extract_all(s,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                AS n_email,
+            CAST(len(regexp_extract_all(s,
+                '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phone,
+            CAST(len(regexp_extract_all(s,
+                '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+                AS n_ipv4
+        FROM seeded
     """,
     doc="§2.12 PII scrubbing: chained JVM regexp_replace (email → phone → "
     "IPv4, RE2-safe patterns, no UDF). The corpus is synthetic word-soup "

@@ -50,7 +50,9 @@ def _norm_cell(v):
     if isinstance(v, int):
         return ("int", v)
     if isinstance(v, Decimal):
-        return ("dec", format(v.normalize(), "f"))
+        # raw string form — scale-SENSITIVE (1.50 != 1.5): the driver hashes
+        # the encoded decimal, so a scale drift must fail here too
+        return ("dec", str(v))
     if isinstance(v, float):
         return ("float", "NaN" if math.isnan(v) else v)
     if isinstance(v, datetime):
@@ -95,12 +97,13 @@ def _numeric_class(type_str: str) -> str:
 
 
 def check_types(s_types, d_types, s_order, d_order):
-    """Column-type strictness: HUGEINT anywhere, or a numeric-class mismatch
-    between the name-aligned Spark and DuckDB columns, is a driver hash-fail
-    even when every value prints identically."""
+    """Column-type strictness: HUGEINT anywhere (including nested inside a
+    LIST/STRUCT/MAP type string), or a numeric-class mismatch between the
+    name-aligned Spark and DuckDB columns, is a driver hash-fail even when
+    every value prints identically."""
     for si, di in zip(s_order, d_order):
         sc, dc = _numeric_class(s_types[si]), _numeric_class(d_types[di])
-        if dc == "hugeint":
+        if dc == "hugeint" or "HUGEINT" in d_types[di].upper():
             return (f"oracle col type {d_types[di]} (HUGEINT class) has no "
                     f"Spark encoding — CAST it (spark side: {s_types[si]})")
         if {sc, dc} <= {"int", "float", "decimal"} and sc != dc:
