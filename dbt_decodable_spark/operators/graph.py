@@ -55,11 +55,12 @@ def _large_star(sym: DataFrame) -> DataFrame:
     broadcast when the min table is small late in convergence)."""
     mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
     m = F.least(F.col("u"), F.col("mv"))
+    # no distinct here: duplicate edges don't change _small_star's group
+    # minima, and its final distinct cleans them — one less shuffle per round
     return (
         sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), m.alias("v"))
-        .distinct()
     )
 
 
@@ -87,7 +88,10 @@ def connected_components(
 
     Alternating large-star/small-star until the edge set reaches a fixed
     point (checked by count + order-independent xxhash64 checksum)."""
-    sym = _symmetrize(edges, src, dst)
+    # materialize the (possibly expensive) pair-generation pipeline ONCE —
+    # without this, the emptiness probe below runs it and round 1 runs it
+    # again through the un-truncated lineage.
+    sym = _symmetrize(edges, src, dst).localCheckpoint(eager=True)
     if not sym.take(1):  # empty graph
         return sym.select(F.col("u").alias("id"), F.col("v").alias("component"))
 
@@ -97,7 +101,9 @@ def connected_components(
         stars = _small_star(_large_star(cur))
         # localCheckpoint: truncate lineage so each round's plan is O(1)
         # deep; on a multi-node cluster use .checkpoint() (reliable) instead.
-        stars = stars.localCheckpoint(eager=True)
+        # Lazy here — the signature aggregate right below is the action that
+        # materializes it, so each round is ONE job, not two.
+        stars = stars.localCheckpoint(eager=False)
         # bit_xor: order-independent and overflow-free (the edge set is
         # distinct, so XOR cancellation of duplicates can't occur)
         cnt, chk = stars.agg(
