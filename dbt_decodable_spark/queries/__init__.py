@@ -81,7 +81,9 @@ _DRIVER_WINDOW_PRIORITY = (
     "text_langid", "text_fingerprint",
     "agg_approx_distinct", "events_count", "agg_groupby_q1", "agg_global",
     "agg_minmax_by", "agg_percentile", "join_asof", "join_theta",
-    "join_lookup_broadcast", "scan_project_filter",
+    "join_lookup_broadcast",
+    # new this round (streaming FOR SYSTEM_TIME AS OF emulation):
+    "stream_temporal_join",
 )
 
 

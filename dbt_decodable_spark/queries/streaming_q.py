@@ -171,6 +171,54 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded file stream over the events table with the same ts-encoding
+    adaptivity as ``sources.tables.read_table`` (the parquet has shipped
+    with ns-int64 and timestamp[us]-NTZ encodings across testdata
+    generations — probe the footer, declare the matching stream schema).
+    Emits ``ts_event`` (TIMESTAMP, 1h watermark) and ``cents``."""
+    from dbt_decodable_spark.schema import SchemaField, StreamSchema, Watermark
+    from dbt_decodable_spark.sources.datagen import file_stream
+
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts_physical = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    if pa.types.is_timestamp(ts_physical):
+        # parquet NTZ reads fine into a declared TIMESTAMP_LTZ column under
+        # a UTC session (verified: identical epochs, watermark works).
+        ts_field = SchemaField(name="ts", type="TIMESTAMP_LTZ")
+        ts_event = SchemaField(name="ts_event", kind="computed", expression="ts")
+    else:
+        ts_field = SchemaField(name="ts", type="BIGINT")
+        ts_event = SchemaField(
+            name="ts_event", kind="computed", expression="timestamp_micros(ts div 1000)"
+        )
+    schema = StreamSchema(
+        fields=(
+            SchemaField(name="event_id", type="BIGINT"),
+            ts_field,
+            SchemaField(name="user_id", type="BIGINT"),
+            SchemaField(name="event_type", type="STRING"),
+            SchemaField(name="value", type="DOUBLE"),
+            SchemaField(name="props", type="STRING"),
+            ts_event,
+            SchemaField(
+                name="cents",
+                kind="computed",
+                expression="CAST(round(value * 100) AS BIGINT)",
+            ),
+        ),
+        watermarks=(Watermark("ts_event", "`ts_event` - INTERVAL '1' HOUR"),),
+    )
+    return file_stream(
+        spark, sf_dir, schema, options={"pathGlobFilter": "events.parquet"}
+    )
+
+
+
 @register(
     "stream_sessionize_stateful",
     oracle="""
@@ -214,49 +262,9 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "final open session emits only if the watermark passed end+gap.",
 )
 def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dbt_decodable_spark.schema import SchemaField, StreamSchema, Watermark
-    from dbt_decodable_spark.sources.datagen import file_stream
     from dbt_decodable_spark.streaming.stateful import sessionize_stateful
 
-    # the events parquet has shipped with two ts encodings across testdata
-    # generations (ns int64 vs timestamp[us] NTZ — sources.tables module doc);
-    # probe the footer and declare the matching stream schema.
-    import pyarrow.parquet as pq
-    import pyarrow as pa
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ts_physical = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
-    if pa.types.is_timestamp(ts_physical):
-        # parquet NTZ reads fine into a declared TIMESTAMP_LTZ column under
-        # a UTC session (verified: identical epochs, watermark works).
-        ts_field = SchemaField(name="ts", type="TIMESTAMP_LTZ")
-        ts_event = SchemaField(name="ts_event", kind="computed", expression="ts")
-    else:
-        ts_field = SchemaField(name="ts", type="BIGINT")
-        ts_event = SchemaField(
-            name="ts_event", kind="computed", expression="timestamp_micros(ts div 1000)"
-        )
-    schema = StreamSchema(
-        fields=(
-            SchemaField(name="event_id", type="BIGINT"),
-            ts_field,
-            SchemaField(name="user_id", type="BIGINT"),
-            SchemaField(name="event_type", type="STRING"),
-            SchemaField(name="value", type="DOUBLE"),
-            SchemaField(name="props", type="STRING"),
-            ts_event,
-            SchemaField(
-                name="cents",
-                kind="computed",
-                expression="CAST(round(value * 100) AS BIGINT)",
-            ),
-        ),
-        watermarks=(Watermark("ts_event", "`ts_event` - INTERVAL '1' HOUR"),),
-    )
-    stream = file_stream(
-        spark, sf_dir, schema, options={"pathGlobFilter": "events.parquet"}
-    )
+    stream = events_file_stream(spark, sf_dir)
     sessions = sessionize_stateful(
         stream, "user_id", "ts_event", "cents", gap_seconds=21600
     )
@@ -274,3 +282,45 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(sink)
+
+
+@register(
+    "stream_temporal_join",
+    oracle="""
+        WITH dim AS (
+            SELECT event_type,
+                   time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS valid_from,
+                   count(*) AS hour_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.event_type, d.hour_events
+        FROM events e ASOF LEFT JOIN dim d
+          ON e.event_type = d.event_type
+         AND CAST(e.ts AS TIMESTAMP) >= d.valid_from
+    """,
+    doc="§2.3/§7.6 streaming temporal join (FOR SYSTEM_TIME AS OF): each "
+    "stream row picks the dim version with the greatest valid_from <= its "
+    "event time for its key, executed as a REAL bounded streaming query "
+    "(file source -> foreachBatch merge as-of join against the versioned "
+    "dim -> parquet). Oracle = DuckDB's native ASOF LEFT JOIN.",
+)
+def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.streaming.temporal import run_temporal_asof_bounded
+
+    # versioned dimension: hourly per-type event counts, valid from the
+    # hour start (a deterministic stand-in for a slowly-changing dim
+    # changelog)
+    e = read_table(spark, sf_dir, "events")
+    dim = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("hour_events"))
+        .select("event_type", F.col("w.start").alias("valid_from"), "hour_events")
+    )
+    stream = events_file_stream(spark, sf_dir).select(
+        "event_id", "event_type", "ts_event"
+    )
+    joined = run_temporal_asof_bounded(
+        spark, stream, dim, on="event_type", stream_ts="ts_event",
+        dim_ts="valid_from", value_cols=["hour_events"],
+    )
+    return joined.select("event_id", "event_type", "hour_events")

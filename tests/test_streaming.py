@@ -300,3 +300,64 @@ class TestStreamStaticJoin:
         runner.wait("ss_join")
         rows = sorted(map(tuple, spark.table("ss_join").collect()))
         assert rows == [("one", 10.0), ("three", 30.0), ("two", 20.0), ("two", 40.0)]
+
+
+class TestTemporalJoin:
+    """Streaming FOR SYSTEM_TIME AS OF emulation (streaming/temporal.py)."""
+
+    def test_bounded_stream_matches_batch_asof(self, spark):
+        from dbt_decodable_spark.operators.asof import asof_join
+        from dbt_decodable_spark.queries.streaming_q import events_file_stream
+        from dbt_decodable_spark.sources.tables import read_table
+        from dbt_decodable_spark.streaming.temporal import run_temporal_asof_bounded
+        from pyspark.sql import functions as F
+
+        sf = "/root/testdata/sf0.001"
+        e = read_table(spark, sf, "events")
+        dim = (
+            e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("hour_events"))
+            .select("event_type", F.col("w.start").alias("valid_from"), "hour_events")
+        )
+        stream = events_file_stream(spark, sf).select(
+            "event_id", "event_type", "ts_event"
+        )
+        streamed = run_temporal_asof_bounded(
+            spark, stream, dim, on="event_type", stream_ts="ts_event",
+            dim_ts="valid_from", value_cols=["hour_events"],
+        )
+        batch = asof_join(
+            e.select("event_id", "event_type", F.col("ts").alias("ts_event")),
+            dim, on="event_type", left_ts="ts_event", right_ts="valid_from",
+            value_cols=["hour_events"],
+        )
+        got = {tuple(r) for r in streamed.select("event_id", "hour_events").collect()}
+        want = {tuple(r) for r in batch.select("event_id", "hour_events").collect()}
+        assert got == want and len(got) == e.count()
+
+    def test_callable_provider_reevaluated_per_batch(self, spark):
+        from dbt_decodable_spark.queries.streaming_q import events_file_stream
+        from dbt_decodable_spark.streaming.temporal import run_temporal_asof_bounded
+        from pyspark.sql import functions as F
+
+        sf = "/root/testdata/sf0.001"
+        calls = []
+
+        def provider():
+            calls.append(1)
+            return spark.createDataFrame(
+                [("page_view", "1970-01-01 00:00:00", 1)],
+                "event_type string, valid_from string, v int",
+            ).withColumn("valid_from", F.col("valid_from").cast("timestamp"))
+
+        stream = events_file_stream(spark, sf).select(
+            "event_id", "event_type", "ts_event"
+        )
+        out = run_temporal_asof_bounded(
+            spark, stream, provider, on="event_type", stream_ts="ts_event",
+            dim_ts="valid_from", value_cols=["v"],
+        )
+        assert len(calls) >= 1  # provider re-read per micro-batch
+        assert out.filter(F.col("event_type") == "page_view").filter(
+            F.col("v").isNull()
+        ).count() == 0
