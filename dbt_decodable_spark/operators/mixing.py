@@ -1,0 +1,63 @@
+"""Source-mix construction for training-data pipelines (SURVEY §2.12).
+
+Training corpora are blended to target token budgets per source/language
+("20k tokens of English web, 8k of zh, 8k of es"). The operator takes docs
+in a deterministic per-stratum priority order (md5 of the key — the same
+engine-portable hash the sampling operators use) and keeps each stratum's
+prefix until its token budget fills.
+
+Built on :func:`~dbt_decodable_spark.operators.packing.grouped_running_sum`
+— the two-phase distributed prefix sum partitioned by stratum, so no single
+window task ever sees a whole stratum (at 100 TB a stratum IS the corpus:
+"en" can be 80% of the data). The budget table is broadcast; everything
+else is the prefix sum's two shuffles.
+
+Boundary rule matches the shard packer: a doc is kept iff its token
+interval *starts* inside the budget (``cum - w < budget``), so each
+stratum ends with ≥ budget tokens and the kept set is a prefix of the
+priority order — stable under corpus growth (new docs only append to the
+priority tail of their stratum... unless they hash earlier, which is the
+same nested-keep-set property the hash sampler documents).
+
+The reference (decodableco/dbt-decodable) has no mixing surface; part of
+the driver-mandated training-data extension set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dbt_decodable_spark.operators.packing import grouped_running_sum
+
+PRIORITY_COL = "__mix_priority"
+
+
+def mix_by_token_budget(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    weight_col: str,
+    budgets: dict[str, int],
+    cum_col: str = "cum_weight",
+) -> DataFrame:
+    """Keep each stratum's deterministic-priority prefix of rows whose
+    cumulative ``weight_col`` fits the stratum's budget. Strata without a
+    configured budget are dropped. Output: input columns + ``cum_col``
+    (the running token count within the stratum, in priority order)."""
+    spark = df.sparkSession
+    pri = F.substring(F.md5(F.col(key_col).cast("string")), 1, 6)
+    cum = grouped_running_sum(
+        df.withColumn(PRIORITY_COL, pri),
+        order_cols=[PRIORITY_COL, key_col],
+        weight_col=weight_col,
+        out_col=cum_col,
+        group_cols=[stratum_col],
+    )
+    bud = spark.createDataFrame(
+        sorted(budgets.items()), f"{stratum_col} string, __budget long"
+    )
+    return (
+        cum.join(F.broadcast(bud), stratum_col)
+        .filter(F.col(cum_col) - F.col(weight_col) < F.col("__budget"))
+        .drop("__budget", PRIORITY_COL)
+    )

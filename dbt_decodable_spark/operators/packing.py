@@ -43,6 +43,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 
+def grouped_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    weight_col: str,
+    out_col: str = "cum",
+    group_cols: list[str] | tuple[str, ...] = (),
+    partitions: int | None = None,
+) -> DataFrame:
+    """df + ``out_col``: exact running sum of ``weight_col`` in ascending
+    ``order_cols`` order — globally, or within each ``group_cols`` group
+    (without funnelling a whole group through one window task: the range
+    partitioning spans (group, order), so a large group spreads over many
+    ranges and the per-group offsets stitch the local cumsums back
+    together; the offsets table is ≤ P·|groups| rows, broadcast). The
+    combined (group, order) key must be unique per row; with duplicates the
+    intra-tie order — and thus the cumsum — would be engine-dependent."""
+    group_cols = list(group_cols)
+    p = partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(p, *[F.col(c) for c in (*group_cols, *order_cols)])
+        .withColumn("__pid", F.spark_partition_id())
+        # snapshot: both consumers below must observe the same boundaries
+        .localCheckpoint(eager=True)
+    )
+    local_w = (
+        W.partitionBy("__pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = ranged.withColumn("__local_cum", F.sum(weight_col).over(local_w))
+
+    totals = ranged.groupBy("__pid", *group_cols).agg(F.sum(weight_col).alias("__tot"))
+    # exclusive prefix over ≤ P·|groups| rows — deliberately tiny windows
+    off_base = W.partitionBy(*group_cols) if group_cols else W
+    off_w = off_base.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        *group_cols,
+        F.coalesce(F.sum("__tot").over(off_w), F.lit(0)).alias("__off"),
+    )
+
+    return (
+        local.join(F.broadcast(offsets), ["__pid", *group_cols])
+        .withColumn(out_col, F.col("__local_cum") + F.col("__off"))
+        .drop("__pid", "__local_cum", "__off")
+    )
+
+
 def global_running_sum(
     df: DataFrame,
     order_col: str,
@@ -50,35 +98,9 @@ def global_running_sum(
     out_col: str = "cum",
     partitions: int | None = None,
 ) -> DataFrame:
-    """df + ``out_col``: exact running sum of ``weight_col`` in ascending
-    ``order_col`` order. ``order_col`` values must be unique (document ids);
-    with duplicates the intra-tie order — and thus the cumsum — would be
-    engine-dependent."""
-    p = partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(p, F.col(order_col))
-        .withColumn("__pid", F.spark_partition_id())
-        # snapshot: both consumers below must observe the same boundaries
-        .localCheckpoint(eager=True)
-    )
-    local_w = (
-        W.partitionBy("__pid")
-        .orderBy(order_col)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    local = ranged.withColumn("__local_cum", F.sum(weight_col).over(local_w))
-
-    totals = ranged.groupBy("__pid").agg(F.sum(weight_col).alias("__tot"))
-    # exclusive prefix over P rows — a deliberately tiny single-task window
-    off_w = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
-    offsets = totals.select(
-        "__pid", F.coalesce(F.sum("__tot").over(off_w), F.lit(0)).alias("__off")
-    )
-
-    return (
-        local.join(F.broadcast(offsets), "__pid")
-        .withColumn(out_col, F.col("__local_cum") + F.col("__off"))
-        .drop("__pid", "__local_cum", "__off")
+    """Single-group convenience over :func:`grouped_running_sum`."""
+    return grouped_running_sum(
+        df, [order_col], weight_col, out_col=out_col, partitions=partitions
     )
 
 

@@ -80,10 +80,9 @@ _DRIVER_WINDOW_PRIORITY = (
     "multimodal_metadata", "text_token_count", "text_quality",
     "text_langid", "text_fingerprint",
     "agg_approx_distinct", "events_count", "agg_groupby_q1", "agg_global",
-    "agg_minmax_by", "agg_percentile", "join_asof", "join_theta",
-    "join_lookup_broadcast",
-    # new this round (streaming FOR SYSTEM_TIME AS OF emulation):
-    "stream_temporal_join",
+    "agg_minmax_by", "agg_percentile", "join_asof",
+    # new this round (streaming temporal join, source mixing, vocab stats):
+    "stream_temporal_join", "mix_token_budget", "text_vocab_topk",
 )
 
 

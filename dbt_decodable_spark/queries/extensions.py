@@ -676,3 +676,65 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         d, "lang", "doc_id", _SAMPLE_FRACTIONS, default_fraction=0.1
     ).select("doc_id", "lang")
+
+
+_MIX_BUDGETS = {"en": 20000, "zh": 8000, "es": 8000}
+
+
+@register(
+    "mix_token_budget",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS pr
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, lang, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY lang ORDER BY pr, doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM w
+        ),
+        b AS (SELECT * FROM (VALUES ('en', 20000), ('es', 8000), ('zh', 8000))
+              AS t(lang, budget))
+        SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+        FROM c JOIN b USING (lang)
+        WHERE cum - n_tokens < budget
+    """,
+    doc="§2.12 source-mix construction: per-language token budgets filled "
+    "in deterministic md5-priority order via the stratum-partitioned "
+    "two-phase distributed prefix sum (operators/mixing.py — no "
+    "whole-stratum window task)",
+)
+def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.operators.mixing import mix_by_token_budget
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", text.whitespace_token_count("text").alias("n_tokens")
+    )
+    return mix_by_token_budget(
+        d, stratum_col="lang", key_col="doc_id", weight_col="n_tokens",
+        budgets=_MIX_BUDGETS, cum_col="cum_tokens",
+    ).select("doc_id", "lang", "n_tokens", "cum_tokens")
+
+
+@register(
+    "text_vocab_topk",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+        SELECT token, count(*) AS cf, count(DISTINCT doc_id) AS df
+        FROM t GROUP BY token
+        ORDER BY cf DESC, token LIMIT 100
+    """,
+    doc="§2.12 vocabulary statistics: collection + document frequency per "
+    "token, top-100 by cf (explode -> one groupBy with map-side partial "
+    "aggs -> TakeOrderedAndProject; no global sort materializes)",
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(dedup.tokens("text")).alias("token"))
+    vocab = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("cf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    return vocab.orderBy(F.col("cf").desc(), "token").limit(100)

@@ -74,3 +74,45 @@ class TestPackByBudget:
         # (max weight - 1), so non-last shards hold > budget - max_weight
         assert all(tot > 500 - 99 for s, tot in per_shard.items() if s != last)
         assert set(per_shard) == set(range(last + 1))  # contiguous shard ids
+
+
+class TestGroupedRunningSum:
+    def test_matches_per_group_window(self, spark):
+        from dbt_decodable_spark.operators.packing import grouped_running_sum
+        from pyspark.sql import Window as W, functions as F
+
+        df = spark.range(2000).select(
+            F.col("id"),
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.pmod(F.xxhash64("id"), F.lit(50)) + 1).alias("w"),
+        )
+        got = grouped_running_sum(
+            df, order_cols=["id"], weight_col="w", out_col="cum", group_cols=["g"]
+        )
+        w = W.partitionBy("g").orderBy("id").rowsBetween(W.unboundedPreceding, W.currentRow)
+        want = df.withColumn("cum", F.sum("w").over(w))
+        cols = ["id", "g", "w", "cum"]
+        assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+            map(tuple, want.select(*cols).collect())
+        )
+
+    def test_mix_by_token_budget_prefix_property(self, spark):
+        from dbt_decodable_spark.operators.mixing import mix_by_token_budget
+        from pyspark.sql import functions as F
+
+        df = spark.range(500).select(
+            F.col("id"),
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("s"),
+            F.lit(10).alias("w"),
+        )
+        out = mix_by_token_budget(df, "s", "id", "w", {"a": 100, "b": 40})
+        rows = out.collect()
+        by_s = {}
+        for r in rows:
+            by_s.setdefault(r["s"], []).append(r)
+        # each stratum fills to >= budget with the minimal prefix: 10 docs of
+        # weight 10 for budget 100, 4 for budget 40
+        assert len(by_s["a"]) == 10 and len(by_s["b"]) == 4
+        assert max(r["cum_weight"] for r in by_s["a"]) == 100
+        # strata without a budget are dropped; kept rows' cum starts in-budget
+        assert all(r["cum_weight"] - r["w"] < {"a": 100, "b": 40}[r["s"]] for r in rows)
