@@ -45,9 +45,15 @@ from typing import Any
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 
 def sessionize_stateful(
@@ -170,6 +176,187 @@ def sessionize_stateful(
     return (
         events.select(key_col, ts_col, cents_col)
         .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
+def sessionize_stateful_bucketed(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    cents_col: str,
+    gap_seconds: int,
+    n_buckets: int = 128,
+) -> DataFrame:
+    """Same semantics as :func:`sessionize_stateful`, with the
+    ``applyInPandasWithState`` group being a KEY BUCKET
+    (``pmod(xxhash64(key), n_buckets)``) instead of a single key.
+
+    Why: the per-group cost of ``applyInPandasWithState`` is dominated by
+    the per-group fixed overhead — every group is its own Arrow record
+    batch + Python call (~2 ms) + state round-trip, so per-key grouping
+    costs ~2·keys·2 ms per micro-batch regardless of data volume. Bucketing
+    divides that by keys/bucket: state becomes parallel arrays of open
+    sessions for all keys in the bucket, the per-event work stays fully
+    vectorized (lexsort by (key, ts) → segment boundaries on key-change or
+    gap → ``add.reduceat``), and the per-key state merge is a dict pass
+    over only the keys present in the batch. One event-time timeout per
+    bucket is armed at the MIN deadline over its open sessions; when it
+    fires, sessions whose ``end + gap`` fell behind the current watermark
+    emit and the timeout re-arms at the next min.
+
+    Measured honestly: at sf0.1 (1500 keys) this is NOT faster locally —
+    both forms sit at ~2.8 s because the floor there is per-micro-batch
+    fixed cost (planning, state commits across partitions), not the
+    per-key Python calls. The bucketed form is the right shape when keys
+    ≫ cores (10⁶–10⁹ keys: Python-call count becomes n_buckets, not
+    n_keys); below that, prefer the simpler per-key
+    :func:`sessionize_stateful`. Both produce identical output
+    (equivalence-tested in tests/test_streaming.py).
+
+    ``n_buckets`` trades per-call batch size against parallelism — size it
+    to ~a few × total cores.
+    """
+    out_schema = StructType(
+        [
+            StructField(key_col, LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+            StructField("total_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("keys", ArrayType(LongType())),
+            StructField("start_us", ArrayType(LongType())),
+            StructField("end_us", ArrayType(LongType())),
+            StructField("n", ArrayType(LongType())),
+            StructField("cents", ArrayType(LongType())),
+        ]
+    )
+    gap_us = gap_seconds * 1_000_000
+    gap_ms = gap_seconds * 1_000
+
+    def _emit(k, s, e, n, c) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key_col: np.asarray(k, dtype="int64"),
+                "session_start": np.asarray(s, dtype="int64").view("datetime64[us]"),
+                "session_end": np.asarray(e, dtype="int64").view("datetime64[us]"),
+                "n_events": np.asarray(n, dtype="int64"),
+                "total_cents": np.asarray(c, dtype="int64"),
+            }
+        )
+
+    def _save(state: GroupState, k, s, e, n, c) -> None:
+        """Persist open-session arrays and arm the min-deadline timeout."""
+        if len(k) == 0:
+            if state.exists:
+                state.remove()
+            return
+        state.update(
+            ([int(x) for x in k], [int(x) for x in s], [int(x) for x in e],
+             [int(x) for x in n], [int(x) for x in c])
+        )
+        state.setTimeoutTimestamp(int(min(e)) // 1000 + gap_ms)
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            ku, s0, e0, n0, c0 = (np.asarray(x, dtype="int64") for x in state.get)
+            wm = state.getCurrentWatermarkMs()
+            fire = (e0 // 1000 + gap_ms) < wm
+            keep = ~fire
+            _save(state, ku[keep], s0[keep], e0[keep], n0[keep], c0[keep])
+            if fire.any():
+                yield _emit(ku[fire], s0[fire], e0[fire], n0[fire], c0[fire])
+            return
+
+        users_parts, ts_parts, cents_parts = [], [], []
+        for pdf in pdfs:
+            users_parts.append(pdf[key_col].to_numpy(dtype="int64"))
+            ts_parts.append(pdf[ts_col].to_numpy(dtype="datetime64[ns]").astype("int64"))
+            cents_parts.append(pdf[cents_col].to_numpy(dtype="int64"))
+        if not ts_parts or sum(len(t) for t in ts_parts) == 0:
+            if state.exists:
+                ku, s0, e0, n0, c0 = (np.asarray(x, dtype="int64") for x in state.get)
+                _save(state, ku, s0, e0, n0, c0)
+            return
+        users = np.concatenate(users_parts)
+        ts_us = np.concatenate(ts_parts) // 1000
+        cents = np.concatenate(cents_parts)
+        order = np.lexsort((ts_us, users))
+        users, ts_us, cents = users[order], ts_us[order], cents[order]
+
+        new_user = np.empty(len(users), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = users[1:] != users[:-1]
+        starts = new_user.copy()
+        starts[1:] |= np.diff(ts_us) > gap_us
+        idx = np.flatnonzero(starts)
+        seg_user = users[idx]
+        seg_start = ts_us[idx]
+        seg_end = ts_us[np.append(idx[1:] - 1, len(ts_us) - 1)]
+        seg_n = np.diff(np.append(idx, len(ts_us))).astype("int64")
+        seg_cents = np.add.reduceat(cents, idx)
+        first_mask = new_user[idx]  # first segment of each key in this batch
+        last_mask = np.append(seg_user[1:] != seg_user[:-1], True)
+
+        # open sessions from state: merge into each key's first segment when
+        # within gap, else emit them (closed by data)
+        emit_k: list = []
+        emit_s: list = []
+        emit_e: list = []
+        emit_n: list = []
+        emit_c: list = []
+        carried: dict[int, tuple[int, int, int, int]] = {}
+        if state.exists:
+            ku, s0, e0, n0, c0 = state.get
+            carried = {
+                int(u): (int(a), int(b), int(m), int(d))
+                for u, a, b, m, d in zip(ku, s0, e0, n0, c0)
+            }
+        for j in np.flatnonzero(first_mask):
+            prev = carried.pop(int(seg_user[j]), None)
+            if prev is None:
+                continue
+            ps, pe, pn, pc = prev
+            if seg_start[j] - pe <= gap_us:
+                seg_start[j], seg_n[j], seg_cents[j] = ps, seg_n[j] + pn, seg_cents[j] + pc
+            else:
+                emit_k.append(int(seg_user[j]))
+                emit_s.append(ps)
+                emit_e.append(pe)
+                emit_n.append(pn)
+                emit_c.append(pc)
+
+        closed = ~last_mask  # every segment but each key's last is closed by data
+        if closed.any():
+            emit_k.extend(seg_user[closed].tolist())
+            emit_s.extend(seg_start[closed].tolist())
+            emit_e.extend(seg_end[closed].tolist())
+            emit_n.extend(seg_n[closed].tolist())
+            emit_c.extend(seg_cents[closed].tolist())
+        if emit_k:
+            yield _emit(emit_k, emit_s, emit_e, emit_n, emit_c)
+
+        # new open set: carried-forward keys absent from this batch + each
+        # batch key's last segment
+        nk = list(carried.keys()) + seg_user[last_mask].tolist()
+        ns = [v[0] for v in carried.values()] + seg_start[last_mask].tolist()
+        ne = [v[1] for v in carried.values()] + seg_end[last_mask].tolist()
+        nn = [v[2] for v in carried.values()] + seg_n[last_mask].tolist()
+        nc = [v[3] for v in carried.values()] + seg_cents[last_mask].tolist()
+        _save(state, nk, ns, ne, nn, nc)
+
+    return (
+        events.select(key_col, ts_col, cents_col)
+        .withColumn("__bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)))
+        .groupBy("__bucket")
         .applyInPandasWithState(
             fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
         )

@@ -361,3 +361,31 @@ class TestTemporalJoin:
         assert out.filter(F.col("event_type") == "page_view").filter(
             F.col("v").isNull()
         ).count() == 0
+
+
+class TestBucketedStateful:
+    def test_bucketed_matches_per_key(self, spark):
+        from dbt_decodable_spark.queries.streaming_q import events_file_stream
+        from dbt_decodable_spark.streaming.stateful import (
+            sessionize_stateful,
+            sessionize_stateful_bucketed,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        results = []
+        for name, form in (
+            ("snk_perkey", sessionize_stateful),
+            ("snk_bucketed", sessionize_stateful_bucketed),
+        ):
+            stream = events_file_stream(spark, sf)
+            sessions = form(stream, "user_id", "ts_event", "cents", gap_seconds=21600)
+            q = (
+                sessions.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            results.append({tuple(r) for r in spark.table(name).collect()})
+        assert results[0] == results[1] and len(results[0]) > 0
