@@ -80,9 +80,11 @@ _DRIVER_WINDOW_PRIORITY = (
     "multimodal_metadata", "text_token_count", "text_quality",
     "text_langid", "text_fingerprint",
     "agg_approx_distinct", "events_count", "agg_groupby_q1", "agg_global",
-    "agg_minmax_by", "agg_percentile", "join_asof",
-    # new this round (streaming temporal join, source mixing, vocab stats):
-    "stream_temporal_join", "mix_token_budget", "text_vocab_topk",
+    "agg_minmax_by", "agg_percentile",
+    # new this round (streaming temporal join, SCD2 build, source mixing,
+    # vocab stats):
+    "stream_temporal_join", "stream_scd2_versions",
+    "mix_token_budget", "text_vocab_topk",
 )
 
 

@@ -324,3 +324,41 @@ def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim_ts="valid_from", value_cols=["hour_events"],
     )
     return joined.select("event_id", "event_type", "hour_events")
+
+
+@register(
+    "stream_scd2_versions",
+    oracle="""
+        WITH ch AS (
+            SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT user_id, event_type, event_id, cents,
+               ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS valid_to,
+               lead(ts) OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) IS NULL AS is_current
+        FROM ch
+    """,
+    doc="§2.9/§2.11 SCD2 dimension build from a change stream: half-open "
+    "[valid_from, valid_to) version intervals via one lead window per key "
+    "(streaming/changelog.py scd2_from_changelog) — the versioned table the "
+    "streaming temporal join probes",
+)
+def stream_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.streaming.changelog import scd2_from_changelog
+
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = scd2_from_changelog(
+        e, keys=["user_id", "event_type"], ts_col="ts",
+        order=["ts", "event_id"],
+    )
+    return out.select(
+        "user_id", "event_type", "event_id", "cents",
+        "valid_from", "valid_to", "is_current",
+    )

@@ -66,3 +66,35 @@ def apply_changes_batch(
         touched = folded.select(*keys).distinct()
     untouched = target.join(touched, on=list(keys), how="left_anti")
     return untouched.unionByName(upserts.select(*target.columns), allowMissingColumns=False)
+
+
+def scd2_from_changelog(
+    changes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    order: Sequence[Column | str] | None = None,
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension table from a change stream:
+    one row per version with ``valid_from``/``valid_to`` (null = current)
+    and ``is_current``.
+
+    ``valid_to`` is the next version's ``ts_col`` within the key (half-open
+    intervals [valid_from, valid_to)). This is the table the streaming
+    temporal join (:mod:`dbt_decodable_spark.streaming.temporal`) probes
+    with ``FOR SYSTEM_TIME AS OF`` semantics — `scd2_from_changelog` turns
+    the reference's change streams (handler.py:89-94 after-images) into the
+    versioned dim those joins need.
+
+    Scale: one shuffle on the key (the lead window); no global sort. On a
+    lake, maintain it incrementally per micro-batch by folding the batch
+    (``fold_last_image``) and MERGE-closing the previous current rows —
+    the batch form here is the full-rebuild/backfill path.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in (order or [ts_col])]
+    w = W.partitionBy(*keys).orderBy(*cols)
+    out = (
+        changes.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead("valid_from").over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+    return out

@@ -389,3 +389,30 @@ class TestBucketedStateful:
             q.awaitTermination(300)
             results.append({tuple(r) for r in spark.table(name).collect()})
         assert results[0] == results[1] and len(results[0]) > 0
+
+
+class TestScd2:
+    def test_half_open_intervals_tile_each_key(self, spark):
+        from dbt_decodable_spark.streaming.changelog import scd2_from_changelog
+        from pyspark.sql import functions as F
+
+        rows = [
+            (1, "2024-01-01 00:00:00", "a"),
+            (1, "2024-01-02 00:00:00", "b"),
+            (1, "2024-01-03 00:00:00", "c"),
+            (2, "2024-01-05 00:00:00", "x"),
+        ]
+        df = spark.createDataFrame(rows, "k long, ts string, v string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        out = scd2_from_changelog(df, keys=["k"], ts_col="ts").collect()
+        by_key = {}
+        for r in out:
+            by_key.setdefault(r["k"], []).append(r)
+        k1 = sorted(by_key[1], key=lambda r: r["valid_from"])
+        # each version's valid_to is the next version's valid_from
+        assert [r["valid_to"] for r in k1[:-1]] == [r["valid_from"] for r in k1[1:]]
+        # exactly one current version per key
+        for rs in by_key.values():
+            assert sum(r["is_current"] for r in rs) == 1
+            assert max(rs, key=lambda r: r["valid_from"])["is_current"]
