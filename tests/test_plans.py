@@ -150,3 +150,31 @@ class TestDialectPlans:
         )
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "HashAggregate" in plan
+
+
+class TestRound5Plans:
+    def test_vocab_topk_take_ordered(self, spark, registry):
+        """Top-100 must be TakeOrderedAndProject (per-partition heaps), not
+        a materialized global sort."""
+        plan = plan_of(spark, registry, "text_vocab_topk")
+        assert "TakeOrderedAndProject" in plan
+        assert "Sort [" not in plan  # no full-sort exchange materialized
+
+    def test_mix_budget_broadcasts_and_range_partitions(self, spark, registry):
+        """The mixing prefix sum must range-partition (no global-sort single
+        task) and attach offsets/budgets via broadcast joins only."""
+        plan = plan_of(spark, registry, "mix_token_budget")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan and "NestedLoop" not in plan
+
+    def test_ivf_assignment_is_pure_map(self, spark, registry):
+        """ivf_topk's corpus→list assignment must not shuffle an expanded
+        corpus×centroids frame: no Window over it, only the final re-rank
+        window on (query, candidate) rows."""
+        from dbt_decodable_spark.operators.similarity import ivf_assign, ivf_centroids
+        from dbt_decodable_spark.sources.tables import read_table
+
+        e = read_table(spark, SF_DIR, "embeddings")
+        lists = ivf_assign(e, ivf_centroids(e))
+        plan = lists._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan and "Exchange hashpartitioning" not in plan
