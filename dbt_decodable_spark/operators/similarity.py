@@ -169,6 +169,40 @@ def threshold_join_chunked(
     return out
 
 
+def quantize_int8(
+    vec: Column,
+) -> tuple[Column, Column]:
+    """Symmetric per-vector int8 quantization: ``scale = max|v| / 127``,
+    ``q_i = clamp(floor(v_i/scale + 0.5), -127, 127)``. Returns
+    ``(scale, qvec)`` columns. 4× smaller embedding storage — at 100 TB the
+    difference between an index that fits the cluster and one that doesn't;
+    brute-force/LSH re-ranking works directly on dequantized values.
+
+    ``floor(x + 0.5)`` instead of ``round`` because round-half behavior
+    differs across engines while ``floor`` is exact IEEE everywhere — the
+    whole op is oracle-checkable bit-for-bit.
+    """
+    dvec = _to_double_array(vec)
+    scale = F.array_max(F.transform(dvec, F.abs)) / F.lit(127.0)
+    q = F.transform(
+        dvec,
+        lambda x: F.when(scale == 0, F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.floor(x / scale + F.lit(0.5)).cast("int")),
+            )
+        )
+        .cast("int"),
+    )
+    return scale, q
+
+
+def dequantize_int8(qvec: Column, scale: Column) -> Column:
+    """Inverse of :func:`quantize_int8` (lossy: |err| ≤ scale/2 per dim)."""
+    return F.transform(qvec, lambda q: q.cast("double") * scale)
+
+
 # --- deterministic random-hyperplane LSH -----------------------------------
 
 

@@ -738,3 +738,30 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("df"),
     )
     return vocab.orderBy(F.col("cf").desc(), "token").limit(100)
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+        WITH s AS (
+            SELECT vec_id,
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+                   embedding
+            FROM embeddings
+        )
+        SELECT vec_id, scale,
+               list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+                   ELSE CAST(greatest(-127, least(127,
+                        floor(CAST(x AS DOUBLE) / scale + 0.5))) AS INT) END)
+                   AS qvec
+        FROM s
+    """,
+    doc="§2.12 symmetric int8 embedding quantization (4x index shrink): "
+    "scale = max|v|/127, floor(x/scale + 0.5) rounding (engine-portable, "
+    "bit-exact oracle); pure JVM map, no shuffle",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    scale, q = similarity.quantize_int8(F.col("embedding"))
+    return e.select("vec_id", scale.alias("scale"), q.alias("qvec"))

@@ -394,3 +394,28 @@ class TestIvf:
         lists = similarity.ivf_assign(e, cent)
         assert lists.count() == e.count()
         assert lists.select("vec_id").distinct().count() == e.count()
+
+
+class TestQuantization:
+    def test_int8_roundtrip_error_bound(self, spark):
+        from dbt_decodable_spark.operators import similarity
+        from dbt_decodable_spark.sources.tables import read_table
+
+        e = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+        scale, q = similarity.quantize_int8(F.col("embedding"))
+        deq = e.select(
+            "vec_id", "embedding", scale.alias("s"),
+            similarity.dequantize_int8(q, scale).alias("deq"),
+        )
+        # |x - deq(q(x))| <= scale/2 per dimension, and q stays in [-127,127]
+        bad = deq.select(
+            F.array_max(
+                F.zip_with(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    F.col("deq"),
+                    lambda a, b: F.abs(a - b),
+                )
+            ).alias("max_err"),
+            (F.col("s") / 2 * 1.000001).alias("bound"),
+        ).filter(F.col("max_err") > F.col("bound"))
+        assert bad.count() == 0
