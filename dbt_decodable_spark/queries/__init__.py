@@ -79,8 +79,8 @@ _DRIVER_WINDOW_PRIORITY = (
     "similarity_threshold_join", "similarity_ivf_topk",
     "multimodal_metadata", "text_token_count", "text_quality",
     "text_langid", "text_fingerprint",
-    "agg_approx_distinct", "events_count", "agg_groupby_q1", "agg_global",
-    "agg_minmax_by", "agg_percentile",
+    "agg_approx_distinct", "events_count", "agg_groupby_q1",
+    "agg_minmax_by", "agg_percentile", "embedding_quantize_int8",
     # new this round (streaming temporal join, SCD2 build, source mixing,
     # vocab stats):
     "stream_temporal_join", "stream_scd2_versions",
