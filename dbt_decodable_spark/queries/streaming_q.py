@@ -362,3 +362,57 @@ def stream_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "event_id", "cents",
         "valid_from", "valid_to", "is_current",
     )
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+        SELECT e1.event_id AS id_a, e2.event_id AS id_b
+        FROM events e1 JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND e2.ts > e1.ts
+         AND CAST(e2.ts AS TIMESTAMP) <= CAST(e1.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+    """,
+    doc="§2.3/§2.9 stream-stream interval join executed as a REAL streaming "
+    "query: both sides watermarked, equi-key + event-time range condition "
+    "(watermarks bound the join state — rows older than the range fall out), "
+    "availableNow drain to a memory sink. Bounded run converges to the "
+    "batch interval join, so the same oracle applies.",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1 = (
+        events_file_stream(spark, sf_dir)
+        .select(
+            F.col("event_id").alias("id_a"),
+            F.col("user_id").alias("u1"),
+            F.col("ts_event").alias("t1"),
+        )  # watermark from events_file_stream survives the rename
+    )
+    s2 = (
+        events_file_stream(spark, sf_dir)
+        .select(
+            F.col("event_id").alias("id_b"),
+            F.col("user_id").alias("u2"),
+            F.col("ts_event").alias("t2"),
+        )
+    )
+    joined = s1.join(
+        s2,
+        (F.col("u1") == F.col("u2"))
+        & (F.col("t2") > F.col("t1"))
+        & (F.col("t2") <= F.col("t1") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("id_a", "id_b")
+    sink = "stream_interval_join_sink"
+    try:
+        spark.catalog.dropTempView(sink)
+    except Exception:
+        pass
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
