@@ -114,6 +114,13 @@ def connected_components(
             cur = stars
             break
         prev_sig = sig
+        # adaptive width: the edge set shrinks toward a star forest, and we
+        # just measured its size — narrow the checkpointed frame (coalesce
+        # is shuffle-free) so late rounds don't schedule full-width task
+        # waves over a few hundred edges. Large edge sets keep full width.
+        width = max(1, min(int(cnt // 20_000) + 1, stars.rdd.getNumPartitions()))
+        if width < stars.rdd.getNumPartitions():
+            stars = stars.coalesce(width)
         # re-symmetrize WITHOUT the distinct shuffle: small-star output is
         # already distinct and strictly oriented u > v, so the reversed copy
         # is disjoint from the forward one — a plain union is exact here
