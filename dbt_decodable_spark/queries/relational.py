@@ -243,3 +243,44 @@ def except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("SELECT * FROM VALUES ('Adam', 31), ('George', 27), ('Lily', 59) AS t(name, age)")
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    doc="§2.1 file formats: region written as quoted CSV to scratch and "
+    "read back through the csv reader with an explicit schema — the "
+    "s3/file connector's CSV path, driver-gated (header round-trip)",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    df = read_table(spark, sf_dir, "region")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_csv_src_{tag}"
+    df.write.mode("overwrite").option("header", True).csv(path)
+    return (
+        spark.read.schema(df.schema)
+        .option("header", True)
+        .csv(path)
+        .select("r_regionkey", "r_name")
+    )
+
+
+@register(
+    "source_json_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="§2.1 file formats: nation written as JSON-lines to scratch and "
+    "read back with an explicit schema — the s3/file connector's JSON "
+    "path, driver-gated",
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    df = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_json_src_{tag}"
+    df.write.mode("overwrite").json(path)
+    return spark.read.schema(df.schema).json(path)
