@@ -1,0 +1,104 @@
+"""Property tests for the merge as-of join and the distributed prefix sum:
+randomized inputs checked against an independent reference implementation
+(pandas merge_asof / plain python cumsum), so the operators' semantics hold
+beyond the hand-picked fixtures."""
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+
+@st.composite
+def asof_case(draw):
+    n_keys = draw(st.integers(1, 3))
+    probes = draw(
+        st.lists(
+            st.tuples(st.integers(0, n_keys - 1), st.integers(0, 1000)),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    quotes = draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, n_keys - 1),
+                st.integers(0, 1000),
+                st.integers(-100, 100),
+            ),
+            min_size=0,
+            max_size=25,
+            unique_by=lambda t: (t[0], t[1]),  # unique (key, ts) per quote
+        )
+    )
+    return probes, quotes
+
+
+class TestAsofProperty:
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(case=asof_case())
+    def test_matches_pandas_merge_asof(self, spark, case):
+        probes, quotes = case
+        left = spark.createDataFrame(
+            [(i, k, t) for i, (k, t) in enumerate(probes)], "id long, k long, t long"
+        )
+        right = spark.createDataFrame(quotes, "k long, rt long, v long") if quotes else (
+            spark.createDataFrame([], "k long, rt long, v long")
+        )
+        from dbt_decodable_spark.operators.asof import asof_join
+
+        got = {
+            (r["id"], r["v"])
+            for r in asof_join(left, right, "k", "t", "rt", ["v"]).collect()
+        }
+
+        lp = pd.DataFrame([(i, k, t) for i, (k, t) in enumerate(probes)],
+                          columns=["id", "k", "t"]).sort_values("t", kind="stable")
+        rp = pd.DataFrame(quotes, columns=["k", "rt", "v"]).sort_values("rt", kind="stable")
+        if len(rp):
+            m = pd.merge_asof(lp, rp, left_on="t", right_on="rt", by="k",
+                              direction="backward")
+            want = {
+                (int(r.id), None if pd.isna(r.v) else int(r.v))
+                for r in m.itertuples()
+            }
+        else:
+            want = {(int(r.id), None) for r in lp.itertuples()}
+        assert got == want
+
+
+class TestPrefixSumProperty:
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 50)),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def test_grouped_cumsum_matches_python(self, spark, rows):
+        from dbt_decodable_spark.operators.packing import grouped_running_sum
+
+        data = [(i, g, w) for i, (g, w) in enumerate(rows)]
+        df = spark.createDataFrame(data, "id long, g long, w long")
+        got = {
+            (r["id"], r["cum"])
+            for r in grouped_running_sum(
+                df, order_cols=["id"], weight_col="w", group_cols=["g"]
+            ).collect()
+        }
+        acc: dict[int, int] = {}
+        want = set()
+        for i, g, w in data:  # data already in id order
+            acc[g] = acc.get(g, 0) + w
+            want.add((i, acc[g]))
+        assert got == want
