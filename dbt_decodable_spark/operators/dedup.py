@@ -382,3 +382,39 @@ def decontaminate(
             (F.coalesce("n_shared", F.lit(0)) >= min_shared).alias("contaminated"),
         )
     )
+
+
+def minhash_incremental_candidates(
+    corpus: DataFrame,
+    new_batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 6,
+) -> DataFrame:
+    """Candidate near-dup pairs TOUCHING a new batch: every (id_a < id_b)
+    band-collision pair with at least one member in ``new_batch`` (a subset
+    of ``corpus`` by id). The incremental form of
+    :func:`minhash_lsh_candidates` — at 100 TB the corpus signatures are a
+    *stored* table maintained per ingest, so a daily increment hashes only
+    its own documents and joins them against the signature index; nothing
+    re-scans the historical text. Here both signature sets derive from one
+    pipeline (the signature reuse is the point; the storage is the lake's).
+    """
+    sig = minhash_signatures(corpus, id_col, text_col, n, num_hashes)
+    new_ids = new_batch.select(F.col(id_col).alias("id"))
+    new_sig = sig.join(F.broadcast(new_ids), "id")
+    a, b = sig.alias("a"), new_sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .distinct()
+    )

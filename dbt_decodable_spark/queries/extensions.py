@@ -765,3 +765,21 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     scale, q = similarity.quantize_int8(F.col("embedding"))
     return e.select("vec_id", scale.alias("scale"), q.alias("qvec"))
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+        WITH {_MINHASH_PAIRS_CTES}
+        SELECT id_a, id_b FROM pairs
+        WHERE id_a % 10 >= 8 OR id_b % 10 >= 8
+    """,
+    doc="§2.12 incremental near-dup detection: candidate pairs touching the "
+    "new ingest batch (doc_id % 10 >= 8 stands in for today's increment) — "
+    "only new docs are hashed against the stored signature index at scale "
+    "(operators/dedup.py minhash_incremental_candidates)",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    new_batch = d.filter(F.col("doc_id") % 10 >= 8)
+    return dedup.minhash_incremental_candidates(d, new_batch, "doc_id", "text")
