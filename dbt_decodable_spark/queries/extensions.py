@@ -783,3 +783,28 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     new_batch = d.filter(F.col("doc_id") % 10 >= 8)
     return dedup.minhash_incremental_candidates(d, new_batch, "doc_id", "text")
+
+
+@register(
+    "corpus_stats_by_source",
+    oracle=f"""
+        SELECT source, lang,
+               count(*) AS n_docs,
+               CAST(SUM(CAST(len({_TOKS}) AS BIGINT)) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        FROM documents GROUP BY source, lang
+    """,
+    doc="§2.12 corpus summary statistics per (source, lang): doc/token/char "
+    "totals — the dataset-card numbers every training-data pipeline "
+    "publishes; one groupBy with map-side partial aggs",
+)
+def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.whitespace_token_count("text")).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -59,3 +59,15 @@ class TestStratifiedSample:
         strat = _ids(stratified_sample(df, "s", "id", {"x": 0.3}))
         unif = _ids(deterministic_sample(df, "id", 0.3))
         assert strat == unif
+
+
+class TestNestedKeepSets:
+    def test_lower_fraction_sample_is_subset(self, spark):
+        from dbt_decodable_spark.operators.sampling import deterministic_sample
+        from dbt_decodable_spark.sources.tables import read_table
+
+        d = read_table(spark, "/root/testdata/sf0.001", "documents")
+        s10 = {r["doc_id"] for r in deterministic_sample(d, "doc_id", 0.1).collect()}
+        s50 = {r["doc_id"] for r in deterministic_sample(d, "doc_id", 0.5).collect()}
+        assert s10 <= s50  # documented nested keep-set property
+        assert 0 < len(s10) < len(s50) < d.count()
