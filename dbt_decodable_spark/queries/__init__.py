@@ -78,13 +78,13 @@ _DRIVER_WINDOW_PRIORITY = (
     "dedup_simhash", "similarity_bruteforce_topk", "similarity_lsh_topk",
     "similarity_threshold_join", "similarity_ivf_topk",
     "multimodal_metadata", "text_token_count", "text_quality",
-    "text_langid", "text_fingerprint",
     "agg_approx_distinct", "events_count", "agg_groupby_q1",
-    "agg_minmax_by", "agg_percentile", "embedding_quantize_int8",
-    # new this round (streaming temporal join, SCD2 build, source mixing,
-    # vocab stats):
-    "stream_temporal_join", "stream_scd2_versions",
-    "mix_token_budget", "text_vocab_topk",
+    "embedding_quantize_int8",
+    # new this round (streaming temporal + interval joins, SCD2 build,
+    # source mixing, vocab/corpus stats, incremental dedup, file sources):
+    "stream_temporal_join", "stream_scd2_versions", "stream_interval_join",
+    "mix_token_budget", "text_vocab_topk", "dedup_incremental_minhash",
+    "corpus_stats_by_source", "source_csv_roundtrip",
 )
 
 
