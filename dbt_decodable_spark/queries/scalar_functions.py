@@ -375,3 +375,36 @@ def func_grok_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # HUGEINT, so the oracle casts back to BIGINT — both exact integers
         .agg(F.sum("bytes_sent").alias("total_bytes_sent"))
     )
+
+
+@register(
+    "func_url",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id,
+                   'https://corpus.example.com/docs/' || CAST(doc_id AS VARCHAR)
+                   || '?lang=' || lang || '&src=' || source AS url
+            FROM documents WHERE doc_id < 200
+        )
+        SELECT doc_id,
+               regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+               regexp_extract(url, 'https?://[^/]+(/[^?]*)', 1) AS path,
+               regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+        FROM u
+    """,
+    doc="§2.8 URL parsing (Flink PARSE_URL): host/path/query-param "
+    "extraction via Spark's native parse_url — JVM-side; the oracle "
+    "reproduces the same fields with anchored regexps",
+)
+def func_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    url = F.concat(
+        F.lit("https://corpus.example.com/docs/"), F.col("doc_id").cast("string"),
+        F.lit("?lang="), F.col("lang"), F.lit("&src="), F.col("source"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

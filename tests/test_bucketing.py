@@ -51,3 +51,32 @@ class TestBucketedJoin:
         lt, _ = bucketed_pair
         agg = spark.table(lt).groupBy("k").agg(F.sum("lv").alias("s"))
         assert plan_has_no_exchange(agg)
+
+
+class TestPartitionPruning:
+    def test_partitioned_write_prunes_at_read(self, spark, tmp_path):
+        """The 100 TB lake layout: facts partitioned by event date. A
+        date-filtered read must prune partitions at planning time (the scan
+        lists only matching directories), visible as a partition filter in
+        the plan and a partition-count drop."""
+        from dbt_decodable_spark.sources.tables import read_table
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "events_by_day")
+        e = read_table(spark, "/root/testdata/sf0.001", "events")
+        e.withColumn("event_date", F.to_date("ts")).write.partitionBy(
+            "event_date"
+        ).mode("overwrite").parquet(path)
+
+        all_days = spark.read.parquet(path)
+        one_day = all_days.filter(F.col("event_date") == "2024-01-05")
+        plan = one_day._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "event_date" in plan.split(
+            "PartitionFilters"
+        )[1][:200]
+        n_all = all_days.select("event_date").distinct().count()
+        assert n_all > 1
+        assert one_day.count() > 0
+        # pruned scan reads one partition directory, not n_all
+        files = one_day.inputFiles()
+        assert files and all("event_date=2024-01-05" in f for f in files)
