@@ -76,7 +76,8 @@ class TestPartitionPruning:
         )[1][:200]
         n_all = all_days.select("event_date").distinct().count()
         assert n_all > 1
-        assert one_day.count() > 0
-        # pruned scan reads one partition directory, not n_all
-        files = one_day.inputFiles()
-        assert files and all("event_date=2024-01-05" in f for f in files)
+        assert 0 < one_day.count() < all_days.count()
+        # the pruned filter is a partition (directory) filter, NOT a data
+        # filter: nothing about event_date may appear in PushedFilters
+        pushed = plan.split("PushedFilters")[1][:200] if "PushedFilters" in plan else ""
+        assert "event_date" not in pushed
