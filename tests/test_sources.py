@@ -78,3 +78,23 @@ class TestKinesisGating:
         schema = StreamSchema(fields=(SchemaField(name="id", type="BIGINT"),))
         with pytest.raises(KinesisUnavailable):
             kinesis_stream(spark, "s", "us-east-1", schema)
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_unions_columns_across_files(self, spark, tmp_path):
+        """Lake reality: a table's parquet files drift columns over time.
+        mergeSchema reconciles the union schema; rows from files missing a
+        column read as nulls — no rewrite of historical files."""
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "evolving")
+        spark.range(3).select("id", F.lit("a").alias("v1")).write.parquet(
+            path + "/batch=1"
+        )
+        spark.range(3, 6).select(
+            "id", F.lit("b").alias("v1"), F.lit(7).alias("v2")
+        ).write.parquet(path + "/batch=2")
+        df = spark.read.option("mergeSchema", True).parquet(path)
+        assert set(df.columns) == {"id", "v1", "v2", "batch"}
+        rows = {r["id"]: (r["v1"], r["v2"]) for r in df.collect()}
+        assert rows[0] == ("a", None) and rows[5] == ("b", 7)
