@@ -57,6 +57,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # similarity rewiring (LSH-blocked threshold join, max_by ivf_assign).
 # Everything NOT in the window stays verified by tools/oracle_check.py
 # (type-strict local replica of the same comparison) and pytest.
+# Staged for the round-6 window: source_json_roundtrip and func_url (the
+# only two queries with no driver row after this rotation), plus re-measures
+# of whatever round 6 touches.
 _DRIVER_WINDOW_PRIORITY = (
     # (a) never driver-measured:
     "dedup_connected_components", "decontaminate_against_benchmark",
