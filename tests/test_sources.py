@@ -98,3 +98,20 @@ class TestSchemaEvolution:
         assert set(df.columns) == {"id", "v1", "v2", "batch"}
         rows = {r["id"]: (r["v1"], r["v2"]) for r in df.collect()}
         assert rows[0] == ("a", None) and rows[5] == ("b", 7)
+
+
+class TestCompaction:
+    def test_small_files_compact_to_target(self, spark, tmp_path):
+        from dbt_decodable_spark.operators.maintenance import compact_path
+        import glob
+
+        path = str(tmp_path / "smallfiles")
+        # simulate a drip-fed streaming sink: 40 one-row files
+        spark.range(40).repartition(40).write.parquet(path)
+        n_before = len(glob.glob(path + "/part-*"))
+        assert n_before >= 30
+        compact_path(spark, path, max_records_per_file=25, target_files=2)
+        n_after = len(glob.glob(path + "/part-*"))
+        assert n_after <= 4
+        assert spark.read.parquet(path).count() == 40
+        assert {r["id"] for r in spark.read.parquet(path).collect()} == set(range(40))
