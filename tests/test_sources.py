@@ -109,7 +109,7 @@ class TestCompaction:
         # simulate a drip-fed streaming sink: 40 one-row files
         spark.range(40).repartition(40).write.parquet(path)
         n_before = len(glob.glob(path + "/part-*"))
-        assert n_before >= 30
+        assert n_before >= 20  # empty partitions write no file
         compact_path(spark, path, max_records_per_file=25, target_files=2)
         n_after = len(glob.glob(path + "/part-*"))
         assert n_after <= 4
