@@ -401,7 +401,12 @@ def minhash_incremental_candidates(
     re-scans the historical text. Here both signature sets derive from one
     pipeline (the signature reuse is the point; the storage is the lake's).
     """
-    sig = minhash_signatures(corpus, id_col, text_col, n, num_hashes)
+    # materialize the signature index once (the production analogue is a
+    # stored lake table) — both join sides read it, and without this the
+    # whole shingle→minhash pipeline runs twice
+    sig = minhash_signatures(corpus, id_col, text_col, n, num_hashes).localCheckpoint(
+        eager=True
+    )
     new_ids = new_batch.select(F.col(id_col).alias("id"))
     new_sig = sig.join(F.broadcast(new_ids), "id")
     a, b = sig.alias("a"), new_sig.alias("b")
