@@ -284,8 +284,15 @@ def minhash_lsh_candidates(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 6
 ) -> DataFrame:
     """Candidate near-dup pairs: documents agreeing on any min-hash band.
-    Distinct (id_a, id_b) with id_a < id_b."""
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    Distinct (id_a, id_b) with id_a < id_b.
+
+    Signatures are materialized once before the self-join — Catalyst does
+    not reuse the exchange across the two aliased sides here (verified:
+    no ReusedExchange in the executed plan), so without the checkpoint the
+    shingle→minhash pipeline runs twice."""
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).localCheckpoint(
+        eager=True
+    )
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(
