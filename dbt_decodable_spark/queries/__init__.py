@@ -47,47 +47,41 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 # The driver's correctness gate measures the FIRST 50 registry entries per
-# round. Round-5 rotation: (a) the 24 queries that have NEVER had a driver
-# row (the §2.12 LLM-pipeline batch registered in round 3 + the tpch3
-# battery); (b) the three rows that were red in CORRECTNESS_r04 (all three
-# broke when the testdata's events.ts encoding changed to TIMESTAMP_NTZ —
-# fixed centrally in sources/tables.read_table) so their fix is measured by
-# the hard signal; (c) re-measures of the §2.12 extension set last seen in
-# round 2, before the money.py integer-unit migration and this round's
-# similarity rewiring (LSH-blocked threshold join, max_by ivf_assign).
-# Everything NOT in the window stays verified by tools/oracle_check.py
-# (type-strict local replica of the same comparison) and pytest.
-# Staged for the round-6 window: source_json_roundtrip and func_url (the
-# only two queries with no driver row after this rotation), plus re-measures
-# of whatever round 6 touches.
+# round. Round-6 rotation: (a) the ONLY two queries that have never had a
+# driver row (staged since round 4; green under tools/oracle_check.py);
+# (b) everything round 6 touches — the two r5-red array-canon queries now
+# serialized with concat_ws/to_json, the ADVICE-fixed operators (chunked
+# threshold join, interval-join conf, temporal-join idempotence,
+# read_table conf hygiene → events-reading queries), the auto-bucketed
+# stateful sessionization, and the two noise-suspect subquery regressions
+# being re-measured after bench isolation; (c) staleness guard — the 38
+# oldest hash-green rows (all last driver-measured in rounds 1-2: the
+# agg/join/window/set-op/func relational core) so no row's evidence ages
+# past four rounds. After this rotation every one of the 132 registry
+# queries has a driver row ≤4 rounds old. Everything NOT in the window
+# stays verified by tools/oracle_check.py (driver-faithful local replica,
+# now including the pandas array-canon crash mode) and pytest.
 _DRIVER_WINDOW_PRIORITY = (
     # (a) never driver-measured:
-    "dedup_connected_components", "decontaminate_against_benchmark",
-    "dedup_embedding_cosine", "text_quality_quantile_gate",
-    "text_repetition_filter", "text_redact_pii", "text_chunk_windows",
-    "multimodal_features", "pack_token_shards",
-    "sample_uniform", "sample_stratified",
-    "unpivot_stack", "join_interval", "join_asof_merge", "agg_bool_string",
-    "text_token_histogram", "embedding_normalize",
-    "tpch_q2_min_cost_supplier", "tpch_q9_product_type_profit",
-    "tpch_q11_important_part_value", "tpch_q12_late_shipment_priority",
-    "tpch_q16_supplier_part_count", "tpch_q20_excess_shipments",
-    "tpch_q21_suppliers_kept_waiting",
-    # (b) red in CORRECTNESS_r04 (events.ts TIMESTAMP_NTZ regression):
-    "stream_session_window", "stream_sessionize_stateful",
-    "func_timestamp_ltz",
-    # (c) §2.12 extension re-measures (last driver row: round 2):
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "similarity_bruteforce_topk", "similarity_lsh_topk",
-    "similarity_threshold_join", "similarity_ivf_topk",
-    "multimodal_metadata", "text_token_count", "text_quality",
-    "agg_approx_distinct", "events_count", "agg_groupby_q1",
-    "embedding_quantize_int8",
-    # new this round (streaming temporal + interval joins, SCD2 build,
-    # source mixing, vocab/corpus stats, incremental dedup, file sources):
-    "stream_temporal_join", "stream_scd2_versions", "stream_interval_join",
-    "mix_token_budget", "text_vocab_topk", "dedup_incremental_minhash",
-    "corpus_stats_by_source", "source_csv_roundtrip",
+    "func_url", "source_json_roundtrip",
+    # (b) round-6-touched:
+    "embedding_quantize_int8", "multimodal_features",
+    "similarity_threshold_join", "stream_interval_join",
+    "stream_temporal_join", "stream_sessionize_stateful",
+    "subquery_scalar_correlated", "subquery_in",
+    "events_count", "stream_session_window",
+    # (c) staleness guard — oldest driver rows (rounds 1-2):
+    "agg_cube", "agg_distinct", "agg_global", "agg_groupby_expression",
+    "agg_grouping_sets", "agg_having", "agg_minmax_by", "agg_percentile",
+    "agg_rollup", "agg_stats", "case_when", "derived_table_subquery",
+    "except_all", "intersect_except", "join_anti", "join_asof",
+    "join_full_outer", "join_left_outer", "join_lookup_broadcast",
+    "join_right_outer", "join_semi", "join_theta", "join_three_way",
+    "like_predicate", "order_by_limit", "scan_project_filter",
+    "text_fingerprint", "text_langid", "union_all", "union_distinct",
+    "values_inline", "where_predicates", "cte_chain", "func_array",
+    "func_array_explode", "func_char_length_not_null",
+    "func_coalesce_nullif", "func_datetime",
 )
 
 

@@ -543,7 +543,10 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="§2.12 multimodal feature extraction: L1-normalized byte histogram "
     "over binary payloads (Arrow-batched mapInPandas + numpy — a real "
     "extractor, and the drop-in plumbing slot for a CNN/CLIP embedder); "
-    "exactness unit-tested in tests/test_multimodal.py",
+    "exactness unit-tested in tests/test_multimodal.py. The registered "
+    "query serializes the array<float> histogram with to_json so the "
+    "driver's pandas canon (which sorts every output column) doesn't hit "
+    "an unhashable list; the operator API keeps the array form.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_decodable_spark.operators.multimodal import (
@@ -552,7 +555,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = read_table(spark, sf_dir, "documents")
-    return extract_features_pandas(attach_binary_payload(d, "text"), n_bins=16)
+    feats = extract_features_pandas(attach_binary_payload(d, "text"), n_bins=16)
+    return feats.select("doc_id", F.to_json(F.col("features")).alias("features"))
 
 
 @register(
@@ -751,20 +755,28 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings
         )
         SELECT vec_id, scale,
-               list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
-                   ELSE CAST(greatest(-127, least(127,
-                        floor(CAST(x AS DOUBLE) / scale + 0.5))) AS INT) END)
-                   AS qvec
+               array_to_string(
+                 list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+                     ELSE CAST(greatest(-127, least(127,
+                          floor(CAST(x AS DOUBLE) / scale + 0.5))) AS INT) END),
+                 ',') AS qvec
         FROM s
     """,
     doc="§2.12 symmetric int8 embedding quantization (4x index shrink): "
     "scale = max|v|/127, floor(x/scale + 0.5) rounding (engine-portable, "
-    "bit-exact oracle); pure JVM map, no shuffle",
+    "bit-exact oracle); pure JVM map, no shuffle. The registered query "
+    "serializes qvec to a CSV string (driver's pandas canon sorts all "
+    "output columns — raw arrays are unhashable there); the operator API "
+    "(operators/similarity.quantize_int8) keeps the array form.",
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     scale, q = similarity.quantize_int8(F.col("embedding"))
-    return e.select("vec_id", scale.alias("scale"), q.alias("qvec"))
+    return e.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.concat_ws(",", q.cast("array<string>")).alias("qvec"),
+    )
 
 
 @register(

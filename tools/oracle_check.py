@@ -18,7 +18,15 @@ so it said PASS on the driver's one FAIL. This version:
   driver's hash is width-insensitive for plain ints, per rounds 1-3);
 - keeps timezone info on timestamps (tz-aware vs naive is a value diff);
 - tags every cell with its Python type class so ``1 == 1.0`` coercion can't
-  mask an int-vs-float schema drift inside arrays/structs either.
+  mask an int-vs-float schema drift inside arrays/structs either;
+- (round-6 fix) replays the DRIVER's canonicalization — ``pandas
+  .sort_values`` over every output column — on the Spark result before
+  comparing. The driver crashed on array-typed outputs twice (CORRECTNESS_r05
+  ``embedding_quantize_int8``/``multimodal_features``: ``TypeError:
+  unhashable type: 'list'``) while this replica's tuple-sort happily ordered
+  them; now any output the driver cannot sort is FAIL-CANON locally,
+  including for rows-only (``oracle=None``) queries, which the driver also
+  canonicalizes.
 
 Usage: python tools/oracle_check.py [sf_dir] [query_name ...]
 """
@@ -73,6 +81,22 @@ def _sort_key(row):
     return tuple((x is None, str(type(x)), str(x)) for x in row)
 
 
+def driver_canon_guard(rows, cols):
+    """Replay the driver's canonicalization: load the result into a pandas
+    frame and ``sort_values`` by every column. Returns an error string when
+    that raises (e.g. ``TypeError: unhashable type: 'list'`` for array
+    outputs) — exactly the crash the driver records as a red row — else
+    None. Kept separate from the tuple-based normalize() so a canon crash is
+    reported as FAIL-CANON, not masked as a pass."""
+    import pandas as pd
+
+    try:
+        pd.DataFrame(rows, columns=list(cols)).sort_values(by=list(cols))
+    except Exception as e:  # driver dies on any sort failure
+        return f"{type(e).__name__}: {e}"
+    return None
+
+
 def normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
@@ -96,11 +120,25 @@ def _numeric_class(type_str: str) -> str:
     return "other"
 
 
+def _nested_classes(type_str: str) -> tuple[str, ...]:
+    """Ordered numeric-class tokens appearing anywhere in a (possibly
+    nested) type string — so LIST(DECIMAL(10,2)) vs array<double> is a
+    type-level mismatch, not just a value-tag diff later."""
+    import re
+
+    out = []
+    for tok in re.findall(r"[A-Za-z0-9_]+", type_str):
+        c = _numeric_class(tok)
+        if c != "other":
+            out.append(c)
+    return tuple(out)
+
+
 def check_types(s_types, d_types, s_order, d_order):
     """Column-type strictness: HUGEINT anywhere (including nested inside a
     LIST/STRUCT/MAP type string), or a numeric-class mismatch between the
-    name-aligned Spark and DuckDB columns, is a driver hash-fail even when
-    every value prints identically."""
+    name-aligned Spark and DuckDB columns — top-level OR nested — is a
+    driver hash-fail even when every value prints identically."""
     for si, di in zip(s_order, d_order):
         sc, dc = _numeric_class(s_types[si]), _numeric_class(d_types[di])
         if dc == "hugeint" or "HUGEINT" in d_types[di].upper():
@@ -108,6 +146,12 @@ def check_types(s_types, d_types, s_order, d_order):
                     f"Spark encoding — CAST it (spark side: {s_types[si]})")
         if {sc, dc} <= {"int", "float", "decimal"} and sc != dc:
             return f"numeric class mismatch: spark={s_types[si]} duck={d_types[di]}"
+        if sc == "other" and dc == "other":
+            # nested types: compare the full ordered numeric-class signature
+            sn, dn = _nested_classes(s_types[si]), _nested_classes(d_types[di])
+            if sn != dn:
+                return (f"nested numeric class mismatch: "
+                        f"spark={s_types[si]} ({sn}) duck={d_types[di]} ({dn})")
     return None
 
 
@@ -128,7 +172,10 @@ def compare(name, spark_df, oracle, con):
     dc, dr, d_order = normalize(d_rows, d_cols)
     status, detail = "PASS", ""
     type_err = check_types(s_types, d_types, s_order, d_order)
-    if sc != [c.lower() for c in dc] and sc != dc:
+    canon_err = driver_canon_guard(s_rows, s_cols)
+    if canon_err:
+        status, detail = "FAIL-CANON", f"driver canon would crash: {canon_err}"
+    elif sc != [c.lower() for c in dc] and sc != dc:
         status, detail = "FAIL-COLS", f"spark={sc} duck={dc}"
     elif type_err:
         status, detail = "FAIL-TYPES", type_err
@@ -165,9 +212,18 @@ def main():
             continue
         if q.oracle is None:
             try:
-                cnt = q.fn(spark, sf_dir).count()
-                print(f"{'ROWS-ONLY':12s} {name:32s} rows={cnt:7d}")
-                n_skip += 1
+                df = q.fn(spark, sf_dir)
+                rows = [tuple(r) for r in df.collect()]
+                # the driver canonicalizes rows-only results too (r5:
+                # multimodal_features crashed in canon despite oracle=None)
+                canon_err = driver_canon_guard(rows, df.columns)
+                if canon_err:
+                    print(f"{'FAIL-CANON':12s} {name:32s} rows={len(rows):7d} "
+                          f"driver canon would crash: {canon_err[:160]}")
+                    n_fail += 1
+                else:
+                    print(f"{'ROWS-ONLY':12s} {name:32s} rows={len(rows):7d}")
+                    n_skip += 1
             except Exception as e:
                 print(f"{'ERROR':12s} {name:32s} {type(e).__name__}: {str(e)[:180]}")
                 n_fail += 1
