@@ -16,6 +16,9 @@ compaction parallelizes across partitions and never touches cold ones.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -45,9 +48,31 @@ def compact_path(
     target_files: int | None = None,
     fmt: str = "parquet",
 ) -> None:
-    """Rewrite the files under ``path`` compacted (read → temp → swap is
-    the crash-safe production shape; this in-place form relies on Spark's
-    overwrite staging, which is atomic per the file committer)."""
+    """Rewrite the files under ``path`` compacted, crash-safely:
+    read → write to a ``<path>.__compact_tmp__`` sibling → verify the row
+    count survived the rewrite → swap directories (keeping the old data as
+    ``.__compact_old__`` until the swap completes, then delete it). A crash
+    before the swap leaves the original untouched; a crash between the two
+    renames leaves the old directory recoverable on disk. No
+    ``localCheckpoint`` involved — the original files are never deleted
+    while any job still needs them (executor loss or block eviction can
+    discard checkpoint blocks, which would have destroyed data in the
+    old overwrite-in-place form)."""
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    old = path.rstrip("/") + ".__compact_old__"
+    for leftover in (tmp, old):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
     df = spark.read.format(fmt).load(path)
-    staged = df.localCheckpoint(eager=True)  # detach from the files we rewrite
-    write_compacted(staged, path, max_records_per_file, target_files, fmt)
+    n_before = df.count()
+    write_compacted(df, tmp, max_records_per_file, target_files, fmt)
+    n_after = spark.read.format(fmt).load(tmp).count()
+    if n_after != n_before:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compaction row count changed ({n_before} -> {n_after}); "
+            f"aborted, original untouched at {path}"
+        )
+    os.rename(path.rstrip("/"), old)
+    os.rename(tmp, path.rstrip("/"))
+    shutil.rmtree(old)

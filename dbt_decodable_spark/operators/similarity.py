@@ -148,12 +148,17 @@ def threshold_join_chunked(
     Work is inherently O(n²/p) for the *exact* semantic — at 100 TB you run
     the sublinear :func:`lsh_topk`/:func:`lsh_bucket` blocking instead and
     accept recall < 1; this operator is the exact oracle-matched form.
+
+    Chunks are formed by ``xxhash64(id) % n_chunks`` (not ``id %
+    n_chunks``): the hash spreads sparse or clustered id spaces uniformly,
+    so the ≤ ``chunk_rows``-per-chunk driver-memory bound holds in
+    expectation for ANY id distribution, not just dense sequential ids.
     """
     n = corpus.count()
     n_chunks = max(1, -(-n // chunk_rows))
     parts = []
     for i in range(n_chunks):
-        chunk = corpus.filter(F.pmod(F.col(id_col), F.lit(n_chunks)) == i)
+        chunk = corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)) == i)
         q_local = [(r[0], list(r[1])) for r in chunk.select(id_col, vec_col).collect()]
         if not q_local:
             continue
@@ -162,6 +167,10 @@ def threshold_join_chunked(
                 (F.col("neighbor_id") < F.col("query_id"))
                 & (F.col("cos_sim") > threshold)
             )
+        )
+    if not parts:  # empty corpus: keep the contract schema
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, cos_sim double"
         )
     out = parts[0]
     for p in parts[1:]:

@@ -415,7 +415,10 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     # stream-stream joins pay per-partition state-store commits on BOTH
     # sides every micro-batch; at this data volume 8 state partitions is
-    # plenty (the conf is captured at query start — restore right after)
+    # plenty. The stream's execution thread clones the session conf
+    # asynchronously after start(), so the temporary value must stay in
+    # place until the bounded run terminates — restoring right after
+    # start() (the old shape) raced the clone.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -426,7 +429,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
+        q.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    q.awaitTermination(300)
     return spark.table(sink)

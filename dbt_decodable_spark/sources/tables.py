@@ -47,20 +47,54 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ensure_events_read_confs(spark: SparkSession) -> None:
+    """Idempotent session-level pins the events table needs under the
+    driver's VANILLA SparkSession (no custom conf):
+
+    - ``nanosAsLong``: without it Spark refuses ns-encoded parquet
+      timestamps outright (PARQUET_TYPE_ILLEGAL) — there is no per-read
+      option for it, so it must be a session conf, set before the read;
+    - ``session.timeZone=UTC``: ``collect()`` renders TIMESTAMP values in
+      the session tz; the driver compares them against DuckDB's naive-UTC
+      read, so a non-UTC session would shift every collected value.
+
+    Both are deliberate session-wide pins (documented here rather than
+    hidden as a side effect): they are exactly the two confs
+    ``session.get_spark`` also sets, applied lazily for sessions we did
+    not construct. Set-if-different so repeated reads never churn conf
+    state, and timestamp *semantics inside the plan* no longer depend on
+    them — see the ``convert_timezone`` cast in :func:`read_table`.
+    """
+    for key, want in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        if spark.conf.get(key, None) != want:
+            spark.conf.set(key, want)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table; normalizes timestamp encodings (see module doc)."""
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # the NTZ→LTZ cast below reinterprets wall-clock in the session tz;
-        # pin UTC so the epoch mapping matches DuckDB's naive read.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _ensure_events_read_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns → µs timestamp; integer div keeps full precision.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
     if ntz:
-        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+        # NTZ→LTZ pinned to UTC *inside the expression*: stored wall-clock
+        # is declared UTC via convert_timezone, so the epoch mapping is
+        # identical under ANY session timezone (a bare cast("timestamp")
+        # would reinterpret in the session tz — a silent global dependency).
+        df = df.withColumns(
+            {
+                c: F.convert_timezone(
+                    F.lit("UTC"), F.current_timezone(), F.col(c)
+                ).cast("timestamp")
+                for c in ntz
+            }
+        )
     return df
 
 

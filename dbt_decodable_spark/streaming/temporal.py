@@ -30,7 +30,7 @@ import os
 import uuid
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dbt_decodable_spark.operators.asof import asof_join
 
@@ -57,7 +57,23 @@ def temporal_asof_stream(
         joined = asof_join(
             batch_df, dim, on, stream_ts, dim_ts, value_cols, tolerance=tolerance
         )
-        joined.write.mode("append").parquet(out_path)
+        # foreachBatch is at-least-once: after a failure the checkpointed
+        # query REPLAYS the last batch. Partition the sink by batch_id and
+        # overwrite only that partition, so a replay rewrites its own
+        # partition instead of appending duplicates (idempotent exactly-once
+        # sink semantics, the standard dynamic-partition-overwrite trick).
+        spark = joined.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                joined.withColumn("__batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("__batch_id")
+                .parquet(out_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     writer = stream.writeStream.foreachBatch(process).trigger(availableNow=True)
     if checkpoint_path:
@@ -77,11 +93,21 @@ def run_temporal_asof_bounded(
     timeout: int = 300,
 ) -> DataFrame:
     """Bounded-run convenience: drain the stream (availableNow), then return
-    the joined result read back from the per-batch parquet output."""
+    the joined result read back from the per-batch parquet output (the
+    ``__batch_id`` sink-partition column is dropped — it is idempotence
+    plumbing, not part of the join result). A stream that yields zero
+    batches never creates the output directory; return an empty frame with
+    the join's schema instead of letting ``read.parquet`` throw."""
     out = os.path.join("/tmp", f"temporal_join_{uuid.uuid4().hex}")
     q = temporal_asof_stream(
         stream, dim_provider, on, stream_ts, dim_ts, value_cols, out_path=out,
         tolerance=tolerance,
     )
     q.awaitTermination(timeout)
-    return spark.read.parquet(out)
+    if not os.path.exists(out):
+        dim = dim_provider() if callable(dim_provider) else dim_provider
+        empty_stream = spark.createDataFrame([], stream.schema)
+        return asof_join(
+            empty_stream, dim, on, stream_ts, dim_ts, value_cols, tolerance=tolerance
+        )
+    return spark.read.parquet(out).drop("__batch_id")
