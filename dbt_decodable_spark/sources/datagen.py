@@ -72,6 +72,48 @@ def file_stream(
     return schema.apply_watermarks(df)
 
 
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> dict[str, str]:
+    """The exact option dict the kafka reader is configured with — split out
+    as a pure function so the connector contract is unit-testable without a
+    broker (the sandbox has none). Maps the reference's start-position tags
+    (``decodable/client/api.py:22-35`` — earliest/latest) straight onto the
+    Spark kafka source's ``startingOffsets``.
+    """
+    if starting_offsets not in ("earliest", "latest"):
+        raise ValueError(
+            f"start position must be 'earliest' or 'latest' "
+            f"(api.py StartPositionTag), got {starting_offsets!r}"
+        )
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
+def parse_kafka_raw(raw: DataFrame, schema: StreamSchema) -> DataFrame:
+    """Decode a kafka-shaped frame (binary ``value`` + reader ``timestamp``
+    pseudo-column) against the stream schema: JSON value parse, metadata
+    fields (kind=metadata, key=timestamp → kafka timestamp,
+    ``schema.py:74-83``), computed fields, watermarks. Works identically on
+    a bounded frame with the same columns — which is how the contract test
+    drives it without a broker."""
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), schema.to_struct_type()).alias("r"),
+        F.col("timestamp").alias("__kafka_ts"),
+    )
+    out = parsed.select("r.*", "__kafka_ts")
+    for f in schema.fields:
+        if f.kind == "metadata" and f.key == "timestamp":
+            out = out.withColumn(f.name, F.col("__kafka_ts"))
+    out = schema.apply_computed_fields(out.drop("__kafka_ts"))
+    return schema.apply_watermarks(out)
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -86,20 +128,7 @@ def kafka_stream(
     Requires the spark-sql-kafka package on the classpath; built lazily so
     environments without it can still import this module.
     """
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)  # api.py:22-35 start positions
-        .load()
-    )
-    parsed = raw.select(
-        F.from_json(F.col("value").cast("string"), schema.to_struct_type()).alias("r"),
-        F.col("timestamp").alias("__kafka_ts"),
-    )
-    out = parsed.select("r.*")
-    for f in schema.fields:
-        if f.kind == "metadata" and f.key == "timestamp":
-            out = out.withColumn(f.name, F.col("__kafka_ts"))
-    out = schema.apply_computed_fields(out.drop("__kafka_ts"))
-    return schema.apply_watermarks(out)
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(bootstrap_servers, topic, starting_offsets).items():
+        reader = reader.option(k, v)
+    return parse_kafka_raw(reader.load(), schema)

@@ -115,3 +115,51 @@ class TestCompaction:
         assert n_after <= 4
         assert spark.read.parquet(path).count() == 40
         assert {r["id"] for r in spark.read.parquet(path).collect()} == set(range(40))
+
+
+class TestKafkaContract:
+    """Contract-level evidence for the kafka connector (SURVEY §2.1) — the
+    sandbox has no broker, so assert (a) the exact reader options the
+    connector is configured with and (b) the value-decode / metadata-field /
+    computed-field pipeline, driven through a bounded kafka-shaped frame."""
+
+    def test_reader_options_match_survey_mapping(self):
+        from dbt_decodable_spark.sources.datagen import kafka_reader_options
+
+        opts = kafka_reader_options("broker1:9092,broker2:9092", "http_events")
+        assert opts == {
+            "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+            "subscribe": "http_events",
+            "startingOffsets": "earliest",
+        }
+        # reference StartPositionTag (api.py:20-24) -> startingOffsets
+        assert (
+            kafka_reader_options("b:9092", "t", "latest")["startingOffsets"]
+            == "latest"
+        )
+        with pytest.raises(ValueError):
+            kafka_reader_options("b:9092", "t", "timestamp:123")
+
+    def test_value_decode_and_metadata_mapping(self, spark):
+        from dbt_decodable_spark.sources.datagen import parse_kafka_raw
+
+        schema = StreamSchema(
+            fields=(
+                SchemaField(name="id", type="BIGINT"),
+                SchemaField(name="v", type="STRING"),
+                SchemaField(name="kts", kind="metadata", key="timestamp",
+                            type="TIMESTAMP(3)"),
+                SchemaField(name="v_len", kind="computed",
+                            expression="CHAR_LENGTH(v)"),
+            )
+        )
+        # bounded stand-in with the kafka reader's column shape
+        raw = spark.sql(
+            "SELECT CAST('{\"id\": 7, \"v\": \"abc\"}' AS BINARY) AS value, "
+            "TIMESTAMP '2024-01-01 00:00:05' AS timestamp"
+        )
+        out = parse_kafka_raw(raw, schema)
+        assert set(out.columns) == {"id", "v", "kts", "v_len"}
+        row = out.collect()[0]
+        assert (row["id"], row["v"], row["v_len"]) == (7, "abc", 3)
+        assert row["kts"].second == 5  # reader pseudo-column -> metadata field
