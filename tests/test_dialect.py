@@ -65,3 +65,97 @@ class TestGrokRewrite:
         """
         rows = spark.sql(normalize(sql)).collect()
         assert rows[0]["count_observed"] == 1
+
+
+class TestWindowTVFRewrite:
+    """Flink windowing-TVF spellings (platform surface: models ship verbatim
+    to Flink) must run after normalization and match the DataFrame
+    window()/session_window() operators exactly."""
+
+    def _events(self, spark):
+        from dbt_decodable_spark.sources.tables import read_table
+
+        df = read_table(spark, "/root/testdata/sf0.001", "events")
+        df.createOrReplaceTempView("tvf_events")
+        return df
+
+    def test_tumble_tvf_matches_window_groupby(self, spark):
+        from pyspark.sql import functions as F
+
+        df = self._events(spark)
+        sql = normalize(
+            "SELECT window_start, window_end, COUNT(*) AS cnt "
+            "FROM TABLE(TUMBLE(TABLE tvf_events, DESCRIPTOR(ts), "
+            "INTERVAL '10' MINUTES)) "
+            "GROUP BY window_start, window_end"
+        )
+        got = {tuple(r) for r in spark.sql(sql).collect()}
+        want = {
+            tuple(r)
+            for r in df.groupBy(F.window("ts", "10 minutes"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "cnt",
+            )
+            .collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_hop_tvf_arg_order_and_rows(self, spark):
+        from pyspark.sql import functions as F
+
+        df = self._events(spark)
+        # Flink HOP arg order: (slide, size)
+        sql = normalize(
+            "SELECT window_start, COUNT(*) AS cnt "
+            "FROM TABLE(HOP(TABLE tvf_events, DESCRIPTOR(ts), "
+            "INTERVAL '5' MINUTES, INTERVAL '10' MINUTES)) "
+            "GROUP BY window_start"
+        )
+        got = {tuple(r) for r in spark.sql(sql).collect()}
+        want = {
+            tuple(r)
+            for r in df.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("window.start").alias("window_start"), "cnt")
+            .collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_session_tvf_matches_session_window(self, spark):
+        from pyspark.sql import functions as F
+
+        df = self._events(spark)
+        sql = normalize(
+            "SELECT user_id, window_start, window_end, COUNT(*) AS cnt "
+            "FROM TABLE(SESSION(TABLE tvf_events PARTITION BY user_id, "
+            "DESCRIPTOR(ts), INTERVAL '30' MINUTES)) "
+            "GROUP BY user_id, window_start, window_end"
+        )
+        got = {tuple(r) for r in spark.sql(sql).collect()}
+        want = {
+            tuple(r)
+            for r in df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("window_start"),
+                F.col("session_window.end").alias("window_end"),
+                "cnt",
+            )
+            .collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_cumulate_tvf_directed_to_operator(self):
+        with pytest.raises(ValueError, match="CUMULATE"):
+            normalize(
+                "SELECT * FROM TABLE(CUMULATE(TABLE t, DESCRIPTOR(ts), "
+                "INTERVAL '1' MINUTES, INTERVAL '10' MINUTES))"
+            )
+
+    def test_tvf_inside_comment_untouched(self):
+        sql = "-- TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '1' MINUTE))\nSELECT 1"
+        assert normalize(sql) == sql
