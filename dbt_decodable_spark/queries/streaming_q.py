@@ -18,6 +18,9 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from dbt_decodable_spark.queries import register
 from dbt_decodable_spark.sources.tables import read_table
 
+# per-sf_dir distinct-key estimates for the stateful-sessionize dispatcher
+_SESSIONIZE_KEY_ESTIMATES: dict[str, int] = {}
+
 
 @register(
     "stream_tumble_window",
@@ -262,25 +265,47 @@ def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     "final open session emits only if the watermark passed end+gap.",
 )
 def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dbt_decodable_spark.streaming.stateful import sessionize_stateful
+    from dbt_decodable_spark.sources.tables import read_table
+    from dbt_decodable_spark.streaming.stateful import sessionize_stateful_auto
 
+    # distinct-key estimate from the backing table (one cheap batch agg,
+    # memoized per sf_dir): above ~32 keys/core the dispatcher switches to
+    # the key-bucketed operator, capping per-key Python-call overhead at
+    # n_buckets calls
+    if sf_dir not in _SESSIONIZE_KEY_ESTIMATES:
+        _SESSIONIZE_KEY_ESTIMATES[sf_dir] = (
+            read_table(spark, sf_dir, "events")
+            .agg(F.approx_count_distinct("user_id").alias("n"))
+            .collect()[0]["n"]
+        )
+    n_keys = _SESSIONIZE_KEY_ESTIMATES[sf_dir]
     stream = events_file_stream(spark, sf_dir)
-    sessions = sessionize_stateful(
-        stream, "user_id", "ts_event", "cents", gap_seconds=21600
+    sessions = sessionize_stateful_auto(
+        stream, "user_id", "ts_event", "cents", gap_seconds=21600,
+        n_keys_estimate=n_keys,
     )
     sink = "stream_sessionize_sink"
     try:
         spark.catalog.dropTempView(sink)
     except Exception:
         pass
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # stateful streaming pays a per-state-store-partition commit every
+    # micro-batch; 8 partitions bounds that fixed cost at this volume (the
+    # conf must stay set until the bounded run terminates — the stream
+    # thread clones the session conf asynchronously after start())
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
 
 

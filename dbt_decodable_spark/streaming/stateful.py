@@ -361,3 +361,37 @@ def sessionize_stateful_bucketed(
             fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
         )
     )
+
+
+def sessionize_stateful_auto(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    cents_col: str,
+    gap_seconds: int,
+    n_keys_estimate: int | None = None,
+    keys_per_core_threshold: int = 32,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Dispatch between the per-key and key-bucketed stateful sessionizers
+    on the expected distinct-key count.
+
+    The per-key form pays ~2 ms of Arrow/Python fixed cost PER KEY per
+    micro-batch; the bucketed form pays it per BUCKET. Below
+    ``keys_per_core_threshold × defaultParallelism`` keys the per-key cost
+    is under the per-micro-batch floor (planning + state-store commits) and
+    the simpler operator wins on clarity; above it, Python-call count —
+    not data volume — becomes the bottleneck and bucketing caps it at
+    ``n_buckets`` (default 4 × cores). The caller supplies
+    ``n_keys_estimate`` (a streaming plan can't count its own keys — use a
+    batch ``approx_count_distinct`` over the backing table, or a domain
+    bound); with no estimate the per-key form is used.
+    """
+    spark = events.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if n_keys_estimate is not None and n_keys_estimate > keys_per_core_threshold * cores:
+        return sessionize_stateful_bucketed(
+            events, key_col, ts_col, cents_col, gap_seconds,
+            n_buckets=n_buckets or 4 * cores,
+        )
+    return sessionize_stateful(events, key_col, ts_col, cents_col, gap_seconds)
