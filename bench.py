@@ -9,6 +9,15 @@ driver collect). Every query runs ``$SPARK_GRAFT_BENCH_REPEAT`` times
 (default 3) and reports the per-query BEST — separating real regressions
 from run-to-run noise (VERDICT r2 #10). value = total of per-query best
 wall seconds across all queries.
+
+Isolation (VERDICT r5 #8): queries run grouped by family (name prefix), and
+at every family boundary the harness stops any streaming query still
+active, drops the memory-sink temp views earlier streaming runs parked in
+the driver, clears the block-manager cache, and forces a JVM GC — so one
+family's leftovers (sink rows pinned in driver memory, cached relations,
+deferred GC debt) can't inflate a later family's timings. Cross-family
+interference was the round-5 false-regression mode (subquery_* showed 2x
+with an unchanged, optimal plan).
 """
 
 from __future__ import annotations
@@ -51,7 +60,33 @@ def main() -> None:
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")))
     timings: dict[str, float] = {}
     total = 0.0
+
+    def family(n: str) -> str:
+        return n.split("_", 1)[0]
+
+    def family_boundary_reset() -> None:
+        """Drop cross-family state: leaked streams, memory-sink views,
+        cached blocks; then ask the JVM for a GC so the next family starts
+        from a clean heap instead of paying the previous family's debt."""
+        for sq in spark.streams.active:
+            try:
+                sq.stop()
+            except Exception:
+                pass
+        for t in spark.catalog.listTables():
+            if t.isTemporary and t.name.endswith("_sink"):
+                try:
+                    spark.catalog.dropTempView(t.name)
+                except Exception:
+                    pass
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
+    prev_family = None
     for name, q in sorted(registry.items()):
+        if family(name) != prev_family:
+            family_boundary_reset()
+            prev_family = family(name)
         best = -1.0
         for _ in range(repeat):
             t0 = time.time()

@@ -208,8 +208,10 @@ def rewrite_window_tvfs(sql: str) -> str:
       (gap exceeded), prefix-sum the flags into a session id, then
       min/max-extend per session — all window functions, no UDF. Matches
       ``F.session_window`` (window_end = last event + gap).
-    - ``CUMULATE`` has no row-expansion equivalent in Spark SQL — directed
-      to the DataFrame operator (queries/streaming_q.py cumulate) instead.
+    - ``CUMULATE(TABLE t, DESCRIPTOR(ts), step, size)`` → size-aligned
+      ``window()`` start + ``LATERAL VIEW explode(sequence(...))`` over the
+      not-yet-closed step ends — the same row expansion the DataFrame
+      cumulate operator (queries/relational2.py) does with a broadcast join.
     """
     out, pos = [], 0
     comments = _comment_spans(sql)
@@ -225,14 +227,25 @@ def rewrite_window_tvfs(sql: str) -> str:
             raise ValueError(f"malformed TABLE({fn}(...)): expected ')' after TVF call")
         end = inner_end + (len(rest) - len(stripped)) + 1
         rel, keys, ts, ivals = _tvf_parts(fn, argtext)
-        if fn == "CUMULATE":
-            raise ValueError(
-                "CUMULATE TVF has no Spark SQL equivalent — use the "
-                "cumulate window operator (dbt_decodable_spark.queries."
-                "streaming_q) instead"
-            )
         out.append(sql[pos : m.start()])
-        if fn in ("TUMBLE", "HOP"):
+        if fn == "CUMULATE":
+            # Flink arg order: (step, size). Each row belongs to every
+            # not-yet-closed step of its size-aligned window: window_start =
+            # tumble(size) start, window_end ∈ {start + k·step | end > ts}.
+            # Row-expansion via explode(sequence(...)) — the same broadcast
+            # join-free shape as the DataFrame cumulate operator.
+            if len(ivals) != 2:
+                raise ValueError(f"CUMULATE takes (step, size) INTERVALs, got {ivals!r}")
+            step, size = (_interval_to_duration(v) for v in ivals)
+            out.append(
+                f"(SELECT * EXCEPT (__w, __end), __w.start AS window_start, "
+                f"__end AS window_end FROM "
+                f"(SELECT *, window({ts}, '{size}') AS __w FROM {rel}) "
+                f"LATERAL VIEW explode(sequence(__w.start + INTERVAL '{step}', "
+                f"__w.start + INTERVAL '{size}', INTERVAL '{step}')) AS __end "
+                f"WHERE __end > {ts})"
+            )
+        elif fn in ("TUMBLE", "HOP"):
             if fn == "TUMBLE":
                 if len(ivals) != 1:
                     raise ValueError(f"TUMBLE takes one INTERVAL, got {ivals!r}")

@@ -21,6 +21,44 @@ class KinesisUnavailable(RuntimeError):
     pass
 
 
+def kinesis_reader_options(
+    stream_name: str,
+    region: str,
+    starting_position: str = "TRIM_HORIZON",
+) -> dict[str, str]:
+    """The exact option dict the kinesis reader is configured with — pure
+    function so the connector contract is unit-testable without the jar.
+    Start-position mapping from the reference's tags
+    (``decodable/client/api.py:22-35``): earliest ≡ TRIM_HORIZON,
+    latest ≡ LATEST (both spellings accepted)."""
+    pos = {
+        "earliest": "TRIM_HORIZON",
+        "latest": "LATEST",
+        "TRIM_HORIZON": "TRIM_HORIZON",
+        "LATEST": "LATEST",
+    }.get(starting_position)
+    if pos is None:
+        raise ValueError(
+            f"start position must be earliest/latest (or TRIM_HORIZON/LATEST), "
+            f"got {starting_position!r}"
+        )
+    return {"streamName": stream_name, "region": region, "startingPosition": pos}
+
+
+def parse_kinesis_raw(raw: DataFrame, schema: StreamSchema) -> DataFrame:
+    """Decode a kinesis-shaped frame (binary ``data`` column) against the
+    stream schema: JSON parse, computed fields, watermarks. Works on a
+    bounded frame with the same columns — how the contract test drives it
+    without the connector jar."""
+    from pyspark.sql import functions as F
+
+    parsed = raw.select(
+        F.from_json(F.col("data").cast("string"), schema.to_struct_type()).alias("r")
+    ).select("r.*")
+    parsed = schema.apply_computed_fields(parsed)
+    return schema.apply_watermarks(parsed)
+
+
 def kinesis_stream(
     spark: SparkSession,
     stream_name: str,
@@ -32,12 +70,9 @@ def kinesis_stream(
     required). ``starting_position``: TRIM_HORIZON ≡ earliest, LATEST ≡
     latest — the reference's start positions."""
     try:
-        reader = (
-            spark.readStream.format(KINESIS_FORMAT)
-            .option("streamName", stream_name)
-            .option("region", region)
-            .option("startingPosition", starting_position)
-        )
+        reader = spark.readStream.format(KINESIS_FORMAT)
+        for k, v in kinesis_reader_options(stream_name, region, starting_position).items():
+            reader = reader.option(k, v)
         raw = reader.load()
     except Exception as e:  # connector jar absent in this environment
         raise KinesisUnavailable(
@@ -45,10 +80,4 @@ def kinesis_stream(
             "emulation (Kinesis→Firehose→S3 + sources.datagen.file_stream) "
             f"or add spark-sql-kinesis: {e}"
         ) from e
-    from pyspark.sql import functions as F
-
-    parsed = raw.select(
-        F.from_json(F.col("data").cast("string"), schema.to_struct_type()).alias("r")
-    ).select("r.*")
-    parsed = schema.apply_computed_fields(parsed)
-    return schema.apply_watermarks(parsed)
+    return parse_kinesis_raw(raw, schema)

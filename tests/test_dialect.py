@@ -149,12 +149,38 @@ class TestWindowTVFRewrite:
         }
         assert got == want and len(got) > 0
 
-    def test_cumulate_tvf_directed_to_operator(self):
-        with pytest.raises(ValueError, match="CUMULATE"):
-            normalize(
-                "SELECT * FROM TABLE(CUMULATE(TABLE t, DESCRIPTOR(ts), "
-                "INTERVAL '1' MINUTES, INTERVAL '10' MINUTES))"
+    def test_cumulate_tvf_matches_dataframe_operator(self, spark):
+        from pyspark.sql import functions as F
+
+        df = self._events(spark)
+        # Flink arg order: (step, size) = (1 hour, 4 hours)
+        sql = normalize(
+            "SELECT window_start, window_end, COUNT(*) AS n "
+            "FROM TABLE(CUMULATE(TABLE tvf_events, DESCRIPTOR(ts), "
+            "INTERVAL '1' HOUR, INTERVAL '4' HOURS)) "
+            "GROUP BY window_start, window_end"
+        )
+        got = {tuple(r) for r in spark.sql(sql).collect()}
+        base = df.select(
+            "ts", F.window("ts", "4 hours").start.alias("win_start")
+        )
+        steps = spark.range(1, 5).select(F.col("id").alias("k"))
+        want = {
+            tuple(r)
+            for r in base.join(
+                F.broadcast(steps),
+                F.col("ts") < F.col("win_start") + F.col("k") * F.expr("INTERVAL 1 HOURS"),
             )
+            .groupBy(
+                F.col("win_start").alias("window_start"),
+                (F.col("win_start") + F.col("k") * F.expr("INTERVAL 1 HOURS")).alias(
+                    "window_end"
+                ),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want and len(got) > 0
 
     def test_tvf_inside_comment_untouched(self):
         sql = "-- TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '1' MINUTE))\nSELECT 1"

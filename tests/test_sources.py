@@ -163,3 +163,45 @@ class TestKafkaContract:
         row = out.collect()[0]
         assert (row["id"], row["v"], row["v_len"]) == (7, "abc", 3)
         assert row["kts"].second == 5  # reader pseudo-column -> metadata field
+
+
+class TestKinesisContract:
+    """Same contract-level evidence as TestKafkaContract, for kinesis
+    (no connector jar in the sandbox)."""
+
+    def test_reader_options_and_start_position_mapping(self):
+        from dbt_decodable_spark.sources.kinesis import kinesis_reader_options
+
+        assert kinesis_reader_options("clicks", "us-east-1") == {
+            "streamName": "clicks",
+            "region": "us-east-1",
+            "startingPosition": "TRIM_HORIZON",
+        }
+        # reference StartPositionTag (api.py:20-24) -> kinesis spellings
+        assert (
+            kinesis_reader_options("s", "r", "earliest")["startingPosition"]
+            == "TRIM_HORIZON"
+        )
+        assert (
+            kinesis_reader_options("s", "r", "latest")["startingPosition"]
+            == "LATEST"
+        )
+        with pytest.raises(ValueError):
+            kinesis_reader_options("s", "r", "AT_TIMESTAMP")
+
+    def test_data_decode_pipeline(self, spark):
+        from dbt_decodable_spark.sources.kinesis import parse_kinesis_raw
+
+        schema = StreamSchema(
+            fields=(
+                SchemaField(name="id", type="BIGINT"),
+                SchemaField(name="v", type="STRING"),
+                SchemaField(name="v_up", kind="computed", expression="UPPER(v)"),
+            )
+        )
+        raw = spark.sql(
+            "SELECT CAST('{\"id\": 3, \"v\": \"ok\"}' AS BINARY) AS data"
+        )
+        out = parse_kinesis_raw(raw, schema)
+        assert set(out.columns) == {"id", "v", "v_up"}
+        assert tuple(out.collect()[0]) == (3, "ok", "OK")
