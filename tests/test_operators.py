@@ -385,6 +385,34 @@ class TestIvf:
         assert one == many
         assert len(one) > 0
 
+    def test_chunked_threshold_join_empty_corpus(self, spark):
+        from dbt_decodable_spark.operators import similarity
+
+        empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+        out = similarity.threshold_join_chunked(empty, 0.4)
+        assert out.columns == ["query_id", "neighbor_id", "cos_sim"]
+        assert out.count() == 0
+
+    def test_chunked_threshold_join_sparse_clustered_ids(self, spark):
+        """xxhash64 chunking must bound per-chunk size for id spaces where
+        pmod(id, n) would pile everything into one chunk."""
+        from dbt_decodable_spark.operators import similarity
+        from dbt_decodable_spark.sources.tables import read_table
+
+        e = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+        # every id ≡ 0 (mod 8): modulus chunking would put ALL rows in one
+        # chunk; results must still match the single-chunk reference
+        sparse = e.selectExpr("vec_id * 8 AS vec_id", "embedding")
+        one = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.threshold_join_chunked(sparse, 0.4, chunk_rows=10**9).collect()
+        }
+        many = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.threshold_join_chunked(sparse, 0.4, chunk_rows=16).collect()
+        }
+        assert one == many and len(one) > 0
+
     def test_every_vector_lands_in_exactly_one_list(self, spark):
         from dbt_decodable_spark.operators import similarity
         from dbt_decodable_spark.sources.tables import read_table

@@ -116,6 +116,17 @@ class TestCompaction:
         assert spark.read.parquet(path).count() == 40
         assert {r["id"] for r in spark.read.parquet(path).collect()} == set(range(40))
 
+    def test_compaction_leaves_no_staging_dirs(self, spark, tmp_path):
+        from dbt_decodable_spark.operators.maintenance import compact_path
+        import os
+
+        path = str(tmp_path / "t")
+        spark.range(10).repartition(10).write.parquet(path)
+        compact_path(spark, path, max_records_per_file=100)
+        siblings = os.listdir(str(tmp_path))
+        assert siblings == ["t"]  # no .__compact_tmp__/.__compact_old__ left
+        assert spark.read.parquet(path).count() == 10
+
 
 class TestKafkaContract:
     """Contract-level evidence for the kafka connector (SURVEY §2.1) — the
