@@ -186,8 +186,9 @@ def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.parquet as pq
     import pyarrow as pa
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from dbt_decodable_spark.sources.tables import _ensure_read_confs
+
+    _ensure_read_confs(spark)
     ts_physical = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
     if pa.types.is_timestamp(ts_physical):
         # parquet NTZ reads fine into a declared TIMESTAMP_LTZ column under

@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # read un-annotated parquet timestamps as LTZ (UTC epoch) straight
+        # from the scan — an NTZ read + cast would block range-predicate
+        # pushdown (the round-6 tpch regression: PushedFilters lost the
+        # shipdate/orderdate bounds)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # files.maxPartitionBytes default 128MB is right for the 100 TB

@@ -47,25 +47,31 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _ensure_events_read_confs(spark: SparkSession) -> None:
-    """Idempotent session-level pins the events table needs under the
-    driver's VANILLA SparkSession (no custom conf):
+def _ensure_read_confs(spark: SparkSession) -> None:
+    """Idempotent session-level pins table reads need under the driver's
+    VANILLA SparkSession (no custom conf):
 
+    - ``parquet.inferTimestampNTZ.enabled=false``: un-annotated parquet
+      timestamps (orders.o_orderdate, lineitem.l_shipdate, events.ts in
+      the µs generation) read as TIMESTAMP (LTZ, UTC epoch) STRAIGHT FROM
+      THE SCAN. The alternative — NTZ inference + a cast expression —
+      blocks range-predicate pushdown (``PushedFilters`` loses the
+      shipdate/orderdate bounds: the measured round-6 TPC-H regression,
+      +0.3-0.6 s/query at sf0.1);
     - ``nanosAsLong``: without it Spark refuses ns-encoded parquet
-      timestamps outright (PARQUET_TYPE_ILLEGAL) — there is no per-read
-      option for it, so it must be a session conf, set before the read;
+      timestamps outright (PARQUET_TYPE_ILLEGAL) — no per-read option
+      exists, so it must be a session conf, set before the read;
     - ``session.timeZone=UTC``: ``collect()`` renders TIMESTAMP values in
       the session tz; the driver compares them against DuckDB's naive-UTC
       read, so a non-UTC session would shift every collected value.
 
-    Both are deliberate session-wide pins (documented here rather than
-    hidden as a side effect): they are exactly the two confs
-    ``session.get_spark`` also sets, applied lazily for sessions we did
-    not construct. Set-if-different so repeated reads never churn conf
-    state, and timestamp *semantics inside the plan* no longer depend on
-    them — see the ``convert_timezone`` cast in :func:`read_table`.
+    All three are deliberate session-wide pins (documented here rather than
+    hidden as a side effect): exactly the confs ``session.get_spark`` also
+    sets, applied lazily for sessions we did not construct.
+    Set-if-different so repeated reads never churn conf state.
     """
     for key, want in (
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
     ):
@@ -75,18 +81,19 @@ def _ensure_events_read_confs(spark: SparkSession) -> None:
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table; normalizes timestamp encodings (see module doc)."""
-    if name == "events":
-        _ensure_events_read_confs(spark)
+    _ensure_read_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns → µs timestamp; integer div keeps full precision.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Normally dead: with inferTimestampNTZ disabled the scan never yields
+    # NTZ. Kept as a correctness net for externally-overridden sessions —
+    # NOTE this cast path blocks parquet range-predicate pushdown, which is
+    # exactly why the conf pin above is the primary mechanism. The
+    # convert_timezone pins the wall-clock→epoch mapping to UTC inside the
+    # expression, so even the fallback is session-tz-independent.
     ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
     if ntz:
-        # NTZ→LTZ pinned to UTC *inside the expression*: stored wall-clock
-        # is declared UTC via convert_timezone, so the epoch mapping is
-        # identical under ANY session timezone (a bare cast("timestamp")
-        # would reinterpret in the session tz — a silent global dependency).
         df = df.withColumns(
             {
                 c: F.convert_timezone(
