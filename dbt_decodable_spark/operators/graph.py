@@ -148,3 +148,43 @@ def dedup_by_components(
     return joined.withColumn("component", comp).withColumn(
         "is_representative", F.col(id_col) == F.col("component")
     )
+
+
+def keep_best_representative(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup cluster dedup that keeps the BEST document per cluster
+    instead of the minimum-id one: the connected component of the
+    similarity pairs picks its representative by ``score_col`` descending
+    (ties broken by ascending id, so the choice is total and
+    deterministic). This is the keep-highest-quality policy real training
+    pipelines want — min-id keeps whichever near-duplicate happened to be
+    crawled first; keep-best keeps the longest / highest-scoring copy.
+
+    Output: df's id + score columns, ``component``, and ``keep``.
+
+    Scale shape: components come from the O(log n)-round star algorithm
+    (:func:`connected_components`); the per-component arg-max is ONE window
+    over (component) — a single hash shuffle on the component id, which is
+    already the join key of the preceding step, so AQE can coalesce the
+    exchange. No driver materialization.
+    """
+    from pyspark.sql import Window as W
+
+    cc = connected_components(pairs, pair_a, pair_b)
+    joined = df.select(id_col, score_col).join(
+        cc, df[id_col] == cc["id"], "left"
+    ).drop("id")
+    comp = F.coalesce(F.col("component"), F.col(id_col))
+    labeled = joined.withColumn("component", comp)
+    w = W.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return labeled.withColumn(
+        "keep", F.row_number().over(w) == F.lit(1)
+    )

@@ -461,3 +461,52 @@ def ivf_topk(
             "query_id", F.col(id_col).alias("neighbor_id"), "rank", "cos_sim"
         )
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    stride: int = 97,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Semantic dedup (the SemDeDup shape, Abbas et al. 2023): cluster the
+    embedding space with a coarse quantizer, then suppress any vector whose
+    cosine similarity to an EARLIER (lower-id) member of the same cluster
+    exceeds ``threshold``. Only within-cluster pairs are ever scored — the
+    clustering is what makes semantic dedup sub-quadratic.
+
+    Output: ``(id, cluster)`` for the surviving vectors.
+
+    Scale shape: deterministic sampled centroids (KB-sized, collected and
+    inlined — see :func:`ivf_assign`), assignment as one Arrow/numpy map
+    with zero shuffle, then ONE hash shuffle on cluster id for the
+    within-cluster self-join. Quadratic cost is bounded per cluster: at
+    100 TB raise ``n_lists`` so clusters stay ~executor-sized (the paper
+    uses 50k clusters for 5B embeddings). Fully deterministic, so the
+    whole pipeline — including the clustering — is SQL-expressible.
+    """
+    cent = ivf_centroids(corpus, id_col, vec_col, n_lists, stride)
+    lists = ivf_assign(corpus, cent, id_col, vec_col)
+    a = lists.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("__id_a"),
+        F.col(vec_col).alias("__vec_a"),
+    )
+    b = lists.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("__id_b"),
+        F.col(vec_col).alias("__vec_b"),
+    )
+    suppressed = (
+        a.join(b, "centroid_id")
+        .filter(F.col("__id_b") < F.col("__id_a"))
+        .filter(cosine(F.col("__vec_a"), F.col("__vec_b")) > threshold)
+        .select(F.col("__id_a").alias(id_col))
+        .distinct()
+    )
+    return (
+        lists.join(suppressed, id_col, "left_anti")
+        .select(id_col, F.col("centroid_id").alias("cluster"))
+    )

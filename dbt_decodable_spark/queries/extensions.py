@@ -820,3 +820,129 @@ def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@register(
+    "dedup_paragraph_exact",
+    oracle=f"""
+        WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        idx AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, CAST(ceil(len(toks) / 5.0) AS BIGINT))) AS i
+            FROM base
+        ),
+        segs AS (
+            SELECT doc_id, i - 1 AS seg_idx,
+                   array_to_string(toks[(i - 1) * 5 + 1 : i * 5], ' ') AS segment
+            FROM idx
+            WHERE len(array_to_string(toks[(i - 1) * 5 + 1 : i * 5], ' ')) > 0
+        ),
+        dups AS (
+            SELECT segment FROM segs GROUP BY segment
+            HAVING count(DISTINCT doc_id) >= 2
+        ),
+        totals AS (SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY doc_id),
+        kept AS (
+            SELECT * FROM segs WHERE segment NOT IN (SELECT segment FROM dups)
+        ),
+        rebuilt AS (
+            SELECT doc_id,
+                   string_agg(segment, ' ' ORDER BY seg_idx) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(r.clean_text, '') AS clean_text,
+               COALESCE(t.n_segments, 0) AS n_segments,
+               COALESCE(t.n_segments, 0) - COALESCE(r.n_kept, 0) AS n_removed
+        FROM documents d
+        LEFT JOIN totals t ON t.doc_id = d.doc_id
+        LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    """,
+    doc="§2.12 paragraph-level exact dedup (FineWeb/RefinedWeb boilerplate "
+    "pass): segment every document (5-token windows here; '\\n\\n' "
+    "paragraphs on corpora with layout), drop segments shared by >=2 "
+    "distinct documents from all of them, reassemble in order. One "
+    "groupBy(segment) shuffle + broadcast anti join + one groupBy(id).",
+)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_segments(
+        d, "doc_id", "text", seg_tokens=5, min_docs=2
+    )
+
+
+@register(
+    "dedup_cluster_keep_best",
+    oracle=f"""
+        WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+        sym AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT s AS id, d AS r FROM sym
+            UNION
+            SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s
+        ),
+        comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id),
+        labeled AS (
+            SELECT d.doc_id, d.n_chars,
+                   COALESCE(c.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        )
+        SELECT doc_id, n_chars, component,
+               (row_number() OVER (
+                    PARTITION BY component
+                    ORDER BY n_chars DESC, doc_id ASC) = 1) AS keep
+        FROM labeled
+    """,
+    doc="§2.12 keep-best cluster dedup: same MinHash-LSH pair source and "
+    "connected components as dedup_connected_components, but the cluster "
+    "representative is the HIGHEST-QUALITY member (n_chars desc, id asc "
+    "tie-break) — the keep-longest-copy policy training pipelines use. "
+    "Per-component arg-max is one window shuffle on the component key.",
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.operators.graph import keep_best_representative
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(d, "doc_id", "text", n=3, num_hashes=6)
+    return keep_best_representative(d, pairs, "doc_id", "n_chars")
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle="""
+        WITH cent AS (
+          SELECT vec_id AS centroid_id, embedding AS centroid_vec
+          FROM embeddings WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16
+        ),
+        assigned AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT c.vec_id, c.embedding, ct.centroid_id,
+                   row_number() OVER (PARTITION BY c.vec_id
+                     ORDER BY list_cosine_similarity(c.embedding, ct.centroid_vec) DESC,
+                              ct.centroid_id) AS rn
+            FROM embeddings c, cent ct) t WHERE rn = 1
+        )
+        SELECT a.vec_id, a.centroid_id AS cluster
+        FROM assigned a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM assigned b
+            WHERE b.centroid_id = a.centroid_id
+              AND b.vec_id < a.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) > 0.4
+        )
+    """,
+    doc="§2.12 semantic dedup (SemDeDup shape): coarse-quantizer clusters "
+    "(same deterministic sampled centroids as similarity_ivf_topk), then "
+    "suppress any vector cosine-similar (>0.4) to an earlier member of its "
+    "own cluster. Within-cluster pairs only — the clustering bounds the "
+    "quadratic term; at 100 TB raise n_lists so clusters stay executor-sized.",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        e, n_lists=16, stride=97, threshold=0.4
+    )
