@@ -312,3 +312,45 @@ def quality_quantile_gate(df, stratum_col: str, score_col, id_col: str,
     # the identical integer for any keep_frac with <= 6 decimals)
     cut = F.floor(F.col("__n") * F.lit(round((1.0 - keep_frac) * 1_000_000)) / F.lit(1_000_000))
     return ranked.filter(F.col("__rn") > cut).drop("__rn", "__n")
+
+
+def salient_terms(df, id_col: str, text_col: str, k: int = 3):
+    """Per-document top-k salient terms: TF-IDF's shape with an
+    integer-exact rarity weight — ``score = tf × (N − df)`` where ``tf`` is
+    the term's in-document count, ``df`` its document frequency, ``N`` the
+    corpus size. Monotone in tf and in rarity like tf·idf, but pure BIGINT
+    arithmetic, so the ranking is bit-reproducible across engines (a
+    ``log``-based idf is libm-dependent and banned from oracle-compared
+    output). Ties break on the term string ascending — the rank is total.
+
+    Output: ``(id, term, tf, score, rank)``, rank ≤ k.
+
+    Scale shape: explode (map) → groupBy(id, term) with map-side partial
+    aggregation → groupBy(term) for df — both shuffles move (term, count)
+    pairs, never documents; N is a single scalar cross-joined as a
+    broadcast; the final per-document top-k is one window shuffle on the id
+    (bounded output: k rows per document).
+    """
+    from dbt_decodable_spark.operators.dedup import fan_out, tokens
+
+    from pyspark.sql import Window as W
+
+    term_rows = (
+        fan_out(df)
+        .select(id_col, F.explode(tokens(text_col)).alias("term"))
+        .filter(F.length("term") > 0)
+    )
+    tf = term_rows.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = df.select(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * (F.col("__n") - F.col("__df")))
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "score", "rank")
+    )

@@ -54,13 +54,14 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # threshold join, interval-join conf, temporal-join idempotence,
 # read_table conf hygiene → events-reading queries), the auto-bucketed
 # stateful sessionization, and the two noise-suspect subquery regressions
-# being re-measured after bench isolation; (c) staleness guard — the 38
-# oldest hash-green rows (all last driver-measured in rounds 1-2: the
-# agg/join/window/set-op/func relational core) so no row's evidence ages
-# past four rounds. After this rotation every one of the 132 registry
-# queries has a driver row ≤4 rounds old. Everything NOT in the window
-# stays verified by tools/oracle_check.py (driver-faithful local replica,
-# now including the pandas array-canon crash mode) and pytest.
+# being re-measured after bench isolation; (b2) the six operators NEW in
+# round 6 (paragraph/keep-best/semantic dedup, streaming watermark dedup,
+# ORC source, salient terms); (c) staleness guard — the 32 oldest
+# hash-green rows (all last driver-measured in rounds 1-2: the
+# agg/join/window/set-op relational core) so no row's evidence ages past
+# four rounds. Everything NOT in the window stays verified by
+# tools/oracle_check.py (driver-faithful local replica, including the
+# pandas array-canon crash mode) and pytest.
 _DRIVER_WINDOW_PRIORITY = (
     # (a) never driver-measured:
     "func_url", "source_json_roundtrip",
@@ -70,6 +71,10 @@ _DRIVER_WINDOW_PRIORITY = (
     "stream_temporal_join", "stream_sessionize_stateful",
     "subquery_scalar_correlated", "subquery_in",
     "events_count", "stream_session_window",
+    # (b2) new in round 6 — never driver-measured:
+    "dedup_paragraph_exact", "dedup_cluster_keep_best",
+    "dedup_semantic_clusters", "stream_dedup_watermark",
+    "source_orc_roundtrip", "text_salient_terms",
     # (c) staleness guard — oldest driver rows (rounds 1-2):
     "agg_cube", "agg_distinct", "agg_global", "agg_groupby_expression",
     "agg_grouping_sets", "agg_having", "agg_minmax_by", "agg_percentile",
@@ -79,9 +84,7 @@ _DRIVER_WINDOW_PRIORITY = (
     "join_right_outer", "join_semi", "join_theta", "join_three_way",
     "like_predicate", "order_by_limit", "scan_project_filter",
     "text_fingerprint", "text_langid", "union_all", "union_distinct",
-    "values_inline", "where_predicates", "cte_chain", "func_array",
-    "func_array_explode", "func_char_length_not_null",
-    "func_coalesce_nullif", "func_datetime",
+    "values_inline", "where_predicates",
 )
 
 

@@ -946,3 +946,35 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(
         e, n_lists=16, stride=97, threshold=0.4
     )
+
+
+@register(
+    "text_salient_terms",
+    oracle=f"""
+        WITH term_rows AS (
+            SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM term_rows WHERE len(term) > 0 GROUP BY 1, 2
+        ),
+        dfc AS (SELECT term, count(*) AS dfc FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, term, tf, score, rank FROM (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   tf.tf * (n.n_docs - dfc.dfc) AS score,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * (n.n_docs - dfc.dfc) DESC, tf.term
+                   ) AS rank
+            FROM tf JOIN dfc USING (term), n
+        ) t WHERE rank <= 3
+    """,
+    doc="§2.12 per-document salient terms: top-3 by the integer-exact "
+    "rarity weight tf × (N − df) — TF-IDF's ranking shape without the "
+    "libm-dependent log, so the whole ranking is oracle-comparable. "
+    "Shuffles move (term, count) pairs only; N broadcasts as one scalar.",
+)
+def text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return text.salient_terms(d, "doc_id", "text", k=3)

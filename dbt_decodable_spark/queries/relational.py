@@ -284,3 +284,32 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"/tmp/spark_json_src_{tag}"
     df.write.mode("overwrite").json(path)
     return spark.read.schema(df.schema).json(path)
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+        SELECT s_suppkey, s_name, s_nationkey,
+               CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM supplier
+    """,
+    doc="§2.1 file formats: supplier written as ORC to scratch and read "
+    "back through the native orc reader with an explicit schema — the "
+    "columnar non-parquet lake format path (money column carried as exact "
+    "integer cents across the round-trip, per the engine's money policy)",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from dbt_decodable_spark.queries.money import cents
+
+    df = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        cents("s_acctbal").alias("acctbal_cents"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_orc_src_{tag}"
+    df.write.mode("overwrite").orc(path)
+    return spark.read.schema(df.schema).orc(path)

@@ -459,3 +459,45 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="§2.9 streaming first-wins dedup: dropDuplicatesWithinWatermark on "
+    "(user_id, event_type), executed as a REAL bounded streaming query "
+    "(file source → watermark → keyed dedup state → memory sink). The "
+    "watermark horizon covers the whole bounded input, so every key emits "
+    "exactly once and the run converges to batch DISTINCT — which is the "
+    "oracle. State is horizon-bounded, the unbounded-feed-safe form.",
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.streaming.dedupe import dedup_within_watermark
+
+    stream = events_file_stream(spark, sf_dir)
+    # events_file_stream already declares the 1h watermark on ts_event; the
+    # bounded availableNow run processes the whole file before the watermark
+    # first advances, so every duplicate key collapses in-state and each key
+    # emits exactly once — the batch-DISTINCT answer.
+    deduped = dedup_within_watermark(
+        stream, ["user_id", "event_type"]
+    ).select("user_id", "event_type")
+    sink = "stream_dedup_sink"
+    try:
+        spark.catalog.dropTempView(sink)
+    except Exception:
+        pass
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)

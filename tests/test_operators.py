@@ -447,3 +447,175 @@ class TestQuantization:
             (F.col("s") / 2 * 1.000001).alias("bound"),
         ).filter(F.col("max_err") > F.col("bound"))
         assert bad.count() == 0
+
+
+class TestParagraphDedup:
+    def test_cross_doc_segments_removed(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon unique one two three four"),
+                (2, "alpha beta gamma delta epsilon other words go here now"),
+                (3, "totally distinct content with no shared window at all"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dedup.remove_duplicate_segments(
+                df, "doc_id", "text", seg_tokens=5, min_docs=2
+            ).collect()
+        }
+        # the first 5-token window of docs 1 and 2 is identical → removed
+        # from BOTH; each doc had 2 segments, keeps its distinct second one
+        assert out[1]["n_segments"] == 2 and out[1]["n_removed"] == 1
+        assert out[1]["clean_text"] == "unique one two three four"
+        assert out[2]["clean_text"] == "other words go here now"
+        assert out[3]["n_removed"] == 0
+        assert out[3]["clean_text"] == df.collect()[2]["text"]
+
+    def test_order_preserved_and_empty_doc(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x y"), (2, "x y"), (3, "a b x y c d")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dedup.remove_duplicate_segments(
+                df, "doc_id", "text", seg_tokens=2, min_docs=2
+            ).collect()
+        }
+        # docs 1/2 reduce to nothing; doc 3's middle segment 'x y' drops,
+        # surviving segments keep original order
+        assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 1
+        assert out[3]["clean_text"] == "a b c d"
+
+    def test_paragraph_mode_splits_on_blank_lines(self, spark):
+        df = spark.createDataFrame(
+            [(1, "first para\n\nshared boiler\n\nlast"), (2, "shared boiler\n\nown text")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["clean_text"]
+            for r in dedup.remove_duplicate_segments(
+                df, "doc_id", "text", seg_tokens=None, min_docs=2
+            ).collect()
+        }
+        assert out[1] == "first para last"
+        assert out[2] == "own text"
+
+
+class TestKeepBest:
+    def test_best_scoring_member_kept(self, spark):
+        from dbt_decodable_spark.operators.graph import keep_best_representative
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, 99), (3, 50), (4, 7)],
+            "doc_id long, n_chars long",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "id_a long, id_b long"
+        )
+        rows = {r["doc_id"]: r for r in keep_best_representative(
+            df, pairs, "doc_id", "n_chars"
+        ).collect()}
+        # cluster {1,2,3}: 2 has the highest score → only 2 kept
+        assert rows[2]["keep"] and not rows[1]["keep"] and not rows[3]["keep"]
+        # singleton 4 is its own component and kept
+        assert rows[4]["keep"] and rows[4]["component"] == 4
+
+    def test_tie_breaks_on_min_id(self, spark):
+        from dbt_decodable_spark.operators.graph import keep_best_representative
+
+        df = spark.createDataFrame(
+            [(5, 10), (6, 10)], "doc_id long, n_chars long"
+        )
+        pairs = spark.createDataFrame([(5, 6)], "id_a long, id_b long")
+        rows = {r["doc_id"]: r["keep"] for r in keep_best_representative(
+            df, pairs, "doc_id", "n_chars"
+        ).collect()}
+        assert rows[5] and not rows[6]
+
+
+class TestSemanticDedup:
+    def test_within_cluster_suppression_only(self, spark):
+        # centroids: ids 0 and 97 (stride 97). vectors near axis-0 cluster
+        # with centroid 0, near axis-1 with centroid 97.
+        rows = [
+            (0, [1.0, 0.0]),
+            (97, [0.0, 1.0]),
+            (5, [0.99, 0.14]),   # cluster 0, cosine to id 0 ≈ 0.99 → suppressed
+            (98, [0.1, 0.995]),  # cluster 97, similar to 97 → suppressed
+            (50, [0.7, -0.71]),  # cluster 0 but dissimilar → kept
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {r["vec_id"]: r["cluster"] for r in similarity.semantic_dedup(
+            df, n_lists=2, stride=97, threshold=0.9
+        ).collect()}
+        assert set(out) == {0, 97, 50}
+        assert out[0] == 0 and out[97] == 97 and out[50] == 0
+
+
+class TestSalientTerms:
+    def test_rarity_weighted_ranking(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "common rare rare"),
+                (2, "common other"),
+                (3, "common thing"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = text.salient_terms(df, "doc_id", "text", k=1).collect()
+        top = {r["doc_id"]: (r["term"], r["score"]) for r in rows}
+        # 'common' appears in all 3 docs → score 0; doc-unique terms win
+        assert top[1] == ("rare", 2 * (3 - 1))
+        assert top[2][0] == "other" and top[3][0] == "thing"
+
+    def test_rank_is_total_and_bounded(self, spark):
+        df = spark.createDataFrame(
+            [(1, "b a c a b"), (2, "z z y")], "doc_id long, text string"
+        )
+        rows = text.salient_terms(df, "doc_id", "text", k=2).collect()
+        per_doc = {}
+        for r in rows:
+            per_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+        for doc, rs in per_doc.items():
+            assert sorted(r for r, _ in rs) == list(range(1, len(rs) + 1))
+            assert len(rs) <= 2
+
+
+class TestStreamingDedup:
+    def test_bounded_run_matches_distinct(self, spark, tmp_path):
+        from dbt_decodable_spark.streaming.dedupe import dedup_within_watermark
+
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [
+                (1, "a", "2024-01-01 00:00:00"),
+                (1, "a", "2024-01-01 00:10:00"),
+                (2, "b", "2024-01-01 00:20:00"),
+                (1, "a", "2024-01-01 00:30:00"),
+            ],
+            "user_id long, event_type string, ts string",
+        ).selectExpr(
+            "user_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts"
+        ).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp"
+        ).parquet(src)
+        deduped = dedup_within_watermark(
+            stream, ["user_id", "event_type"], ts_col="ts", delay="1 hour"
+        ).select("user_id", "event_type")
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedupe_test_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["user_id"], r["event_type"])
+            for r in spark.table("dedupe_test_sink").collect()
+        }
+        assert got == {(1, "a"), (2, "b")}
