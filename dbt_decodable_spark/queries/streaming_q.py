@@ -501,3 +501,84 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
+
+
+@register(
+    "stream_interval_join_outer",
+    oracle="""
+        WITH f AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t
+            FROM events WHERE user_id % 5 = 0
+        ),
+        wm AS (
+            -- the user_id filter is pushed BELOW the watermark operator, so
+            -- the stream's max observed event time is the FILTERED max
+            SELECT max(t) - INTERVAL 1 HOUR AS w FROM f
+        ),
+        matched AS (
+            SELECT e1.event_id AS id_a, e2.event_id AS id_b
+            FROM f e1 JOIN f e2
+              ON e1.user_id = e2.user_id
+             AND e2.t > e1.t
+             AND e2.t <= e1.t + INTERVAL 10 MINUTE
+        )
+        SELECT id_a, id_b FROM matched
+        UNION ALL
+        SELECT e1.event_id AS id_a, NULL AS id_b
+        FROM f e1, wm
+        WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.id_a = e1.event_id)
+          AND e1.t + INTERVAL 10 MINUTE < wm.w
+    """,
+    doc="§2.3/§2.9 stream-stream LEFT OUTER interval join (Flink's outer "
+    "interval join) as a REAL streaming query: matched pairs emit "
+    "immediately; an unmatched left row emits its null only when the "
+    "watermark passes t1 + upper-bound (left state eviction proves no "
+    "match can still arrive). The oracle encodes exactly that emission "
+    "rule — unmatched rows inside the final watermark horizon stay in "
+    "state and are correctly absent.",
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1 = (
+        events_file_stream(spark, sf_dir)
+        .filter(F.col("user_id") % 5 == 0)
+        .select(
+            F.col("event_id").alias("id_a"),
+            F.col("user_id").alias("u1"),
+            F.col("ts_event").alias("t1"),
+        )
+    )
+    s2 = (
+        events_file_stream(spark, sf_dir)
+        .filter(F.col("user_id") % 5 == 0)
+        .select(
+            F.col("event_id").alias("id_b"),
+            F.col("user_id").alias("u2"),
+            F.col("ts_event").alias("t2"),
+        )
+    )
+    joined = s1.join(
+        s2,
+        (F.col("u1") == F.col("u2"))
+        & (F.col("t2") > F.col("t1"))
+        & (F.col("t2") <= F.col("t1") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    ).select("id_a", "id_b")
+    sink = "stream_interval_outer_sink"
+    try:
+        spark.catalog.dropTempView(sink)
+    except Exception:
+        pass
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)

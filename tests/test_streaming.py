@@ -416,3 +416,50 @@ class TestScd2:
         for rs in by_key.values():
             assert sum(r["is_current"] for r in rs) == 1
             assert max(rs, key=lambda r: r["valid_from"])["is_current"]
+
+
+class TestOuterIntervalJoin:
+    def test_null_emission_follows_watermark_eviction(self, spark, tmp_path):
+        """Left-outer stream-stream interval join: an unmatched left row
+        emits its null exactly when the watermark passes t1 + upper bound
+        (state eviction); later unmatched rows stay in state. Cutoff here:
+        max ts 12:00 − 10 min delay − 5 min bound → t1 < 11:45."""
+        from pyspark.sql import functions as F
+
+        src = str(tmp_path / "oj_src")
+        rows = [(i, 1000 + i, f"2024-01-01 11:{m:02d}:00")
+                for i, m in enumerate([0, 20, 42, 47])]
+        rows.append((99, 99, "2024-01-01 12:00:00"))
+        spark.createDataFrame(
+            rows, "id long, k long, ts string"
+        ).selectExpr("id", "k", "CAST(ts AS TIMESTAMP) AS ts").write.mode(
+            "overwrite"
+        ).parquet(src)
+
+        def side(a, b, c):
+            return (
+                spark.readStream.schema("id long, k long, ts timestamp")
+                .parquet(src)
+                .withWatermark("ts", "10 minutes")
+                .selectExpr(f"id AS {a}", f"k AS {b}", f"ts AS {c}")
+            )
+
+        j = side("id_a", "k1", "t1").join(
+            side("id_b", "k2", "t2"),
+            (F.col("k1") == F.col("k2"))
+            & (F.col("t2") > F.col("t1"))
+            & (F.col("t2") <= F.col("t1") + F.expr("INTERVAL 5 MINUTES")),
+            "leftOuter",
+        ).select("id_a", "id_b")
+        q = (
+            j.writeStream.format("memory")
+            .queryName("oj_test_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = {(r["id_a"], r["id_b"]) for r in spark.table("oj_test_sink").collect()}
+        # rows at 11:00/11:20/11:42 are past eviction → nulls emitted;
+        # 11:47 and 12:00 remain in state → absent
+        assert out == {(0, None), (1, None), (2, None)}
