@@ -354,3 +354,45 @@ def salient_terms(df, id_col: str, text_col: str, k: int = 3):
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "score", "rank")
     )
+
+
+def winnow_fingerprints(df, id_col: str, text_col: str, k: int = 4, w: int = 4):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-token gram, slide a
+    w-hash window, and record the window's minimum hash with its gram
+    position (leftmost-min tie rule here — deterministic and
+    SQL-expressible, unlike the paper's rightmost-min). Guarantees at least
+    one shared fingerprint for any match of length ≥ w + k − 1 tokens —
+    the local-dedup property plain min-hashing lacks.
+
+    Output: distinct ``(id, pos, fp)`` rows.
+
+    Scale shape: the whole selection is per-document JVM array arithmetic
+    (one materialized hash array per doc, no shuffle at all before the
+    distinct); the output is ~1/w of the gram count per document. The
+    window min is recomputed per position (O(w) per gram) — fine for the
+    w≈4..8 winnowing uses; a monotone-deque pass would be O(1) amortized
+    but needs per-row imperative code.
+    """
+    from dbt_decodable_spark.operators.dedup import fan_out
+
+    base = fan_out(df).select(id_col, rolling_hashes(text_col, k).alias("__h"))
+    h = F.col("__h")
+    sel = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(h) - w, F.lit(0))),
+        lambda j: F.struct(
+            (
+                j
+                + F.array_position(
+                    F.slice(h, j + 1, w), F.array_min(F.slice(h, j + 1, w))
+                )
+                - 1
+            ).cast("int").alias("pos"),
+            F.array_min(F.slice(h, j + 1, w)).alias("fp"),
+        ),
+    )
+    return (
+        base.select(id_col, F.explode(sel).alias("__s"))
+        .select(id_col, F.col("__s.pos").alias("pos"), F.col("__s.fp").alias("fp"))
+        .distinct()
+    )

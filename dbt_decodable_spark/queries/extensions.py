@@ -978,3 +978,34 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return text.salient_terms(d, "doc_id", "text", k=3)
+
+
+@register(
+    "text_winnowing",
+    oracle=f"""
+        WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        grams AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, greatest(len(toks) - 3, 1)),
+                       i -> md5(array_to_string(toks[i:i+3], ' '))) AS h
+            FROM base
+        ),
+        idx AS (
+            SELECT doc_id, h,
+                   unnest(generate_series(1, greatest(len(h) - 3, 1))) AS j
+            FROM grams
+        )
+        SELECT DISTINCT doc_id,
+               CAST(j + list_position(h[j:j+3], list_min(h[j:j+3])) - 2 AS INT) AS pos,
+               list_min(h[j:j+3]) AS fp
+        FROM idx
+    """,
+    doc="§2.12 winnowing fingerprints (MOSS, SIGMOD'03): md5 over 4-token "
+    "grams, leftmost-min of each 4-hash window with its gram position — "
+    "guarantees a shared fingerprint for any ≥7-token exact overlap. Pure "
+    "per-document JVM array arithmetic; no shuffle before the distinct.",
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return text.winnow_fingerprints(d, "doc_id", "text", k=4, w=4)

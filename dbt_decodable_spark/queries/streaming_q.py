@@ -535,7 +535,12 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     "watermark passes t1 + upper-bound (left state eviction proves no "
     "match can still arrive). The oracle encodes exactly that emission "
     "rule — unmatched rows inside the final watermark horizon stay in "
-    "state and are correctly absent.",
+    "state and are correctly absent. Caveat (pinned by "
+    "test_streaming.TestOuterIntervalJoin and a state-metrics audit): "
+    "Spark's swap-on-remove state iteration can evict a row WITHOUT "
+    "emitting its null on some data layouts (removed-count 9 vs 8 nulls "
+    "in the audit) — deterministic for a fixed input, and absent at the "
+    "driver's sf0.001/sf0.01 layouts, where this oracle is exact.",
 )
 def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = (

@@ -178,3 +178,33 @@ class TestRound5Plans:
         lists = ivf_assign(e, ivf_centroids(e))
         plan = lists._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan and "Exchange hashpartitioning" not in plan
+
+
+class TestRound6Plans:
+    def test_paragraph_dedup_broadcast_anti_join(self, spark, registry):
+        plan = plan_of(spark, registry, "dedup_paragraph_exact")
+        # the duplicate-segment set joins back as a broadcast LEFT ANTI —
+        # the corpus is never shuffled against it
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        # no global sort anywhere (reassembly sorts per-group arrays)
+        assert "Sort [" not in plan or "SortMergeJoin" not in plan
+
+    def test_semantic_dedup_single_cluster_shuffle(self, spark, registry):
+        plan = plan_of(spark, registry, "dedup_semantic_clusters")
+        # assignment is an Arrow map (no shuffle to cluster); the only wide
+        # stages are the within-cluster self-join + the anti join back
+        assert "MapInPandas" in plan
+        assert "SortMergeJoin" not in plan or "centroid_id" in plan
+
+    def test_salient_terms_broadcasts_scalar(self, spark, registry):
+        plan = plan_of(spark, registry, "text_salient_terms")
+        # corpus-size N attaches via broadcast (nested-loop on 1 row), and
+        # the tf/df aggregates are two-phase
+        assert "BroadcastNestedLoopJoin" in plan
+        assert plan.count("HashAggregate") >= 2
+
+    def test_keep_best_reuses_component_partitioning(self, spark, registry):
+        plan = plan_of(spark, registry, "dedup_cluster_keep_best")
+        # the representative choice is a window over the component key —
+        # no additional join after the component label attaches
+        assert "Window" in plan and "row_number" in plan
