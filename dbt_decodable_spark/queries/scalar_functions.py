@@ -408,3 +408,43 @@ def func_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@register(
+    "func_unicode_nfc",
+    oracle="""
+        SELECT s,
+               nfc_normalize(s) AS nfc,
+               CAST(length(nfc_normalize(s)) AS BIGINT) AS nfc_len,
+               CAST(length(s) AS BIGINT) AS raw_len
+        FROM (VALUES
+            ('e' || chr(769) || 'cole'),
+            ('Am' || chr(233) || 'lie'),
+            (chr(64257) || 'le'),
+            ('a' || chr(776)),
+            ('plain ascii')
+        ) AS t(s)
+    """,
+    doc="§2.8 Unicode NFC normalization: no Spark builtin exists, so this "
+    "is a documented Arrow-batched pandas_udf map (functions/"
+    "unicode_norm.py) — combining sequences compose (e+U+0301 → é), "
+    "ligatures stay (NFC, not NFKC). Inputs are inline VALUES with real "
+    "denormalized sequences because the test corpus is ASCII-only.",
+)
+def func_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.functions.unicode_norm import nfc
+
+    rows = [
+        ("e\u0301cole",),      # e + combining acute (oracle: chr(769))
+        ("Am\u00e9lie",),      # precomposed e-acute (oracle: chr(233))
+        ("\ufb01le",),         # fi ligature (oracle: chr(64257))
+        ("a\u0308",),          # a + combining diaeresis (oracle: chr(776))
+        ("plain ascii",),
+    ]
+    df = spark.createDataFrame(rows, "s string")
+    return df.select(
+        "s",
+        nfc("s").alias("nfc"),
+        F.length(nfc("s")).cast("long").alias("nfc_len"),
+        F.length("s").cast("long").alias("raw_len"),
+    )

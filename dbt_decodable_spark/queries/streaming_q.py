@@ -587,3 +587,80 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
+
+
+@register(
+    "stream_minhash_index",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT id, shingle FROM (
+                SELECT doc_id AS id,
+                       unnest(list_transform(
+                           generate_series(1, len(toks) - 2),
+                           i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+                FROM base
+            )
+        )
+        SELECT id, band, min(md5(CAST(band AS VARCHAR) || '#' || shingle)) AS minhash
+        FROM sh, (SELECT unnest(range(6)) AS band)
+        GROUP BY id, band
+    """,
+    doc="§2.9/§2.12 streaming MinHash signature-index maintenance: the "
+    "documents table arrives as a bounded file stream; each micro-batch "
+    "computes its own signatures (dedup.minhash_signatures — the SAME "
+    "md5-keyed algorithm the batch queries use) and foreachBatch appends "
+    "only rows not already in the parquet-backed index. This is the "
+    "production incremental-dedup shape at 100 TB: a daily increment "
+    "hashes only its own documents and upserts the stored index; nothing "
+    "re-scans historical text. The converged index equals the batch "
+    "signature table — the oracle.",
+)
+def stream_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+
+    from dbt_decodable_spark.operators.dedup import minhash_signatures
+    from dbt_decodable_spark.schema import SchemaField, StreamSchema
+    from dbt_decodable_spark.sources.datagen import file_stream
+
+    schema = StreamSchema(
+        fields=(
+            SchemaField(name="doc_id", type="BIGINT"),
+            SchemaField(name="text", type="STRING"),
+            SchemaField(name="lang", type="STRING"),
+            SchemaField(name="source", type="STRING"),
+            SchemaField(name="n_chars", type="BIGINT"),
+        ),
+    )
+    stream = file_stream(
+        spark, sf_dir, schema, options={"pathGlobFilter": "documents.parquet"}
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    index_dir = f"/tmp/spark_minhash_index_{tag}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    def upsert(batch_df, batch_id):
+        sigs = minhash_signatures(batch_df, "doc_id", "text", n=3, num_hashes=6)
+        try:
+            existing = batch_df.sparkSession.read.parquet(index_dir)
+            fresh = sigs.join(
+                existing.select("id", "band"), ["id", "band"], "left_anti"
+            )
+        except Exception:  # first batch: index doesn't exist yet
+            fresh = sigs
+        fresh.write.mode("append").parquet(index_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", index_dir + "_ckpt")
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(index_dir + "_ckpt", ignore_errors=True)
+    return spark.read.parquet(index_dir)

@@ -619,3 +619,46 @@ class TestStreamingDedup:
             for r in spark.table("dedupe_test_sink").collect()
         }
         assert got == {(1, "a"), (2, "b")}
+
+
+class TestWinnowing:
+    def test_shared_fingerprint_for_long_overlap(self, spark):
+        # two docs sharing a 12-token run: winnowing (k=4, w=4) guarantees
+        # >= 1 shared fingerprint for any overlap of length >= w + k - 1 = 7
+        shared = "one two three four five six seven eight nine ten eleven twelve"
+        df = spark.createDataFrame(
+            [(1, "aa bb " + shared), (2, shared + " zz yy xx")],
+            "doc_id long, text string",
+        )
+        rows = text.winnow_fingerprints(df, "doc_id", "text", k=4, w=4).collect()
+        fps = {}
+        for r in rows:
+            fps.setdefault(r["doc_id"], set()).add(r["fp"])
+        assert fps[1] & fps[2]
+
+    def test_density_guarantee(self, spark):
+        # every w-window of gram hashes contributes its min → consecutive
+        # selected positions are at most w apart
+        df = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(40)))], "doc_id long, text string"
+        )
+        pos = sorted(
+            r["pos"] for r in text.winnow_fingerprints(df, "doc_id", "text", k=4, w=4).collect()
+        )
+        assert all(b - a <= 4 for a, b in zip(pos, pos[1:]))
+        assert pos[0] <= 3
+
+
+class TestUnicodeNorm:
+    def test_nfc_composes_and_nfkc_folds(self, spark):
+        from dbt_decodable_spark.functions.unicode_norm import nfc, nfkc
+
+        df = spark.createDataFrame(
+            [("école",), ("ﬁle",)], "s string"
+        )
+        out = {r["s"]: (r["c"], r["k"]) for r in df.select(
+            "s", nfc("s").alias("c"), nfkc("s").alias("k")
+        ).collect()}
+        assert out["école"][0] == "école"        # NFC composes
+        assert out["ﬁle"][0] == "ﬁle"             # NFC keeps ligature
+        assert out["ﬁle"][1] == "file"                 # NFKC folds it
