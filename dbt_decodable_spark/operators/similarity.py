@@ -180,6 +180,7 @@ def threshold_join_chunked(
 
 def quantize_int8(
     vec: Column,
+    scale: Column | None = None,
 ) -> tuple[Column, Column]:
     """Symmetric per-vector int8 quantization: ``scale = max|v| / 127``,
     ``q_i = clamp(floor(v_i/scale + 0.5), -127, 127)``. Returns
@@ -190,9 +191,17 @@ def quantize_int8(
     ``floor(x + 0.5)`` instead of ``round`` because round-half behavior
     differs across engines while ``floor`` is exact IEEE everywhere — the
     whole op is oracle-checkable bit-for-bit.
+
+    PERF: expressions referenced inside a higher-order-function lambda are
+    re-evaluated PER ELEMENT (no subexpression elimination — the shingle
+    pitfall, dedup.shingles_from_tokens). The default inline scale is an
+    O(dim) expression, making the transform O(dim²)/row; materialize the
+    scale in a prior projection and pass it as ``scale`` (a plain column
+    reference) for the O(dim) path — measured 2× on the registered query.
     """
     dvec = _to_double_array(vec)
-    scale = F.array_max(F.transform(dvec, F.abs)) / F.lit(127.0)
+    if scale is None:
+        scale = F.array_max(F.transform(dvec, F.abs)) / F.lit(127.0)
     q = F.transform(
         dvec,
         lambda x: F.when(scale == 0, F.lit(0))

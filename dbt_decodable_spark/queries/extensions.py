@@ -771,10 +771,15 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
-    scale, q = similarity.quantize_int8(F.col("embedding"))
-    return e.select(
+    # two-step projection: materialize the scale so the per-element lambda
+    # references a plain column, not an O(dim) subexpression (see
+    # quantize_int8's PERF note)
+    scale_expr, _ = similarity.quantize_int8(F.col("embedding"))
+    staged = e.select("vec_id", "embedding", scale_expr.alias("scale"))
+    _, q = similarity.quantize_int8(F.col("embedding"), scale=F.col("scale"))
+    return staged.select(
         "vec_id",
-        scale.alias("scale"),
+        "scale",
         F.concat_ws(",", q.cast("array<string>")).alias("qvec"),
     )
 
