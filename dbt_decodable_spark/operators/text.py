@@ -396,3 +396,46 @@ def winnow_fingerprints(df, id_col: str, text_col: str, k: int = 4, w: int = 4):
         .select(id_col, F.col("__s.pos").alias("pos"), F.col("__s.fp").alias("fp"))
         .distinct()
     )
+
+
+def bigram_commonness(df, id_col: str, text_col: str):
+    """Language-model-frequency proxy without a model: a document's average
+    corpus frequency of its bigram occurrences. Fluent text reuses common
+    collocations (high commonness); gibberish and boilerplate-free noise
+    sit in rare bigrams (low). The integer sum / integer count division is
+    one exact IEEE op, so the score is oracle-comparable — the reason this
+    stands in for a perplexity score (log-prob sums are libm-dependent).
+
+    Output: ``(id, n_bigrams, total_cf, commonness)`` — one row per input
+    document; documents with < 2 tokens get NULL commonness.
+
+    Scale shape: explode (map) → ONE groupBy(gram) for corpus counts →
+    join back on the gram key (count table is ~vocab²-bounded but
+    Zipf-small in practice; AQE broadcasts it when it fits) → one
+    groupBy(id). Shuffles carry (gram, count) pairs, never documents.
+    """
+    from dbt_decodable_spark.operators.dedup import fan_out, tokens
+
+    base = fan_out(df).select(id_col, tokens(text_col).alias("__toks"))
+    grams = base.select(
+        id_col, F.explode(ngrams_from_tokens(F.col("__toks"), 2)).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cf"))
+    per_doc = (
+        grams.join(counts, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("cf").alias("total_cf"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("total_cf", F.lit(0)).alias("total_cf"),
+            (F.col("total_cf") / F.col("n_bigrams")).alias("commonness"),
+        )
+    )

@@ -76,7 +76,7 @@ _DRIVER_WINDOW_PRIORITY = (
     "dedup_semantic_clusters", "stream_dedup_watermark",
     "source_orc_roundtrip", "text_salient_terms",
     "stream_interval_join_outer", "text_winnowing",
-    "func_unicode_nfc", "stream_minhash_index",
+    "func_unicode_nfc", "stream_minhash_index", "text_bigram_commonness",
     # (c) staleness guard — oldest driver rows (rounds 1-2):
     "agg_cube", "agg_distinct", "agg_global", "agg_groupby_expression",
     "agg_grouping_sets", "agg_having", "agg_minmax_by", "agg_percentile",
@@ -85,7 +85,7 @@ _DRIVER_WINDOW_PRIORITY = (
     "join_full_outer", "join_left_outer", "join_lookup_broadcast",
     "join_right_outer", "join_semi", "join_theta", "join_three_way",
     "like_predicate", "order_by_limit", "scan_project_filter",
-    "text_fingerprint", "text_langid",
+    "text_fingerprint",
 )
 
 

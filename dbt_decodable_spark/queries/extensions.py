@@ -1014,3 +1014,38 @@ def text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return text.winnow_fingerprints(d, "doc_id", "text", k=4, w=4)
+
+
+@register(
+    "text_bigram_commonness",
+    oracle=f"""
+        WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 1, 1)),
+                       i -> array_to_string(toks[i:i+1], ' '))) AS gram
+            FROM base
+            WHERE len(toks) >= 2
+        ),
+        counts AS (SELECT gram, count(*) AS cf FROM grams GROUP BY gram),
+        per_doc AS (
+            SELECT g.doc_id, count(*) AS n_bigrams, SUM(c.cf) AS total_cf
+            FROM grams g JOIN counts c USING (gram)
+            GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_bigrams, 0) AS n_bigrams,
+               CAST(COALESCE(p.total_cf, 0) AS BIGINT) AS total_cf,
+               CAST(p.total_cf AS DOUBLE) / p.n_bigrams AS commonness
+        FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """,
+    doc="§2.12 bigram-commonness quality score: average corpus frequency "
+    "of a document's bigram occurrences — the integer-exact stand-in for "
+    "LM perplexity (log-prob sums are libm-dependent and not oracle-"
+    "comparable). One groupBy(gram) + key join + one groupBy(id); "
+    "shuffles carry (gram, count) pairs only.",
+)
+def text_bigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return text.bigram_commonness(d, "doc_id", "text")

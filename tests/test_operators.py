@@ -662,3 +662,27 @@ class TestUnicodeNorm:
         assert out["école"][0] == "école"        # NFC composes
         assert out["ﬁle"][0] == "ﬁle"             # NFC keeps ligature
         assert out["ﬁle"][1] == "file"                 # NFKC folds it
+
+
+class TestBigramCommonness:
+    def test_common_collocations_score_higher(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat sat"),     # bigrams: "the cat", "cat sat"
+                (2, "the cat ran"),     # shares "the cat"
+                (3, "zq xv bn"),        # all unique bigrams
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in text.bigram_commonness(
+            df, "doc_id", "text"
+        ).collect()}
+        # "the cat" cf=2, others cf=1 → docs 1/2 avg 1.5, doc 3 avg 1.0
+        assert out[1]["commonness"] == 1.5 == out[2]["commonness"]
+        assert out[3]["commonness"] == 1.0
+        assert out[1]["n_bigrams"] == 2
+
+    def test_short_doc_null_commonness(self, spark):
+        df = spark.createDataFrame([(1, "word")], "doc_id long, text string")
+        r = text.bigram_commonness(df, "doc_id", "text").collect()[0]
+        assert r["n_bigrams"] == 0 and r["commonness"] is None
