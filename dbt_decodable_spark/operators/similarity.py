@@ -523,3 +523,65 @@ def semantic_dedup(
     return lists.groupBy("centroid_id").applyInPandas(
         cluster_suppress, schema=f"{id_col} long, cluster long"
     )
+
+
+def ivf_topk_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    stride: int = 97,
+) -> DataFrame:
+    """IVF-Flat ANN over the INT8-QUANTIZED index: the search-time use of
+    :func:`quantize_int8`. The corpus inverted lists store (qvec, scale) —
+    4× smaller than float32, the difference between an in-memory index and
+    a spilled one at 100 TB — and candidate scoring runs on the
+    dequantized values (``q_i × scale`` is exact IEEE, so the whole
+    pipeline stays oracle-expressible). Queries stay full-precision.
+
+    Same plan shape as :func:`ivf_topk`: broadcast centroid probe, list
+    join, per-query top-k window. The dequantized vector is materialized
+    as a projection BEFORE the cosine (lambda-CSE rule: the transform
+    would otherwise re-run per element inside dot/norm).
+    """
+    cent = ivf_centroids(corpus, id_col, vec_col, n_lists, stride)
+    lists = ivf_assign(corpus, cent, id_col, vec_col)
+    scale_expr, _ = quantize_int8(F.col(vec_col))
+    staged = lists.select(
+        id_col, "centroid_id", F.col(vec_col).alias("__v"),
+        scale_expr.alias("__scale"),
+    )
+    _, qv = quantize_int8(F.col("__v"), scale=F.col("__scale"))
+    quantized = staged.select(
+        id_col, "centroid_id", qv.alias("qvec"), "__scale"
+    )
+    # the stored index: (id, centroid_id, qvec int8, scale). Dequantize as
+    # a materialized projection for scoring.
+    deq = quantized.select(
+        id_col, "centroid_id",
+        dequantize_int8(F.col("qvec"), F.col("__scale")).alias("__dvec"),
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    probe_w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q.join(F.broadcast(cent))
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("centroid_vec")))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+    cand = probes.join(deq, "centroid_id").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    scored = cand.withColumn("cos_sim", cosine(F.col("q_vec"), F.col("__dvec")))
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank")
+    )

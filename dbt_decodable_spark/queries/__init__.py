@@ -77,6 +77,7 @@ _DRIVER_WINDOW_PRIORITY = (
     "source_orc_roundtrip", "text_salient_terms",
     "stream_interval_join_outer", "text_winnowing",
     "func_unicode_nfc", "stream_minhash_index", "text_bigram_commonness",
+    "similarity_ivf_quantized_topk",
     # (c) staleness guard — oldest driver rows (rounds 1-2):
     "agg_cube", "agg_distinct", "agg_global", "agg_groupby_expression",
     "agg_grouping_sets", "agg_having", "agg_minmax_by", "agg_percentile",
@@ -85,7 +86,6 @@ _DRIVER_WINDOW_PRIORITY = (
     "join_full_outer", "join_left_outer", "join_lookup_broadcast",
     "join_right_outer", "join_semi", "join_theta", "join_three_way",
     "like_predicate", "order_by_limit", "scan_project_filter",
-    "text_fingerprint",
 )
 
 

@@ -1049,3 +1049,69 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return text.bigram_commonness(d, "doc_id", "text")
+
+
+@register(
+    "similarity_ivf_quantized_topk",
+    oracle="""
+        WITH cent AS (
+          SELECT vec_id AS centroid_id, embedding AS centroid_vec
+          FROM embeddings WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16
+        ),
+        assigned AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT c.vec_id, c.embedding, ct.centroid_id,
+                   row_number() OVER (PARTITION BY c.vec_id
+                     ORDER BY list_cosine_similarity(c.embedding, ct.centroid_vec) DESC,
+                              ct.centroid_id) AS rn
+            FROM embeddings c, cent ct) t WHERE rn = 1
+        ),
+        quant AS (
+          SELECT vec_id, centroid_id, embedding,
+                 list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+          FROM assigned
+        ),
+        deq AS (
+          SELECT vec_id, centroid_id,
+                 list_transform(embedding,
+                     x -> CASE WHEN scale = 0 THEN 0.0
+                          ELSE CAST(greatest(-127, least(127,
+                               floor(CAST(x AS DOUBLE) / scale + 0.5))) AS DOUBLE)
+                               * scale END) AS dvec
+          FROM quant
+        ),
+        q AS (SELECT vec_id AS query_id, embedding AS q_vec
+              FROM embeddings WHERE vec_id < 10),
+        probes AS (
+          SELECT query_id, q_vec, centroid_id FROM (
+            SELECT q.query_id, q.q_vec, ct.centroid_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY list_cosine_similarity(q.q_vec, ct.centroid_vec) DESC,
+                              ct.centroid_id) AS rn
+            FROM q, cent ct) t WHERE rn <= 4
+        ),
+        cand AS (
+          SELECT p.query_id, d.vec_id AS neighbor_id,
+                 list_cosine_similarity(p.q_vec, d.dvec) AS cos_sim
+          FROM probes p JOIN deq d USING (centroid_id)
+          WHERE d.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM cand) t WHERE rank <= 5
+    """,
+    doc="§2.12 IVF ANN over the INT8-QUANTIZED index: the inverted lists "
+    "store (qvec, scale) — 4x smaller, the in-memory-at-100TB form — and "
+    "candidates are scored on exactly-dequantized values (q_i x scale is "
+    "exact IEEE), so even the quantized search path is oracle-checkable. "
+    "Full-precision queries, same probe/re-rank plan as similarity_ivf_topk.",
+)
+def similarity_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk_quantized(
+        e, q, k=5, n_lists=16, n_probe=4, stride=97
+    )

@@ -686,3 +686,19 @@ class TestBigramCommonness:
         df = spark.createDataFrame([(1, "word")], "doc_id long, text string")
         r = text.bigram_commonness(df, "doc_id", "text").collect()[0]
         assert r["n_bigrams"] == 0 and r["commonness"] is None
+
+
+class TestQuantizedIvf:
+    def test_quantized_recall_against_exact_ivf(self, spark, sf001_embeddings=None):
+        from dbt_decodable_spark.sources.tables import read_table
+
+        e = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+        q = e.filter(F.col("vec_id") < 5)
+        exact = similarity.ivf_topk(e, q, k=5, n_lists=8, n_probe=3, stride=97)
+        quant = similarity.ivf_topk_quantized(
+            e, q, k=5, n_lists=8, n_probe=3, stride=97
+        )
+        ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        qz = {(r["query_id"], r["neighbor_id"]) for r in quant.collect()}
+        # int8 error is <= scale/2 per dim — top-5 sets should overlap heavily
+        assert len(ex & qz) / len(ex) >= 0.8
