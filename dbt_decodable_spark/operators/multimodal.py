@@ -74,16 +74,22 @@ def decode_image_meta_pandas(df: DataFrame, use_fake: bool = True) -> DataFrame:
 
 
 FEATURE_SCHEMA = "doc_id bigint, features array<float>"
+FEATURE_COUNT_SCHEMA = "doc_id bigint, features array<bigint>"
 
 
-def extract_features_pandas(df: DataFrame, n_bins: int = 16) -> DataFrame:
-    """Feature extraction over binary payloads: an L1-normalized byte
-    histogram (``n_bins`` buckets over 0..255) via Arrow-batched
-    ``mapInPandas`` + numpy. Unlike the decode step this needs no imaging
-    library — it is a REAL feature extractor (byte-distribution signature,
-    usable for near-dup blocking on payloads), and doubles as the reference
-    plumbing for swapping in a CNN/CLIP embedder: same signature, same
-    batch shape, same output schema as an embedding column."""
+def extract_features_pandas(
+    df: DataFrame, n_bins: int = 16, normalize: bool = True
+) -> DataFrame:
+    """Feature extraction over binary payloads: a byte histogram
+    (``n_bins`` buckets over 0..255) via Arrow-batched ``mapInPandas`` +
+    numpy — L1-normalized float32 by default, raw BIGINT counts with
+    ``normalize=False`` (the integer form is bit-exact across engines, so
+    the driver-gated query uses it for a value-level oracle). Unlike the
+    decode step this needs no imaging library — it is a REAL feature
+    extractor (byte-distribution signature, usable for near-dup blocking
+    on payloads), and doubles as the reference plumbing for swapping in a
+    CNN/CLIP embedder: same signature, same batch shape, same output
+    schema as an embedding column."""
     import numpy as np
     import pandas as pd
 
@@ -94,12 +100,18 @@ def extract_features_pandas(df: DataFrame, n_bins: int = 16) -> DataFrame:
                 arr = np.frombuffer(bytes(payload), dtype="uint8")
                 hist = np.bincount(arr >> (8 - n_bins.bit_length() + 1), minlength=n_bins)[
                     :n_bins
-                ].astype("float64")
-                total = hist.sum()
-                feats.append((hist / total if total else hist).astype("float32"))
+                ]
+                if normalize:
+                    h = hist.astype("float64")
+                    total = h.sum()
+                    feats.append((h / total if total else h).astype("float32"))
+                else:
+                    feats.append(hist.astype("int64"))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
-    return df.select("doc_id", "payload").mapInPandas(extract, schema=FEATURE_SCHEMA)
+    return df.select("doc_id", "payload").mapInPandas(
+        extract, schema=FEATURE_SCHEMA if normalize else FEATURE_COUNT_SCHEMA
+    )
 
 
 def resize_image_pandas(

@@ -181,8 +181,33 @@ def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "dedup_simhash",
-    oracle=None,  # 32-bit conv/bit arithmetic isn't portable DuckDB SQL → rows-only
-    doc="§2.12 SimHash fingerprint groups (sign-of-weighted-bits, JVM bit ops)",
+    oracle=f"""
+        WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS t FROM base),
+        th AS (SELECT doc_id, md5(t) AS h FROM tok),
+        bits AS (
+            SELECT doc_id, b,
+                   SUM(CASE WHEN ((strpos('0123456789abcdef',
+                                          h[8 - b // 4]) - 1)
+                                  >> (b % 4)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS contrib
+            FROM th, (SELECT unnest(range(16)) AS b)
+            GROUP BY doc_id, b
+        ),
+        fp AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN contrib > 0 THEN 1 << b ELSE 0 END) AS fingerprint
+            FROM bits GROUP BY doc_id
+        )
+        SELECT CAST(fingerprint AS BIGINT) AS fingerprint,
+               count(*) AS n_docs, min(doc_id) AS min_doc_id
+        FROM fp GROUP BY fingerprint
+    """,
+    doc="§2.12 SimHash fingerprint groups (sign-of-weighted-bits). The "
+    "Spark side is one fused JVM bit fold over md5-prefix token hashes; "
+    "because the hash is md5-derived, the SAME bits are reachable in SQL "
+    "(hex-digit decode via strpos, shift, mask) — upgraded from rows-only "
+    "to a full value oracle. bits=16 = the low 4 hex digits of each hash.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dedup.fan_out(read_table(spark, sf_dir, "documents"))
@@ -219,12 +244,60 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(e, q, k=5).select("query_id", "neighbor_id", "rank")
 
 
+def _lsh_oracle_sql(dim: int = 64, n_planes: int = 4, n_bands: int = 6) -> str:
+    """The LSH pipeline is fully deterministic (seeded-LCG hyperplanes,
+    driver-side constants), so even the BUCKETING step is SQL-expressible:
+    inline the same plane constants as literal DOUBLE arrays and rebuild
+    sketch → bucket-join → exact re-rank in DuckDB. Upgrades the ANN query
+    from rows-only to a value oracle."""
+    from dbt_decodable_spark.operators.similarity import _hyperplane
+
+    rows = []
+    for b in range(n_bands):
+        for p in range(n_planes):
+            vals = ", ".join(repr(v) for v in _hyperplane(dim, seed=b * n_planes + p + 1))
+            rows.append(f"({b}, {1 << p}, [{vals}]::DOUBLE[])")
+    planes_values = ",\n              ".join(rows)
+    return f"""
+        WITH planes(band, w, plane) AS (
+            VALUES {planes_values}
+        ),
+        sk AS (
+            SELECT e.vec_id, e.embedding, p.band,
+                   SUM(CASE WHEN list_dot_product(
+                           CAST(e.embedding AS DOUBLE[]), p.plane) > 0
+                        THEN p.w ELSE 0 END) AS bucket
+            FROM embeddings e, planes p
+            GROUP BY e.vec_id, e.embedding, p.band
+        ),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM sk q JOIN sk c ON q.band = c.band AND q.bucket = c.bucket
+            WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   list_cosine_similarity(eq.embedding, ec.embedding) AS cos_sim
+            FROM cand
+            JOIN embeddings eq ON eq.vec_id = cand.query_id
+            JOIN embeddings ec ON ec.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM scored) t WHERE rank <= 5
+    """
+
+
 @register(
     "similarity_lsh_topk",
-    oracle=None,  # bucketing recall is algorithm-specific → rows-only
+    oracle=_lsh_oracle_sql(),
     doc="§2.12 LSH-bucketed ANN top-k (banded random-hyperplane sketches, "
     "(band,bucket) hash join, exact re-rank — the 100 TB scale path; "
-    "recall floor asserted in tests/test_operators.py)",
+    "recall floor asserted in tests/test_operators.py). Deterministic "
+    "seeded-LCG planes make even the bucketing oracle-able: the oracle "
+    "inlines the identical plane constants as literal arrays.",
 )
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
@@ -539,14 +612,28 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,  # byte-level blob iteration isn't portable DuckDB SQL → rows-only
-    doc="§2.12 multimodal feature extraction: L1-normalized byte histogram "
-    "over binary payloads (Arrow-batched mapInPandas + numpy — a real "
-    "extractor, and the drop-in plumbing slot for a CNN/CLIP embedder); "
-    "exactness unit-tested in tests/test_multimodal.py. The registered "
-    "query serializes the array<float> histogram with to_json so the "
-    "driver's pandas canon (which sorts every output column) doesn't hit "
-    "an unhashable list; the operator API keeps the array form.",
+    oracle="""
+        WITH codes AS (
+            SELECT doc_id,
+                   list_transform(generate_series(1, length(text)),
+                                  i -> unicode(text[i])) AS cs
+            FROM documents
+        )
+        SELECT doc_id,
+               to_json(list_transform(generate_series(0, 15),
+                   b -> len(list_filter(cs, c -> c // 16 = b)))) AS features
+        FROM codes
+    """,
+    doc="§2.12 multimodal feature extraction: byte histogram over binary "
+    "payloads (Arrow-batched mapInPandas + numpy — a real extractor, and "
+    "the drop-in plumbing slot for a CNN/CLIP embedder). The driver-gated "
+    "query emits the RAW BIGINT bin counts (bit-exact across engines — "
+    "upgraded from rows-only to a value oracle: the payload is the utf-8 "
+    "text, and on this ASCII corpus byte == codepoint, so DuckDB rebuilds "
+    "the same histogram from character codes); the operator's default "
+    "remains the L1-normalized float32 form, exactness unit-tested in "
+    "tests/test_multimodal.py. to_json serialization because the driver's "
+    "pandas canon sorts every output column (arrays are unhashable there).",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_decodable_spark.operators.multimodal import (
@@ -555,7 +642,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = read_table(spark, sf_dir, "documents")
-    feats = extract_features_pandas(attach_binary_payload(d, "text"), n_bins=16)
+    feats = extract_features_pandas(
+        attach_binary_payload(d, "text"), n_bins=16, normalize=False
+    )
     return feats.select("doc_id", F.to_json(F.col("features")).alias("features"))
 
 
