@@ -541,3 +541,121 @@ def remove_duplicate_segments(
             ).alias("n_removed"),
         )
     )
+
+
+def ngram_window_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """One row per overlapping n-token window: ``(id, pos, gh)`` where
+    ``pos`` is the 0-based token offset and ``gh`` the md5 of the window's
+    tokens joined by a single space.
+
+    The token array is materialized BEFORE the per-position lambda (see
+    :func:`shingles_from_tokens` — expressions inside higher-order-function
+    lambdas are re-evaluated per element), so tokenization runs once per
+    document, not once per window. Pure JVM; one posexplode map stage.
+    """
+    base = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")), "id"
+    ).select("id", tokens(F.col("__text")).alias("__toks"))
+    t = F.col("__toks")
+    wins = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select(
+        "id", F.posexplode(wins).alias("pos", "gram")
+    ).select("id", "pos", F.md5("gram").alias("gh"))
+
+
+def duplicate_ngram_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Exact-substring duplicate spans (the suffix-array dedup of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better", ACL
+    2022, re-expressed as an n-gram inverted index): for every document,
+    the maximal token ranges covered by n-token windows that also occur in
+    at least one OTHER document.
+
+    Output: ``(id, span_start, span_end, n_windows)`` — token-index spans
+    (inclusive), overlapping/adjacent windows merged into maximal islands.
+
+    Scale shape (no suffix array, no quadratic step):
+
+    - window explode is a map stage over 16-byte md5 keys;
+    - cross-document grams are found with ``groupBy(gh).agg(min(id),
+      max(id))`` and ``min <> max`` — O(1) state per gram, *no
+      countDistinct* (two-phase partial agg, 24-byte records on the wire);
+    - a shuffle semi join brings dup-marking back to (id, pos) rows;
+    - span merge is the classic gaps-and-islands: one window partition per
+      document, running ``max(pos + n - 1)`` over preceding rows, new
+      island when the current window starts past ``prev_end + 1``. The
+      per-document window is bounded by document length — no global sort.
+    """
+    wins = ngram_window_rows(df, id_col, text_col, n)
+    cross_doc = (
+        wins.groupBy("gh")
+        .agg(F.min("id").alias("__mn"), F.max("id").alias("__mx"))
+        .filter(F.col("__mn") != F.col("__mx"))
+        .select("gh")
+    )
+    dup = wins.join(cross_doc, "gh", "left_semi").select("id", "pos")
+    w = W.partitionBy("id").orderBy("pos")
+    run = dup.withColumn(
+        "__prev_end",
+        F.max(F.col("pos") + n - 1).over(w.rowsBetween(W.unboundedPreceding, -1)),
+    )
+    isl = run.withColumn(
+        "__new",
+        F.when(
+            F.col("__prev_end").isNull() | (F.col("pos") > F.col("__prev_end") + 1),
+            1,
+        ).otherwise(0),
+    ).withColumn("__isl", F.sum("__new").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    return (
+        isl.groupBy("id", "__isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("id", "span_start", "span_end", "n_windows")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Cut every cross-document duplicated token span out of each document
+    and reassemble the remainder: ``(id, clean_text, n_tokens_removed)``.
+
+    Spans come from :func:`duplicate_ngram_spans`; tokens whose index falls
+    inside any span are dropped via a JVM ``exists`` over the document's
+    (small) span array — the span list is folded per document first, so the
+    join is 1:1, never row-multiplying.
+    """
+    spans = (
+        duplicate_ngram_spans(df, id_col, text_col, n)
+        .groupBy("id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
+    ).join(spans, "id", "left")
+    t, s = F.col("__toks"), F.col("__spans")
+    covered = lambda i: F.exists(  # noqa: E731
+        s, lambda sp: (i >= sp["span_start"]) & (i <= sp["span_end"])
+    )
+    kept = F.when(s.isNull(), t).otherwise(
+        F.filter(t, lambda tok, i: ~covered(i))
+    )
+    return base.select(
+        "id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.size(t) - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    )

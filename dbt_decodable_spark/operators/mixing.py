@@ -61,3 +61,60 @@ def mix_by_token_budget(
         .filter(F.col(cum_col) - F.col(weight_col) < F.col("__budget"))
         .drop("__budget", PRIORITY_COL)
     )
+
+
+def temperature_quotas(
+    df: DataFrame,
+    stratum_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-sampling rule of
+    Conneau & Lample 2019 / mT5, at τ = 0.5): allocate a global token
+    ``budget`` across strata proportional to ``n_tokens^τ`` — up-weighting
+    small sources so they aren't drowned by the head stratum.
+
+    τ is fixed at 1/2 because ``sqrt`` is the one power IEEE-754 requires
+    to be correctly rounded — both engines map the same BIGINT to the same
+    double, so ``floor(sqrt(n))`` is engine-exact where ``pow(n, 0.3)``
+    would not be. Quotas are then largest-remainder apportionment in pure
+    BIGINT arithmetic: ``floor(budget·w/W)`` per stratum plus +1 to the
+    largest remainders (ties broken by stratum name) until the budget is
+    exactly exhausted.
+
+    Scale shape: one groupBy(stratum) with partial aggregation, then all
+    window work runs over the tiny per-stratum table (#strata rows — the
+    only "collect-sized" data, kept distributed anyway). Output:
+    ``(stratum, n_tokens, weight, quota)`` with ``sum(quota) = budget``.
+    """
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.sum(F.col(weight_col)).alias("n_tokens")
+    )
+    w = per.withColumn(
+        "weight", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+    )
+    tot = w.agg(F.sum("weight").alias("__W"))
+    j = w.crossJoin(F.broadcast(tot))
+    base = j.select(
+        "stratum",
+        "n_tokens",
+        "weight",
+        # BIGINT `div`, not `/`: Spark's `/` on longs is double division,
+        # which would round differently from the oracle's exact `//`
+        F.expr(f"({budget}L * weight) div __W").alias("__q0"),
+        ((F.lit(budget) * F.col("weight")) % F.col("__W")).alias("__rem"),
+    )
+    from pyspark.sql import Window as _W
+
+    leftover = F.lit(budget) - F.sum("__q0").over(
+        _W.partitionBy()
+    )
+    rk = F.row_number().over(
+        _W.partitionBy().orderBy(F.col("__rem").desc(), F.col("stratum").asc())
+    )
+    return base.select(
+        "stratum",
+        "n_tokens",
+        "weight",
+        (F.col("__q0") + F.when(rk <= leftover, 1).otherwise(0)).alias("quota"),
+    )

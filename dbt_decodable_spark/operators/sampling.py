@@ -92,3 +92,29 @@ def sql_stratified_filter(
     )
     case = f"CASE {stratum_col} {whens} ELSE '{_threshold_hex(default_fraction)}' END"
     return f"substr(md5(CAST({key_col} AS VARCHAR)), 1, 6) < {case}"
+
+
+def train_val_test_split(
+    df: DataFrame, key_col: str, val_pct: int = 1, test_pct: int = 1
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = 60 md5 bits of the
+    key mod 100; ``test`` takes buckets [0, test_pct), ``val`` the next
+    ``val_pct``, ``train`` the rest. Same hash-membership properties as
+    :func:`deterministic_sample` — partition-independent, reproducible in
+    any engine (DuckDB: ``CAST('0x' || substr(md5(k), 1, 15) AS BIGINT) %
+    100``), and a document never migrates between splits as the corpus
+    grows (no leakage of val/test into train across re-runs).
+
+    Map-only: one md5 + mod per row, no shuffle, codegen'd.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)

@@ -439,3 +439,60 @@ def bigram_commonness(df, id_col: str, text_col: str):
             (F.col("total_cf") / F.col("n_bigrams")).alias("commonness"),
         )
     )
+
+
+# ------------------------------------------------------------ Gopher rules
+# MassiveText document-quality gates (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", appendix A1.1): hard bounds on word count, mean word
+# length, symbol ratio, alphabetic-word fraction, and stopword presence.
+# All JVM expressions; ratios are single double divisions of exact integer
+# counts, so any ANSI-SQL oracle reproduces them bit-for-bit.
+
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_metrics(col: Column | str) -> dict[str, Column]:
+    """Per-document Gopher gate inputs over the normalized token stream.
+
+    ``mean_word_len`` and the two fractions divide exact BIGINT counts once
+    — deterministic doubles. ``n_symbols`` counts ``#`` and ``...``
+    occurrences in the raw text (the MassiveText "symbol" set).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(col)
+    n_words = F.size(toks).cast("long")
+    # total token chars = normalized length minus the (n-1) separators
+    total_chars = (F.length(normalize_text(c)) - (n_words - 1)).cast("long")
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
+    stop = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("long")
+    n_sym = (
+        F.regexp_count(c, F.lit(r"#")) + F.regexp_count(c, F.lit(r"\.\.\."))
+    ).cast("long")
+    nz = F.when(n_words > 0, n_words)
+    return {
+        "n_words": n_words,
+        "mean_word_len": total_chars / nz,
+        "frac_alpha_words": n_alpha / nz,
+        "n_stopword_hits": n_stop,
+        "symbol_ratio": n_sym / nz,
+    }
+
+
+def gopher_pass(col: Column | str, min_words: int = 50, max_words: int = 100_000) -> Column:
+    """1 iff the document clears every Gopher gate (word-count bounds,
+    mean word length in [3, 10], ≥80% alphabetic words, ≥2 stopword hits,
+    symbol ratio ≤ 0.1)."""
+    m = gopher_metrics(col)
+    ok = (
+        (m["n_words"] >= min_words)
+        & (m["n_words"] <= max_words)
+        & (m["mean_word_len"] >= 3.0)
+        & (m["mean_word_len"] <= 10.0)
+        & (m["frac_alpha_words"] >= 0.8)
+        & (m["n_stopword_hits"] >= 2)
+        & (m["symbol_ratio"] <= 0.1)
+    )
+    return F.when(ok, F.lit(1)).otherwise(F.lit(0))

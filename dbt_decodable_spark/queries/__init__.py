@@ -96,6 +96,7 @@ def load_all() -> dict[str, QueryDef]:
     from dbt_decodable_spark.queries import (  # noqa: F401
         aggregates,
         extensions,
+        extensions2,
         joins,
         relational,
         relational2,

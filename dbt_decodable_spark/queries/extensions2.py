@@ -1,0 +1,303 @@
+"""Round-6 extension queries (SURVEY §2.12 continued): Bloom-filter
+incremental-dedup pre-filter, exact-substring duplicate spans, Gopher
+quality gates, temperature-scaled source mixing, deterministic
+train/val/test splits, and windowed streaming top-k — each with a DuckDB
+value oracle (md5-keyed hashing and integer-exact arithmetic keep every
+operator engine-portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dbt_decodable_spark.operators import bloom, dedup, mixing, sampling, text
+from dbt_decodable_spark.queries import register
+from dbt_decodable_spark.queries.extensions import _NORM, _TOKS
+from dbt_decodable_spark.sources.tables import read_table
+
+# ------------------------------------------------------------ bloom filter
+
+_BLOOM_M = 1 << 16
+_BLOOM_K = 4
+
+
+@register(
+    "dedup_bloom_filter",
+    oracle=f"""
+        WITH hist AS (
+            SELECT md5({_NORM}) AS key FROM documents WHERE doc_id % 10 < 8
+        ),
+        batch AS (
+            SELECT doc_id, md5({_NORM}) AS key FROM documents
+            WHERE doc_id % 10 >= 8
+        ),
+        hp AS (
+            SELECT CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || key), 1, 15)
+                        AS BIGINT) % {_BLOOM_M} AS pos
+            FROM hist CROSS JOIN unnest(range({_BLOOM_K})) AS t(j)
+        ),
+        words AS (
+            SELECT pos // 32 AS word_idx,
+                   bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+            FROM hp GROUP BY 1
+        ),
+        bp AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || key), 1, 15)
+                        AS BIGINT) % {_BLOOM_M} AS pos
+            FROM batch CROSS JOIN unnest(range({_BLOOM_K})) AS t(j)
+        ),
+        hit AS (
+            SELECT doc_id,
+                   CASE WHEN (coalesce(bits, 0) >> CAST(pos % 32 AS INT)) & 1 = 1
+                        THEN 1 ELSE 0 END AS h
+            FROM bp LEFT JOIN words ON words.word_idx = bp.pos // 32
+        )
+        SELECT doc_id, CAST(min(h) AS INT) AS maybe_seen
+        FROM hit GROUP BY doc_id
+    """,
+    doc="§2.12 Bloom-filter incremental-dedup pre-filter: 2^16-bit filter "
+    "built distributed over the 80% history partition (groupBy(word_idx) + "
+    "bit_or — map-side partial OR, filter is m/32 rows, never a driver "
+    "object), broadcast to the 20% batch scan; maybe_seen=0 rows are "
+    "certainly new and skip the exact index entirely (operators/bloom.py)",
+)
+def dedup_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(dedup.normalize_text("text")).alias("key")
+    )
+    history = d.filter(F.col("doc_id") % 10 < 8)
+    batch = d.filter(F.col("doc_id") % 10 >= 8)
+    out = bloom.bloom_prefilter_new_keys(
+        history, batch, "key", "doc_id", m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    return out.select("doc_id", F.col("maybe_seen").cast("int").alias("maybe_seen"))
+
+
+# ----------------------------------------------------- duplicate n-gram spans
+
+_SPAN_N = 8
+
+
+@register(
+    "dedup_span_ngram",
+    oracle=f"""
+        WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        wins AS (
+            SELECT doc_id, i - 1 AS pos,
+                   md5(array_to_string(toks[i:i+{_SPAN_N - 1}], ' ')) AS gh
+            FROM base CROSS JOIN
+                 unnest(generate_series(1, greatest(len(toks) - {_SPAN_N - 1}, 0)))
+                 AS t(i)
+        ),
+        cross_doc AS (
+            SELECT gh FROM wins GROUP BY gh HAVING min(doc_id) <> max(doc_id)
+        ),
+        dup AS (
+            SELECT doc_id, pos FROM wins WHERE gh IN (SELECT gh FROM cross_doc)
+        ),
+        run AS (
+            SELECT doc_id, pos,
+                   max(pos + {_SPAN_N - 1}) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_end
+            FROM dup
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS g
+            FROM run
+        )
+        SELECT doc_id, min(pos) AS span_start,
+               max(pos) + {_SPAN_N - 1} AS span_end,
+               count(*) AS n_windows
+        FROM isl GROUP BY doc_id, g
+    """,
+    doc="§2.12 exact-substring duplicate spans (Lee et al. ACL'22 suffix-"
+    "array dedup, re-expressed as an 8-token-window inverted index): "
+    "cross-doc grams via groupBy(gh).min/max(id) — no countDistinct, no "
+    "quadratic step; span merge is per-doc gaps-and-islands "
+    "(operators/dedup.py::duplicate_ngram_spans)",
+)
+def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.duplicate_ngram_spans(d, "doc_id", "text", n=_SPAN_N).select(
+        F.col("id").alias("doc_id"),
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "n_windows",
+    )
+
+
+# ------------------------------------------------------------ Gopher gates
+
+_GOPHER_STOP_SQL = "['" + "', '".join(text.GOPHER_STOPWORDS) + "']"
+
+
+@register(
+    "text_gopher_quality",
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   (CAST(length(norm) AS BIGINT) - (len(toks) - 1))
+                       / nullif(len(toks), 0) AS mean_word_len,
+                   CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                        AS BIGINT) / nullif(len(toks), 0) AS frac_alpha_words,
+                   CAST(len(list_filter(toks,
+                        t -> list_contains({_GOPHER_STOP_SQL}, t)))
+                        AS BIGINT) AS n_stopword_hits,
+                   CAST(len(regexp_extract_all(text, '#')) +
+                        len(regexp_extract_all(text, '\\.\\.\\.'))
+                        AS BIGINT) / nullif(len(toks), 0) AS symbol_ratio
+            FROM (SELECT doc_id, text, {_NORM} AS norm, {_TOKS} AS toks
+                  FROM documents)
+        )
+        SELECT doc_id, n_words, mean_word_len, frac_alpha_words,
+               n_stopword_hits,
+               CASE WHEN n_words >= 50 AND n_words <= 100000
+                         AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                         AND frac_alpha_words >= 0.8
+                         AND n_stopword_hits >= 2
+                         AND symbol_ratio <= 0.1
+                    THEN 1 ELSE 0 END AS gopher_pass
+        FROM m
+    """,
+    doc="§2.12 Gopher/MassiveText quality gates (Rae et al. 2021 A1.1): "
+    "word-count bounds, mean word length, alphabetic-word fraction, "
+    "stopword presence, symbol ratio — all JVM expressions, ratios are "
+    "single divisions of exact BIGINT counts (operators/text.py)",
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    m = text.gopher_metrics("text")
+    return d.select(
+        "doc_id",
+        m["n_words"].alias("n_words"),
+        m["mean_word_len"].alias("mean_word_len"),
+        m["frac_alpha_words"].alias("frac_alpha_words"),
+        m["n_stopword_hits"].alias("n_stopword_hits"),
+        text.gopher_pass("text").alias("gopher_pass"),
+    )
+
+
+# ------------------------------------------------- temperature-scaled mixing
+
+_TEMP_BUDGET = 10_000
+
+
+@register(
+    "mix_temperature_quota",
+    oracle=f"""
+        WITH per AS (
+            SELECT source AS stratum,
+                   CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY 1
+        ),
+        w AS (
+            SELECT stratum, n_tokens,
+                   CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
+            FROM per
+        ),
+        t AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM w),
+        b AS (
+            SELECT stratum, n_tokens, weight,
+                   ({_TEMP_BUDGET} * weight) // tw AS q0,
+                   ({_TEMP_BUDGET} * weight) % tw AS rem
+            FROM w CROSS JOIN t
+        ),
+        lo AS (SELECT CAST({_TEMP_BUDGET} - sum(q0) AS BIGINT) AS leftover FROM b),
+        r AS (
+            SELECT *, row_number() OVER (ORDER BY rem DESC, stratum ASC) AS rk
+            FROM b
+        )
+        SELECT stratum, n_tokens, weight,
+               CAST(q0 + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+                   AS quota
+        FROM r CROSS JOIN lo
+    """,
+    doc="§2.12 temperature-scaled source mixing (τ=0.5, Conneau & Lample "
+    "2019 / mT5 sampling rule): budget split ∝ sqrt(source tokens) — sqrt "
+    "is IEEE-correctly-rounded so floor(sqrt(n)) is engine-exact; quotas "
+    "by largest-remainder apportionment in pure BIGINT arithmetic, "
+    "sum(quota) == budget exactly (operators/mixing.py)",
+)
+def mix_temperature_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("source"), F.size(dedup.tokens("text")).cast("long").alias("n_tok")
+    )
+    return mixing.temperature_quotas(toks, "source", "n_tok", _TEMP_BUDGET)
+
+
+# ------------------------------------------------------ train/val/test split
+
+
+@register(
+    "sample_split_assign",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) % 100 < 1 THEN 'test'
+                    WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) % 100 < 2 THEN 'val'
+                    ELSE 'train' END AS split
+        FROM documents
+    """,
+    doc="§2.12 deterministic train/val/test split: 60 md5 bits mod 100 → "
+    "98/1/1; partition-independent and stable under corpus growth, so "
+    "val/test never leak into train across re-runs "
+    "(operators/sampling.py::train_val_test_split); map-only, no shuffle",
+)
+def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return sampling.train_val_test_split(d, "doc_id", val_pct=1, test_pct=1).select(
+        "doc_id", "split"
+    )
+
+
+# -------------------------------------------------- streaming windowed top-k
+
+
+@register(
+    "stream_window_topk",
+    oracle="""
+        WITH counts AS (
+            SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
+                       AS window_start,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT window_start, event_type, n, CAST(rk AS BIGINT) AS rk
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY window_start ORDER BY n DESC, event_type ASC
+            ) AS rk
+            FROM counts
+        ) t WHERE rk <= 2
+    """,
+    doc="§2.9/§2.12 windowed top-k: tumbling 1h event-time windows → "
+    "per-window top-2 event types (rank by count, deterministic "
+    "tie-break). Streaming shape: the windowed count is an UPDATE-mode "
+    "streaming agg; the rank is the per-window-close fold (same split as "
+    "stream_change_fold). Batch plan: partial-agg'd window count + one "
+    "bounded per-window TakeOrdered — no global sort.",
+)
+def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = read_table(spark, sf_dir, "events")
+    counts = (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.col("n").desc(), F.col("event_type"))
+    )
+    return counts.withColumn("rk", rk.cast("long")).filter(F.col("rk") <= 2)

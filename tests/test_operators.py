@@ -702,3 +702,154 @@ class TestQuantizedIvf:
         qz = {(r["query_id"], r["neighbor_id"]) for r in quant.collect()}
         # int8 error is <= scale/2 per dim — top-5 sets should overlap heavily
         assert len(ex & qz) / len(ex) >= 0.8
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_new_keys_pass(self, spark):
+        from dbt_decodable_spark.operators import bloom
+
+        hist = spark.createDataFrame(
+            [(f"key{i}",) for i in range(200)], "k string"
+        )
+        batch = spark.createDataFrame(
+            [(i, f"key{i}") for i in range(190, 210)], "id long, k string"
+        )
+        out = {
+            r["id"]: r["maybe_seen"]
+            for r in bloom.bloom_prefilter_new_keys(
+                hist, batch, "k", "id", m_bits=1 << 14, k=4
+            ).collect()
+        }
+        # Bloom guarantee: every historical key MUST flag maybe_seen=1
+        assert all(out[i] == 1 for i in range(190, 200))
+        # 10 genuinely-new keys in a 2^14-bit filter holding 200 keys:
+        # fp rate ~ (800/16384)^4 ≈ 6e-6 — all must come back 0
+        assert all(out[i] == 0 for i in range(200, 210))
+
+    def test_word_table_is_bounded(self, spark):
+        from dbt_decodable_spark.operators import bloom
+
+        hist = spark.createDataFrame([(f"k{i}",) for i in range(500)], "k string")
+        words = bloom.build_bloom(hist, "k", m_bits=1 << 10, k=4)
+        assert words.count() <= (1 << 10) // 32
+
+
+class TestDuplicateSpans:
+    def test_cross_doc_span_detected_and_merged(self, spark):
+        shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        df = spark.createDataFrame(
+            [
+                (1, f"one two three {shared} four five six"),
+                (2, f"seven eight {shared} nine ten"),
+                (3, "completely disjoint words with no overlap at all here"),
+            ],
+            "doc_id long, text string",
+        )
+        spans = {
+            r["id"]: (r["span_start"], r["span_end"])
+            for r in dedup.duplicate_ngram_spans(df, "doc_id", "text", n=8).collect()
+        }
+        # shared block is 10 tokens → three 8-gram windows per doc, all
+        # overlapping → ONE merged span of exactly the shared range
+        assert spans[1] == (3, 12)  # tokens 3..12 in doc 1
+        assert spans[2] == (2, 11)  # tokens 2..11 in doc 2
+        assert 3 not in spans
+
+    def test_within_doc_repeat_not_flagged(self, spark):
+        rep = "a b c d e f g h"
+        df = spark.createDataFrame(
+            [(1, f"{rep} x y z {rep}"), (2, "totally different content in here ok yes")],
+            "doc_id long, text string",
+        )
+        # the 8-gram repeats only WITHIN doc 1 → min(id)=max(id) → no span
+        assert dedup.duplicate_ngram_spans(df, "doc_id", "text", n=8).count() == 0
+
+    def test_remove_spans_cuts_exactly_the_duplicated_tokens(self, spark):
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        df = spark.createDataFrame(
+            [(1, f"one two {shared}"), (2, f"{shared} nine ten")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["id"]: (r["clean_text"], r["n_tokens_removed"])
+            for r in dedup.remove_duplicate_spans(df, "doc_id", "text", n=8).collect()
+        }
+        assert out[1] == ("one two", 8)
+        assert out[2] == ("nine ten", 8)
+
+
+class TestGopherGates:
+    def test_metrics_exact_on_known_doc(self, spark):
+        doc = "the cat and the dog have fun with all of that stuff ok"
+        df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+        m = text.gopher_metrics("text")
+        row = df.select(
+            m["n_words"].alias("w"),
+            m["mean_word_len"].alias("mwl"),
+            m["frac_alpha_words"].alias("fa"),
+            m["n_stopword_hits"].alias("st"),
+        ).collect()[0]
+        assert row["w"] == 13
+        assert row["mwl"] == pytest.approx((len(doc) - 12) / 13)
+        assert row["fa"] == 1.0
+        # stopword hits: the, and, the, have, with, of, that → 7
+        assert row["st"] == 7
+
+    def test_pass_gate_bounds(self, spark):
+        good = " ".join(["the of and that have with word" ] * 10)  # 70 words
+        short = "the of and"  # < 50 words
+        symbols = " ".join(["###"] * 60)  # no alpha, all symbols
+        df = spark.createDataFrame(
+            [(1, good), (2, short), (3, symbols)], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r["p"]
+            for r in df.select("doc_id", text.gopher_pass("text").alias("p")).collect()
+        }
+        assert out == {1: 1, 2: 0, 3: 0}
+
+
+class TestTemperatureQuotas:
+    def test_quota_sums_to_budget_and_upweights_tail(self, spark):
+        from dbt_decodable_spark.operators import mixing
+
+        df = spark.createDataFrame(
+            [("big", 9000), ("mid", 900), ("small", 100)],
+            "src string, n long",
+        )
+        rows = {r["stratum"]: r for r in mixing.temperature_quotas(df, "src", "n", 1000).collect()}
+        assert sum(r["quota"] for r in rows.values()) == 1000
+        # τ=0.5: weights are sqrt-scaled → small gets 10/ (94+30+10) ≈ 7.5%
+        # of budget instead of the proportional 1%
+        assert rows["small"]["quota"] >= 70
+        assert rows["big"]["quota"] <= 720
+
+    def test_deterministic_tie_break(self, spark):
+        from dbt_decodable_spark.operators import mixing
+
+        df = spark.createDataFrame(
+            [("a", 100), ("b", 100), ("c", 100)], "src string, n long"
+        )
+        r1 = sorted(mixing.temperature_quotas(df, "src", "n", 100).collect())
+        r2 = sorted(mixing.temperature_quotas(df, "src", "n", 100).collect())
+        assert r1 == r2
+        assert sum(r["quota"] for r in r1) == 100
+
+
+class TestTrainValTestSplit:
+    def test_partition_independent_and_complete(self, spark):
+        from dbt_decodable_spark.operators import sampling
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "k")
+        a = {r["k"]: r["split"] for r in sampling.train_val_test_split(df, "k").collect()}
+        b = {
+            r["k"]: r["split"]
+            for r in sampling.train_val_test_split(df.repartition(7), "k").collect()
+        }
+        assert a == b
+        from collections import Counter
+
+        c = Counter(a.values())
+        # 98/1/1 targets on 2000 keys: val+test each ~20 ± binomial noise
+        assert 5 <= c["val"] <= 45 and 5 <= c["test"] <= 45
+        assert c["train"] + c["val"] + c["test"] == 2000
