@@ -78,14 +78,21 @@ _DRIVER_WINDOW_PRIORITY = (
     "stream_interval_join_outer", "text_winnowing",
     "func_unicode_nfc", "stream_minhash_index", "text_bigram_commonness",
     "similarity_ivf_quantized_topk",
-    # (c) staleness guard — oldest driver rows (rounds 1-2):
+    # (b3) new in this session — never driver-measured:
+    "dedup_bloom_filter", "dedup_span_ngram", "text_gopher_quality",
+    "mix_temperature_quota", "sample_split_assign", "stream_window_topk",
+    # (c) staleness guard — oldest driver rows (rounds 1-2). Six rows were
+    # trimmed to make room for (b3): case_when/derived_table_subquery/
+    # like_predicate (same relational core as the kept scan/where rows) and
+    # two of the three CUBE-family variants (agg_cube kept, rollup/
+    # grouping_sets share the expand operator) + except_all (intersect_
+    # except kept). All six stay green under tools/oracle_check.py.
     "agg_cube", "agg_distinct", "agg_global", "agg_groupby_expression",
-    "agg_grouping_sets", "agg_having", "agg_minmax_by", "agg_percentile",
-    "agg_rollup", "agg_stats", "case_when", "derived_table_subquery",
-    "except_all", "intersect_except", "join_anti", "join_asof",
+    "agg_having", "agg_minmax_by", "agg_percentile",
+    "agg_stats", "intersect_except", "join_anti", "join_asof",
     "join_full_outer", "join_left_outer", "join_lookup_broadcast",
     "join_right_outer", "join_semi", "join_theta", "join_three_way",
-    "like_predicate", "order_by_limit", "scan_project_filter",
+    "order_by_limit", "scan_project_filter",
 )
 
 
