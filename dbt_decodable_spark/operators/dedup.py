@@ -594,6 +594,11 @@ def duplicate_ngram_spans(
       document, running ``max(pos + n - 1)`` over preceding rows, new
       island when the current window starts past ``prev_end + 1``. The
       per-document window is bounded by document length — no global sort.
+
+    The window relation feeds both the dup-gram aggregate and the probe
+    side, so the lineage computes it twice; at 100 TB write it to parquet
+    once and read it back for both (the same materialize-before-self-join
+    rule as the MinHash signature index).
     """
     wins = ngram_window_rows(df, id_col, text_col, n)
     cross_doc = (

@@ -496,3 +496,45 @@ def gopher_pass(col: Column | str, min_words: int = 50, max_words: int = 100_000
         & (m["symbol_ratio"] <= 0.1)
     )
     return F.when(ok, F.lit(1)).otherwise(F.lit(0))
+
+
+# --------------------------------------------------------- markup stripping
+# C4/FineWeb-style cleanup: drop HTML tags, decode the five standard
+# entities, collapse whitespace. Plain regexp_replace chains — identical
+# pattern semantics in Java regex and RE2, so the same expressions run in
+# any SQL oracle. No capture-group replacements (Spark spells them $1,
+# DuckDB \1 — a silent portability trap).
+
+
+def strip_markup(col: Column | str) -> Column:
+    """Markup-free text: tags → space, entities decoded, whitespace
+    collapsed. Map-only JVM expression chain (single codegen stage)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, rep in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+        ("&amp;", "&"),  # LAST — else &amp;lt; would double-decode
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+# --------------------------------------------------------- URL canonicalize
+# Crawl-dedup canonicalization: two spellings of the same page must map to
+# one key BEFORE exact dedup, or every http/https/www/utm variant becomes
+# a distinct "document". Pure regex pipeline, engine-portable.
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonical form: lowercase, fragment/scheme/www stripped, trailing
+    ``utm_*`` tracking params removed, trailing slash and lone ``?``
+    dropped. Deliberately conservative — no path resolution, no percent
+    decoding (those change identity)."""
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.lower(c)
+    u = F.regexp_replace(u, r"#.*$", "")        # fragment
+    u = F.regexp_replace(u, r"^https?://", "")  # scheme
+    u = F.regexp_replace(u, r"^www\.", "")      # www prefix
+    u = F.regexp_replace(u, r"[?&]utm_[^&]*", "")  # tracking params (tail)
+    u = F.regexp_replace(u, r"\?$", "")         # lone ? left behind
+    return F.regexp_replace(u, r"/$", "")       # trailing slash

@@ -301,3 +301,119 @@ def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("window_start").orderBy(F.col("n").desc(), F.col("event_type"))
     )
     return counts.withColumn("rk", rk.cast("long")).filter(F.col("rk") <= 2)
+
+
+# ----------------------------------------------------------- markup strip
+
+
+@register(
+    "text_strip_markup",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id,
+                   '<p class="d">' || substr(text, 1, 40)
+                   || '</p> <a href="/d/' || CAST(doc_id AS VARCHAR)
+                   || '">link&amp;more</a> &lt;raw ' || lang || '&gt;' AS html
+            FROM documents WHERE doc_id < 300
+        )
+        SELECT doc_id,
+               trim(regexp_replace(
+                   replace(replace(replace(replace(replace(
+                       regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', ''''), '&amp;', '&'),
+                   '\\s+', ' ', 'g')) AS clean,
+               CAST(length(html) AS BIGINT) AS raw_len
+        FROM h
+    """,
+    doc="§2.12 markup stripping (the C4/FineWeb HTML-cleanup pass): tag "
+    "removal + ordered entity decode (&amp; last) + whitespace collapse — "
+    "one map-only regexp_replace/replace chain (operators/text.py::"
+    "strip_markup). Markup is synthesized around real document text "
+    "because the test corpus is plain-text.",
+)
+def text_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    html = F.concat(
+        F.lit('<p class="d">'), F.substring("text", 1, 40),
+        F.lit('</p> <a href="/d/'), F.col("doc_id").cast("string"),
+        F.lit('">link&amp;more</a> &lt;raw '), F.col("lang"), F.lit("&gt;"),
+    )
+    return d.select(
+        "doc_id",
+        text.strip_markup(html).alias("clean"),
+        F.length(html).cast("long").alias("raw_len"),
+    )
+
+
+# ------------------------------------------------------- URL canonical dedup
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN 'https://www.Corpus.example/pages/'
+                                 || CAST(doc_id // 4 AS VARCHAR) || '/'
+                     WHEN 1 THEN 'http://corpus.example/pages/'
+                                 || CAST(doc_id // 4 AS VARCHAR)
+                                 || '?utm_source=feed'
+                     WHEN 2 THEN 'https://CORPUS.example/pages/'
+                                 || CAST(doc_id // 4 AS VARCHAR) || '#frag'
+                     ELSE 'https://corpus.example/pages/'
+                                 || CAST(doc_id // 4 AS VARCHAR)
+                                 || '?id=7&utm_campaign=x'
+                   END AS url
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(regexp_replace(
+                           lower(url), '#.*$', ''), '^https?://', ''),
+                           '^www\\.', ''), '[?&]utm_[^&]*', '', 'g'),
+                           '\\?$', ''), '/$', '') AS curl
+            FROM u
+        )
+        SELECT curl, min(doc_id) AS doc_id, count(*) AS n_variants
+        FROM c GROUP BY curl
+    """,
+    doc="§2.12 URL canonicalization dedup (crawl pipeline): scheme/www/"
+    "fragment/utm-param/trailing-slash variants of a page collapse to one "
+    "key before exact dedup (operators/text.py::canonical_url — regex "
+    "pipeline, no capture-group replacements for engine portability). "
+    "URLs synthesized from doc_id so each page has 3-4 colliding "
+    "spellings; ?id=7 survives, utm_* does not.",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    base = F.concat(F.expr("CAST(doc_id div 4 AS STRING)"))
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://www.Corpus.example/pages/"), base, F.lit("/")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("http://corpus.example/pages/"), base, F.lit("?utm_source=feed")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://CORPUS.example/pages/"), base, F.lit("#frag")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://corpus.example/pages/"), base,
+                F.lit("?id=7&utm_campaign=x"),
+            )
+        )
+    )
+    return (
+        d.select("doc_id", text.canonical_url(url).alias("curl"))
+        .groupBy("curl")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_variants"))
+    )

@@ -102,3 +102,76 @@ class TestPrefixSumProperty:
             acc[g] = acc.get(g, 0) + w
             want.add((i, acc[g]))
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# duplicate n-gram spans: randomized docs vs a brute-force python reference
+
+
+def _ref_spans(docs: dict[int, list[str]], n: int) -> set[tuple[int, int, int]]:
+    """Brute-force reference: every n-window whose gram occurs in another
+    doc is duplicated; merge overlapping/adjacent windows per doc."""
+    grams: dict[tuple[str, ...], set[int]] = {}
+    for did, toks in docs.items():
+        for i in range(len(toks) - n + 1):
+            grams.setdefault(tuple(toks[i : i + n]), set()).add(did)
+    out = set()
+    for did, toks in docs.items():
+        dup_pos = sorted(
+            i
+            for i in range(len(toks) - n + 1)
+            if len(grams[tuple(toks[i : i + n])]) > 1
+        )
+        if not dup_pos:
+            continue
+        start, end = dup_pos[0], dup_pos[0] + n - 1
+        cnt = 1
+        for p in dup_pos[1:]:
+            if p <= end + 1:
+                end = max(end, p + n - 1)
+                cnt += 1
+            else:
+                out.add((did, start, end))
+                start, end, cnt = p, p + n - 1, 1
+        out.add((did, start, end))
+    return out
+
+
+@st.composite
+def span_case(draw):
+    vocab = ["w%d" % i for i in range(8)]
+    word = st.sampled_from(vocab)
+    n_docs = draw(st.integers(2, 4))
+    docs = {
+        i: draw(st.lists(word, min_size=0, max_size=18)) for i in range(n_docs)
+    }
+    # plant a shared block in two docs half the time so dups are common
+    if draw(st.booleans()):
+        block = draw(st.lists(word, min_size=4, max_size=8))
+        docs[0] = docs[0] + block
+        docs[1] = block + docs[1]
+    return docs
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(span_case())
+def test_duplicate_spans_match_bruteforce(spark, case):
+    from dbt_decodable_spark.operators.dedup import duplicate_ngram_spans
+
+    n = 4
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in case.items() if toks],
+        "doc_id long, text string",
+    )
+    if not df.count():
+        return
+    got = {
+        (r["id"], r["span_start"], r["span_end"])
+        for r in duplicate_ngram_spans(df, "doc_id", "text", n=n).collect()
+    }
+    want = _ref_spans({i: t for i, t in case.items() if t}, n)
+    assert got == want

@@ -853,3 +853,39 @@ class TestTrainValTestSplit:
         # 98/1/1 targets on 2000 keys: val+test each ~20 ± binomial noise
         assert 5 <= c["val"] <= 45 and 5 <= c["test"] <= 45
         assert c["train"] + c["val"] + c["test"] == 2000
+
+
+class TestStripMarkup:
+    def test_tags_entities_whitespace(self, spark):
+        df = spark.createDataFrame(
+            [(1, '<div id="x">Hello &amp; <b>world</b></div>\n\n&lt;tag&gt; &#39;q&#39;')],
+            "id long, html string",
+        )
+        out = df.select(text.strip_markup("html").alias("c")).collect()[0]["c"]
+        assert out == "Hello & world <tag> 'q'"
+
+    def test_amp_decoded_last_no_double_decode(self, spark):
+        # &amp;lt; is literal "&lt;" — must NOT become "<"
+        df = spark.createDataFrame([(1, "a &amp;lt; b")], "id long, html string")
+        out = df.select(text.strip_markup("html").alias("c")).collect()[0]["c"]
+        assert out == "a &lt; b"
+
+
+class TestCanonicalUrl:
+    def test_variants_collapse(self, spark):
+        urls = [
+            "https://www.Example.com/Page/",
+            "http://example.com/page",
+            "HTTPS://EXAMPLE.COM/page#section",
+            "https://example.com/page?utm_source=x",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        got = {r["c"] for r in df.select(text.canonical_url("url").alias("c")).collect()}
+        assert got == {"example.com/page"}
+
+    def test_real_query_params_survive(self, spark):
+        df = spark.createDataFrame(
+            [("https://example.com/p?id=7&utm_campaign=x",)], "url string"
+        )
+        out = df.select(text.canonical_url("url").alias("c")).collect()[0]["c"]
+        assert out == "example.com/p?id=7"
