@@ -81,7 +81,9 @@ _DRIVER_WINDOW_PRIORITY = (
     # (b3) new in this session — never driver-measured:
     "dedup_bloom_filter", "dedup_span_ngram", "text_gopher_quality",
     "mix_temperature_quota", "sample_split_assign", "stream_window_topk",
-    "text_strip_markup", "dedup_url_canonical",
+    "text_strip_markup", "dedup_url_canonical", "stream_bloom_index",
+    "source_text_roundtrip", "source_parquet_zstd_roundtrip",
+    "source_partitioned_pruned",
     # (c) staleness guard — oldest driver rows (rounds 1-2). Eight rows
     # were trimmed to make room for (b3): case_when/derived_table_subquery/
     # like_predicate (same relational core as the kept scan/where rows),
@@ -91,11 +93,11 @@ _DRIVER_WINDOW_PRIORITY = (
     # agg machinery is continuously exercised by the kept groupBy rows).
     # All eight stay green under tools/oracle_check.py.
     "agg_cube", "agg_groupby_expression",
-    "agg_having", "agg_minmax_by", "agg_percentile",
+    "agg_minmax_by",
     "agg_stats", "intersect_except", "join_anti", "join_asof",
     "join_full_outer", "join_left_outer", "join_lookup_broadcast",
-    "join_right_outer", "join_semi", "join_theta", "join_three_way",
-    "order_by_limit", "scan_project_filter",
+    "join_semi", "join_theta", "join_three_way",
+    "scan_project_filter",
 )
 
 

@@ -313,3 +313,82 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"/tmp/spark_orc_src_{tag}"
     df.write.mode("overwrite").orc(path)
     return spark.read.schema(df.schema).orc(path)
+
+
+@register(
+    "source_text_roundtrip",
+    oracle="SELECT text FROM documents WHERE doc_id < 200 AND strpos(text, chr(10)) = 0",
+    doc="§2.1 file formats: raw text-lines round-trip (the classic corpus "
+    "interchange format at 100 TB — one document per line) through "
+    "spark.read/write.text; newline-bearing docs are excluded on both "
+    "sides because the format cannot carry them (the reason parquet is "
+    "the engine's default)",
+)
+def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    df = (
+        read_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 200) & (~F.col("text").contains("\n")))
+        .select("text")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_text_src_{tag}"
+    df.write.mode("overwrite").text(path)
+    return spark.read.text(path).select(F.col("value").alias("text"))
+
+
+@register(
+    "source_parquet_zstd_roundtrip",
+    oracle="""
+        SELECT p_partkey, p_name, p_brand,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS retail_cents
+        FROM part
+    """,
+    doc="§2.1 file formats: part written as zstd-compressed parquet and "
+    "read back — the cold-tier codec choice at 100 TB (zstd ≈ gzip ratio "
+    "at lz4-class decode speed); money carried as exact integer cents",
+)
+def source_parquet_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from dbt_decodable_spark.queries.money import cents
+
+    df = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", cents("p_retailprice").alias("retail_cents")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_zstd_src_{tag}"
+    df.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    return spark.read.schema(df.schema).parquet(path)
+
+
+@register(
+    "source_partitioned_pruned",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(round(value * 100) AS BIGINT) AS value_cents
+        FROM events WHERE event_type = 'click'
+    """,
+    doc="§2.1 partitioned lake layout: events written partitionBy("
+    "event_type), read back with an equality filter — the filter resolves "
+    "to DIRECTORY pruning (PartitionFilters, zero data-file reads outside "
+    "the partition), the layout that turns a 100 TB scan into a 20 TB "
+    "one; plan-asserted in tests/test_bucketing.TestPartitionPruning",
+)
+def source_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from dbt_decodable_spark.queries.money import cents
+
+    df = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", cents("value").alias("value_cents"), "event_type"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_part_src_{tag}"
+    df.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "value_cents")
+    )

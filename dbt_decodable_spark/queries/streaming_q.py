@@ -664,3 +664,78 @@ def stream_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     shutil.rmtree(index_dir + "_ckpt", ignore_errors=True)
     return spark.read.parquet(index_dir)
+
+
+@register(
+    "stream_bloom_index",
+    oracle=f"""
+        WITH hist AS (
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS key
+            FROM documents
+        ),
+        hp AS (
+            SELECT CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || key), 1, 15)
+                        AS BIGINT) % 65536 AS pos
+            FROM hist CROSS JOIN unnest(range(4)) AS t(j)
+        )
+        SELECT pos // 32 AS word_idx,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+        FROM hp GROUP BY 1
+    """,
+    doc="§2.9/§2.12 streaming Bloom-index maintenance: documents arrive as "
+    "a bounded file stream; each micro-batch folds ONLY its own keys into "
+    "a partial (word_idx, bits) table (operators/bloom.py::build_bloom) "
+    "and foreachBatch appends it — bit_or is associative/commutative/"
+    "idempotent, so the presented filter is a groupBy(word_idx).bit_or "
+    "over the partials, identical to the batch-built filter (the oracle). "
+    "This is the at-scale shape: an increment hashes only itself, appends "
+    "m/32 rows, and compaction is the same bit_or fold whenever the "
+    "partial count grows.",
+)
+def stream_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+
+    from dbt_decodable_spark.operators.bloom import build_bloom
+    from dbt_decodable_spark.schema import SchemaField, StreamSchema
+    from dbt_decodable_spark.sources.datagen import file_stream
+
+    schema = StreamSchema(
+        fields=(
+            SchemaField(name="doc_id", type="BIGINT"),
+            SchemaField(name="text", type="STRING"),
+            SchemaField(name="lang", type="STRING"),
+            SchemaField(name="source", type="STRING"),
+            SchemaField(name="n_chars", type="BIGINT"),
+        ),
+    )
+    stream = file_stream(
+        spark, sf_dir, schema, options={"pathGlobFilter": "documents.parquet"}
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    index_dir = f"/tmp/spark_bloom_index_{tag}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    shutil.rmtree(index_dir + "_ckpt", ignore_errors=True)
+
+    def fold_batch(batch_df, batch_id):
+        from dbt_decodable_spark.operators.dedup import normalize_text
+
+        keyed = batch_df.select(F.md5(normalize_text("text")).alias("key"))
+        partial = build_bloom(keyed, "key", m_bits=1 << 16, k=4)
+        # append-only partials: idempotent under replay NOT required for
+        # bits (bit_or absorbs duplicates) — only the row count grows
+        partial.write.mode("append").parquet(index_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", index_dir + "_ckpt")
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(index_dir + "_ckpt", ignore_errors=True)
+    return (
+        spark.read.parquet(index_dir)
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
