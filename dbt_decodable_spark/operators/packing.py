@@ -120,3 +120,63 @@ def pack_by_budget(
         shard_col,
         F.floor((F.col(cum_col) - F.col(weight_col)) / F.lit(budget)).cast("long"),
     )
+
+
+def length_bucket_thresholds(
+    df: DataFrame, length_col: str, n_buckets: int = 8
+) -> DataFrame:
+    """Exact quantile thresholds for sequence-length bucketing WITHOUT a
+    global sort: ``(bucket, upper_len)`` where bucket b (1-based) covers
+    lengths up to the smallest length whose cumulative count reaches
+    ``ceil(b·N/B)``.
+
+    The trick that scales: aggregate to the LENGTH HISTOGRAM first
+    (``groupBy(length).count()``) — its size is bounded by the number of
+    distinct lengths (≤ max sequence length, thousands), not by corpus
+    rows — then do the cumulative/threshold work on that tiny table. The
+    one unpartitioned window here runs over the histogram, never the
+    corpus; the corpus-side cost is a single partial-agg'd groupBy. All
+    arithmetic is BIGINT (ceil via ``(b·N + B−1) div B``), so the
+    thresholds are engine-exact.
+    """
+    hist = df.groupBy(F.col(length_col).alias("__len")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w = W.orderBy("__len").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.withColumn("__cum", F.sum("__cnt").over(w))
+    total = df.agg(F.count(F.lit(1)).alias("__N"))
+    spark = df.sparkSession
+    buckets = spark.createDataFrame(
+        [(b,) for b in range(1, n_buckets + 1)], "bucket long"
+    )
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(buckets))
+        .filter(
+            F.col("__cum")
+            >= F.expr(f"(bucket * __N + {n_buckets - 1}) div {n_buckets}")
+        )
+        .groupBy("bucket")
+        .agg(F.min("__len").alias("upper_len"))
+    )
+
+
+def assign_length_buckets(
+    df: DataFrame, id_col: str, length_col: str, n_buckets: int = 8
+) -> DataFrame:
+    """Per-row bucket assignment for length-batched training/inference:
+    ``(id, length, bucket)`` with bucket = smallest b whose threshold
+    covers the row's length. Rows of similar length land in the same
+    bucket, so a batch drawn within a bucket wastes minimal padding.
+
+    The threshold table (B rows) is broadcast; assignment is a
+    B-comparison nested-loop per row folded with ``min(bucket)`` — a
+    map-side join, no corpus shuffle beyond the id re-group (AQE
+    coalesces it)."""
+    thr = length_bucket_thresholds(df, length_col, n_buckets)
+    lens = df.select(F.col(id_col).alias("id"), F.col(length_col).alias("length"))
+    return (
+        lens.join(F.broadcast(thr), F.col("length") <= F.col("upper_len"), "inner")
+        .groupBy("id", "length")
+        .agg(F.min("bucket").alias("bucket"))
+    )

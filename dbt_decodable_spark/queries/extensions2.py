@@ -417,3 +417,50 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("curl")
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_variants"))
     )
+
+
+# ------------------------------------------------------ length bucketing
+
+_LB_B = 8
+
+
+@register(
+    "pack_length_buckets",
+    oracle=f"""
+        WITH l AS (
+            SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS length
+            FROM documents
+        ),
+        hist AS (SELECT length AS len, count(*) AS cnt FROM l GROUP BY 1),
+        cum AS (
+            SELECT len, sum(cnt) OVER (ORDER BY len ROWS UNBOUNDED PRECEDING) AS c
+            FROM hist
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM l),
+        b AS (SELECT CAST(unnest(range(1, {_LB_B + 1})) AS BIGINT) AS bucket),
+        thr AS (
+            SELECT bucket, min(len) AS upper_len
+            FROM cum CROSS JOIN tot CROSS JOIN b
+            WHERE c >= (bucket * n + {_LB_B - 1}) // {_LB_B}
+            GROUP BY bucket
+        )
+        SELECT doc_id, length, CAST(min(bucket) AS BIGINT) AS bucket
+        FROM l JOIN thr ON l.length <= thr.upper_len
+        GROUP BY doc_id, length
+    """,
+    doc="§2.12 sequence-length bucketing for batched training/inference: "
+    "exact B-quantile thresholds computed on the LENGTH HISTOGRAM "
+    "(bounded by distinct lengths, never corpus rows — the no-global-sort "
+    "exact quantile), broadcast, then a B-comparison map-side assignment "
+    "(operators/packing.py::assign_length_buckets). Minimizes padding "
+    "waste inside a batch; all BIGINT arithmetic.",
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.operators.packing import assign_length_buckets
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(dedup.tokens("text")).cast("long").alias("n_tok")
+    )
+    return assign_length_buckets(d, "doc_id", "n_tok", _LB_B).select(
+        F.col("id").alias("doc_id"), "length", "bucket"
+    )

@@ -116,3 +116,34 @@ class TestGroupedRunningSum:
         assert max(r["cum_weight"] for r in by_s["a"]) == 100
         # strata without a budget are dropped; kept rows' cum starts in-budget
         assert all(r["cum_weight"] - r["w"] < {"a": 100, "b": 40}[r["s"]] for r in rows)
+
+
+class TestLengthBuckets:
+    def test_exact_quantile_assignment(self, spark):
+        from dbt_decodable_spark.operators.packing import (
+            assign_length_buckets,
+            length_bucket_thresholds,
+        )
+
+        # 8 rows, lengths 1..8, 4 buckets → thresholds 2,4,6,8
+        df = spark.createDataFrame(
+            [(i, i) for i in range(1, 9)], "id long, n long"
+        )
+        thr = {r["bucket"]: r["upper_len"] for r in length_bucket_thresholds(df, "n", 4).collect()}
+        assert thr == {1: 2, 2: 4, 3: 6, 4: 8}
+        out = {r["id"]: r["bucket"] for r in assign_length_buckets(df, "id", "n", 4).collect()}
+        assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 7: 4, 8: 4}
+
+    def test_skewed_duplicates_cover_everything(self, spark):
+        from dbt_decodable_spark.operators.packing import assign_length_buckets
+
+        # heavy duplication: 90 rows of length 5, tail of longer ones
+        rows = [(i, 5) for i in range(90)] + [(100 + i, 50 + i) for i in range(10)]
+        df = spark.createDataFrame(rows, "id long, n long")
+        out = assign_length_buckets(df, "id", "n", 8)
+        assert out.count() == 100  # every row assigned exactly once
+        got = {r["id"]: r["bucket"] for r in out.collect()}
+        # all length-5 rows share one bucket (same length → same bucket)
+        assert len({got[i] for i in range(90)}) == 1
+        # longest row lands in the top occupied bucket, ordering holds
+        assert got[109] == max(got.values())
