@@ -96,7 +96,69 @@ def rewrite_function_calls(sql: str) -> str:
             raise ValueError(f"unsupported TO_TIMESTAMP_LTZ call: {sql[m.start():end]}")
         pos = end
     out.append(sql[pos:])
+    sql = "".join(out)
+    sql = _rewrite_split_index(sql)
+    sql = _rewrite_base64(sql)
+    sql = _rewrite_str_to_map(sql)
+    return sql
+
+
+_SPLIT_INDEX_RE = re.compile(r"\bSPLIT_INDEX\s*\(", re.IGNORECASE)
+_TO_B64_RE = re.compile(r"\bTO_BASE64\s*\(", re.IGNORECASE)
+_FROM_B64_RE = re.compile(r"\bFROM_BASE64\s*\(", re.IGNORECASE)
+_STR_TO_MAP_RE = re.compile(r"\bSTR_TO_MAP\s*\(", re.IGNORECASE)
+
+
+def _rewrite_calls(sql: str, pattern: re.Pattern, render) -> str:
+    out: list[str] = []
+    pos = 0
+    for m in pattern.finditer(sql):
+        if m.start() < pos:  # overlapped a previously-rewritten span
+            continue
+        out.append(sql[pos : m.start()])
+        args, end = _read_args(sql, m.end())
+        out.append(render([a.strip() for a in args]))
+        pos = end
+    out.append(sql[pos:])
     return "".join(out)
+
+
+def _rewrite_split_index(sql: str) -> str:
+    """``SPLIT_INDEX(s, d, i)`` (Flink: plain-string delimiter, 0-based,
+    NULL out of range) → ``split(s, '\\Qd\\E')[i]``. Spark's ``split``
+    takes a REGEX, so the delimiter is \\Q…\\E-quoted — without it a ``|``
+    or ``.`` delimiter silently splits on everything. Spark's ``[]`` on a
+    split result is 0-based and NULL out of range under ANSI-off — the
+    Flink semantics."""
+    return _rewrite_calls(
+        sql,
+        _SPLIT_INDEX_RE,
+        lambda a: f"split({a[0]}, concat('\\\\Q', {a[1]}, '\\\\E'))[{a[2]}]",
+    )
+
+
+def _rewrite_base64(sql: str) -> str:
+    """``TO_BASE64(s)`` → ``base64(s)``; ``FROM_BASE64(s)`` →
+    ``CAST(unbase64(s) AS STRING)`` (Flink returns STRING, Spark's
+    ``unbase64`` returns BINARY)."""
+    sql = _rewrite_calls(sql, _TO_B64_RE, lambda a: f"base64({a[0]})")
+    return _rewrite_calls(
+        sql, _FROM_B64_RE, lambda a: f"CAST(unbase64({a[0]}) AS STRING)"
+    )
+
+
+def _rewrite_str_to_map(sql: str) -> str:
+    """``STR_TO_MAP(s)`` → ``str_to_map(s, ',', '=')``: the function is
+    name-compatible but the DEFAULT delimiters differ (Flink ``,``/``=``,
+    Spark ``,``/``:``) — a silent wrong-answer without the injection.
+    Explicit-delimiter calls pass through unchanged."""
+
+    def render(a: list[str]) -> str:
+        if len(a) == 1:
+            return f"str_to_map({a[0]}, ',', '=')"
+        return f"str_to_map({', '.join(a)})"
+
+    return _rewrite_calls(sql, _STR_TO_MAP_RE, render)
 
 
 def _read_args(sql: str, start: int) -> tuple[list[str], int]:

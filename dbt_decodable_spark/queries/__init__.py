@@ -83,7 +83,7 @@ _DRIVER_WINDOW_PRIORITY = (
     "mix_temperature_quota", "sample_split_assign", "stream_window_topk",
     "text_strip_markup", "dedup_url_canonical", "stream_bloom_index",
     "source_text_roundtrip", "source_parquet_zstd_roundtrip",
-    "source_partitioned_pruned", "pack_length_buckets",
+    "source_partitioned_pruned", "pack_length_buckets", "func_string_flink",
     # (c) staleness guard — oldest driver rows (rounds 1-2). Eight rows
     # were trimmed to make room for (b3): case_when/derived_table_subquery/
     # like_predicate (same relational core as the kept scan/where rows),
@@ -92,7 +92,6 @@ _DRIVER_WINDOW_PRIORITY = (
     # except kept), and agg_distinct/agg_global (the distinct and global
     # agg machinery is continuously exercised by the kept groupBy rows).
     # All eight stay green under tools/oracle_check.py.
-    "agg_groupby_expression",
     "agg_minmax_by",
     "agg_stats", "intersect_except", "join_anti", "join_asof",
     "join_full_outer", "join_left_outer", "join_lookup_broadcast",

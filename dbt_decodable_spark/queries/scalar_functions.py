@@ -448,3 +448,43 @@ def func_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(nfc("s")).cast("long").alias("nfc_len"),
         F.length("s").cast("long").alias("raw_len"),
     )
+
+
+@register(
+    "func_string_flink",
+    oracle="""
+        SELECT c_custkey,
+               string_split(c_name, '#')[2] AS key_part,
+               c_mktsegment AS seg_from_map,
+               base64(encode(c_name)) AS name_b64,
+               c_name AS name_rt,
+               lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS key_pad,
+               repeat('-', 3) || c_mktsegment AS seg_dashed,
+               strpos(c_name, '1') AS one_pos
+        FROM customer WHERE c_custkey <= 500
+    """,
+    doc="§2.8 Flink string builtins through the dialect shim "
+    "(dialect.normalize → spark.sql): SPLIT_INDEX (plain-string delim, "
+    "0-based — rewritten to \\Q-quoted regex split), STR_TO_MAP (Flink "
+    "default ,/= delimiters injected — Spark's default is ,/: — map "
+    "probed by key so no map-typed output reaches the driver canon), "
+    "TO_BASE64/FROM_BASE64 (→ base64/unbase64+CAST) round-trip, and the "
+    "name-compatible LOCATE/LPAD/REPEAT passthroughs.",
+)
+def func_string_flink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.dialect import normalize
+
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    flink_sql = """
+        SELECT c_custkey,
+               SPLIT_INDEX(c_name, '#', 1) AS key_part,
+               STR_TO_MAP(concat('seg=', c_mktsegment, ',key=', c_custkey))['seg']
+                   AS seg_from_map,
+               TO_BASE64(c_name) AS name_b64,
+               FROM_BASE64(TO_BASE64(c_name)) AS name_rt,
+               LPAD(CAST(c_custkey AS STRING), 12, '0') AS key_pad,
+               concat(REPEAT('-', 3), c_mktsegment) AS seg_dashed,
+               CAST(LOCATE('1', c_name) AS BIGINT) AS one_pos
+        FROM customer WHERE c_custkey <= 500
+    """
+    return spark.sql(normalize(flink_sql))

@@ -185,3 +185,43 @@ class TestWindowTVFRewrite:
     def test_tvf_inside_comment_untouched(self):
         sql = "-- TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '1' MINUTE))\nSELECT 1"
         assert normalize(sql) == sql
+
+
+class TestFlinkStringRewrites:
+    def test_split_index_regex_quoted(self):
+        from dbt_decodable_spark.dialect import normalize
+
+        out = normalize("SELECT SPLIT_INDEX(col, '|', 2) FROM t")
+        assert "split(col, concat('\\\\Q', '|', '\\\\E'))[2]" in out
+
+    def test_str_to_map_default_delims_injected(self):
+        from dbt_decodable_spark.dialect import normalize
+
+        assert "str_to_map(s, ',', '=')" in normalize("SELECT STR_TO_MAP(s) FROM t")
+        # explicit delimiters pass through untouched
+        assert "str_to_map(s, ';', ':')" in normalize(
+            "SELECT STR_TO_MAP(s, ';', ':') FROM t"
+        )
+
+    def test_base64_pair(self):
+        from dbt_decodable_spark.dialect import normalize
+
+        out = normalize("SELECT FROM_BASE64(TO_BASE64(x)) FROM t")
+        assert out.count("base64(x)") == 1
+        assert "CAST(unbase64(base64(x)) AS STRING)" in out
+
+    def test_pipe_delimiter_splits_literally(self, spark):
+        from dbt_decodable_spark.dialect import normalize
+
+        row = spark.sql(
+            normalize("SELECT SPLIT_INDEX('a|b|c', '|', 1) AS x")
+        ).collect()[0]
+        assert row["x"] == "b"
+
+    def test_str_to_map_flink_defaults_evaluate(self, spark):
+        from dbt_decodable_spark.dialect import normalize
+
+        row = spark.sql(
+            normalize("SELECT STR_TO_MAP('a=1,b=2')['b'] AS v")
+        ).collect()[0]
+        assert row["v"] == "2"
