@@ -100,6 +100,7 @@ def rewrite_function_calls(sql: str) -> str:
     sql = _rewrite_split_index(sql)
     sql = _rewrite_base64(sql)
     sql = _rewrite_str_to_map(sql)
+    sql = _rewrite_json_value(sql)
     return sql
 
 
@@ -145,6 +146,26 @@ def _rewrite_base64(sql: str) -> str:
     return _rewrite_calls(
         sql, _FROM_B64_RE, lambda a: f"CAST(unbase64({a[0]}) AS STRING)"
     )
+
+
+_JSON_VALUE_RE = re.compile(r"\bJSON_VALUE\s*\(", re.IGNORECASE)
+
+
+def _rewrite_json_value(sql: str) -> str:
+    """``JSON_VALUE(doc, path)`` (SQL/JSON, Flink ≥1.15) →
+    ``get_json_object(doc, path)``. Both return VARCHAR (Flink's default
+    RETURNING clause) and NULL on a missing path; RETURNING/ON EMPTY
+    clauses are not supported — fail loudly rather than mis-translate."""
+
+    def render(a: list[str]) -> str:
+        if len(a) != 2 or re.search(r"\bRETURNING\b|\bON\s+(EMPTY|ERROR)\b", " ".join(a), re.I):
+            raise ValueError(
+                "JSON_VALUE: only the 2-arg VARCHAR form is supported; "
+                f"got JSON_VALUE({', '.join(a)})"
+            )
+        return f"get_json_object({a[0]}, {a[1]})"
+
+    return _rewrite_calls(sql, _JSON_VALUE_RE, render)
 
 
 def _rewrite_str_to_map(sql: str) -> str:

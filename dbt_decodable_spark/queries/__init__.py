@@ -83,16 +83,17 @@ _DRIVER_WINDOW_PRIORITY = (
     "mix_temperature_quota", "sample_split_assign", "stream_window_topk",
     "text_strip_markup", "dedup_url_canonical", "stream_bloom_index",
     "source_text_roundtrip", "source_parquet_zstd_roundtrip",
-    "source_partitioned_pruned", "pack_length_buckets", "func_string_flink",
-    # (c) staleness guard — oldest driver rows (rounds 1-2). Eight rows
-    # were trimmed to make room for (b3): case_when/derived_table_subquery/
-    # like_predicate (same relational core as the kept scan/where rows),
-    # two of the three CUBE-family variants (agg_cube kept, rollup/
-    # grouping_sets share the expand operator), except_all (intersect_
-    # except kept), and agg_distinct/agg_global (the distinct and global
-    # agg machinery is continuously exercised by the kept groupBy rows).
-    # All eight stay green under tools/oracle_check.py.
-    "agg_minmax_by",
+    "source_partitioned_pruned", "pack_length_buckets", "func_string_flink", "func_datetime_flink",
+    # (c) staleness guard — oldest driver rows (rounds 1-2), now 11 rows:
+    # every join variant, the anti/semi pair, set ops, stats agg, and the
+    # core scan. 15 former guard rows were traded for the (b3) batch —
+    # case_when/derived_table_subquery/like_predicate/order_by_limit (same
+    # relational core as kept rows or plan-asserted in pytest), the
+    # CUBE family (expand-operator machinery, pytest + r1 green),
+    # except_all, agg_distinct/global/having/percentile/minmax_by/
+    # groupby_expression (agg machinery continuously exercised by the
+    # kept groupBy/tpch rows). All stay green under tools/oracle_check.py,
+    # which the session runs at sf0.01 over the FULL registry.
     "agg_stats", "intersect_except", "join_anti", "join_asof",
     "join_full_outer", "join_left_outer", "join_lookup_broadcast",
     "join_semi", "join_theta", "join_three_way",

@@ -488,3 +488,40 @@ def func_string_flink(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer WHERE c_custkey <= 500
     """
     return spark.sql(normalize(flink_sql))
+
+
+@register(
+    "func_datetime_flink",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_json,
+               CAST(date_diff('day', CAST(ts AS TIMESTAMP),
+                              CAST(ts AS TIMESTAMP) + INTERVAL 90 DAY)
+                    AS BIGINT) AS dd,
+               CAST(date_diff('hour', CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP),
+                              CAST(ts AS TIMESTAMP)) AS BIGINT) AS hours_into_day,
+               CAST(ts AS TIMESTAMP) + INTERVAL 36 HOUR AS ts_plus,
+               strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H') AS fmt
+        FROM events WHERE event_id < 500
+    """,
+    doc="§2.8 Flink temporal builtins through the dialect shim: "
+    "TIMESTAMPDIFF/TIMESTAMPADD (name-compatible with Spark ≥3.3 — parity "
+    "proven, not assumed), JSON_VALUE → get_json_object rewrite, "
+    "DATE_FORMAT with a Java pattern (translated per-engine in the "
+    "oracle). Runs as full Flink-SQL text via dialect.normalize.",
+)
+def func_datetime_flink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.dialect import normalize
+
+    read_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    flink_sql = """
+        SELECT event_id,
+               CAST(JSON_VALUE(props, '$.k') AS BIGINT) AS k_json,
+               CAST(TIMESTAMPDIFF(DAY, ts, TIMESTAMPADD(DAY, 90, ts)) AS BIGINT) AS dd,
+               CAST(TIMESTAMPDIFF(HOUR, date_trunc('day', ts), ts) AS BIGINT)
+                   AS hours_into_day,
+               TIMESTAMPADD(HOUR, 36, ts) AS ts_plus,
+               DATE_FORMAT(ts, 'yyyy-MM-dd HH') AS fmt
+        FROM events WHERE event_id < 500
+    """
+    return spark.sql(normalize(flink_sql))

@@ -225,3 +225,19 @@ class TestFlinkStringRewrites:
             normalize("SELECT STR_TO_MAP('a=1,b=2')['b'] AS v")
         ).collect()[0]
         assert row["v"] == "2"
+
+
+class TestJsonValueRewrite:
+    def test_rewritten_to_get_json_object(self):
+        from dbt_decodable_spark.dialect import normalize
+
+        out = normalize("SELECT JSON_VALUE(props, '$.k') FROM t")
+        assert "get_json_object(props, '$.k')" in out
+
+    def test_returning_clause_rejected(self):
+        import pytest as _pytest
+
+        from dbt_decodable_spark.dialect import normalize
+
+        with _pytest.raises(ValueError):
+            normalize("SELECT JSON_VALUE(props, '$.k' RETURNING INT) FROM t")
