@@ -538,3 +538,88 @@ def canonical_url(col: Column | str) -> Column:
     u = F.regexp_replace(u, r"[?&]utm_[^&]*", "")  # tracking params (tail)
     u = F.regexp_replace(u, r"\?$", "")         # lone ? left behind
     return F.regexp_replace(u, r"/$", "")       # trailing slash
+
+
+# ------------------------------------------------------------ novelty / OOV
+
+
+def novelty_scores(df, id_col: str, text_col: str, n: int = 3):
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    n-gram shingles that occur in NO other document — the inverse of the
+    contamination/duplication signal, used to up-weight diverse documents
+    in curation. Output: ``(id, n_shingles, n_novel, novelty)``.
+
+    Shape: the shingle inverted index (one explode + one groupBy(shingle)
+    document-frequency aggregate — partial-agg'd 16-byte keys at scale)
+    joined back per (id, shingle); df == 1 means "only this document".
+    No pair join, no quadratic step.
+    """
+    from dbt_decodable_spark.operators.dedup import shingle_strings
+
+    sh = shingle_strings(df, id_col, text_col, n)  # (id, shingle) distinct
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        sh.join(dfreq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "id",
+        "n_shingles",
+        "n_novel",
+        (F.col("n_novel") / F.col("n_shingles")).alias("novelty"),
+    )
+
+
+def stratum_length_quantiles(
+    df, stratum_col: str, length_col: str, quantiles=(50, 90)
+):
+    """Exact discrete per-stratum quantiles of a length column: the value
+    at integer rank ``ceil(q·n/100)`` within each stratum (the same
+    integer-rank rule as ``quality_quantile_gate`` — engine-exact, no
+    interpolation). One window shuffle partitioned BY STRATUM (never a
+    global sort); the corpus-length reporting op for curation dashboards.
+
+    Output: ``(stratum, n_rows, q50, q90, ...)`` one row per stratum.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("stratum").orderBy(F.col("__len").asc())
+    ranked = df.select(
+        F.col(stratum_col).alias("stratum"), F.col(length_col).alias("__len")
+    ).withColumn("__rn", F.row_number().over(w))
+    counts = ranked.groupBy("stratum").agg(F.max("__rn").alias("n_rows"))
+    j = ranked.join(F.broadcast(counts), "stratum")
+    aggs = [F.max("n_rows").alias("n_rows")]
+    for q in quantiles:
+        target = F.expr(f"(n_rows * {q} + 99) div 100")
+        aggs.append(
+            F.max(F.when(F.col("__rn") == target, F.col("__len"))).alias(f"q{q}")
+        )
+    return j.groupBy("stratum").agg(*aggs)
+
+
+def oov_rate(df, id_col: str, text_col: str, vocab: list[str]):
+    """Per-document out-of-vocabulary token fraction against a fixed
+    vocabulary list (tokenizer-fit metric: high OOV → the tokenizer will
+    shred the document into bytes). The vocab rides the closure as an
+    array literal — broadcast-by-construction, no join, map-only scan.
+
+    Output: ``(id, n_tokens, n_oov, oov_frac)``.
+    """
+    toks = tokens(text_col)
+    varr = F.array(*[F.lit(v) for v in vocab])
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+    n_tok = F.size("__toks").cast("long")
+    n_oov = F.size(
+        F.filter("__toks", lambda t: ~F.array_contains(varr, t))
+    ).cast("long")
+    return base.select(
+        "id",
+        n_tok.alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        (n_oov / F.when(n_tok > 0, n_tok)).alias("oov_frac"),
+    )

@@ -84,19 +84,21 @@ _DRIVER_WINDOW_PRIORITY = (
     "text_strip_markup", "dedup_url_canonical", "stream_bloom_index",
     "source_text_roundtrip", "source_parquet_zstd_roundtrip",
     "source_partitioned_pruned", "pack_length_buckets", "func_string_flink", "func_datetime_flink",
-    # (c) staleness guard — oldest driver rows (rounds 1-2), now 11 rows:
-    # every join variant, the anti/semi pair, set ops, stats agg, and the
-    # core scan. 15 former guard rows were traded for the (b3) batch —
-    # case_when/derived_table_subquery/like_predicate/order_by_limit (same
-    # relational core as kept rows or plan-asserted in pytest), the
-    # CUBE family (expand-operator machinery, pytest + r1 green),
-    # except_all, agg_distinct/global/having/percentile/minmax_by/
+    "text_novelty_score", "corpus_length_quantiles", "text_oov_rate",
+    # (c) staleness guard — oldest driver rows (rounds 1-2), now 8 rows:
+    # every outer/anti/semi/theta/broadcast join variant, the as-of join,
+    # and the core scan. 18 former guard rows were traded for the (b3)
+    # batch: case_when/derived_table_subquery/like_predicate/
+    # order_by_limit/join_three_way (same relational core as kept rows or
+    # plan-asserted in pytest), the CUBE family (expand-operator
+    # machinery, pytest + r1 green), except_all/intersect_except, and
+    # agg_distinct/global/having/percentile/minmax_by/stats/
     # groupby_expression (agg machinery continuously exercised by the
     # kept groupBy/tpch rows). All stay green under tools/oracle_check.py,
     # which the session runs at sf0.01 over the FULL registry.
-    "agg_stats", "intersect_except", "join_anti", "join_asof",
+    "join_anti", "join_asof",
     "join_full_outer", "join_left_outer", "join_lookup_broadcast",
-    "join_semi", "join_theta", "join_three_way",
+    "join_semi", "join_theta",
     "scan_project_filter",
 )
 

@@ -464,3 +464,122 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_length_buckets(d, "doc_id", "n_tok", _LB_B).select(
         F.col("id").alias("doc_id"), "length", "bucket"
     )
+
+
+# ----------------------------------------------------- novelty / quantiles / OOV
+
+_SHINGLE_CTES = f"""base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sh AS (
+            SELECT DISTINCT id, shingle FROM (
+                SELECT doc_id AS id,
+                       unnest(list_transform(
+                           generate_series(1, len(toks) - 2),
+                           i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+                FROM base
+            )
+        )"""
+
+
+@register(
+    "text_novelty_score",
+    oracle=f"""
+        WITH {_SHINGLE_CTES},
+        dfq AS (SELECT shingle, count(*) AS dfc FROM sh GROUP BY 1)
+        SELECT id AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               CAST(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   / count(*) AS novelty
+        FROM sh JOIN dfq USING (shingle)
+        GROUP BY id
+    """,
+    doc="§2.12 n-gram novelty scoring: fraction of a doc's distinct "
+    "3-gram shingles occurring in NO other document — the diversity "
+    "up-weighting signal (inverse of duplication). Shingle inverted index "
+    "+ document-frequency agg, no pair join (operators/text.py::"
+    "novelty_scores).",
+)
+def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return text.novelty_scores(d, "doc_id", "text", n=3).select(
+        F.col("id").alias("doc_id"), "n_shingles", "n_novel", "novelty"
+    )
+
+
+@register(
+    "corpus_length_quantiles",
+    oracle=f"""
+        WITH l AS (
+            SELECT source AS stratum, CAST(len({_TOKS}) AS BIGINT) AS ln
+            FROM documents
+        ),
+        r AS (
+            SELECT stratum, ln,
+                   row_number() OVER (PARTITION BY stratum ORDER BY ln ASC) AS rn
+            FROM l
+        ),
+        c AS (SELECT stratum, CAST(max(rn) AS BIGINT) AS n_rows FROM r GROUP BY 1)
+        SELECT stratum, n_rows,
+               CAST(max(CASE WHEN rn = (n_rows * 50 + 99) // 100 THEN ln END)
+                    AS BIGINT) AS q50,
+               CAST(max(CASE WHEN rn = (n_rows * 90 + 99) // 100 THEN ln END)
+                    AS BIGINT) AS q90
+        FROM r JOIN c USING (stratum)
+        GROUP BY stratum, n_rows
+    """,
+    doc="§2.12 per-source exact length quantiles (curation reporting): "
+    "value at integer rank ceil(q·n/100) within each stratum — the "
+    "engine-exact discrete-quantile rule of quality_quantile_gate; one "
+    "window shuffle PARTITIONED BY STRATUM, never a global sort. The "
+    "value at a rank is unique under tied lengths even though the tie "
+    "permutation differs per engine (operators/text.py::"
+    "stratum_length_quantiles).",
+)
+def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").select(
+        "source", F.size(dedup.tokens("text")).cast("long").alias("n_tok")
+    )
+    return text.stratum_length_quantiles(d, "source", "n_tok", (50, 90))
+
+
+_OOV_VOCAB_K = 50
+
+
+@register(
+    "text_oov_rate",
+    oracle=f"""
+        WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS t FROM base),
+        voc AS (
+            SELECT t FROM (SELECT t, count(*) AS c FROM tok GROUP BY t)
+            ORDER BY c DESC, t ASC LIMIT {_OOV_VOCAB_K}
+        ),
+        vl AS (SELECT list(t) AS vs FROM voc)
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(toks, x -> NOT list_contains(vs, x)))
+                    AS BIGINT) AS n_oov,
+               CAST(len(list_filter(toks, x -> NOT list_contains(vs, x)))
+                    AS BIGINT) / nullif(len(toks), 0) AS oov_frac
+        FROM base CROSS JOIN vl
+    """,
+    doc="§2.12 OOV-rate against the corpus top-50 vocabulary (tokenizer-"
+    "fit metric): vocab = TakeOrdered(count desc, token asc — total, "
+    "deterministic under boundary ties), collected (50 rows, bounded by "
+    "definition) and shipped as an array literal → the scan stays "
+    "map-only, no join (operators/text.py::oov_rate).",
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(dedup.tokens("text")).alias("t"))
+    vocab_rows = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("t").asc())
+        .limit(_OOV_VOCAB_K)
+        .collect()
+    )
+    vocab = [r["t"] for r in vocab_rows]
+    return text.oov_rate(d, "doc_id", "text", vocab).select(
+        F.col("id").alias("doc_id"), "n_tokens", "n_oov", "oov_frac"
+    )

@@ -889,3 +889,45 @@ class TestCanonicalUrl:
         )
         out = df.select(text.canonical_url("url").alias("c")).collect()[0]["c"]
         assert out == "example.com/p?id=7"
+
+
+class TestNoveltyScores:
+    def test_shared_vs_unique_shingles(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e"),          # shingles abc bcd cde
+                (2, "a b c x y"),          # shares abc
+                (3, "p q r s t"),          # fully novel
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["id"]: r for r in text.novelty_scores(df, "doc_id", "text", n=3).collect()}
+        assert out[3]["novelty"] == 1.0
+        assert out[1]["n_shingles"] == 3 and out[1]["n_novel"] == 2
+        assert out[1]["novelty"] == pytest.approx(2 / 3)
+
+
+class TestStratumQuantiles:
+    def test_exact_rank_values(self, spark):
+        rows = [("a", i) for i in range(1, 11)] + [("b", 5)]
+        df = spark.createDataFrame(rows, "src string, n long")
+        out = {
+            r["stratum"]: r
+            for r in text.stratum_length_quantiles(df, "src", "n", (50, 90)).collect()
+        }
+        # stratum a: n=10 → q50 at rank 5 → value 5; q90 at rank 9 → 9
+        assert out["a"]["q50"] == 5 and out["a"]["q90"] == 9
+        assert out["b"]["n_rows"] == 1 and out["b"]["q50"] == 5 and out["b"]["q90"] == 5
+
+
+class TestOovRate:
+    def test_fractions(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the cat sat"), (2, "zzz qqq the")], "doc_id long, text string"
+        )
+        out = {
+            r["id"]: r
+            for r in text.oov_rate(df, "doc_id", "text", ["the", "cat", "sat"]).collect()
+        }
+        assert out[1]["n_oov"] == 0 and out[1]["oov_frac"] == 0.0
+        assert out[2]["n_oov"] == 2 and out[2]["oov_frac"] == pytest.approx(2 / 3)
