@@ -739,3 +739,64 @@ def stream_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word_idx")
         .agg(F.bit_or("bits").alias("bits"))
     )
+
+
+@register(
+    "stream_window_topk_run",
+    oracle="""
+        WITH counts AS (
+            SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
+                       AS window_start,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT window_start, event_type, n, CAST(rk AS BIGINT) AS rk
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY window_start ORDER BY n DESC, event_type ASC
+            ) AS rk
+            FROM counts
+        ) t WHERE rk <= 2
+    """,
+    doc="§2.9 windowed top-k as a REAL streaming run: the tumbling-window "
+    "count runs as a complete-mode streaming aggregation (bounded state — "
+    "one row per live window×type) into a memory sink; the per-window "
+    "rank≤2 is the window-close fold applied to the converged sink — the "
+    "same agg-then-fold split as stream_change_fold. Batch twin: "
+    "stream_window_topk.",
+)
+def stream_window_topk_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    stream = events_file_stream(spark, sf_dir)
+    counts = (
+        stream.groupBy(F.window("ts_event", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    sink = "stream_window_topk_sink"
+    try:
+        spark.catalog.dropTempView(sink)
+    except Exception:
+        pass
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    rk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.col("n").desc(), F.col("event_type"))
+    )
+    return (
+        spark.table(sink)
+        .withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= 2)
+    )
