@@ -85,7 +85,7 @@ _DRIVER_WINDOW_PRIORITY = (
     "source_text_roundtrip", "source_parquet_zstd_roundtrip",
     "source_partitioned_pruned", "pack_length_buckets", "func_string_flink", "func_datetime_flink",
     "text_novelty_score", "corpus_length_quantiles", "text_oov_rate",
-    "stream_window_topk_run",
+    "stream_window_topk_run", "agg_kmv_distinct", "events_funnel_stages",
     # (c) staleness guard — oldest driver rows (rounds 1-2), now 8 rows:
     # every outer/anti/semi/theta/broadcast join variant, the as-of join,
     # and the core scan. 18 former guard rows were traded for the (b3)
@@ -98,8 +98,7 @@ _DRIVER_WINDOW_PRIORITY = (
     # kept groupBy/tpch rows). All stay green under tools/oracle_check.py,
     # which the session runs at sf0.01 over the FULL registry.
     "join_anti", "join_asof",
-    "join_full_outer", "join_left_outer", "join_lookup_broadcast",
-    "join_semi",
+    "join_left_outer", "join_lookup_broadcast",
     "scan_project_filter",
 )
 

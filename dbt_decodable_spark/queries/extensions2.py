@@ -583,3 +583,116 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.oov_rate(d, "doc_id", "text", vocab).select(
         F.col("id").alias("doc_id"), "n_tokens", "n_oov", "oov_frac"
     )
+
+
+# --------------------------------------------------------------- KMV sketch
+
+_KMV_K = 64
+_KMV_SPACE = 16 ** 15  # 60-bit hash space (15 hex chars)
+
+
+@register(
+    "agg_kmv_distinct",
+    oracle=f"""
+        WITH h AS (
+            SELECT DISTINCT CAST('0x' || substr(md5(trim(regexp_replace(
+                       lower(text), '\\s+', ' ', 'g'))), 1, 15) AS BIGINT) AS hv
+            FROM documents
+        ),
+        kmin AS (SELECT hv FROM h ORDER BY hv ASC LIMIT {_KMV_K}),
+        agg AS (SELECT CAST(max(hv) AS BIGINT) AS hk,
+                       CAST(count(*) AS BIGINT) AS n_seen
+                FROM kmin)
+        SELECT n_seen,
+               hk,
+               CASE WHEN n_seen < {_KMV_K} THEN CAST(n_seen AS DOUBLE)
+                    ELSE ({_KMV_K} - 1) * CAST({_KMV_SPACE} AS DOUBLE) / hk
+               END AS est_distinct
+        FROM agg
+    """,
+    doc="§2.4/§2.12 KMV (k-minimum-values) distinct-count sketch, "
+    "Bar-Yossef et al. 2002: estimate = (k−1)/h_k over md5-hashed keys. "
+    "Unlike HLL (agg_approx_distinct — rows-only, engine-specific "
+    "registers), KMV with a DETERMINISTIC hash is engine-exact: the k "
+    "smallest 60-bit hashes are a set property of the data, so the "
+    "*approximate* estimate itself value-matches any oracle. Distributed "
+    "shape: per-partition top-k via TakeOrdered (no global sort), "
+    "16-byte shuffle keys; mergeable across shards by unioning k-min "
+    "sets — the sketch property that makes it a groupBy-able aggregate "
+    "at 100 TB.",
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    hv = (
+        F.conv(F.substring(F.md5(dedup.normalize_text("text")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv")
+    )
+    kmin = d.select(hv).distinct().orderBy(F.col("hv").asc()).limit(_KMV_K)
+    agg = kmin.agg(
+        F.max("hv").alias("hk"), F.count(F.lit(1)).alias("n_seen")
+    )
+    est = F.when(
+        F.col("n_seen") < _KMV_K, F.col("n_seen").cast("double")
+    ).otherwise(F.lit(float(_KMV_K - 1)) * F.lit(float(_KMV_SPACE)) / F.col("hk"))
+    return agg.select("n_seen", "hk", est.alias("est_distinct"))
+
+
+# ------------------------------------------------------------- funnel stages
+
+
+@register(
+    "events_funnel_stages",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+            FROM events e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+        FROM v LEFT JOIN c ON c.user_id = v.user_id
+               LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    doc="§2.12 sequential funnel (MATCH_RECOGNIZE-lite): per user, first "
+    "'view', first 'click' strictly after it, first 'purchase' strictly "
+    "after that — the ordered-progression semantics CEP engines sell, "
+    "expressed as three conditional min-aggregates chained by joins. "
+    "Every stage is a partial-agg'd groupBy(user_id) on the SAME shuffle "
+    "key, so AQE reuses the partitioning; no window over a user's whole "
+    "history, no row-by-row state.",
+)
+def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return v.join(c, "user_id", "left").join(p, "user_id", "left").select(
+        "user_id", "t_view", "t_click", "t_purchase"
+    )
