@@ -86,6 +86,7 @@ _DRIVER_WINDOW_PRIORITY = (
     "source_partitioned_pruned", "pack_length_buckets", "func_string_flink", "func_datetime_flink",
     "text_novelty_score", "corpus_length_quantiles", "text_oov_rate",
     "stream_window_topk_run", "agg_kmv_distinct", "events_funnel_stages",
+    "pipeline_curation_end2end",
     # (c) staleness guard — oldest driver rows (rounds 1-2), now 8 rows:
     # every outer/anti/semi/theta/broadcast join variant, the as-of join,
     # and the core scan. 18 former guard rows were traded for the (b3)
@@ -99,7 +100,6 @@ _DRIVER_WINDOW_PRIORITY = (
     # which the session runs at sf0.01 over the FULL registry.
     "join_anti", "join_asof",
     "join_left_outer", "join_lookup_broadcast",
-    "scan_project_filter",
 )
 
 

@@ -137,6 +137,7 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------ Gopher gates
 
 _GOPHER_STOP_SQL = "['" + "', '".join(text.GOPHER_STOPWORDS) + "']"
+_GOPHER_STOP_SQL_E2E = _GOPHER_STOP_SQL
 
 
 @register(
@@ -695,4 +696,66 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return v.join(c, "user_id", "left").join(p, "user_id", "left").select(
         "user_id", "t_view", "t_click", "t_purchase"
+    )
+
+
+# ----------------------------------------------------- end-to-end pipeline
+
+
+@register(
+    "pipeline_curation_end2end",
+    oracle=f"""
+        WITH gated AS (
+            SELECT doc_id, {_NORM} AS norm,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_words,
+                   CAST(len(list_filter({_TOKS},
+                        t -> list_contains({_GOPHER_STOP_SQL_E2E}, t)))
+                        AS BIGINT) AS n_stop
+            FROM documents
+        ),
+        passed AS (
+            SELECT doc_id, norm, n_words FROM gated
+            WHERE n_words >= 50 AND n_words <= 100000 AND n_stop >= 2
+        ),
+        deduped AS (
+            SELECT min(doc_id) AS doc_id, max(n_words) AS n_words,
+                   count(*) AS n_copies
+            FROM passed GROUP BY md5(norm)
+        )
+        SELECT doc_id, n_words, n_copies,
+               CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) % 100 < 1 THEN 'test'
+                    WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) % 100 < 2 THEN 'val'
+                    ELSE 'train' END AS split
+        FROM deduped
+    """,
+    doc="§2.12 capstone: the standard curation pipeline — quality gate "
+    "(Gopher word-count + stopword rules) → exact dedup (min-id "
+    "representative) → leakage-stable train/val/test split — composed as "
+    "ONE DataFrame lineage, so Catalyst fuses the gate into the scan "
+    "(predicate pushdown), the dedup is the only shuffle, and the split "
+    "is a map over its output. The operators compose without "
+    "materialization barriers — the property that makes the library a "
+    "pipeline engine rather than a bag of jobs.",
+)
+def pipeline_curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    m = text.gopher_metrics("text")
+    gated = d.select(
+        "doc_id",
+        dedup.normalize_text("text").alias("norm"),
+        m["n_words"].alias("n_words"),
+        m["n_stopword_hits"].alias("n_stop"),
+    ).filter(
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
+        & (F.col("n_stop") >= 2)
+    )
+    deduped = gated.groupBy(F.md5("norm")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.max("n_words").alias("n_words"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return sampling.train_val_test_split(deduped, "doc_id").select(
+        "doc_id", "n_words", "n_copies", "split"
     )
