@@ -208,3 +208,38 @@ class TestRound6Plans:
         # the representative choice is a window over the component key —
         # no additional join after the component label attaches
         assert "Window" in plan and "row_number" in plan
+
+
+class TestSession2Plans:
+    def test_bloom_probe_broadcasts_word_table(self, spark, registry):
+        """The membership probe must broadcast the (word_idx, bits) table —
+        the 100 TB batch side stays a map-only scan."""
+        plan = plan_of(spark, registry, "dedup_bloom_filter")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_span_dedup_semi_join_no_cartesian(self, spark, registry):
+        """Cross-doc gram detection must be a semi join against the
+        aggregated dup-gram set — never a pair (cartesian/theta) join."""
+        plan = plan_of(spark, registry, "dedup_span_ngram")
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+    def test_length_bucket_corpus_side_no_global_sort(self, spark, registry):
+        """Only the length HISTOGRAM may hit a single-partition window; the
+        corpus side must not be globally sorted."""
+        plan = plan_of(spark, registry, "pack_length_buckets")
+        # corpus rows reach the output through the broadcast nested-loop
+        # threshold probe + a hash re-group — no rangepartitioning sort
+        assert "Exchange rangepartitioning" not in plan
+
+    def test_capstone_gate_pushed_into_scan(self, spark, registry):
+        """The curation pipeline's quality gate must fuse into the scan
+        stage (a Filter before the first Exchange), and the whole pipeline
+        must contain exactly one hash-aggregate shuffle (the dedup)."""
+        plan = plan_of(spark, registry, "pipeline_curation_end2end")
+        # gate reaches the scan stage: the word-count predicate appears in
+        # the FileScan's DataFilters (same codegen stage as the read)
+        scan = plan[plan.index("FileScan") :]
+        assert "DataFilters: [(size(split" in scan
+        assert plan.count("Exchange hashpartitioning") == 1
