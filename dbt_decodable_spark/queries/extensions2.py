@@ -759,3 +759,57 @@ def pipeline_curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.train_val_test_split(deduped, "doc_id").select(
         "doc_id", "n_words", "n_copies", "split"
     )
+
+
+@register(
+    "agg_kmv_by_source",
+    oracle=f"""
+        WITH h AS (
+            SELECT DISTINCT source,
+                   CAST('0x' || substr(md5(trim(regexp_replace(
+                       lower(text), '\\s+', ' ', 'g'))), 1, 15) AS BIGINT) AS hv
+            FROM documents
+        ),
+        r AS (
+            SELECT source, hv,
+                   row_number() OVER (PARTITION BY source ORDER BY hv ASC) AS rn
+            FROM h
+        ),
+        kmin AS (SELECT source, hv, rn FROM r WHERE rn <= {_KMV_K})
+        SELECT source,
+               CAST(max(rn) AS BIGINT) AS n_seen,
+               CAST(max(hv) AS BIGINT) AS hk,
+               CASE WHEN max(rn) < {_KMV_K} THEN CAST(max(rn) AS DOUBLE)
+                    ELSE ({_KMV_K} - 1) * CAST({_KMV_SPACE} AS DOUBLE) / max(hv)
+               END AS est_distinct
+        FROM kmin GROUP BY source
+    """,
+    doc="§2.4/§2.12 KMV as a GROUP BY-able aggregate: per-source distinct "
+    "estimates from per-stratum k-min sets — the mergeability property "
+    "(union + re-top-k) that lets the sketch roll up across shards/"
+    "partitions at 100 TB. One stratum-partitioned window (bounded per "
+    "stratum), deterministic md5 hashes → the approximate estimates "
+    "value-match the oracle exactly.",
+)
+def agg_kmv_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = read_table(spark, sf_dir, "documents")
+    hv = (
+        F.conv(F.substring(F.md5(dedup.normalize_text("text")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv")
+    )
+    h = d.select("source", hv).distinct()
+    rn = F.row_number().over(W.partitionBy("source").orderBy(F.col("hv").asc()))
+    kmin = h.withColumn("rn", rn).filter(F.col("rn") <= _KMV_K)
+    est = F.when(
+        F.max("rn") < _KMV_K, F.max("rn").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1)) * F.lit(float(_KMV_SPACE)) / F.max("hv")
+    )
+    return kmin.groupBy("source").agg(
+        F.max("rn").cast("long").alias("n_seen"),
+        F.max("hv").alias("hk"),
+        est.alias("est_distinct"),
+    )
