@@ -813,3 +813,76 @@ def agg_kmv_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("hv").alias("hk"),
         est.alias("est_distinct"),
     )
+
+
+@register(
+    "dedup_span_removal",
+    oracle=f"""
+        WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        wins AS (
+            SELECT doc_id, i - 1 AS pos,
+                   md5(array_to_string(toks[i:i+{_SPAN_N - 1}], ' ')) AS gh
+            FROM base CROSS JOIN
+                 unnest(generate_series(1, greatest(len(toks) - {_SPAN_N - 1}, 0)))
+                 AS t(i)
+        ),
+        cross_doc AS (
+            SELECT gh FROM wins GROUP BY gh HAVING min(doc_id) <> max(doc_id)
+        ),
+        dup AS (
+            SELECT doc_id, pos FROM wins WHERE gh IN (SELECT gh FROM cross_doc)
+        ),
+        run AS (
+            SELECT doc_id, pos,
+                   max(pos + {_SPAN_N - 1}) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_end
+            FROM dup
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS g
+            FROM run
+        ),
+        spans AS (
+            SELECT doc_id, min(pos) AS s, max(pos) + {_SPAN_N - 1} AS e
+            FROM isl GROUP BY doc_id, g
+        ),
+        tokpos AS (
+            SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+            FROM base CROSS JOIN unnest(generate_series(1, len(toks))) AS t(i)
+        ),
+        kept AS (
+            SELECT tp.doc_id,
+                   array_to_string(list(tp.tok ORDER BY tp.pos), ' ') AS ct,
+                   count(*) AS n_kept
+            FROM tokpos tp
+            WHERE NOT EXISTS (
+                SELECT 1 FROM spans sp
+                WHERE sp.doc_id = tp.doc_id AND tp.pos BETWEEN sp.s AND sp.e)
+            GROUP BY tp.doc_id
+        )
+        SELECT b.doc_id,
+               coalesce(k.ct, '') AS clean_text,
+               CAST(len(b.toks) - coalesce(k.n_kept, 0) AS BIGINT)
+                   AS n_tokens_removed
+        FROM base b LEFT JOIN kept k USING (doc_id)
+    """,
+    doc="§2.12 duplicate-span REMOVAL (the second half of Lee et al. "
+    "ACL'22): cut every cross-document duplicated token range and "
+    "reassemble the remainder in order — the Spark side filters the "
+    "materialized token array against the doc's folded span list (1:1 "
+    "join, JVM exists lambda); the oracle rebuilds via explode + "
+    "anti-exists + ordered list() (operators/dedup.py::"
+    "remove_duplicate_spans).",
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_spans(d, "doc_id", "text", n=_SPAN_N).select(
+        F.col("id").alias("doc_id"), "clean_text", "n_tokens_removed"
+    )
