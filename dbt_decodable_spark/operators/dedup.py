@@ -664,3 +664,48 @@ def remove_duplicate_spans(
         F.concat_ws(" ", kept).alias("clean_text"),
         (F.size(t) - F.size(kept)).cast("long").alias("n_tokens_removed"),
     )
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 6,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """The full production near-dup pipeline: MinHash-LSH candidate
+    generation followed by EXACT Jaccard verification on the candidates
+    only — ``(id_a, id_b, jaccard)`` for verified pairs.
+
+    Why this shape at 100 TB: exact all-pairs Jaccard is quadratic; LSH
+    alone has false positives. Verifying just the candidate set costs
+    O(candidates · shingles-per-doc) — the candidate set is the tiny
+    band-bucket-local output, so the expensive exact step never sees the
+    corpus. Every candidate pair shares ≥1 shingle by construction (equal
+    band min-hash ⇒ the same min shingle string), so the intersection
+    join below loses no candidate.
+    """
+    pairs = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes)
+    sh = shingle_strings(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("__sha"))
+    b = sh.select(F.col("id").alias("__idb"), F.col("shingle").alias("__shb"))
+    inter = (
+        pairs.join(a, "id_a")
+        .join(
+            b,
+            (F.col("id_b") == F.col("__idb")) & (F.col("__sha") == F.col("__shb")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__ni"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("__n").alias("__nb"))
+    jac = F.col("__ni") / (F.col("__na") + F.col("__nb") - F.col("__ni"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -12,7 +12,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dbt_decodable_spark.operators import bloom, dedup, mixing, sampling, text
 from dbt_decodable_spark.queries import register
-from dbt_decodable_spark.queries.extensions import _NORM, _TOKS
+from dbt_decodable_spark.queries.extensions import (
+    _MINHASH_PAIRS_CTES,
+    _NORM,
+    _TOKS,
+)
 from dbt_decodable_spark.sources.tables import read_table
 
 # ------------------------------------------------------------ bloom filter
@@ -885,4 +889,36 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return dedup.remove_duplicate_spans(d, "doc_id", "text", n=_SPAN_N).select(
         F.col("id").alias("doc_id"), "clean_text", "n_tokens_removed"
+    )
+
+
+@register(
+    "dedup_minhash_verified",
+    oracle=f"""
+        WITH {_MINHASH_PAIRS_CTES},
+        sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        inter AS (
+            SELECT p.id_a, p.id_b, count(*) AS ni
+            FROM pairs p
+            JOIN sh a ON a.id = p.id_a
+            JOIN sh b ON b.id = p.id_b AND b.shingle = a.shingle
+            GROUP BY p.id_a, p.id_b
+        )
+        SELECT id_a, id_b, ni / (sa.n + sb.n - ni) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE ni / (sa.n + sb.n - ni) >= 0.2
+    """,
+    doc="§2.12 LSH-then-verify (the full production near-dup pipeline): "
+    "MinHash band candidates → EXACT Jaccard computed on candidates only "
+    "→ threshold. Exact all-pairs is quadratic and LSH alone has false "
+    "positives; verifying just the bucket-local candidate set costs "
+    "O(candidates·shingles) and never touches the corpus "
+    "(operators/dedup.py::minhash_verified_pairs).",
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_verified_pairs(
+        d, "doc_id", "text", n=3, num_hashes=6, threshold=0.2
     )

@@ -931,3 +931,26 @@ class TestOovRate:
         }
         assert out[1]["n_oov"] == 0 and out[1]["oov_frac"] == 0.0
         assert out[2]["n_oov"] == 2 and out[2]["oov_frac"] == pytest.approx(2 / 3)
+
+
+class TestMinhashVerified:
+    def test_verified_pairs_subset_of_exact(self, docs):
+        """LSH-verified pairs must be a subset of exact all-pairs Jaccard at
+        the same threshold, with IDENTICAL jaccard values where present."""
+        exact = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.shingle_pairs_jaccard(
+                docs, "doc_id", "text", n=3, threshold=0.5
+            ).collect()
+        }
+        verified = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.minhash_verified_pairs(
+                docs, "doc_id", "text", n=3, num_hashes=6, threshold=0.5
+            ).collect()
+        }
+        assert set(verified) <= set(exact)
+        for k, v in verified.items():
+            assert v == exact[k]
+        # the exact-dup triplet always collides in every band → present
+        assert {(1, 3), (1, 5), (3, 5)} <= set(verified)
