@@ -1,0 +1,123 @@
+"""Empirical scale probe: replicate the sf0.1 documents corpus N× into
+/tmp and measure the heavy §2.12 pipelines at both sizes on the same
+session. The point is the RATIO: a linear-time operator at 20× data on
+fixed cores should cost ≈20× task-time (≈20× wall on a saturated
+local[32]); anything super-linear (a quadratic pair join, a global sort)
+shows up immediately as a ratio far above the replication factor.
+
+Replicas get distinct doc_ids (offset per replica) and 4 of every 5
+replicas get a per-replica suffix token appended — so the scaled corpus
+carries a realistic mix of exact duplicates (the unsuffixed fifth) and
+near-duplicates (suffixed, Jaccard just below 1), exercising the dedup
+paths' worst case (duplicate-dense data → maximal candidate-pair load).
+
+Usage: python tools/scale_probe.py [replication=20]
+Prints one JSON line: {"n_docs": ..., "base": {...}, "scaled": {...},
+"ratio": {...}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+SCALED_DIR = "/tmp/spark_scale_probe"
+
+
+def build_scaled(spark, rep: int) -> str:
+    from pyspark.sql import functions as F
+
+    out = f"{SCALED_DIR}/documents.parquet"
+    if os.path.exists(out):
+        shutil.rmtree(SCALED_DIR, ignore_errors=True)
+    d = spark.read.parquet(f"{BASE}/documents.parquet")
+    reps = spark.range(rep).withColumnRenamed("id", "__r")
+    scaled = (
+        d.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("__r") * 1_000_000).alias("doc_id"),
+            F.when(
+                F.col("__r") % 5 == 0, F.col("text")
+            ).otherwise(
+                F.concat(F.col("text"), F.lit(" rvar"), F.col("__r").cast("string"))
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .repartition(32)
+    )
+    scaled.write.mode("overwrite").parquet(out)
+    return SCALED_DIR
+
+
+def probes(spark, sf_dir: str) -> dict[str, float]:
+    """Run each heavy pipeline to a noop sink and time it."""
+    from pyspark.sql import functions as F
+
+    from dbt_decodable_spark.operators import bloom, dedup, text
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    jobs = {
+        "exact_dedup": lambda: run(dedup.exact_dedup(d, "text", "doc_id")),
+        "minhash_lsh": lambda: run(
+            dedup.minhash_lsh_candidates(d, "doc_id", "text", n=3, num_hashes=6)
+        ),
+        "span_ngram": lambda: run(
+            dedup.duplicate_ngram_spans(d, "doc_id", "text", n=8)
+        ),
+        "bloom_build": lambda: run(
+            bloom.build_bloom(
+                d.select(F.md5(dedup.normalize_text("text")).alias("k")),
+                "k",
+                m_bits=1 << 22,
+                k=4,
+            )
+        ),
+        "gopher_gate": lambda: run(
+            d.select("doc_id", text.gopher_pass("text").alias("p"))
+        ),
+        "token_count": lambda: run(
+            d.select("doc_id", F.size(dedup.tokens("text")).alias("n"))
+        ),
+    }
+    out: dict[str, float] = {}
+    for name, job in jobs.items():
+        job()  # warm (JIT/codegen) — scale ratios must not include compile cost
+        t = time.time()
+        job()
+        out[name] = round(time.time() - t, 2)
+    return out
+
+
+def main() -> None:
+    rep = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    from dbt_decodable_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_probe")
+    scaled_dir = build_scaled(spark, rep)
+    n_docs = spark.read.parquet(f"{scaled_dir}/documents.parquet").count()
+    base = probes(spark, BASE)
+    scaled = probes(spark, scaled_dir)
+    ratio = {
+        k: (round(scaled[k] / base[k], 1) if base[k] > 0.05 else None)
+        for k in base
+    }
+    print(json.dumps(
+        {"replication": rep, "n_docs": n_docs, "base_s": base,
+         "scaled_s": scaled, "ratio": ratio}
+    ))
+
+
+if __name__ == "__main__":
+    main()
