@@ -100,15 +100,76 @@ def probes(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def build_scaled_embeddings(spark, rep: int) -> str:
+    """Replicate embeddings rep× with a tiny deterministic per-replica
+    perturbation on one dimension (keeps vectors near-duplicates — the
+    ANN paths' densest-bucket case — without changing norms much)."""
+    from pyspark.sql import functions as F
+
+    out = f"{SCALED_DIR}/embeddings.parquet"
+    e = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    reps = spark.range(rep).withColumnRenamed("id", "__r")
+    scaled = (
+        e.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("__r") * 1_000_000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 0, x + F.col("__r") * 0.001).otherwise(x),
+            ).alias("embedding"),
+            "label",
+        )
+        .repartition(32)
+    )
+    scaled.write.mode("overwrite").parquet(out)
+    return out
+
+
+def probes_sim(spark, path: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from dbt_decodable_spark.operators import similarity
+
+    e = spark.read.parquet(path).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def quantized():
+        scale_expr, _ = similarity.quantize_int8(F.col("embedding"))
+        staged = e.select("vec_id", "embedding", scale_expr.alias("scale"))
+        _, q = similarity.quantize_int8(F.col("embedding"), scale=F.col("scale"))
+        return staged.select("vec_id", "scale", q.alias("qvec"))
+
+    jobs = {
+        "ivf_assign": lambda: run(
+            similarity.ivf_assign(e, similarity.ivf_centroids(e))
+        ),
+        "quantize_int8": lambda: run(quantized()),
+    }
+    out: dict[str, float] = {}
+    for name, job in jobs.items():
+        job()
+        t = time.time()
+        job()
+        out[name] = round(time.time() - t, 2)
+    return out
+
+
 def main() -> None:
     rep = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     from dbt_decodable_spark.session import get_spark
 
     spark = get_spark(app_name="scale_probe")
     scaled_dir = build_scaled(spark, rep)
+    emb_scaled = build_scaled_embeddings(spark, rep)
     n_docs = spark.read.parquet(f"{scaled_dir}/documents.parquet").count()
     base = probes(spark, BASE)
     scaled = probes(spark, scaled_dir)
+    base.update(probes_sim(spark, f"{BASE}/embeddings.parquet"))
+    scaled.update(probes_sim(spark, emb_scaled))
     ratio = {
         k: (round(scaled[k] / base[k], 1) if base[k] > 0.05 else None)
         for k in base
