@@ -281,10 +281,29 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 6
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 6,
+    link: str = "pairs",
 ) -> DataFrame:
     """Candidate near-dup pairs: documents agreeing on any min-hash band.
     Distinct (id_a, id_b) with id_a < id_b.
+
+    ``link`` picks the bucket-emission policy:
+
+    - ``"pairs"`` (default): all pairs within a bucket — O(members²) per
+      bucket. Right when the consumer verifies pairwise (exact Jaccard)
+      and duplicate multiplicity is a small constant (real corpora).
+    - ``"star"``: each member links only to the bucket MINIMUM —
+      O(members) per bucket, same CONNECTED COMPONENTS (a bucket's star
+      spans it), so CC/keep-best clustering is unchanged. The escape
+      hatch for pathological buckets (measured: the 100× scale probe's
+      100-way-duplicated corpus inflates all-pairs output 26×; star
+      output stays linear). Not for pairwise-verified flows — a star edge
+      between two docs that only share the bucket hub is not itself a
+      verified near-dup pair.
 
     Signatures are materialized once before the self-join — Catalyst does
     not reuse the exchange across the two aliased sides here (verified:
@@ -293,6 +312,16 @@ def minhash_lsh_candidates(
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes).localCheckpoint(
         eager=True
     )
+    if link == "star":
+        hub = sig.groupBy("band", "minhash").agg(F.min("id").alias("__hub"))
+        return (
+            sig.join(hub, ["band", "minhash"])
+            .filter(F.col("id") != F.col("__hub"))
+            .select(F.col("__hub").alias("id_a"), F.col("id").alias("id_b"))
+            .distinct()
+        )
+    if link != "pairs":
+        raise ValueError(f"link must be 'pairs' or 'star', got {link!r}")
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(

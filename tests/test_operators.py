@@ -954,3 +954,30 @@ class TestMinhashVerified:
             assert v == exact[k]
         # the exact-dup triplet always collides in every band → present
         assert {(1, 3), (1, 5), (3, 5)} <= set(verified)
+
+
+class TestStarLinking:
+    def test_star_components_equal_pairs_components(self, spark):
+        from dbt_decodable_spark.operators.graph import connected_components
+
+        rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(1, 6)]
+        rows += [(10 + i, "completely different text block with unique words here") for i in range(3)]
+        rows += [(99, "isolated loner document with nothing shared at all ok")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = dedup.minhash_lsh_candidates(df, "doc_id", "text", link="pairs")
+        star = dedup.minhash_lsh_candidates(df, "doc_id", "text", link="star")
+        # star emits strictly fewer (or equal) edges...
+        assert star.count() <= pairs.count()
+        # ...but identical connected components
+        cp = {(r["id"], r["component"]) for r in connected_components(pairs, "id_a", "id_b").collect()}
+        cs = {(r["id"], r["component"]) for r in connected_components(star, "id_a", "id_b").collect()}
+        assert cp == cs
+
+    def test_star_output_linear_in_bucket_size(self, spark):
+        # 30 exact copies: pairs mode emits C(30,2)=435, star emits 29
+        df = spark.createDataFrame(
+            [(i, "same text in every copy of this document forever") for i in range(30)],
+            "doc_id long, text string",
+        )
+        assert dedup.minhash_lsh_candidates(df, "doc_id", "text", link="star").count() == 29
+        assert dedup.minhash_lsh_candidates(df, "doc_id", "text", link="pairs").count() == 435
