@@ -110,12 +110,46 @@ _FROM_B64_RE = re.compile(r"\bFROM_BASE64\s*\(", re.IGNORECASE)
 _STR_TO_MAP_RE = re.compile(r"\bSTR_TO_MAP\s*\(", re.IGNORECASE)
 
 
+def _protected_spans(sql: str) -> list[tuple[int, int]]:
+    """(start, end) spans of string literals and comments — function-name
+    matches inside them are DATA, not calls, and must not be rewritten.
+    (Kept in lockstep with dialect._comment_spans, which cannot be
+    imported here without a cycle.)"""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(sql)
+    lit = re.compile(r"'(?:[^']|'')*'")
+    while i < n:
+        if sql[i] == "'":
+            m = lit.match(sql, i)
+            if m:
+                spans.append((i, m.end()))
+                i = m.end()
+                continue
+            i += 1
+        elif sql.startswith("--", i):
+            end = sql.find("\n", i)
+            end = n if end == -1 else end
+            spans.append((i, end))
+            i = end
+        elif sql.startswith("/*", i):
+            end = sql.find("*/", i + 2)
+            end = n if end == -1 else end + 2
+            spans.append((i, end))
+            i = end
+        else:
+            i += 1
+    return spans
+
+
 def _rewrite_calls(sql: str, pattern: re.Pattern, render) -> str:
+    protected = _protected_spans(sql)
     out: list[str] = []
     pos = 0
     for m in pattern.finditer(sql):
         if m.start() < pos:  # overlapped a previously-rewritten span
             continue
+        if any(s <= m.start() < e for s, e in protected):
+            continue  # inside a string literal or comment
         out.append(sql[pos : m.start()])
         args, end = _read_args(sql, m.end())
         out.append(render([a.strip() for a in args]))

@@ -922,3 +922,42 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_verified_pairs(
         d, "doc_id", "text", n=3, num_hashes=6, threshold=0.2
     )
+
+
+@register(
+    "dedup_cc_star_edges",
+    oracle=f"""
+        WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+        star AS (
+            SELECT h.hub AS id_a, s.id AS id_b
+            FROM sig s JOIN (
+                SELECT band, minhash, min(id) AS hub
+                FROM sig GROUP BY band, minhash
+            ) h ON h.band = s.band AND h.minhash = s.minhash
+            WHERE s.id <> h.hub
+        ),
+        sym AS (
+            SELECT id_a AS s, id_b AS d FROM star
+            UNION SELECT id_b, id_a FROM star
+        ),
+        reach AS (
+            SELECT s AS id, d AS r FROM sym
+            UNION
+            SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s
+        )
+        SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id
+    """,
+    doc="§2.12 star-linked LSH clustering at driver level: connected "
+    "components over the O(members)-per-bucket star edge set "
+    "(minhash_lsh_candidates(link='star')). The oracle builds the SAME "
+    "star edges in SQL and closes them with a recursive CTE — its "
+    "components must (and do) equal the all-pairs components, proving "
+    "the linear-output mode is clustering-equivalent end-to-end, not "
+    "just in pytest.",
+)
+def dedup_cc_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.operators.graph import connected_components
+
+    d = read_table(spark, sf_dir, "documents")
+    star = dedup.minhash_lsh_candidates(d, "doc_id", "text", n=3, num_hashes=6, link="star")
+    return connected_components(star, "id_a", "id_b")

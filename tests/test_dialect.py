@@ -241,3 +241,20 @@ class TestJsonValueRewrite:
 
         with _pytest.raises(ValueError):
             normalize("SELECT JSON_VALUE(props, '$.k' RETURNING INT) FROM t")
+
+
+class TestRewriteLiteralSafety:
+    def test_function_name_inside_literal_untouched(self):
+        from dbt_decodable_spark.dialect import normalize
+
+        sql = "SELECT 'docs: SPLIT_INDEX(a, b, c) usage' AS help, SPLIT_INDEX(x, ',', 0) AS v FROM t"
+        out = normalize(sql)
+        assert "'docs: SPLIT_INDEX(a, b, c) usage'" in out  # literal preserved
+        assert out.count("split(x") == 1  # real call rewritten
+
+    def test_function_name_inside_comment_untouched(self):
+        from dbt_decodable_spark.dialect import normalize
+
+        sql = "SELECT x -- TO_BASE64(y) explained here\nFROM t"
+        out = normalize(sql)
+        assert "-- TO_BASE64(y) explained here" in out
