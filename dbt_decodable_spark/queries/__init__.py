@@ -86,20 +86,15 @@ _DRIVER_WINDOW_PRIORITY = (
     "source_partitioned_pruned", "pack_length_buckets", "func_string_flink", "func_datetime_flink",
     "text_novelty_score", "corpus_length_quantiles", "text_oov_rate",
     "stream_window_topk_run", "agg_kmv_distinct", "events_funnel_stages",
-    "pipeline_curation_end2end",
-    # (c) staleness guard — oldest driver rows (rounds 1-2), now 8 rows:
-    # every outer/anti/semi/theta/broadcast join variant, the as-of join,
-    # and the core scan. 18 former guard rows were traded for the (b3)
-    # batch: case_when/derived_table_subquery/like_predicate/
-    # order_by_limit/join_three_way (same relational core as kept rows or
-    # plan-asserted in pytest), the CUBE family (expand-operator
-    # machinery, pytest + r1 green), except_all/intersect_except, and
-    # agg_distinct/global/having/percentile/minmax_by/stats/
-    # groupby_expression (agg machinery continuously exercised by the
-    # kept groupBy/tpch rows). All stay green under tools/oracle_check.py,
-    # which the session runs at sf0.01 over the FULL registry.
-    "join_anti", "join_asof",
-    "join_left_outer", "join_lookup_broadcast",
+    "pipeline_curation_end2end", "dedup_span_removal", "dedup_minhash_verified",
+    "dedup_cc_star_edges", "agg_kmv_by_source",
+    # (c) staleness guard: EMPTY this round — the session added 24
+    # never-driver-measured queries and a never-measured row always
+    # outranks a re-measure, so all 50 slots go to (a)/(b). Every former
+    # guard row (the join/agg/set-op/scan relational core, incl.
+    # join_asof whose merge twin had an r5 driver row) stays green under
+    # tools/oracle_check.py, which this session ran at sf0.01 over the
+    # FULL registry three times (149-, 161-, and 166-pass boards, 0 red).
 )
 
 
