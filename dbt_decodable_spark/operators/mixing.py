@@ -118,3 +118,52 @@ def temperature_quotas(
         "weight",
         (F.col("__q0") + F.when(rk <= leftover, 1).otherwise(0)).alias("quota"),
     )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    epochs: dict[str, float],
+    default_epochs: float = 1.0,
+    copy_col: str = "epoch_copy",
+) -> DataFrame:
+    """Fractional-epoch upsampling: replicate each stratum's rows
+    ``epochs[stratum]`` times, where the fractional part is realized as a
+    deterministic hash-gated extra copy (the Llama/GPT-3-style data-mix
+    recipe — "web 1.1 epochs, books 2.25, code 0.6").
+
+    A row with epoch target ``e`` yields ``floor(e)`` copies plus one more
+    iff ``md5(key)[:6] < frac(e)·16^6`` — the same partition-independent
+    hash gate as :mod:`~dbt_decodable_spark.operators.sampling`, so the
+    realized mix is reproducible across runs, engines, and re-partitioning,
+    and is *nested*: raising ``e`` by 0.1 only ever adds copies. ``e < 1``
+    degenerates to stratified down-sampling; ``e = 0`` drops the stratum.
+
+    Output: input columns + ``copy_col`` (0-based copy index) — exploded
+    map-side from a per-row ``sequence``, no shuffle anywhere: the
+    (stratum → epochs) table is broadcast and the explode is a narrow op.
+    Copy indices are stable, so downstream shuffles (e.g. shard packing
+    keyed on (key, copy)) see a deterministic stream.
+    """
+    spark = df.sparkSession
+    ep = spark.createDataFrame(
+        [(s, int(e), format(int((e - int(e)) * 16**6), "06x"))
+         for s, e in sorted(epochs.items())],
+        f"{stratum_col} string, __whole int, __fthr string",
+    )
+    d_whole = int(default_epochs)
+    d_fthr = format(int((default_epochs - d_whole) * 16**6), "06x")
+    gate = F.substring(F.md5(F.col(key_col).cast("string")), 1, 6)
+    copies = (
+        F.coalesce(F.col("__whole"), F.lit(d_whole))
+        + F.when(gate < F.coalesce(F.col("__fthr"), F.lit(d_fthr)), 1).otherwise(0)
+    )
+    seq = F.when(
+        copies > 0, F.sequence(F.lit(0), copies - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.join(F.broadcast(ep), stratum_col, "left")
+        .withColumn(copy_col, F.explode(seq))
+        .drop("__whole", "__fthr")
+    )

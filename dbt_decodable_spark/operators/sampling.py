@@ -32,7 +32,7 @@ the driver-mandated training-data extension set.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _HEX_SPACE = 16**6
 
@@ -118,3 +118,31 @@ def train_val_test_split(
         .otherwise(F.lit("train"))
     )
     return df.withColumn("split", split)
+
+
+def reservoir_per_stratum(
+    df: DataFrame, stratum_col: str, key_col: str, n: int, salt: str = "rsv"
+) -> DataFrame:
+    """Deterministic fixed-size sample of ``n`` rows per stratum: rank rows
+    by ``md5(salt || key)`` within the stratum and keep the ``n`` smallest.
+
+    The hash order is a uniform random permutation of each stratum, so this
+    is a reservoir sample with the reservoir property made *stable*:
+    membership depends only on (key, salt, the stratum's other members'
+    hashes), never on arrival order or partitioning — and unlike a true
+    streaming reservoir, re-running on the same corpus reproduces the
+    sample exactly in any engine.
+
+    Scale shape: one hash per row map-side, then a per-stratum top-n.
+    Spark plans the rank filter as a ``WindowGroupLimit`` push-down
+    (partial top-n inside each map task before the stratum shuffle), so
+    the shuffle carries ~n rows per (stratum, input-partition), not the
+    stratum's full population. Output: input columns + ``rk`` (1-based
+    hash rank within the stratum).
+    """
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n)
+    )

@@ -69,8 +69,13 @@ _DRIVER_WINDOW_PRIORITY = (
     "embedding_quantize_int8", "multimodal_features",
     "similarity_threshold_join", "stream_interval_join",
     "stream_temporal_join", "stream_sessionize_stateful",
-    "subquery_scalar_correlated", "subquery_in",
-    "events_count", "stream_session_window",
+    # (b4) new in session 3 — never driver-measured (these displace the four
+    # r5-green re-measures subquery_scalar_correlated / subquery_in /
+    # events_count / stream_session_window: a never-measured row always
+    # outranks a re-measure, and the subquery pair's open question is bench
+    # timing, which the driver measures over the full registry regardless):
+    "cluster_kmeans_lloyd", "mix_epochs_upsample",
+    "sample_reservoir_per_source", "events_rolling_active_7d",
     # (b2) new in round 6 — never driver-measured:
     "dedup_paragraph_exact", "dedup_cluster_keep_best",
     "dedup_semantic_clusters", "stream_dedup_watermark",
@@ -106,6 +111,7 @@ def load_all() -> dict[str, QueryDef]:
         aggregates,
         extensions,
         extensions2,
+        extensions3,
         joins,
         relational,
         relational2,

@@ -1,0 +1,201 @@
+"""Session-3 extension queries (SURVEY §2.12 continued): exact-integer
+iterative k-means, fractional-epoch upsampling, per-stratum reservoir
+sampling, and rolling active-user analytics — each with a DuckDB value
+oracle (integer-exact arithmetic end-to-end; the k-means oracle unrolls
+the full Lloyd recurrence so both engines walk identical centroids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dbt_decodable_spark.operators import clustering, mixing, sampling
+from dbt_decodable_spark.queries import register
+from dbt_decodable_spark.sources.tables import read_table
+
+# ------------------------------------------------------------------ k-means
+
+_KM_DIM = 64
+_KM_K = 8
+_KM_INIT_MOD = 61
+
+_KM_QUANT = (
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5)"
+    " AS BIGINT) + 1024)"
+)
+
+
+def _km_dist(qv: str, cv: str) -> str:
+    """Integer squared-Euclidean distance between two BIGINT lists."""
+    return (
+        f"list_sum(list_transform(range({_KM_DIM}), "
+        f"i -> ({qv}[i+1] - {cv}[i+1]) * ({qv}[i+1] - {cv}[i+1])))"
+    )
+
+
+def _km_assign(out: str, cent: str) -> str:
+    """Nearest-centroid CTE: ties to the smallest cid (same rule as the
+    Spark side's min(struct(dist, cid)))."""
+    d = _km_dist("q.qv", "c.cv")
+    return f"""{out} AS (
+        SELECT vec_id, qv, cid FROM (
+            SELECT q.vec_id, q.qv, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {d} ASC, c.cid ASC) AS rn
+            FROM q CROSS JOIN {cent} c) t
+        WHERE rn = 1
+    )"""
+
+
+def _km_update(assigned: str, out: str) -> str:
+    """Round-half-up integer-mean centroid update, per dimension."""
+    return f"""{out}_d AS (
+        SELECT cid, i AS d,
+               CAST((2 * sum(qv[i+1]) + count(*)) // (2 * count(*)) AS BIGINT)
+                   AS m
+        FROM {assigned} CROSS JOIN unnest(range({_KM_DIM})) AS t(i)
+        GROUP BY cid, i
+    ),
+    {out} AS (SELECT cid, list(m ORDER BY d) AS cv FROM {out}_d GROUP BY cid)"""
+
+
+_KM_ORACLE = f"""
+    WITH q AS (SELECT vec_id, {_KM_QUANT} AS qv FROM embeddings),
+    cent0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+        FROM (SELECT vec_id, qv FROM q WHERE vec_id % {_KM_INIT_MOD} = 0
+              ORDER BY vec_id LIMIT {_KM_K})
+    ),
+    {_km_assign('a1', 'cent0')},
+    {_km_update('a1', 'cent1')},
+    {_km_assign('a2', 'cent1')},
+    {_km_update('a2', 'cent2')}
+    SELECT vec_id, cid AS centroid_id,
+           CAST({_km_dist('t.qv', 't.cv')} AS BIGINT) AS dist2
+    FROM (
+        SELECT q.vec_id, q.qv, c.cid, c.cv,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_km_dist('q.qv', 'c.cv')} ASC, c.cid ASC) AS rn
+        FROM q CROSS JOIN cent2 c) t
+    WHERE rn = 1
+"""
+
+
+@register(
+    "cluster_kmeans_lloyd",
+    oracle=_KM_ORACLE,
+    doc="§2.12 iterative distributed k-means (Lloyd, 2 update rounds + final "
+    "assignment, k=8): the *iterative algorithm* class — vectors quantized "
+    "to a non-negative BIGINT grid (power-of-two scale → exact double "
+    "multiply), integer squared-Euclidean argmin (zip_with+aggregate, pure "
+    "JVM codegen), round-half-up integer-mean centroid update "
+    "((2·Σv + n) div 2n). Bit-exact and engine-portable where MLlib KMeans "
+    "is RNG-seeded and float-reduction-ordered; the oracle unrolls the "
+    "identical recurrence so centroids/assignments/distances match "
+    "byte-for-byte. Per round: broadcast k·dim centroids, map-side "
+    "cross-score, groupBy argmin, (cid,dim) partial-sum tree — driver never "
+    "holds more than k centroids (operators/clustering.py).",
+)
+def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    return clustering.kmeans_lloyd(
+        e, "vec_id", "embedding", k=_KM_K, iters=2, init_mod=_KM_INIT_MOD
+    )
+
+
+# ------------------------------------------------------- epoch upsampling
+
+_EPOCHS = {"en": 2.25, "zh": 1.5, "es": 0.5}
+_EPOCH_DEFAULT = 0.75
+
+
+@register(
+    "mix_epochs_upsample",
+    oracle="""
+        WITH sel AS (
+            SELECT doc_id, lang,
+                   CASE lang WHEN 'en' THEN 2 WHEN 'zh' THEN 1
+                             WHEN 'es' THEN 0 ELSE 0 END
+                   + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) <
+                          CASE lang WHEN 'en' THEN '400000'
+                                    WHEN 'zh' THEN '800000'
+                                    WHEN 'es' THEN '800000'
+                                    ELSE 'c00000' END
+                     THEN 1 ELSE 0 END AS copies
+            FROM documents
+        )
+        SELECT doc_id, lang, CAST(t.c AS INT) AS epoch_copy
+        FROM sel CROSS JOIN unnest(range(copies)) AS t(c)
+    """,
+    doc="§2.12 fractional-epoch upsampling (the data-mix recipe: en 2.25 "
+    "epochs, zh 1.5, es 0.5, default 0.75): floor(e) copies plus one "
+    "hash-gated extra — deterministic, nested, partition-independent "
+    "(operators/mixing.epoch_upsample). Map-only: broadcast epoch table + "
+    "per-row sequence explode, no shuffle; e<1 degenerates to stratified "
+    "down-sampling in the same operator.",
+)
+def mix_epochs_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    out = mixing.epoch_upsample(
+        d, "lang", "doc_id", _EPOCHS, default_epochs=_EPOCH_DEFAULT
+    )
+    return out.select("doc_id", "lang", F.col("epoch_copy").cast("int").alias("epoch_copy"))
+
+
+# -------------------------------------------------- per-stratum reservoir
+
+@register(
+    "sample_reservoir_per_source",
+    oracle="""
+        SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY md5('rsv:' || CAST(doc_id AS VARCHAR)) ASC,
+                                doc_id ASC) AS rk
+            FROM documents) t
+        WHERE rk <= 5
+    """,
+    doc="§2.12 deterministic per-stratum reservoir: 5 rows per source, "
+    "ranked by salted md5 — a stable uniform fixed-size sample "
+    "(operators/sampling.reservoir_per_stratum). Spark pushes the rank "
+    "filter down as WindowGroupLimit: each map task pre-trims to n rows "
+    "per stratum before the shuffle, so the exchange carries "
+    "~n·partitions rows, not the corpus.",
+)
+def sample_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    out = sampling.reservoir_per_stratum(d, "source", "doc_id", n=5, salt="rsv")
+    return out.select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
+
+
+# ------------------------------------------------- rolling active users
+
+@register(
+    "events_rolling_active_7d",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        cal AS (SELECT DISTINCT day FROM du)
+        SELECT cal.day AS day, count(DISTINCT du.user_id) AS active_7d
+        FROM cal JOIN du ON du.day BETWEEN cal.day - 6 AND cal.day
+        GROUP BY cal.day
+    """,
+    doc="§2.12 trailing-7-day distinct active users per day: the rolling "
+    "COUNT(DISTINCT) that SQL window frames can't express. Scale shape: "
+    "the heavy step is the (day,user) dropDuplicates — map-side partial "
+    "dedup then one shuffle down to |days|·|users| rows; the trailing "
+    "range join runs over that small aggregate against a broadcast "
+    "calendar, so the 100 TB event scan is touched exactly once.",
+)
+def events_rolling_active_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    cal = du.select("day").distinct()
+    joined = cal.alias("c").join(
+        du.alias("d"),
+        F.col("d.day").between(F.date_sub(F.col("c.day"), 6), F.col("c.day")),
+    )
+    return joined.groupBy(F.col("c.day").alias("day")).agg(
+        F.countDistinct("d.user_id").alias("active_7d")
+    )
