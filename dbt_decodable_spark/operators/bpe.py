@@ -1,0 +1,118 @@
+"""BPE merge-rule learning (SURVEY §2.12): the tokenizer-training loop as a
+distributed DataFrame recurrence.
+
+Byte-pair encoding fits a tokenizer by repeating: count adjacent symbol
+pairs over the corpus → merge the most frequent pair everywhere → repeat.
+Each round here is pure DataFrame work — a map-side pair explode, one
+partially-aggregated ``groupBy(a, b)``, a ``TakeOrderedAndProject`` top-1,
+and a map-only merge application — so the corpus is never collected and the
+only driver-side datum per round is the single winning pair.
+
+Exactness is the point (like :mod:`clustering`): pair counts are integers,
+the winner is the (count DESC, pair ASC) total order, and the merge itself
+is plain left-to-right non-overlapping string ``replace`` — semantics every
+engine shares, which makes the learned rules and the resegmentation
+value-oracle-able (the ``text_bpe_*`` oracles unroll identical rounds).
+
+Representation: a document's symbol sequence is kept BOTH as an array (for
+pair counting) and as a **doubled-separator string** ``~~s1~~s2~~…~~`` (for
+merge application). A pair merge is then the literal replace of
+``~a~~b~`` with ``~ab~`` — the pattern consumes the *inner* half of each
+boundary, so back-to-back occurrences (``a b a b``) still match on the
+rescan, while overlapping ones (``a a a``) correctly merge greedily
+left-to-right (``aa, a``), exactly the sequential BPE semantics. A plain
+regex-free replace needs no lookbehind (RE2-safe for any oracle engine).
+The separator must not occur in the corpus alphabet — documents containing
+it are excluded by a filter guard fused into the scan.
+
+Merged symbols can never contain ``~``, so the invariant (every boundary
+and both ends are ``~~``) survives any number of rounds; resegmentation is
+``split(trim(both '~'), '~~')``.
+
+No reference counterpart (decodableco/dbt-decodable has no text-processing
+surface); driver-mandated extension per /root/repo/BASELINE.json:6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+SEP = "~"
+
+
+def chars_of(s: Column) -> Column:
+    """``string`` → ``array<string>`` of single characters (1-based substr
+    over a sequence — no empty-string artifacts from regex split)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(s)), lambda i: F.substring(s, i, F.lit(1))
+    )
+
+
+def to_sym_string(syms: Column) -> Column:
+    """Symbol array → doubled-separator string ``~~s1~~s2~~``."""
+    d = SEP + SEP
+    return F.concat(F.lit(d), F.array_join(syms, d), F.lit(d))
+
+
+def _resplit(col_name: str) -> Column:
+    """Doubled-separator string column (by name) → symbol array."""
+    return F.split(F.expr(f"trim(BOTH '{SEP}' FROM {col_name})"), SEP + SEP)
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    """Array of ``struct(a, b)`` adjacent pairs (empty for 1-symbol docs)."""
+    n = F.size(syms)
+    return F.zip_with(
+        F.slice(syms, 1, n - 1),
+        F.slice(syms, 2, n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+
+
+def _top_pair(sym_df: DataFrame) -> tuple[str, str, int]:
+    """The corpus-wide most frequent adjacent pair; ties broken by the
+    (a, b) lexicographic order. One partial-agg groupBy + TakeOrdered(1)."""
+    counts = (
+        sym_df.select(F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    [w] = counts.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+    return w.a, w.b, w.cnt
+
+
+def learn_merges(
+    docs: DataFrame, text_col: str, rounds: int = 2, max_chars: int = 64
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run ``rounds`` BPE merge rounds over the first ``max_chars`` chars of
+    each document. Returns ``(rules, segmented)`` where ``rules`` is
+    ``[(round, left, right, count), …]`` (the only driver-side state — one
+    row per round) and ``segmented`` carries ``(doc_id, syms, sym_string)``
+    after all merges.
+
+    Documents shorter than 2 chars contribute no pairs and are dropped up
+    front (they could never be resegmented anyway)."""
+    base = (
+        docs.select(
+            "doc_id", F.substring(F.col(text_col), 1, max_chars).alias("__s")
+        )
+        # charset guard fused into the scan (no extra action): a doc that
+        # contains the separator would corrupt the boundary encoding, so it
+        # is excluded — pick a SEP outside the corpus alphabet
+        .filter((F.length("__s") >= 2) & ~F.col("__s").contains(SEP))
+    )
+    cur = base.select(
+        "doc_id",
+        chars_of(F.col("__s")).alias("syms"),
+    ).withColumn("sym_string", to_sym_string(F.col("syms")))
+
+    rules: list[tuple[int, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        a, b, cnt = _top_pair(cur)
+        rules.append((r, a, b, cnt))
+        pat = F.lit(f"{SEP}{a}{SEP}{SEP}{b}{SEP}")
+        rep = F.lit(f"{SEP}{a}{b}{SEP}")
+        cur = cur.select(
+            "doc_id", F.replace(F.col("sym_string"), pat, rep).alias("sym_string")
+        ).withColumn("syms", _resplit("sym_string"))
+    return rules, cur

@@ -199,3 +199,113 @@ def events_rolling_active_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("c.day").alias("day")).agg(
         F.countDistinct("d.user_id").alias("active_7d")
     )
+
+
+# ------------------------------------------------------- BPE merge rounds
+
+_BPE_CTES = """
+    d AS (
+        SELECT doc_id, substr(text, 1, 64) AS s FROM documents
+        WHERE length(substr(text, 1, 64)) >= 2
+          AND substr(text, 1, 64) NOT LIKE '%~%'
+    ),
+    c1 AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(s)), i -> s[i]) AS syms
+        FROM d
+    ),
+    p1 AS (
+        SELECT syms[i] AS a, syms[i+1] AS b
+        FROM c1 CROSS JOIN unnest(generate_series(1, len(syms) - 1)) AS t(i)
+    ),
+    w1 AS (
+        SELECT a, b, count(*) AS cnt FROM p1
+        GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    s1 AS (
+        SELECT doc_id, '~~' || array_to_string(syms, '~~') || '~~' AS ss
+        FROM c1
+    ),
+    m1 AS (
+        SELECT doc_id,
+               replace(ss, (SELECT '~' || a || '~~' || b || '~' FROM w1),
+                           (SELECT '~' || a || b || '~' FROM w1)) AS ss
+        FROM s1
+    ),
+    c2 AS (
+        SELECT doc_id, string_split(trim(ss, '~'), '~~') AS syms FROM m1
+    ),
+    p2 AS (
+        SELECT syms[i] AS a, syms[i+1] AS b
+        FROM c2 CROSS JOIN unnest(generate_series(1, len(syms) - 1)) AS t(i)
+    ),
+    w2 AS (
+        SELECT a, b, count(*) AS cnt FROM p2
+        GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1
+    )
+"""
+
+
+@register(
+    "text_bpe_train",
+    oracle=f"""
+        WITH {_BPE_CTES}
+        SELECT 1 AS merge_round, a AS left_sym, b AS right_sym,
+               a || b AS merged, cnt
+        FROM w1
+        UNION ALL
+        SELECT 2, a, b, a || b, cnt FROM w2
+    """,
+    doc="§2.12 BPE tokenizer training, 2 merge rounds over the corpus "
+    "(operators/bpe.py): per round one map-side adjacent-pair explode, one "
+    "partially-aggregated groupBy(a,b), a TakeOrdered(1) winner (count "
+    "DESC, pair ASC total order), and a map-only doubled-separator string "
+    "replace applying the merge — the corpus never leaves the executors, "
+    "the driver holds exactly one pair per round. Integer counts + binary "
+    "string order keep the learned rules value-oracle-exact.",
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.operators import bpe
+
+    d = read_table(spark, sf_dir, "documents")
+    rules, _ = bpe.learn_merges(d, "text", rounds=2, max_chars=64)
+    return spark.createDataFrame(
+        [(r, a, b, a + b, c) for r, a, b, c in rules],
+        "merge_round int, left_sym string, right_sym string, "
+        "merged string, cnt long",
+    )
+
+
+@register(
+    "text_bpe_segment",
+    oracle=f"""
+        WITH {_BPE_CTES},
+        m2 AS (
+            SELECT doc_id,
+                   replace(ss, (SELECT '~' || a || '~~' || b || '~' FROM w2),
+                               (SELECT '~' || a || b || '~' FROM w2)) AS ss
+            FROM m1
+        ),
+        c3 AS (
+            SELECT doc_id, string_split(trim(ss, '~'), '~~') AS syms FROM m2
+        )
+        SELECT doc_id, array_to_string(syms, '~') AS segmented,
+               CAST(len(syms) AS INT) AS n_syms
+        FROM c3
+    """,
+    doc="§2.12 BPE resegmentation: every document re-tokenized under the 2 "
+    "learned merge rules (same recurrence as text_bpe_train; the merge "
+    "application is a literal non-overlapping replace on the "
+    "doubled-separator encoding — greedy left-to-right, RE2-safe, no "
+    "lookbehind). Output serialized ~-joined (driver canon sorts scalars).",
+)
+def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.operators import bpe
+
+    d = read_table(spark, sf_dir, "documents")
+    _, seg = bpe.learn_merges(d, "text", rounds=2, max_chars=64)
+    return seg.select(
+        "doc_id",
+        F.array_join(F.col("syms"), bpe.SEP).alias("segmented"),
+        F.size(F.col("syms")).cast("int").alias("n_syms"),
+    )
