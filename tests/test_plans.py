@@ -243,3 +243,57 @@ class TestSession2Plans:
         scan = plan[plan.index("FileScan") :]
         assert "DataFilters: [(size(split" in scan
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestSession3Plans:
+    def test_reservoir_window_group_limit_pretrim(self, spark, registry):
+        # the per-stratum top-n must pre-trim in the map stage: a Partial
+        # WindowGroupLimit below the stratum Exchange, Final above it
+        plan = plan_of(spark, registry, "sample_reservoir_per_source")
+        assert "WindowGroupLimit" in plan
+        pre, _, post = plan.partition("Exchange")
+        assert "WindowGroupLimit" in pre and "WindowGroupLimit" in post
+
+    def test_rolling_active_dedups_before_range_join(self, spark, registry):
+        # (day,user) dedup must run BEFORE the trailing-window join, and the
+        # calendar side must broadcast — the range join runs on aggregates,
+        # never on raw events
+        plan = plan_of(spark, registry, "events_rolling_active_7d")
+        assert "BroadcastNestedLoopJoin" in plan
+        pre, _, _ = plan.partition("BroadcastNestedLoopJoin")
+        assert "HashAggregate" in pre
+
+    def test_kmeans_broadcasts_centroids(self, spark, registry):
+        # every assignment round scores against broadcast centroids — no
+        # shuffle join anywhere in the lineage
+        plan = plan_of(spark, registry, "cluster_kmeans_lloyd")
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_bpe_pair_count_partial_agg(self, spark, registry):
+        # pair counting must partial-aggregate map-side and pick the winner
+        # via TakeOrderedAndProject, not a global sort
+        from dbt_decodable_spark.operators.bpe import _adjacent_pairs, _top_pair  # noqa: F401
+        from dbt_decodable_spark.sources.tables import read_table
+        from dbt_decodable_spark.operators import bpe
+        from pyspark.sql import functions as F
+
+        d = read_table(spark, SF_DIR, "documents")
+        base = d.select(
+            "doc_id", F.substring("text", 1, 64).alias("__s")
+        ).filter(F.length("__s") >= 2)
+        syms = base.select(bpe.chars_of(F.col("__s")).alias("syms"))
+        counts = (
+            syms.select(F.explode(bpe._adjacent_pairs(F.col("syms"))).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        plan = (
+            counts.orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert plan.count("HashAggregate") >= 2  # partial + final
