@@ -67,10 +67,11 @@ _DRIVER_WINDOW_PRIORITY = (
     "func_url", "source_json_roundtrip",
     # (b) round-6-touched:
     "embedding_quantize_int8", "multimodal_features",
-    # (stream_interval_join and similarity_threshold_join dropped from the
-    # re-measure set: their r6 fixes change sizing/robustness, not results,
-    # and both are green under the local replica — never-measured wins)
-    "stream_temporal_join", "stream_sessionize_stateful",
+    # (stream_interval_join, similarity_threshold_join, stream_temporal_join
+    # dropped from the re-measure set: their r6 fixes change
+    # sizing/robustness/idempotence-on-retry, not bounded-run results, and
+    # all are green under the local replica — never-measured wins)
+    "stream_sessionize_stateful",
     # (b4) new in session 3 — never driver-measured (these displace the four
     # r5-green re-measures subquery_scalar_correlated / subquery_in /
     # events_count / stream_session_window: a never-measured row always
@@ -78,7 +79,7 @@ _DRIVER_WINDOW_PRIORITY = (
     # timing, which the driver measures over the full registry regardless):
     "cluster_kmeans_lloyd", "mix_epochs_upsample",
     "sample_reservoir_per_source", "events_rolling_active_7d",
-    "text_bpe_train", "text_bpe_segment",
+    "text_bpe_train", "text_bpe_segment", "graph_khop_neighbors",
     # (b2) new in round 6 — never driver-measured:
     "dedup_paragraph_exact", "dedup_cluster_keep_best",
     "dedup_semantic_clusters", "stream_dedup_watermark",

@@ -309,3 +309,55 @@ def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.col("syms"), bpe.SEP).alias("segmented"),
         F.size(F.col("syms")).cast("int").alias("n_syms"),
     )
+
+
+# ------------------------------------------- recursive-CTE k-hop expansion
+
+_KHOP_SQL = """
+    WITH RECURSIVE sym AS (
+        SELECT id_a AS s, id_b AS d FROM {pairs}
+        UNION ALL
+        SELECT id_b, id_a FROM {pairs}
+    ),
+    walk(src, node, depth) AS (
+        SELECT s, d, 1 FROM sym
+        UNION ALL
+        SELECT walk.src, sym.d, walk.depth + 1
+        FROM walk JOIN sym ON walk.node = sym.s
+        WHERE walk.depth < 3
+    )
+    SELECT DISTINCT src, node FROM walk WHERE src < node
+"""
+
+
+def _khop_oracle() -> str:
+    from dbt_decodable_spark.queries.extensions import _MINHASH_PAIRS_CTES
+
+    body = _KHOP_SQL.format(pairs="pairs")
+    # splice the pairs CTEs into the RECURSIVE prologue
+    return body.replace(
+        "WITH RECURSIVE sym AS", f"WITH RECURSIVE {_MINHASH_PAIRS_CTES},\n    sym AS"
+    )
+
+
+@register(
+    "graph_khop_neighbors",
+    oracle=_khop_oracle(),
+    doc="§2.12 bounded k-hop graph expansion via WITH RECURSIVE (the Spark 4 "
+    "recursive-CTE surface, UNION ALL + depth bound + terminal DISTINCT): "
+    "all within-3-hops pairs over the MinHash-LSH near-dup graph. The depth "
+    "bound makes recursion terminate on cyclic graphs and keeps the blowup "
+    "at fan-out^3 per vertex — the scale-safe form; *unbounded* closure "
+    "stays the job of the O(log n) large-star/small-star CC operator "
+    "(operators/graph.py), which dedup_connected_components proves.",
+)
+def graph_khop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.operators import dedup
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(d, "doc_id", "text", n=3, num_hashes=6)
+    # DataFrame-typed SQL argument, issued on the DataFrame's OWN session:
+    # the minhash pipeline runs in the shingle child session
+    # (operators/dedup._shingle_session_df), and a df-arg registers its
+    # backing view there — sql() on any other session would not see it
+    return pairs.sparkSession.sql(_KHOP_SQL.format(pairs="{pairs}"), pairs=pairs)

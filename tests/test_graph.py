@@ -127,3 +127,31 @@ class TestSmallGraphFinisher:
         got = {r.id: r.component for r in connected_components(df).collect()}
         assert all(got[i] == 0 for i in range(51))
         assert got[102] == 100
+
+
+class TestKhopRecursiveCte:
+    def test_khop_on_known_graph(self, spark):
+        # path 1-2-3-4-5 plus isolated edge 8-9: 3 hops from 1 reaches 4 but
+        # not 5; symmetric closure, src<node halves the output
+        from dbt_decodable_spark.queries.extensions3 import _KHOP_SQL
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "id_a long, id_b long"
+        )
+        out = spark.sql(_KHOP_SQL.format(pairs="{pairs}"), pairs=edges)
+        got = sorted(map(tuple, out.collect()))
+        want = sorted(
+            [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (2, 5), (3, 4), (3, 5),
+             (4, 5), (8, 9)]
+        )
+        assert got == want
+
+    def test_khop_terminates_on_cycle(self, spark):
+        # triangle: UNION ALL recursion must stop at the depth bound
+        from dbt_decodable_spark.queries.extensions3 import _KHOP_SQL
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], "id_a long, id_b long"
+        )
+        out = spark.sql(_KHOP_SQL.format(pairs="{pairs}"), pairs=edges)
+        assert sorted(map(tuple, out.collect())) == [(1, 2), (1, 3), (2, 3)]
