@@ -120,16 +120,18 @@ def init_centroids(q: DataFrame, k: int, init_mod: int) -> DataFrame:
     return seeds.select((w - 1).alias("cid"), F.col("qv").alias("cv"))
 
 
-def kmeans_lloyd(
+def kmeans_fit(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 2,
     init_mod: int = 61,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Exact-integer Lloyd's k-means: ``iters`` assignment+update rounds,
-    then a final assignment. Returns ``(vec_id, centroid_id, dist2)``.
+    then a final assignment. Returns ``(centroids, assignments)`` —
+    centroids as ``(cid, cv: array<bigint>)``, assignments as
+    ``(vec_id, cid, qv, dist2)``.
 
     The quantized input is cached for reuse across rounds (at cluster scale,
     swap for a durable checkpoint of the same projection). ``iters`` is a
@@ -143,7 +145,81 @@ def kmeans_lloyd(
     cent = init_centroids(q, k, init_mod)
     for _ in range(iters):
         cent = _update(_assign(q, cent))
-    final = _assign(q, cent)
+    return cent, _assign(q, cent)
+
+
+def kmeans_lloyd(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    init_mod: int = 61,
+) -> DataFrame:
+    """Assignment-only view of :func:`kmeans_fit`:
+    ``(vec_id, centroid_id, dist2)``."""
+    _, final = kmeans_fit(vectors, id_col, vec_col, k, iters, init_mod)
     return final.select(
         "vec_id", F.col("cid").alias("centroid_id"), F.col("dist2").alias("dist2")
+    )
+
+
+def ivf_topk_kmeans(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
+    init_mod: int = 61,
+) -> DataFrame:
+    """IVF ANN whose coarse quantizer is the TRAINED k-means — the index
+    actually fits the data distribution, unlike the fixed-stride sampled
+    quantizer of :func:`similarity.ivf_topk` (kept there as the simplest
+    reproducible baseline). Probe selection runs on exact-integer distances
+    (deterministic even between near-equidistant centroids); the final
+    re-rank is exact cosine on the original float vectors, top-``k`` per
+    query with id tie-breaks.
+
+    Scale shape inherits from both parents: k-means rounds as documented in
+    :func:`kmeans_fit`, then one broadcast of the k·dim centroid table for
+    probing, and a candidate join keyed on cid — at 100 TB the corpus is
+    written PARTITIONED BY cid once, so each query scans ~n_probe/k of the
+    data via partition pruning. Output: (query_id, neighbor_id, rank)."""
+    from dbt_decodable_spark.operators.similarity import cosine
+
+    cent, assigned = kmeans_fit(corpus, id_col, vec_col, n_clusters, iters, init_mod)
+    qq = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        quantize_to_grid(F.col(vec_col)).alias("q_qv"),
+    )
+    pw = Window.partitionBy("query_id").orderBy("d2", "cid")
+    probes = (
+        qq.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "q_vec", "cid",
+            _sq_dist(F.col("q_qv"), F.col("cv")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q_vec", "cid")
+    )
+    lists = assigned.select("vec_id", "cid").join(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("n_vec")
+        ),
+        "vec_id",
+    )
+    cand = probes.join(lists, "cid").filter(F.col("query_id") != F.col("vec_id"))
+    scored = cand.withColumn("cos_sim", cosine(F.col("q_vec"), F.col("n_vec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
     )

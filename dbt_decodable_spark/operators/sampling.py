@@ -146,3 +146,25 @@ def reservoir_per_stratum(
         df.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= n)
     )
+
+
+def importance_sample(
+    df: DataFrame, key_col: str, weight_col: str, scale: int
+) -> DataFrame:
+    """Weight-proportional deterministic sampling: keep a row with
+    probability ``min(1, weight/scale)`` — the quality-weighted corpus
+    thinning step ("keep high-scoring docs more often") — decided by the
+    same md5 hash gate as :func:`deterministic_sample`, so membership is
+    reproducible and partition-independent.
+
+    The comparison is integer cross-multiplied (``h·scale <
+    16^6·min(w, scale)``, all BIGINT) rather than a float division, so any
+    engine computes the identical keep-set. Rows with ``weight >= scale``
+    always survive; ``weight <= 0`` never does. Map-only, one hash + two
+    multiplies per row, codegen'd."""
+    h = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 6), 16, 10)
+        .cast("long")
+    )
+    w = F.least(F.col(weight_col).cast("long"), F.lit(scale))
+    return df.filter(h * scale < F.lit(_HEX_SPACE) * w)

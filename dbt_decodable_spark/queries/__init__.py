@@ -70,16 +70,19 @@ _DRIVER_WINDOW_PRIORITY = (
     # (stream_interval_join, similarity_threshold_join, stream_temporal_join
     # dropped from the re-measure set: their r6 fixes change
     # sizing/robustness/idempotence-on-retry, not bounded-run results, and
-    # all are green under the local replica — never-measured wins)
-    "stream_sessionize_stateful",
+    # all are green under the local replica — never-measured wins;
+    # stream_sessionize_stateful moved to the overflow tail, see below)
     # (b4) new in session 3 — never driver-measured (these displace the four
     # r5-green re-measures subquery_scalar_correlated / subquery_in /
     # events_count / stream_session_window: a never-measured row always
     # outranks a re-measure, and the subquery pair's open question is bench
-    # timing, which the driver measures over the full registry regardless):
+    # timing, which the driver measures over the full registry regardless.
+    # Solo re-bench this session confirmed both subqueries at r4 levels —
+    # see SCALING.md "Bench-noise postmortem"):
     "cluster_kmeans_lloyd", "mix_epochs_upsample",
     "sample_reservoir_per_source", "events_rolling_active_7d",
     "text_bpe_train", "text_bpe_segment", "graph_khop_neighbors",
+    "similarity_ivf_kmeans_topk", "sample_importance_weighted",
     # (b2) new in round 6 — never driver-measured:
     "dedup_paragraph_exact", "dedup_cluster_keep_best",
     "dedup_semantic_clusters", "stream_dedup_watermark",
@@ -92,11 +95,18 @@ _DRIVER_WINDOW_PRIORITY = (
     "mix_temperature_quota", "sample_split_assign", "stream_window_topk",
     "text_strip_markup", "dedup_url_canonical", "stream_bloom_index",
     "source_text_roundtrip", "source_parquet_zstd_roundtrip",
-    "source_partitioned_pruned", "pack_length_buckets", "func_string_flink", "func_datetime_flink",
+    "source_partitioned_pruned", "pack_length_buckets",
     "text_novelty_score", "corpus_length_quantiles", "text_oov_rate",
     "stream_window_topk_run", "agg_kmv_distinct", "events_funnel_stages",
     "pipeline_curation_end2end", "dedup_span_removal", "dedup_minhash_verified",
     "dedup_cc_star_edges", "agg_kmv_by_source",
+    # --- 1-based slots 51-52 fall OUTSIDE the driver's 50-row window this
+    # round and overflow to round 7: func_datetime_flink (thinnest marginal
+    # evidence — the rewrites are byte-level pytest-pinned in test_dialect
+    # and local-replica green; its string twin lands in slot 50) and the
+    # sessionize re-measure (r5-green; the r6 auto-bucket path is
+    # pytest-pinned to produce identical output):
+    "func_string_flink", "func_datetime_flink", "stream_sessionize_stateful",
     # (c) staleness guard: EMPTY this round — the session added 24
     # never-driver-measured queries and a never-measured row always
     # outranks a re-measure, so all 50 slots go to (a)/(b). Every former

@@ -361,3 +361,85 @@ def graph_khop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (operators/dedup._shingle_session_df), and a df-arg registers its
     # backing view there — sql() on any other session would not see it
     return pairs.sparkSession.sql(_KHOP_SQL.format(pairs="{pairs}"), pairs=pairs)
+
+
+# ---------------------------------------------- k-means-trained IVF ANN
+
+@register(
+    "similarity_ivf_kmeans_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_KM_QUANT} AS qv FROM embeddings),
+    cent0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+        FROM (SELECT vec_id, qv FROM q WHERE vec_id % {_KM_INIT_MOD} = 0
+              ORDER BY vec_id LIMIT {_KM_K})
+    ),
+    {_km_assign('a1', 'cent0')},
+    {_km_update('a1', 'cent1')},
+    {_km_assign('a2', 'cent1')},
+    {_km_update('a2', 'cent2')},
+    {_km_assign('a3', 'cent2')},
+    qry AS (
+        SELECT vec_id AS query_id, embedding AS q_vec, {_KM_QUANT} AS q_qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    probes AS (
+        SELECT query_id, q_vec, cid FROM (
+            SELECT qry.query_id, qry.q_vec, c.cid,
+                   row_number() OVER (PARTITION BY qry.query_id
+                       ORDER BY {_km_dist('qry.q_qv', 'c.cv')} ASC, c.cid ASC)
+                       AS rn
+            FROM qry CROSS JOIN cent2 c) t
+        WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_cosine_similarity(p.q_vec, e.embedding) AS cos_sim
+        FROM probes p JOIN a3 a ON a.cid = p.cid
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM cand) t
+    WHERE rank <= 5
+    """,
+    doc="§2.12 IVF ANN with a TRAINED coarse quantizer: the 2-round "
+    "exact-integer k-means centroids index the corpus (the operators "
+    "compose — clustering.kmeans_fit feeds the inverted lists), 2-of-8 "
+    "probe on integer distances, exact-cosine re-rank, rank-only output. "
+    "vs similarity_ivf_topk's fixed-stride sample quantizer: the cells fit "
+    "the data distribution, so recall at equal probe fraction improves "
+    "(pytest-measured). At 100 TB the lists are PARTITIONED BY cid parquet "
+    "and each query prunes to ~n_probe/k of the corpus.",
+)
+def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return clustering.ivf_topk_kmeans(
+        e, q, k=5, n_clusters=_KM_K, n_probe=2, iters=2, init_mod=_KM_INIT_MOD
+    )
+
+
+# ---------------------------------------------- importance sampling
+
+@register(
+    "sample_importance_weighted",
+    oracle="""
+        SELECT doc_id, n_chars FROM documents
+        WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+              * 2000 < 16777216 * least(n_chars, 2000)
+    """,
+    doc="§2.12 weight-proportional sampling: keep probability "
+    "min(1, n_chars/2000) per doc — the quality-weighted thinning step — "
+    "decided by an integer cross-multiplied md5 gate "
+    "(operators/sampling.importance_sample): no float division anywhere, "
+    "so the keep-set is engine-exact. Map-only, no shuffle.",
+)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return sampling.importance_sample(d, "doc_id", "n_chars", scale=2000).select(
+        "doc_id", "n_chars"
+    )

@@ -137,3 +137,58 @@ class TestReservoirPerStratum:
         assert sizes == {s: min(3, c) for s, c in pop.items()}
         re = reservoir_per_stratum(docs.repartition(11), "source", "doc_id", n=3)
         assert sorted(map(tuple, out.collect())) == sorted(map(tuple, re.collect()))
+
+
+class TestIvfKmeans:
+    def test_recall_vs_bruteforce(self, spark):
+        from dbt_decodable_spark.operators.clustering import ivf_topk_kmeans
+        from dbt_decodable_spark.operators.similarity import cosine
+        from pyspark.sql import Window, functions as F
+
+        e = read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+        q = e.filter("vec_id < 5")
+        ann = ivf_topk_kmeans(e, q, k=5, n_clusters=4, n_probe=2, iters=1, init_mod=7)
+        got = {(r.query_id, r.neighbor_id) for r in ann.collect()}
+        # exact brute-force top-5 per query
+        bf = (
+            q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+            .crossJoin(e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv")))
+            .filter("query_id != nid")
+            .withColumn("s", cosine(F.col("qv"), F.col("nv")))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("nid"))
+        exact = {
+            (r.query_id, r.nid)
+            for r in bf.withColumn("rk", F.row_number().over(w)).filter("rk <= 5").collect()
+        }
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.4  # 2-of-4 probe: at least the local cells agree
+        assert ann.groupBy("query_id").count().filter("count > 5").count() == 0
+
+    def test_partition_independent(self, spark):
+        from dbt_decodable_spark.operators.clustering import ivf_topk_kmeans
+
+        e = read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+        q = e.filter("vec_id < 5")
+        a = sorted(map(tuple, ivf_topk_kmeans(e, q, k=3, n_clusters=4, n_probe=2, iters=1, init_mod=7).collect()))
+        b = sorted(map(tuple, ivf_topk_kmeans(e.repartition(9), q, k=3, n_clusters=4, n_probe=2, iters=1, init_mod=7).collect()))
+        assert a == b
+
+
+class TestImportanceSample:
+    def test_weight_semantics(self, spark):
+        from dbt_decodable_spark.operators.sampling import importance_sample
+
+        df = spark.createDataFrame(
+            [(i, w) for i in range(300) for w in (0, 500, 1000, 2000, 5000)],
+            "id long, w long",
+        )
+        kept = importance_sample(df, "id", "w", scale=2000)
+        per_w = {r.w: r.cnt for r in kept.groupBy("w").count().withColumnRenamed("count", "cnt").collect()}
+        assert 0 not in per_w                       # zero weight never kept
+        assert per_w[2000] == 300 and per_w[5000] == 300  # >= scale always kept
+        assert 0 < per_w[500] < per_w[1000] < 300   # monotone in weight
+        # nested: a doc kept at w is kept at any w' > w
+        k500 = {r.id for r in kept.filter("w = 500").collect()}
+        k1000 = {r.id for r in kept.filter("w = 1000").collect()}
+        assert k500 <= k1000
