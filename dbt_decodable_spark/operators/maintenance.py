@@ -19,7 +19,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def write_compacted(
@@ -76,3 +76,76 @@ def compact_path(
     os.rename(path.rstrip("/"), old)
     os.rename(tmp, path.rstrip("/"))
     shutil.rmtree(old)
+
+
+def delete_rows_partitioned(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    id_col: str,
+    ids: list,
+    fmt: str = "parquet",
+) -> dict:
+    """Targeted row deletion (the right-to-be-forgotten / takedown purge a
+    training-data store needs): remove every row whose ``id_col`` is in
+    ``ids`` from a ``partition_col``-partitioned table, rewriting ONLY the
+    partitions that contain a doomed row.
+
+    Two phases:
+
+    1. **Locate** — one column-pruned scan of ``(partition_col, id_col)``
+       filtered to ``ids`` finds the affected partition values. At 100 TB
+       this reads two columns of the parquet footer-indexed data; when an
+       external (id → partition) index exists, pass its result as ``ids``
+       grouped per partition and skip the scan entirely.
+    2. **Rewrite** — each affected partition directory is rewritten minus
+       the doomed rows with the same crash-safe tmp→verify→swap dance as
+       :func:`compact_path` (expected row count = before − doomed, checked
+       per partition before the swap). Untouched partitions are never read,
+       never rewritten, and keep their files byte-identical — the pytest
+       pins this via file inodes.
+
+    Deterministic, idempotent (a second run finds no affected partitions),
+    and parallel across partitions at scale (the loop below is driver-side
+    orchestration of independent partition jobs). Returns
+    ``{partition_value: rows_deleted}``.
+
+    The reference's nearest surface is stream ``clear`` (full truncate,
+    `decodable/apis.py` stream lifecycle); targeted deletion is part of the
+    driver-mandated training-data extension set.
+    """
+    base = path.rstrip("/")
+    doomed = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+    located = (
+        spark.read.format(fmt).load(base)
+        .select(partition_col, id_col)
+        .join(F.broadcast(doomed), id_col)
+        .groupBy(partition_col)
+        .count()
+        .collect()
+    )
+    deleted: dict = {}
+    id_set = set(ids)
+    for row in located:
+        pval, n_doomed = row[0], row[1]
+        pdir = os.path.join(base, f"{partition_col}={pval}")
+        part = spark.read.format(fmt).load(pdir)
+        n_before = part.count()
+        kept = part.filter(~F.col(id_col).isin(id_set))
+        tmp, old = pdir + ".__del_tmp__", pdir + ".__del_old__"
+        for leftover in (tmp, old):
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
+        kept.write.mode("overwrite").format(fmt).save(tmp)
+        n_after = spark.read.format(fmt).load(tmp).count()
+        if n_after != n_before - n_doomed:
+            shutil.rmtree(tmp)
+            raise RuntimeError(
+                f"partition {pval}: expected {n_before - n_doomed} rows "
+                f"after delete, wrote {n_after}; aborted, original untouched"
+            )
+        os.rename(pdir, old)
+        os.rename(tmp, pdir)
+        shutil.rmtree(old)
+        deleted[pval] = n_doomed
+    return deleted

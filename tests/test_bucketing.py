@@ -81,3 +81,53 @@ class TestPartitionPruning:
         # filter: nothing about event_date may appear in PushedFilters
         pushed = plan.split("PushedFilters")[1][:200] if "PushedFilters" in plan else ""
         assert "event_date" not in pushed
+
+
+class TestTargetedDeletion:
+    def _build(self, spark, tmp_path):
+        path = str(tmp_path / "corpus")
+        df = spark.createDataFrame(
+            [(i, f"lang{i % 3}", f"text {i}") for i in range(90)],
+            "doc_id long, lang string, text string",
+        )
+        df.write.partitionBy("lang").parquet(path)
+        return path
+
+    def _inodes(self, pdir):
+        import os
+        return {
+            f: os.stat(os.path.join(pdir, f)).st_ino
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet")
+        }
+
+    def test_deletes_only_affected_partitions(self, spark, tmp_path):
+        import os
+        from dbt_decodable_spark.operators.maintenance import delete_rows_partitioned
+
+        path = self._build(spark, tmp_path)
+        # doc_ids 0 and 3 are both lang0; lang1/lang2 untouched
+        before_l1 = self._inodes(os.path.join(path, "lang=lang1"))
+        before_l2 = self._inodes(os.path.join(path, "lang=lang2"))
+        deleted = delete_rows_partitioned(
+            spark, path, "lang", "doc_id", [0, 3]
+        )
+        assert deleted == {"lang0": 2}
+        left = spark.read.parquet(path)
+        assert left.count() == 88
+        assert left.filter("doc_id in (0, 3)").count() == 0
+        # untouched partitions keep their exact files (same inodes)
+        assert self._inodes(os.path.join(path, "lang=lang1")) == before_l1
+        assert self._inodes(os.path.join(path, "lang=lang2")) == before_l2
+
+    def test_idempotent_and_multi_partition(self, spark, tmp_path):
+        from dbt_decodable_spark.operators.maintenance import delete_rows_partitioned
+
+        path = self._build(spark, tmp_path)
+        deleted = delete_rows_partitioned(
+            spark, path, "lang", "doc_id", [1, 2, 4]
+        )
+        assert deleted == {"lang1": 2, "lang2": 1}
+        again = delete_rows_partitioned(spark, path, "lang", "doc_id", [1, 2, 4])
+        assert again == {}
+        assert spark.read.parquet(path).count() == 87
