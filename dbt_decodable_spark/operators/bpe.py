@@ -69,15 +69,19 @@ def _adjacent_pairs(syms: Column) -> Column:
     )
 
 
-def _top_pair(sym_df: DataFrame) -> tuple[str, str, int]:
+def _top_pair(sym_df: DataFrame) -> tuple[str, str, int] | None:
     """The corpus-wide most frequent adjacent pair; ties broken by the
-    (a, b) lexicographic order. One partial-agg groupBy + TakeOrdered(1)."""
+    (a, b) lexicographic order. One partial-agg groupBy + TakeOrdered(1).
+    ``None`` when no document has two symbols left (fully merged corpus)."""
     counts = (
         sym_df.select(F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    [w] = counts.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+    top = counts.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+    if not top:
+        return None
+    [w] = top
     return w.a, w.b, w.cnt
 
 
@@ -108,7 +112,10 @@ def learn_merges(
 
     rules: list[tuple[int, str, str, int]] = []
     for r in range(1, rounds + 1):
-        a, b, cnt = _top_pair(cur)
+        top = _top_pair(cur)
+        if top is None:  # every doc fully merged — no pairs left to rank
+            break
+        a, b, cnt = top
         rules.append((r, a, b, cnt))
         pat = F.lit(f"{SEP}{a}{SEP}{SEP}{b}{SEP}")
         rep = F.lit(f"{SEP}{a}{b}{SEP}")

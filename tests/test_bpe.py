@@ -23,6 +23,8 @@ def _py_bpe(texts: dict, rounds: int, max_chars: int = 64):
         counts = Counter()
         for s in segs.values():
             counts.update(zip(s, s[1:]))
+        if not counts:  # fully merged — mirror the operator's early stop
+            break
         (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         rules.append((r, a, b, cnt))
         for i, s in segs.items():
