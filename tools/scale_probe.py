@@ -61,7 +61,7 @@ def probes(spark, sf_dir: str) -> dict[str, float]:
     """Run each heavy pipeline to a noop sink and time it."""
     from pyspark.sql import functions as F
 
-    from dbt_decodable_spark.operators import bloom, dedup, text
+    from dbt_decodable_spark.operators import bloom, bpe, dedup, text
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -89,6 +89,11 @@ def probes(spark, sf_dir: str) -> dict[str, float]:
         ),
         "token_count": lambda: run(
             d.select("doc_id", F.size(dedup.tokens("text")).alias("n"))
+        ),
+        # one BPE round: pair-count + winner + merge application (the
+        # driver-side 1-row collect is part of the cost, as in production)
+        "bpe_round": lambda: run(
+            bpe.learn_merges(d, "text", rounds=1, max_chars=64)[1]
         ),
     }
     out: dict[str, float] = {}
@@ -128,7 +133,7 @@ def build_scaled_embeddings(spark, rep: int) -> str:
 def probes_sim(spark, path: str) -> dict[str, float]:
     from pyspark.sql import functions as F
 
-    from dbt_decodable_spark.operators import similarity
+    from dbt_decodable_spark.operators import clustering, similarity
 
     e = spark.read.parquet(path).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -148,6 +153,11 @@ def probes_sim(spark, path: str) -> dict[str, float]:
             similarity.ivf_assign(e, similarity.ivf_centroids(e))
         ),
         "quantize_int8": lambda: run(quantized()),
+        # one full Lloyd round over the scaled vectors (assignment + update
+        # + final assignment): the iterative-operator family's per-round cost
+        "kmeans_round": lambda: run(
+            clustering.kmeans_lloyd(e, k=8, iters=1, init_mod=61)
+        ),
     }
     out: dict[str, float] = {}
     for name, job in jobs.items():
