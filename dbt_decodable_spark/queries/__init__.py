@@ -83,6 +83,7 @@ _DRIVER_WINDOW_PRIORITY = (
     "sample_reservoir_per_source", "events_rolling_active_7d",
     "text_bpe_train", "text_bpe_segment", "graph_khop_neighbors",
     "similarity_ivf_kmeans_topk", "sample_importance_weighted",
+    "dedup_cross_source_matrix",
     # (b2) new in round 6 — never driver-measured:
     "dedup_paragraph_exact", "dedup_cluster_keep_best",
     "dedup_semantic_clusters", "stream_dedup_watermark",
@@ -100,10 +101,10 @@ _DRIVER_WINDOW_PRIORITY = (
     "stream_window_topk_run", "agg_kmv_distinct", "events_funnel_stages",
     "pipeline_curation_end2end", "dedup_span_removal", "dedup_minhash_verified",
     "dedup_cc_star_edges", "agg_kmv_by_source",
-    # --- 1-based slots 51-52 fall OUTSIDE the driver's 50-row window this
-    # round and overflow to round 7: func_datetime_flink (thinnest marginal
-    # evidence — the rewrites are byte-level pytest-pinned in test_dialect
-    # and local-replica green; its string twin lands in slot 50) and the
+    # --- 1-based slots 51+ fall OUTSIDE the driver's 50-row window this
+    # round and overflow to round 7: the two Flink-builtin parity queries
+    # (thinnest marginal evidence — the rewrites are byte-level
+    # pytest-pinned in test_dialect and local-replica green) and the
     # sessionize re-measure (r5-green; the r6 auto-bucket path is
     # pytest-pinned to produce identical output):
     "func_string_flink", "func_datetime_flink", "stream_sessionize_stateful",

@@ -443,3 +443,53 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.importance_sample(d, "doc_id", "n_chars", scale=2000).select(
         "doc_id", "n_chars"
     )
+
+
+# ------------------------------------------ cross-source duplicate matrix
+
+def _cross_source_oracle() -> str:
+    from dbt_decodable_spark.queries.extensions import _MINHASH_PAIRS_CTES
+
+    return f"""
+        WITH {_MINHASH_PAIRS_CTES},
+        src AS (SELECT doc_id, source FROM documents)
+        SELECT least(a.source, b.source) AS source_a,
+               greatest(a.source, b.source) AS source_b,
+               count(*) AS n_pairs
+        FROM pairs p
+        JOIN src a ON a.doc_id = p.id_a
+        JOIN src b ON b.doc_id = p.id_b
+        GROUP BY 1, 2
+    """
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle=_cross_source_oracle(),
+    doc="§2.12 cross-source duplication matrix: near-dup candidate pairs "
+    "rolled up by unordered (source_a, source_b) — the triage report that "
+    "tells a curation team WHICH crawls/dumps duplicate each other before "
+    "spending cluster time deduping inside them. One broadcast-joined "
+    "source lookup on each pair side + a partial-agg groupBy over "
+    "#sources² keys; cost rides the existing LSH candidate pipeline.",
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.operators import dedup
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(d, "doc_id", "text", n=3, num_hashes=6)
+    src = d.select("doc_id", "source")
+    j = (
+        pairs.join(src.withColumnRenamed("doc_id", "id_a")
+                      .withColumnRenamed("source", "sa"), "id_a")
+        .join(src.withColumnRenamed("doc_id", "id_b")
+                 .withColumnRenamed("source", "sb"), "id_b")
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
