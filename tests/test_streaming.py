@@ -526,3 +526,45 @@ class TestTransformWithState:
             for r in spark.table("tws_real_sink").collect()
         }
         assert got == {(1, 2, 300), (2, 1, 50)}
+
+
+class TestCheckpointRecovery:
+    """Restart-with-same-checkpoint semantics: the file source's processed-
+    files log must survive a query restart, so a second run ingests ONLY
+    files that arrived since — the exactly-once property every production
+    sink chain (foreachBatch MERGE, batch-id-partitioned parquet) builds
+    on."""
+
+    def _run_stream(self, spark, inp, out, ckpt):
+        q = (
+            spark.readStream.schema("id long, v string")
+            .parquet(inp)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def test_restart_processes_only_new_files(self, spark, tmpdir):
+        inp, out, ckpt = (f"{tmpdir}/{d}" for d in ("in", "out", "ckpt"))
+        spark.createDataFrame(
+            [(i, f"a{i}") for i in range(10)], "id long, v string"
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+        self._run_stream(spark, inp, out, ckpt)
+        assert spark.read.parquet(out).count() == 10
+
+        # restart with NO new data: nothing reprocessed
+        self._run_stream(spark, inp, out, ckpt)
+        assert spark.read.parquet(out).count() == 10
+
+        # new files arrive; restart ingests exactly those
+        spark.createDataFrame(
+            [(i, f"b{i}") for i in range(10, 15)], "id long, v string"
+        ).coalesce(1).write.mode("append").parquet(inp)
+        self._run_stream(spark, inp, out, ckpt)
+        got = spark.read.parquet(out)
+        assert got.count() == 15
+        assert got.select("id").distinct().count() == 15  # no duplicates
