@@ -42,10 +42,12 @@ SEP = "~"
 
 def chars_of(s: Column) -> Column:
     """``string`` → ``array<string>`` of single characters (1-based substr
-    over a sequence — no empty-string artifacts from regex split)."""
-    return F.transform(
+    over a sequence — no empty-string artifacts from regex split). Empty
+    input → empty array (guarded: ``sequence(1, 0)`` would otherwise step
+    DOWN and produce two phantom elements)."""
+    return F.when(F.length(s) > 0, F.transform(
         F.sequence(F.lit(1), F.length(s)), lambda i: F.substring(s, i, F.lit(1))
-    )
+    )).otherwise(F.array().cast("array<string>"))
 
 
 def to_sym_string(syms: Column) -> Column:
@@ -110,9 +112,24 @@ def learn_merges(
         chars_of(F.col("__s")).alias("syms"),
     ).withColumn("sym_string", to_sym_string(F.col("syms")))
 
+    # Per-round caching: round r's _top_pair collect would otherwise replay
+    # all r-1 prior merge applications from the raw scan (O(rounds²) corpus
+    # passes). Each round's input is persisted; the PREVIOUS round's cache
+    # is dropped once _top_pair has materialized the current one. The last
+    # round's cache backs the returned `segmented` and is released on the
+    # next learn_merges call in the same session (bounded leak of one).
+    spark = docs.sparkSession
+    prev_cache = getattr(spark, "_bpe_round_cache", None)
+    if prev_cache is not None:
+        prev_cache.unpersist(False)
+    cur = cur.persist()
+    live = [cur]
+
     rules: list[tuple[int, str, str, int]] = []
     for r in range(1, rounds + 1):
-        top = _top_pair(cur)
+        top = _top_pair(cur)  # materializes (and caches) cur
+        while len(live) > 1:
+            live.pop(0).unpersist(False)
         if top is None:  # every doc fully merged — no pairs left to rank
             break
         a, b, cnt = top
@@ -121,5 +138,9 @@ def learn_merges(
         rep = F.lit(f"{SEP}{a}{b}{SEP}")
         cur = cur.select(
             "doc_id", F.replace(F.col("sym_string"), pat, rep).alias("sym_string")
-        ).withColumn("syms", _resplit("sym_string"))
+        ).withColumn("syms", _resplit("sym_string")).persist()
+        live.append(cur)
+    while len(live) > 1:
+        live.pop(0).unpersist(False)
+    spark._bpe_round_cache = live[0]
     return rules, cur

@@ -141,7 +141,16 @@ def kmeans_fit(
         F.col(id_col).cast("long").alias("vec_id"),
         quantize_to_grid(F.col(vec_col)).alias("qv"),
     )
+    # the cached projection from the PREVIOUS fit in this session is
+    # released here — bounds the cache to one quantized corpus per session
+    # instead of leaking one per invocation (bench/test suites call this
+    # hundreds of times)
+    spark = vectors.sparkSession
+    prev = getattr(spark, "_kmeans_q_cache", None)
+    if prev is not None:
+        prev.unpersist(False)
     q = q.persist()
+    spark._kmeans_q_cache = q
     cent = init_centroids(q, k, init_mod)
     for _ in range(iters):
         cent = _update(_assign(q, cent))

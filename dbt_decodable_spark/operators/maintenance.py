@@ -93,17 +93,22 @@ def delete_rows_partitioned(
 
     Two phases:
 
-    1. **Locate** — one column-pruned scan of ``(partition_col, id_col)``
-       filtered to ``ids`` finds the affected partition values. At 100 TB
-       this reads two columns of the parquet footer-indexed data; when an
-       external (id → partition) index exists, pass its result as ``ids``
-       grouped per partition and skip the scan entirely.
+    1. **Locate** — one column-pruned scan of ``id_col`` (+ the file path
+       via ``input_file_name``) filtered to ``ids`` finds the affected
+       partition DIRECTORIES — the path is the ground truth, so Hive
+       value escaping (``%xx``) and NULL partitions need no reconstruction.
+       At 100 TB this reads one column of the parquet footer-indexed data;
+       when an external (id → partition) index exists, pass its result as
+       ``ids`` grouped per partition and skip the scan entirely.
     2. **Rewrite** — each affected partition directory is rewritten minus
        the doomed rows with the same crash-safe tmp→verify→swap dance as
        :func:`compact_path` (expected row count = before − doomed, checked
-       per partition before the swap). Untouched partitions are never read,
-       never rewritten, and keep their files byte-identical — the pytest
-       pins this via file inodes.
+       per partition before the swap; NULL-id rows are never doomed).
+       Staging lives in a SIBLING of the table root (never inside it, where
+       partition discovery would surface half-swapped data as phantom
+       partitions). Untouched partitions are never read, never rewritten,
+       and keep their files byte-identical — the pytest pins this via file
+       inodes.
 
     Deterministic, idempotent (a second run finds no affected partitions),
     and parallel across partitions at scale (the loop below is driver-side
@@ -114,25 +119,46 @@ def delete_rows_partitioned(
     `decodable/apis.py` stream lifecycle); targeted deletion is part of the
     driver-mandated training-data extension set.
     """
+    import urllib.parse
+
     base = path.rstrip("/")
-    doomed = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+    id_set = sorted(set(ids))  # dedupe: a repeated id must count once
+    doomed = spark.createDataFrame([(i,) for i in id_set], f"{id_col} long")
+    # Locate via input_file_name, not by reconstructing dir names from
+    # partition values: Hive escapes special chars (%xx) and encodes NULLs
+    # (__HIVE_DEFAULT_PARTITION__) in the path, and the file path is the
+    # ground truth for which directory actually holds a doomed row.
     located = (
         spark.read.format(fmt).load(base)
-        .select(partition_col, id_col)
+        .select(id_col, F.input_file_name().alias("__f"))
         .join(F.broadcast(doomed), id_col)
-        .groupBy(partition_col)
+        .select(F.expr("substring_index(__f, '/', size(split(__f, '/')) - 1)")
+                .alias("__dir"))
+        .groupBy("__dir")
         .count()
         .collect()
     )
+    # staging lives in a SIBLING of the table root — never inside it, where
+    # partition discovery would surface half-swapped data as extra partitions
+    stage = base + ".__del_stage__"
     deleted: dict = {}
-    id_set = set(ids)
     for row in located:
-        pval, n_doomed = row[0], row[1]
-        pdir = os.path.join(base, f"{partition_col}={pval}")
+        # input_file_name returns a URI — one unquote yields the literal
+        # on-disk path (a Hive-escaped value like 'a=b' → dir 'lang=a%3Db'
+        # arrives double-encoded as 'lang=a%253Db', so exactly one decode)
+        pdir = urllib.parse.unquote(row[0].removeprefix("file:"))
+        n_doomed = row[1]
+        pname = os.path.basename(pdir)
+        pval = urllib.parse.unquote(pname.split("=", 1)[1]) if "=" in pname else pname
         part = spark.read.format(fmt).load(pdir)
         n_before = part.count()
-        kept = part.filter(~F.col(id_col).isin(id_set))
-        tmp, old = pdir + ".__del_tmp__", pdir + ".__del_old__"
+        # keep NULL-id rows: isin() is NULL (dropped) on NULL input
+        kept = part.filter(
+            F.col(id_col).isNull() | ~F.col(id_col).isin(id_set)
+        )
+        os.makedirs(stage, exist_ok=True)
+        tmp = os.path.join(stage, pname + ".tmp")
+        old = os.path.join(stage, pname + ".old")
         for leftover in (tmp, old):
             if os.path.exists(leftover):
                 shutil.rmtree(leftover)
@@ -148,4 +174,7 @@ def delete_rows_partitioned(
         os.rename(tmp, pdir)
         shutil.rmtree(old)
         deleted[pval] = n_doomed
+    # stage dir removed last — a crash mid-loop leaves any half-swapped
+    # partition recoverable under <table>.__del_stage__/<part>.old
+    shutil.rmtree(stage, ignore_errors=True)
     return deleted

@@ -146,15 +146,17 @@ def epoch_upsample(
     Copy indices are stable, so downstream shuffles (e.g. shard packing
     keyed on (key, copy)) see a deterministic stream.
     """
+    from dbt_decodable_spark.operators.sampling import _key_hash, _threshold_hex
+
     spark = df.sparkSession
     ep = spark.createDataFrame(
-        [(s, int(e), format(int((e - int(e)) * 16**6), "06x"))
+        [(s, int(e), _threshold_hex(e - int(e)))
          for s, e in sorted(epochs.items())],
         f"{stratum_col} string, __whole int, __fthr string",
     )
     d_whole = int(default_epochs)
-    d_fthr = format(int((default_epochs - d_whole) * 16**6), "06x")
-    gate = F.substring(F.md5(F.col(key_col).cast("string")), 1, 6)
+    d_fthr = _threshold_hex(default_epochs - d_whole)
+    gate = _key_hash(F.col(key_col))
     copies = (
         F.coalesce(F.col("__whole"), F.lit(d_whole))
         + F.when(gate < F.coalesce(F.col("__fthr"), F.lit(d_fthr)), 1).otherwise(0)

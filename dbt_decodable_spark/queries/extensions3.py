@@ -227,9 +227,12 @@ _BPE_CTES = """
         FROM c1
     ),
     m1 AS (
+        -- coalesce to a never-matching sentinel: an empty winner CTE makes
+        -- the scalar subquery NULL, and replace(ss, NULL, NULL) would NULL
+        -- every document where the Spark side early-stops instead
         SELECT doc_id,
-               replace(ss, (SELECT '~' || a || '~~' || b || '~' FROM w1),
-                           (SELECT '~' || a || b || '~' FROM w1)) AS ss
+               replace(ss, coalesce((SELECT '~' || a || '~~' || b || '~' FROM w1), '§'),
+                           coalesce((SELECT '~' || a || b || '~' FROM w1), '§')) AS ss
         FROM s1
     ),
     c2 AS (
@@ -281,9 +284,11 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH {_BPE_CTES},
         m2 AS (
+            -- same sentinel guard as m1: w2 IS empty whenever round 1
+            -- fully merges the corpus (e.g. every doc is one repeated pair)
             SELECT doc_id,
-                   replace(ss, (SELECT '~' || a || '~~' || b || '~' FROM w2),
-                               (SELECT '~' || a || b || '~' FROM w2)) AS ss
+                   replace(ss, coalesce((SELECT '~' || a || '~~' || b || '~' FROM w2), '§'),
+                               coalesce((SELECT '~' || a || b || '~' FROM w2), '§')) AS ss
             FROM m1
         ),
         c3 AS (

@@ -131,3 +131,24 @@ class TestTargetedDeletion:
         again = delete_rows_partitioned(spark, path, "lang", "doc_id", [1, 2, 4])
         assert again == {}
         assert spark.read.parquet(path).count() == 87
+
+    def test_duplicate_ids_null_ids_and_escaped_partitions(self, spark, tmp_path):
+        from dbt_decodable_spark.operators.maintenance import delete_rows_partitioned
+
+        path = str(tmp_path / "corpus2")
+        rows = [(0, "a b", "x"), (1, "a b", "x"), (None, "a b", "keepme"),
+                (2, "plain", "x"), (3, "plain", "x")]
+        spark.createDataFrame(rows, "doc_id long, lang string, text string") \
+            .write.partitionBy("lang").parquet(path)
+        # duplicate ids must not inflate the doomed count; 'a b' partition
+        # dir is Hive-escaped on disk; the NULL-id row must survive
+        deleted = delete_rows_partitioned(
+            spark, path, "lang", "doc_id", [0, 0, 2]
+        )
+        assert deleted == {"a b": 1, "plain": 1}
+        left = spark.read.parquet(path)
+        assert left.count() == 3
+        assert left.filter("doc_id is null").count() == 1
+        assert sorted(
+            r.doc_id for r in left.filter("doc_id is not null").collect()
+        ) == [1, 3]
