@@ -29,6 +29,7 @@ from __future__ import annotations
 import re
 
 from dbt_decodable_spark.functions.flink_compat import (
+    _protected_spans,
     rewrite_function_calls,
     translate_timestamp_format,
 )
@@ -45,33 +46,7 @@ def _sql_escape_regex(regex: str) -> str:
     return regex.replace("\\", "\\\\").replace("'", "''")
 
 
-def _comment_spans(sql: str) -> list[tuple[int, int]]:
-    """(start, end) spans of ``--``-to-EOL and ``/* */`` comments, tracked
-    outside string literals (a ``--`` inside a literal is data, and a quote
-    inside a comment doesn't open a string)."""
-    spans: list[tuple[int, int]] = []
-    i, n = 0, len(sql)
-    while i < n:
-        ch = sql[i]
-        if ch == "'":
-            m = _STRING_LIT.match(sql, i)
-            i = m.end() if m else i + 1
-        elif sql.startswith("--", i):
-            end = sql.find("\n", i)
-            end = n if end == -1 else end
-            spans.append((i, end))
-            i = end
-        elif sql.startswith("/*", i):
-            end = sql.find("*/", i + 2)
-            end = n if end == -1 else end + 2
-            spans.append((i, end))
-            i = end
-        else:
-            i += 1
-    return spans
-
-
-def _in_comment(spans: list[tuple[int, int]], pos: int) -> bool:
+def _in_span(spans: list[tuple[int, int]], pos: int) -> bool:
     return any(s <= pos < e for s, e in spans)
 
 
@@ -125,9 +100,10 @@ def _find_call(sql: str, m: re.Match) -> tuple[str, int]:
 def rewrite_grok(sql: str) -> str:
     """``grok(col, 'pattern')`` → native map-of-regexp_extract expression."""
     out, pos = [], 0
-    comments = _comment_spans(sql)
+    # literals AND comments are protected: 'grok(' inside a string is data
+    protected = _protected_spans(sql)
     for m in _GROK_RE.finditer(sql):
-        if m.start() < pos or _in_comment(comments, m.start()):
+        if m.start() < pos or _in_span(protected, m.start()):
             continue
         out.append(sql[pos : m.start()])
         argtext, end = _find_call(sql, m)
@@ -214,9 +190,11 @@ def rewrite_window_tvfs(sql: str) -> str:
       cumulate operator (queries/relational2.py) does with a broadcast join.
     """
     out, pos = [], 0
-    comments = _comment_spans(sql)
+    # literals AND comments are protected: 'TABLE(TUMBLE(' inside a string
+    # literal is data, not a windowing TVF
+    protected = _protected_spans(sql)
     for m in _TVF_RE.finditer(sql):
-        if m.start() < pos or _in_comment(comments, m.start()):
+        if m.start() < pos or _in_span(protected, m.start()):
             continue
         fn = m.group(1).upper()
         argtext, inner_end = _find_call(sql, m)

@@ -142,6 +142,20 @@ def _protected_spans(sql: str) -> list[tuple[int, int]]:
 
 
 def _rewrite_calls(sql: str, pattern: re.Pattern, render) -> str:
+    # Iterate to a fixed point: a single left-to-right pass consumes an
+    # outer call's full argument span, so a nested occurrence of the SAME
+    # function (SPLIT_INDEX(SPLIT_INDEX(…))) lands inside the consumed
+    # region and is skipped — the next pass picks it up. Renders never
+    # re-emit the Flink spelling, so this terminates; the cap is a guard.
+    for _ in range(10):
+        rewritten = _rewrite_calls_once(sql, pattern, render)
+        if rewritten == sql:
+            return sql
+        sql = rewritten
+    return sql
+
+
+def _rewrite_calls_once(sql: str, pattern: re.Pattern, render) -> str:
     protected = _protected_spans(sql)
     out: list[str] = []
     pos = 0

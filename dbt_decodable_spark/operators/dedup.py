@@ -716,7 +716,13 @@ def minhash_verified_pairs(
     join below loses no candidate.
     """
     pairs = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes)
-    sh = shingle_strings(df, id_col, text_col, n)
+    # materialize the shingle table ONCE: it feeds three consumers below
+    # (both sides of the intersection join and the sizes aggregate), and
+    # minhash_lsh_candidates already ran the tokenize+shingle pipeline for
+    # the signatures — without the checkpoint each consumer would replay
+    # the full-corpus shingling from the scan (the module's
+    # materialize-once rule, same as the signature checkpoint above)
+    sh = shingle_strings(df, id_col, text_col, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
     a = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("__sha"))
     b = sh.select(F.col("id").alias("__idb"), F.col("shingle").alias("__shb"))

@@ -243,10 +243,15 @@ def keep_best_representative(
     """
     from pyspark.sql import Window as W
 
-    cc = connected_components(pairs, pair_a, pair_b)
+    # rename cc's id before joining: if the caller's id_col is literally
+    # "id", drop("id") would remove BOTH columns and the coalesce below
+    # would not resolve
+    cc = connected_components(pairs, pair_a, pair_b).withColumnRenamed(
+        "id", "__cc_id"
+    )
     joined = df.select(id_col, score_col).join(
-        cc, df[id_col] == cc["id"], "left"
-    ).drop("id")
+        cc, F.col(id_col) == F.col("__cc_id"), "left"
+    ).drop("__cc_id")
     comp = F.coalesce(F.col("component"), F.col(id_col))
     labeled = joined.withColumn("component", comp)
     w = W.partitionBy("component").orderBy(

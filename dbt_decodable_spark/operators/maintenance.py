@@ -53,13 +53,20 @@ def compact_path(
     count survived the rewrite → swap directories (keeping the old data as
     ``.__compact_old__`` until the swap completes, then delete it). A crash
     before the swap leaves the original untouched; a crash between the two
-    renames leaves the old directory recoverable on disk. No
+    renames leaves the old directory recoverable on disk — and the next
+    invocation restores it automatically before doing anything else. No
     ``localCheckpoint`` involved — the original files are never deleted
     while any job still needs them (executor loss or block eviction can
     discard checkpoint blocks, which would have destroyed data in the
     old overwrite-in-place form)."""
     tmp = path.rstrip("/") + ".__compact_tmp__"
     old = path.rstrip("/") + ".__compact_old__"
+    # crash recovery FIRST: if a prior run died between the two renames,
+    # `path` is gone and `old` holds the only full copy — restore it before
+    # any cleanup (a blind rmtree of the leftovers here would destroy every
+    # surviving copy of the table)
+    if not os.path.exists(path.rstrip("/")) and os.path.exists(old):
+        os.rename(old, path.rstrip("/"))
     for leftover in (tmp, old):
         if os.path.exists(leftover):
             shutil.rmtree(leftover)

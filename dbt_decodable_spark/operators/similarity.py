@@ -168,9 +168,10 @@ def threshold_join_chunked(
                 & (F.col("cos_sim") > threshold)
             )
         )
-    if not parts:  # empty corpus: keep the contract schema
+    if not parts:  # empty corpus: contract schema with the REAL id dtype
+        id_type = corpus.schema[id_col].dataType.simpleString()
         return corpus.sparkSession.createDataFrame(
-            [], "query_id bigint, neighbor_id bigint, cos_sim double"
+            [], f"query_id {id_type}, neighbor_id {id_type}, cos_sim double"
         )
     out = parts[0]
     for p in parts[1:]:

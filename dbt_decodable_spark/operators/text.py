@@ -116,10 +116,13 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
 
 
-def rolling_hashes(col: Column | str, window: int = 4) -> Column:
-    """Array of md5 hashes over sliding token windows (winnowing-style
-    fingerprint basis)."""
-    toks = tokens(col)
+def rolling_hashes(toks: Column, window: int = 4) -> Column:
+    """Array of md5 hashes over sliding windows of a MATERIALIZED token
+    array column. The caller must project ``tokens(text)`` into a real
+    column first — passing the tokenizer expression directly would
+    re-evaluate the regex split once per gram position inside the lambda
+    (no CSE in higher-order functions; the O(tokens²)/doc hazard this
+    module documents on shingles_from_tokens)."""
     return F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0))),
         lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))),
@@ -376,7 +379,14 @@ def winnow_fingerprints(df, id_col: str, text_col: str, k: int = 4, w: int = 4):
     """
     from dbt_decodable_spark.operators.dedup import fan_out
 
-    base = fan_out(df).select(id_col, rolling_hashes(text_col, k).alias("__h"))
+    base = (
+        fan_out(df)
+        # two-step projection: tokenize ONCE into a real column, then hash
+        # grams from it (tokenizing inside the gram lambda would be
+        # O(tokens²) per document)
+        .select(id_col, tokens(text_col).alias("__toks"))
+        .select(id_col, rolling_hashes(F.col("__toks"), k).alias("__h"))
+    )
     h = F.col("__h")
     sel = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(h) - w, F.lit(0))),
@@ -535,7 +545,12 @@ def canonical_url(col: Column | str) -> Column:
     u = F.regexp_replace(u, r"#.*$", "")        # fragment
     u = F.regexp_replace(u, r"^https?://", "")  # scheme
     u = F.regexp_replace(u, r"^www\.", "")      # www prefix
-    u = F.regexp_replace(u, r"[?&]utm_[^&]*", "")  # tracking params (tail)
+    # utm stripping in three position-aware steps — a single [?&]utm_[^&]*
+    # pass would eat the '?' when a utm param leads and others follow,
+    # leaving the malformed 'path&id=…' key:
+    u = F.regexp_replace(u, r"&utm_[^&]*", "")      # non-leading params
+    u = F.regexp_replace(u, r"\?utm_[^&]*&", "?")   # leading, others follow
+    u = F.regexp_replace(u, r"\?utm_[^&]*$", "")    # leading and alone
     u = F.regexp_replace(u, r"\?$", "")         # lone ? left behind
     return F.regexp_replace(u, r"/$", "")       # trailing slash
 

@@ -377,8 +377,10 @@ def text_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id,
                    regexp_replace(regexp_replace(regexp_replace(
                        regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(
                            lower(url), '#.*$', ''), '^https?://', ''),
-                           '^www\\.', ''), '[?&]utm_[^&]*', '', 'g'),
+                           '^www\\.', ''), '&utm_[^&]*', '', 'g'),
+                           '\\?utm_[^&]*&', '?'), '\\?utm_[^&]*$', ''),
                            '\\?$', ''), '/$', '') AS curl
             FROM u
         )

@@ -643,6 +643,10 @@ def stream_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     index_dir = f"/tmp/spark_minhash_index_{tag}"
     shutil.rmtree(index_dir, ignore_errors=True)
+    # the checkpoint must go with the index it describes: a stale ckpt from
+    # a crashed prior run marks the source files already-ingested and the
+    # rebuilt (empty) index would never be populated
+    shutil.rmtree(index_dir + "_ckpt", ignore_errors=True)
 
     def upsert(batch_df, batch_id):
         sigs = minhash_signatures(batch_df, "doc_id", "text", n=3, num_hashes=6)

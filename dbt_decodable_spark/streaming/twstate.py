@@ -56,8 +56,15 @@ class RunningCountProcessor(StatefulProcessor):
     ALL input seen so far — counts survive across batches and restarts via
     the named value state."""
 
-    def __init__(self, ttl_ms: int | None = None):
+    def __init__(
+        self,
+        ttl_ms: int | None = None,
+        key_col: str = "user_id",
+        value_col: str = "cents",
+    ):
         self._ttl_ms = ttl_ms
+        self._key_col = key_col
+        self._value_col = value_col
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._state = handle.getValueState(
@@ -72,10 +79,12 @@ class RunningCountProcessor(StatefulProcessor):
         n, cents = (self._state.get() or (0, 0)) if self._state.exists() else (0, 0)
         for pdf in rows:
             n += len(pdf)
-            cents += int(pdf["cents"].sum())
+            cents += int(pdf[self._value_col].sum())
         self._state.update((n, cents))
+        # column NAMES must match the declared outputStructType — the
+        # pandas→arrow conversion assigns by label, not position
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            {self._key_col: [key[0]], "n_events": [n], "total_cents": [cents]}
         )
 
     def close(self) -> None:
@@ -91,7 +100,7 @@ def running_count_stream(
         stream.select(key_col, "cents")
         .groupBy(key_col)
         .transformWithStateInPandas(
-            statefulProcessor=RunningCountProcessor(ttl_ms),
+            statefulProcessor=RunningCountProcessor(ttl_ms, key_col=key_col),
             outputStructType=f"{key_col} long, n_events long, total_cents long",
             outputMode="Update",
             timeMode="None",

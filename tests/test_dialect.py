@@ -258,3 +258,41 @@ class TestRewriteLiteralSafety:
         sql = "SELECT x -- TO_BASE64(y) explained here\nFROM t"
         out = normalize(sql)
         assert "-- TO_BASE64(y) explained here" in out
+
+
+class TestNestedAndLiteralRewrites:
+    def test_nested_split_index_fully_rewritten(self, spark):
+        from dbt_decodable_spark.dialect import normalize
+
+        sql = "SELECT SPLIT_INDEX(SPLIT_INDEX('a|b#c', '|', 1), '#', 0) AS v"
+        out = normalize(sql)
+        assert "SPLIT_INDEX" not in out.upper().replace("SPLIT(", "")
+        [r] = spark.sql(out).collect()
+        assert r.v == "b"
+
+    def test_nested_from_base64(self, spark):
+        import base64
+        from dbt_decodable_spark.dialect import normalize
+
+        inner = base64.b64encode(b"hi").decode()
+        outer = base64.b64encode(inner.encode()).decode()
+        sql = f"SELECT CAST(FROM_BASE64(FROM_BASE64('{outer}')) AS STRING) AS v"
+        [r] = spark.sql(normalize(sql)).collect()
+        assert r.v == "hi"
+
+    def test_grok_inside_string_literal_is_data(self, spark):
+        from dbt_decodable_spark.dialect import normalize
+
+        sql = "SELECT 'see grok(a,b) docs' AS note"
+        out = normalize(sql)
+        assert "grok(a,b)" in out  # untouched
+        [r] = spark.sql(out).collect()
+        assert r.note == "see grok(a,b) docs"
+
+    def test_tvf_spelling_inside_literal_is_data(self, spark):
+        from dbt_decodable_spark.dialect import normalize
+
+        sql = "SELECT 'TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts)))' AS doc"
+        out = normalize(sql)
+        [r] = spark.sql(out).collect()
+        assert r.doc.startswith("TABLE(TUMBLE(")

@@ -116,6 +116,21 @@ class TestCompaction:
         assert spark.read.parquet(path).count() == 40
         assert {r["id"] for r in spark.read.parquet(path).collect()} == set(range(40))
 
+    def test_crash_between_renames_recovers_on_next_run(self, spark, tmp_path):
+        # simulate a crash AFTER path->old but BEFORE tmp->path: the table
+        # dir is gone; the next invocation must restore old, not delete it
+        import os
+        from dbt_decodable_spark.operators.maintenance import compact_path
+
+        path = str(tmp_path / "t2")
+        spark.range(50).write.parquet(path)
+        os.rename(path, path + ".__compact_old__")
+        os.makedirs(path + ".__compact_tmp__")  # half-written leftover
+        compact_path(spark, path, max_records_per_file=100)
+        assert spark.read.parquet(path).count() == 50
+        siblings = sorted(p.name for p in tmp_path.iterdir())
+        assert siblings == ["t2"]
+
     def test_compaction_leaves_no_staging_dirs(self, spark, tmp_path):
         from dbt_decodable_spark.operators.maintenance import compact_path
         import os
