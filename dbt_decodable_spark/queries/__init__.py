@@ -83,7 +83,7 @@ _DRIVER_WINDOW_PRIORITY = (
     "sample_reservoir_per_source", "events_rolling_active_7d",
     "text_bpe_train", "text_bpe_segment", "graph_khop_neighbors",
     "similarity_ivf_kmeans_topk", "sample_importance_weighted",
-    "dedup_cross_source_matrix",
+    "dedup_cross_source_matrix", "stream_kmeans_assign",
     # (b2) new in round 6 — never driver-measured:
     "dedup_paragraph_exact", "dedup_cluster_keep_best",
     "dedup_semantic_clusters", "stream_dedup_watermark",
@@ -102,10 +102,11 @@ _DRIVER_WINDOW_PRIORITY = (
     "pipeline_curation_end2end", "dedup_span_removal", "dedup_minhash_verified",
     "dedup_cc_star_edges", "agg_kmv_by_source",
     # --- 1-based slots 51+ fall OUTSIDE the driver's 50-row window this
-    # round and overflow to round 7: the two Flink-builtin parity queries
-    # (thinnest marginal evidence — the rewrites are byte-level
-    # pytest-pinned in test_dialect and local-replica green) and the
-    # sessionize re-measure (r5-green; the r6 auto-bucket path is
+    # round and overflow to round 7: agg_kmv_by_source (the per-stratum
+    # variant of the in-window agg_kmv_distinct), the two Flink-builtin
+    # parity queries (thinnest marginal evidence — the rewrites are
+    # byte-level pytest-pinned in test_dialect and local-replica green) and
+    # the sessionize re-measure (r5-green; the r6 auto-bucket path is
     # pytest-pinned to produce identical output):
     "func_string_flink", "func_datetime_flink", "stream_sessionize_stateful",
     # (c) staleness guard: EMPTY this round — the session added 24

@@ -498,3 +498,78 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# ------------------------------------------- streaming k-means assignment
+
+@register(
+    "stream_kmeans_assign",
+    oracle=_KM_ORACLE,
+    doc="§2.9/§2.12 streaming centroid assignment: embeddings arrive as a "
+    "REAL bounded file stream and are assigned to the batch-trained k-means "
+    "centroids as a pure map — quantize once into a materialized column, "
+    "fold the k-centroid literal array to an integer-distance argmin "
+    "(array_min over (dist, cid) structs: smallest distance, ties to the "
+    "smallest cid — identical to the batch rule), no state, no shuffle. "
+    "The model-serving shape: train offline, score the firehose; the run "
+    "converges to the batch assignment, which is the oracle "
+    "(cluster_kmeans_lloyd's unrolled recurrence).",
+)
+def stream_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.schema import SchemaField, StreamSchema
+    from dbt_decodable_spark.sources.datagen import file_stream
+
+    e = read_table(spark, sf_dir, "embeddings")
+    cent, _ = clustering.kmeans_fit(
+        e, "vec_id", "embedding", k=_KM_K, iters=2, init_mod=_KM_INIT_MOD
+    )
+    cent_rows = sorted((r.cid, list(r.cv)) for r in cent.collect())
+    cent_arr = F.array(*[
+        F.struct(
+            F.lit(cid).alias("c"),
+            F.array(*[F.lit(int(v)) for v in cv]).alias("cv"),
+        )
+        for cid, cv in cent_rows
+    ])
+    schema = StreamSchema(
+        fields=(
+            SchemaField(name="vec_id", type="BIGINT"),
+            SchemaField(name="embedding", type="ARRAY<FLOAT>"),
+            SchemaField(name="label", type="INT"),
+        )
+    )
+    stream = file_stream(
+        spark, sf_dir, schema, options={"pathGlobFilter": "embeddings.parquet"}
+    )
+    # quantize into a REAL column first — referencing the quantizer
+    # expression inside the scoring lambda would re-evaluate it per centroid
+    staged = stream.select(
+        "vec_id", clustering.quantize_to_grid(F.col("embedding")).alias("__qv")
+    )
+    scored = F.transform(
+        cent_arr,
+        lambda ct: F.struct(
+            clustering._sq_dist(F.col("__qv"), ct["cv"]).alias("d"),
+            ct["c"].alias("c"),
+        ),
+    )
+    best = F.array_min(scored)
+    out = staged.select(
+        "vec_id",
+        best["c"].alias("centroid_id"),
+        best["d"].cast("long").alias("dist2"),
+    )
+    sink = "stream_kmeans_sink"
+    try:
+        spark.catalog.dropTempView(sink)
+    except Exception:
+        pass
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
