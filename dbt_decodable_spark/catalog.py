@@ -189,6 +189,15 @@ class Engine:
         empty = self.spark.createDataFrame([], self.read_stream(name).schema)
         self._materialize(sdef, empty)
 
+    def refresh_stream(self, name: str) -> None:
+        """Re-register the stream's temp view from its parquet path. Needed
+        after out-of-band appends (e.g. a bounded streaming activation's
+        foreachBatch sink) — the previously-registered view pins the file
+        index as of registration time."""
+        sdef = self.get_stream(name)
+        if sdef.path:
+            self.spark.read.parquet(sdef.path).createOrReplaceTempView(sdef.name)
+
     def drop_stream(self, name: str, cascade: bool = True) -> list[str]:
         """Cascade drop per impl.py:197-257; returns every entity dropped."""
         name = self.qualify(name)
@@ -253,8 +262,17 @@ class Engine:
             if old in p.sources:
                 p.sql = self._retarget_sql(p.sql, old, new)
                 p.sources = tuple(new if s == old else s for s in p.sources)
+        # connections bound to the renamed stream follow it — otherwise a
+        # later send_events on the connection KeyErrors on the stale name
+        for c in self.connections.values():
+            if c.stream == old:
+                c.stream = new
         self.spark.catalog.dropTempView(old)
         del self.streams[old]
+        # warehouse mode: the old stream's parquet dir is dead weight now
+        # (the data was re-materialized under the new name above)
+        if sdef.path and os.path.isdir(sdef.path):
+            shutil.rmtree(sdef.path, ignore_errors=True)
 
     @staticmethod
     def _retarget_sql(sql: str, old: str, new: str) -> str:
@@ -274,8 +292,22 @@ class Engine:
         return StreamSchema.from_spark(self.spark.sql(normalize(sql)).schema)
 
     def _resolve_sources(self, sql: str) -> tuple[str, ...]:
-        """Input streams referenced by the SQL (resolved against the catalog)."""
-        idents = set(re.findall(rf"(?:FROM|JOIN)\s+`?({_IDENT})`?", sql, re.IGNORECASE))
+        """Input streams referenced by the SQL (resolved against the catalog).
+        Comma-separated FROM lists (``FROM a, b``) count every member — a
+        missed source breaks cascade-drop, rename re-pointing, and streaming
+        re-binding for that stream."""
+        idents: set[str] = set()
+        # capture the whole comma list after FROM/JOIN — each item may carry
+        # an (optionally AS-prefixed) alias before its comma
+        seg_re = (
+            rf"(?:FROM|JOIN)\s+"
+            rf"((?:`?{_IDENT}`?(?:\s+(?:AS\s+)?{_IDENT})?\s*,\s*)*`?{_IDENT}`?)"
+        )
+        for m in re.finditer(seg_re, sql, re.IGNORECASE):
+            for item in m.group(1).split(","):
+                first = re.match(rf"\s*`?({_IDENT})`?", item)
+                if first:
+                    idents.add(first.group(1))
         return tuple(sorted(i for i in idents if self.qualify(i) in self.streams))
 
     def create_pipeline(
@@ -318,7 +350,24 @@ class Engine:
         p = self.pipelines[self.qualify(name)]
         sdef = self.streams[p.sink]
         result = self.spark.sql(p.sql)
-        self._materialize(sdef, result)
+        if p.sink in p.sources and self.warehouse_dir:
+            # self-referencing pipeline (incremental-style model): the query
+            # reads the sink's own parquet path, so a direct overwrite would
+            # fail with "cannot overwrite a path being read from" (or worse,
+            # destroy the input mid-job). Write to a sibling tmp dir, then
+            # swap — same crash-safe shape as operators/maintenance.
+            path = os.path.join(self.warehouse_dir, sdef.name)
+            tmp = path + ".__insert_tmp__"
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
+            result.write.mode("overwrite").parquet(tmp)
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            os.rename(tmp, path)
+            sdef.path = path
+            self.spark.read.parquet(path).createOrReplaceTempView(sdef.name)
+        else:
+            self._materialize(sdef, result)
         p.active = True
 
     def activate_pipeline_streaming(self, name: str, available_now: bool = True):
@@ -331,7 +380,9 @@ class Engine:
         the StreamingQuery; the reference's actual_state RUNNING/STOPPED maps
         to ``query.isActive`` (impl.py:218). ``available_now=True`` gives the
         bounded-run form (preview protocol §3.2); False runs continuously
-        until ``deactivate``.
+        until ``deactivate``. After a bounded run completes, call
+        ``refresh_stream(sink)`` before reading the sink through the catalog
+        view (direct ``spark.read.parquet`` always sees the appends).
         """
         if not self.warehouse_dir:
             raise CatalogError("streaming activation needs a warehouse_dir engine")
@@ -351,9 +402,20 @@ class Engine:
         try:
             out = self.spark.sql(p.sql)
             ckpt = os.path.join(self.warehouse_dir, f"_ckpt_{p.name}")
+            sink_path = os.path.join(self.warehouse_dir, sink.name)
+
+            # foreachBatch plain-parquet appends, NOT the FileStreamSink:
+            # the file sink drops a _spark_metadata log into the sink dir,
+            # after which batch reads trust ONLY the log and silently hide
+            # every previously-materialized (non-streamed) file. foreachBatch
+            # keeps the dir a plain parquet table both readers agree on.
+            # (Replay caveat: at-least-once on retry — the idempotent
+            # batch-id-partitioned variant lives in streaming/temporal.py.)
+            def _append(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.write.mode("append").parquet(sink_path)
+
             writer = (
-                out.writeStream.format("parquet")
-                .option("path", os.path.join(self.warehouse_dir, sink.name))
+                out.writeStream.foreachBatch(_append)
                 .option("checkpointLocation", ckpt)
                 .outputMode("append")
             )
@@ -363,7 +425,9 @@ class Engine:
             p.active = True
             return q
         finally:
-            # restore batch views so batch reads keep working
+            # restore batch views so batch reads keep working; the sink view
+            # is refreshed too once the stream has had a chance to append
+            # (the file index in the previously-registered view is stale)
             for src in p.sources:
                 sdef = self.streams[src]
                 if sdef.path:
@@ -534,11 +598,15 @@ class Engine:
                 sql = normalize(spec["sql"])
                 target_sink = self.qualify(spec.get("sink", meta["name"]))
                 # fingerprint over (sql, inferred output schema incl. PK) —
-                # the same pair create_pipeline stores, so dry-run diffs are
-                # stable across repeated applies
-                if spec.get("schema"):
-                    schema_dict = spec["schema"]
-                else:
+                # the SAME pair create_pipeline stores (a spec-provided
+                # schema dict is NOT a substitute: its byte shape differs
+                # from the inferred to_dict, which made every re-apply
+                # report "updated" forever). Inference needs the source
+                # streams to resolve — under dry_run they may only exist as
+                # earlier "created" entries in this very list, so a failed
+                # analysis means "cannot compare yet" ⇒ changed.
+                current_p = self.pipelines.get(name)
+                try:
                     out_schema = self.infer_output_schema(sql)
                     if spec.get("primary_key"):
                         out_schema = StreamSchema(
@@ -546,12 +614,12 @@ class Engine:
                             watermarks=out_schema.watermarks,
                             primary_key=tuple(spec["primary_key"]),
                         )
-                    schema_dict = out_schema.to_dict()
-                fp = _fingerprint(sql, schema_dict)
-                current_p = self.pipelines.get(name)
+                    fp = _fingerprint(sql, out_schema.to_dict())
+                except Exception:
+                    fp = None  # sources not materialized yet (dry-run order)
                 if current_p is None:
                     result = "created"
-                elif current_p.fingerprint != fp or current_p.sink != target_sink:
+                elif fp is None or current_p.fingerprint != fp or current_p.sink != target_sink:
                     result = "updated"
                 else:
                     result = "unchanged"

@@ -80,17 +80,20 @@ class Preview:
             if order_col:
                 df = fold_last_image(df, primary_key, [F.col(order_col)])
             else:
-                df = (
-                    df.groupBy(*primary_key)
-                    .agg(
-                        *[
-                            F.last(c).alias(c)
-                            for c in df.columns
-                            if c not in primary_key
-                        ]
+                # "incoming row order": tag each row with a per-partition
+                # monotonic sequence and keep the max per key — F.last in an
+                # aggregation is explicitly non-deterministic under shuffles
+                # and would flip the folded after-image between runs
+                value_cols = [c for c in df.columns if c not in primary_key]
+                if not value_cols:  # key covers every column → fold = distinct
+                    df = df.dropDuplicates(primary_key)
+                else:
+                    seq = df.withColumn("__seq", F.monotonically_increasing_id())
+                    df = (
+                        seq.groupBy(*primary_key)
+                        .agg(*[F.max_by(c, F.col("__seq")).alias(c) for c in value_cols])
+                        .select(*df.columns)
                     )
-                    .select(*df.columns)
-                )
         rows = self._collect_with_budget(df, deadline)
         return [tuple(r) for r in rows]
 
@@ -98,7 +101,6 @@ class Preview:
         """Collect, enforcing the cumulative time budget via job cancellation."""
         sc = self.spark.sparkContext
         group = f"preview-{id(df)}-{time.time_ns()}"
-        sc.setJobGroup(group, "bounded preview", interruptOnCancel=True)
         try:
             import threading
 
@@ -107,6 +109,11 @@ class Preview:
 
             def work() -> None:
                 try:
+                    # the job group must be set on the THREAD THAT SUBMITS
+                    # the job — under pinned-thread mode each Python thread
+                    # maps to its own JVM thread, so a group set on the
+                    # caller would never tag (and cancel) this collect
+                    sc.setJobGroup(group, "bounded preview", interruptOnCancel=True)
                     result.extend(df.collect())
                 except BaseException as e:  # noqa: BLE001 — surfaced below
                     error.append(e)

@@ -60,7 +60,9 @@ def unique_sql(model: str, column: str) -> str:
 
 
 def accepted_values_sql(model: str, column: str, values: list[str]) -> str:
-    quoted = ", ".join(f"'{v}'" for v in values)
+    # escape embedded quotes — a value like O'Brien must not break (or
+    # rewrite) the generated SQL
+    quoted = ", ".join("'{}'".format(str(v).replace("'", "''")) for v in values)
     return (
         f"select {column} as value_field, count(*) as n_records "
         f"from {model} group by {column} "

@@ -112,7 +112,12 @@ class Watermark:
         if "." in amount:
             if unit != "second":
                 raise SchemaError(f"fractional interval only supported for SECOND: {amount}")
-            millis = round(float(amount) * 1000)
+            try:
+                millis = round(float(amount) * 1000)
+            except ValueError as e:  # '1.2.3' etc. — keep the error typed
+                raise SchemaError(
+                    f"malformed watermark interval amount {amount!r}"
+                ) from e
             return col, f"{millis} milliseconds"
         return col, f"{int(amount)} {unit}s"
 

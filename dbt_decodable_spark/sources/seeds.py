@@ -106,6 +106,11 @@ def seed_from_rows(
     # Engine.send_events does the stringify-then-coerce ingest (impl.py:560-566)
     conn = engine.create_connection(name, connector="rest", schema=schema)
     engine.activate_connection(conn.name)
+    # dbt seed is full-refresh: a re-run must REPLACE the stream contents.
+    # send_events appends, so an existing stream is truncated first —
+    # without this, re-seeding doubles the rows and the sent==loaded
+    # verification below aborts every re-run.
+    engine.truncate_stream(conn.stream)
     sent = engine.send_events(
         conn.name, [dict(zip(header, r)) for r in str_rows]
     )

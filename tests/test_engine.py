@@ -301,3 +301,98 @@ class TestDataTests:
         )
         assert res.status == "pass"
         assert "t__tst1" in engine.list_streams()
+
+
+class TestSession3Regressions:
+    """Regression pins for the engine-layer review fixes."""
+
+    def test_reseed_is_full_refresh(self, engine):
+        first = _seed(engine)
+        assert first.count() == 3
+        again = _seed(engine)  # re-run must replace, not append-and-abort
+        assert again.count() == 3
+
+    def test_apply_converges_with_explicit_schema(self, engine, spark):
+        engine.create_stream(
+            "src2",
+            schema=StreamSchema(fields=(SchemaField(name="id", type="BIGINT"),)),
+        )
+        resources = [
+            {
+                "kind": "pipeline",
+                "metadata": {"name": "p2"},
+                "spec": {
+                    "sql": f"SELECT id FROM {engine.qualify('src2')}",
+                    # user-written schema dict: byte shape differs from the
+                    # inferred one — must not poison the fingerprint
+                    "schema": {"fields": [{"name": "id", "type": "BIGINT"}]},
+                },
+            }
+        ]
+        r1 = engine.apply(resources)
+        assert r1[0]["result"] == "created"
+        r2 = engine.apply(resources)
+        assert r2[0]["result"] == "unchanged"
+
+    def test_has_changed_with_new_source_in_same_list(self, engine):
+        # dry-run: the pipeline's source only exists as an earlier entry in
+        # the same resource list — must report changed, not crash
+        resources = [
+            {
+                "kind": "stream",
+                "metadata": {"name": "brand_new_src"},
+                "spec": {"schema": {"fields": [{"name": "id", "type": "BIGINT"}]}},
+            },
+            {
+                "kind": "pipeline",
+                "metadata": {"name": "brand_new_p"},
+                "spec": {"sql": f"SELECT id FROM {engine.qualify('brand_new_src')}"},
+            },
+        ]
+        assert engine.has_changed(resources) is True
+
+    def test_rename_repoints_connections(self, engine):
+        schema = StreamSchema(fields=(SchemaField(name="v", type="STRING"),))
+        engine.create_connection("c_rn", "rest", stream="s_rn", schema=schema)
+        engine.activate_connection("c_rn")
+        engine.rename_stream("s_rn", "t_rn")
+        n = engine.send_events("c_rn", [{"v": "x"}])
+        assert n == 1
+        assert engine.read_stream("t_rn").count() == 1
+
+    def test_comma_from_list_sources_resolved(self, engine):
+        schema = StreamSchema(fields=(SchemaField(name="id", type="BIGINT"),))
+        engine.create_stream("ca", schema=schema)
+        engine.create_stream("cb", schema=schema)
+        p = engine.create_pipeline(
+            "pj",
+            f"SELECT a.id FROM {engine.qualify('ca')} a, {engine.qualify('cb')} b "
+            "WHERE a.id = b.id",
+            activate=False,
+        )
+        assert set(p.sources) == {engine.qualify("ca"), engine.qualify("cb")}
+
+    def test_accepted_values_escapes_quotes(self, engine, spark):
+        schema = StreamSchema(fields=(SchemaField(name="name", type="STRING"),))
+        df = spark.createDataFrame([("O'Brien",), ("Smith",)], "name string")
+        engine.create_stream("pp", schema=schema, data=df)
+        sql = accepted_values_sql(engine.qualify("pp"), "name", ["O'Brien", "Smith"])
+        assert spark.sql(sql).count() == 0  # parses AND matches
+
+
+class TestSelfReferencingPipeline:
+    def test_incremental_style_activate(self, spark, tmp_path):
+        from dbt_decodable_spark.catalog import Engine
+
+        eng = Engine(spark, namespace="sr", warehouse_dir=str(tmp_path / "wh"))
+        try:
+            src = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+            eng.create_stream("t", data=src)
+            # sink == source: the classic incremental model shape
+            eng.create_pipeline(
+                "t", f"SELECT id FROM {eng.qualify('t')} WHERE id > 1",
+                activate=True,
+            )
+            assert sorted(r.id for r in eng.read_stream("t").collect()) == [2, 3]
+        finally:
+            eng.cleanup()
