@@ -222,8 +222,12 @@ def ivf_topk_kmeans(
         ),
         "vec_id",
     )
+    from dbt_decodable_spark.operators.similarity import _scoreable
+
     cand = probes.join(lists, "cid").filter(F.col("query_id") != F.col("vec_id"))
-    scored = cand.withColumn("cos_sim", cosine(F.col("q_vec"), F.col("n_vec")))
+    scored = cand.withColumn(
+        "cos_sim", cosine(F.col("q_vec"), F.col("n_vec"))
+    ).filter(_scoreable(F.col("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id")
     )

@@ -42,7 +42,13 @@ def normalize_text(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    return F.split(normalize_text(col), " ")
+    """Whitespace tokens of the normalized text. Empty / whitespace-only
+    input yields an EMPTY array — a bare ``split('', ' ')`` returns
+    ``['']``, which silently counts every blank document as one token
+    through every downstream consumer (token counts, OOV rates, chunking).
+    Inner empties can't occur (normalize collapses whitespace runs), so the
+    filter only changes the blank-document case."""
+    return F.filter(F.split(normalize_text(col), " "), lambda x: x != "")
 
 
 def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
@@ -177,7 +183,14 @@ def shingle_pairs_jaccard(
     """
     if method == "auto":
         method = "prefix" if threshold >= 0.5 else "inverted"
-    sh = _shingle_rows(df, id_col, text_col, n)
+    # materialize the shingle pipeline ONCE: it feeds 2 consumers in
+    # inverted mode and 4 in prefix mode (freq, both prefix-join sides, and
+    # both verification sides) — the module's materialize-once rule
+    sh = _shingle_rows(df, id_col, text_col, n).localCheckpoint(eager=True)
+    # integer-exact threshold arithmetic: floating ceil(t·n) overshoots for
+    # many (t, n) pairs (0.54·450 = 243.0000…3 → ceil 244), silently
+    # shrinking the prefix and dropping qualifying pairs
+    t_micro = round(threshold * 1_000_000)
 
     if method == "inverted":
         a, b = sh.alias("a"), sh.hint("shuffle_hash").alias("b")
@@ -210,7 +223,8 @@ def shingle_pairs_jaccard(
             ),
         )
     )
-    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ceil_tn = F.expr(f"({t_micro}L * n_sh + 999999) div 1000000")
+    prefix_len = F.col("n_sh") - ceil_tn + 1
     prefix = ranked.filter(F.col("rn") <= prefix_len).select("id", "n_sh", "sh64")
 
     a, b = prefix.alias("a"), prefix.hint("shuffle_hash").alias("b")
@@ -220,8 +234,9 @@ def shingle_pairs_jaccard(
             (F.col("a.sh64") == F.col("b.sh64"))
             & (F.col("a.id") < F.col("b.id"))
             # length filter: J >= t requires t·|A| <= |B| and t·|B| <= |A|
-            & (F.col("b.n_sh") * threshold <= F.col("a.n_sh"))
-            & (F.col("a.n_sh") * threshold <= F.col("b.n_sh")),
+            # (integer cross-multiplied — same exactness rule as prefix_len)
+            & (F.col("b.n_sh") * t_micro <= F.col("a.n_sh") * 1_000_000)
+            & (F.col("a.n_sh") * t_micro <= F.col("b.n_sh") * 1_000_000),
         )
         .select(
             F.col("a.id").alias("id_a"),
@@ -482,7 +497,14 @@ def paragraph_rows(
     stage — the downstream groupBy(segment) is the only shuffle, and it
     moves segments once.
     """
-    base = fan_out(df).select(id_col, F.col(text_col).alias("__text"))
+    # child session for the same InferFiltersFromGenerate reason as
+    # ngram_window_rows below
+    base = fan_out(
+        _shingle_session_df(
+            df.select(id_col, F.col(text_col).alias("__text")),
+            "__dedup_paragraph_input",
+        )
+    ).select(id_col, F.col("__text"))
     if seg_tokens is None:
         segs = F.split(F.col("__text"), r"\n{2,}")
     else:
@@ -540,7 +562,11 @@ def remove_duplicate_segments(
     relative to the corpus) → one groupBy(id) to reassemble. No driver
     materialization, no Python.
     """
-    segs = paragraph_rows(df, id_col, text_col, seg_tokens)
+    # materialize the segment explode once — three consumers below (the
+    # duplicate set, the per-doc totals, and the kept-side anti join)
+    segs = paragraph_rows(df, id_col, text_col, seg_tokens).localCheckpoint(
+        eager=True
+    )
     dups = duplicate_segments(segs, id_col, min_docs)
     totals = segs.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_segments")
@@ -584,8 +610,17 @@ def ngram_window_rows(
     lambdas are re-evaluated per element), so tokenization runs once per
     document, not once per window. Pure JVM; one posexplode map stage.
     """
+    # the explode below runs in the shingle child session: on the parent
+    # session InferFiltersFromGenerate synthesizes size(<window expr>)>0 and
+    # pushes it under the fan-out, re-running tokenize+window-build on the
+    # unparallelized scan (the measured 9x regression _shingle_session_df
+    # documents)
     base = fan_out(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")), "id"
+        _shingle_session_df(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")),
+            "__dedup_ngramwin_input",
+        ),
+        "id",
     ).select("id", tokens(F.col("__text")).alias("__toks"))
     t = F.col("__toks")
     wins = F.when(

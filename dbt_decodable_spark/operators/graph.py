@@ -154,6 +154,7 @@ def connected_components(
 
     cur = sym
     prev_sig: tuple[int, int] | None = None
+    converged = False
     for _ in range(max_iter):
         stars = _small_star(_large_star(cur))
         # localCheckpoint: truncate lineage so each round's plan is O(1)
@@ -169,6 +170,7 @@ def connected_components(
         sig = (cnt, chk)
         if sig == prev_sig:
             cur = stars
+            converged = True
             break
         prev_sig = sig
         # late-round cutoff: the star rounds shrink the edge set
@@ -193,6 +195,15 @@ def connected_components(
         # is disjoint from the forward one — a plain union is exact here
         # (one less shuffle per round than _symmetrize)
         cur = stars.union(stars.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if not converged:
+        # the forest extraction below is only valid on a CONVERGED star
+        # set — on the re-symmetrized working set it would emit conflicting
+        # multi-component rows per node. Star rounds converge in O(log n),
+        # so hitting this means the iteration budget, not the data, is wrong.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (convergence needs ~log2(diameter) rounds)"
+        )
     # cur is a star forest oriented node→root; roots map to themselves
     members = cur.filter(F.col("u") != F.col("v")).select(
         F.col("u").alias("id"), F.col("v").alias("component")
@@ -209,8 +220,13 @@ def dedup_by_components(
     """Assign every row of ``df`` its near-dup cluster id: the connected
     component of the similarity pairs, or its own id when unpaired.
     Output: df columns + ``component`` + ``is_representative``."""
-    cc = connected_components(pairs, pair_a, pair_b)
-    joined = df.join(cc, df[id_col] == cc["id"], "left").drop("id")
+    # rename cc's id before joining — with id_col literally "id",
+    # drop("id") would remove BOTH columns (same hazard as
+    # keep_best_representative below)
+    cc = connected_components(pairs, pair_a, pair_b).withColumnRenamed(
+        "id", "__cc_id"
+    )
+    joined = df.join(cc, F.col(id_col) == F.col("__cc_id"), "left").drop("__cc_id")
     comp = F.coalesce(F.col("component"), F.col(id_col))
     return joined.withColumn("component", comp).withColumn(
         "is_representative", F.col(id_col) == F.col("component")

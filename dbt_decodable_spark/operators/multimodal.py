@@ -98,9 +98,13 @@ def extract_features_pandas(
             feats = []
             for payload in pdf["payload"]:
                 arr = np.frombuffer(bytes(payload), dtype="uint8")
-                hist = np.bincount(arr >> (8 - n_bins.bit_length() + 1), minlength=n_bins)[
-                    :n_bins
-                ]
+                # bucket = byte·n_bins // 256 — exact for ANY n_bins ≤ 256
+                # (a shift by bit_length only works for powers of two: with
+                # n_bins=10 it would spread bytes over 8 buckets and leave
+                # the top two permanently empty)
+                hist = np.bincount(
+                    arr.astype("int64") * n_bins // 256, minlength=n_bins
+                )[:n_bins]
                 if normalize:
                     h = hist.astype("float64")
                     total = h.sum()

@@ -37,6 +37,13 @@ def norm(a: Column) -> Column:
     )
 
 
+def _scoreable(col: Column) -> Column:
+    """Zero-norm vectors make cosine 0/0 → NaN (numpy) or NULL (JVM
+    divide); either would pollute top-k slots with meaningless neighbors.
+    Filter predicate: keep only real scores."""
+    return col.isNotNull() & ~F.isnan(col)
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
@@ -58,7 +65,12 @@ def score_pairs_numpy(
     import numpy as np
     import pandas as pd
 
-    q_ids = np.array([int(i) for i, _ in queries_local], dtype="int64")
+    # ids pass through untouched — derive the output id dtype from the
+    # corpus schema instead of hard-coding long (string/int ids must yield
+    # the same schema the empty-corpus fallback in threshold_join_chunked
+    # declares)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    q_ids = [i for i, _ in queries_local]
     q_mat = np.array([v for _, v in queries_local], dtype="float64")
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
 
@@ -73,7 +85,11 @@ def score_pairs_numpy(
             n_c, n_q = sims.shape
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(q_ids[None, :], n_c, axis=0).ravel(),
+                    "query_id": np.tile(np.asarray(q_ids, dtype=object), n_c)
+                    if id_type == "string"
+                    else np.repeat(
+                        np.asarray(q_ids, dtype="int64")[None, :], n_c, axis=0
+                    ).ravel(),
                     "neighbor_id": np.repeat(c_ids, n_q),
                     "cos_sim": sims.ravel(),
                 }
@@ -83,7 +99,10 @@ def score_pairs_numpy(
     return (
         corpus.select(id_col, vec_col)
         .repartition(n_par)  # single-file inputs arrive as 1 partition
-        .mapInPandas(score, schema="query_id long, neighbor_id long, cos_sim double")
+        .mapInPandas(
+            score,
+            schema=f"query_id {id_type}, neighbor_id {id_type}, cos_sim double",
+        )
     )
 
 
@@ -125,7 +144,8 @@ def brute_force_topk(
         (r[0], list(r[1])) for r in queries.select(id_col, vec_col).collect()
     ]
     scored = score_pairs_numpy(corpus, q_local, id_col, vec_col).filter(
-        F.col("query_id") != F.col("neighbor_id")
+        (F.col("query_id") != F.col("neighbor_id"))
+        & _scoreable(F.col("cos_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -351,8 +371,10 @@ def lsh_topk(
         .select("query_id", "neighbor_id", "q_vec", "c_vec")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec"))).select(
-        "query_id", "neighbor_id", "cos_sim"
+    scored = (
+        cand.withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .filter(_scoreable(F.col("cos_sim")))
+        .select("query_id", "neighbor_id", "cos_sim")
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -417,10 +439,23 @@ def ivf_centroids(
     """Deterministic coarse quantizer: a strided sample of corpus vectors
     (``id % stride == 0``, first ``n_lists`` by id). A Lloyd refinement would
     sharpen the lists but makes centroids float-sum-order dependent; the
-    sampled quantizer keeps the whole index reproducible bit-for-bit."""
-    return (
+    sampled quantizer keeps the whole index reproducible bit-for-bit.
+    If the stride predicate matches nothing (small/sparse id spaces), the
+    ``n_lists`` smallest ids seed the quantizer instead — still
+    deterministic, and assignment would otherwise crash on an empty
+    centroid matrix."""
+    strided = (
         corpus.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0)
         .orderBy(id_col)
+        .limit(n_lists)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+        )
+    )
+    if strided.head(1):
+        return strided
+    return (
+        corpus.orderBy(id_col)
         .limit(n_lists)
         .select(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
@@ -462,7 +497,9 @@ def ivf_topk(
     cand = probes.join(lists, "centroid_id").filter(
         F.col("query_id") != F.col(id_col)
     )
-    scored = cand.withColumn("cos_sim", cosine(F.col("q_vec"), F.col(vec_col)))
+    scored = cand.withColumn(
+        "cos_sim", cosine(F.col("q_vec"), F.col(vec_col))
+    ).filter(_scoreable(F.col("cos_sim")))
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -579,7 +616,9 @@ def ivf_topk_quantized(
     cand = probes.join(deq, "centroid_id").filter(
         F.col("query_id") != F.col(id_col)
     )
-    scored = cand.withColumn("cos_sim", cosine(F.col("q_vec"), F.col("__dvec")))
+    scored = cand.withColumn(
+        "cos_sim", cosine(F.col("q_vec"), F.col("__dvec"))
+    ).filter(_scoreable(F.col("cos_sim")))
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

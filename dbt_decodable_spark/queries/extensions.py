@@ -16,7 +16,9 @@ from dbt_decodable_spark.sources.tables import read_table
 # DuckDB equivalents of the shared normalizations (kept in lockstep with
 # operators/dedup.py — both sides lower, collapse whitespace, split on ' ')
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-_TOKS = f"string_split({_NORM}, ' ')"
+# the empty-token filter mirrors operators/dedup.tokens: a blank document
+# tokenizes to [] on both engines, not [''] (string_split('', ' ') = [''])
+_TOKS = f"list_filter(string_split({_NORM}, ' '), t -> t <> '')"
 
 
 @register(

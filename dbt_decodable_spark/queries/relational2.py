@@ -292,7 +292,7 @@ def stream_cumulate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT token, count(*) AS n
         FROM (
-            SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+            SELECT unnest(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), t -> t <> '')) AS token
             FROM documents
         ) t
         GROUP BY token

@@ -253,13 +253,12 @@ class TestChunking:
             for r in text.chunk_tokens(df, "doc_id", "text",
                                        chunk_size=4, stride=3).collect())
         # doc 1: starts 0,3,6 -> [t0..t3], [t3..t6], [t6]. doc 2: the empty
-        # string tokenizes to [""] (shared tokens() semantics, same in the
-        # DuckDB oracle), so it yields one empty chunk
+        # string tokenizes to [] (tokens() filters empties — mirrored in the
+        # oracle's _TOKS), so it yields NO chunks
         assert out == [
             (1, 0, "t0 t1 t2 t3", 4),
             (1, 1, "t3 t4 t5 t6", 4),
             (1, 2, "t6", 1),
-            (2, 0, "", 1),
         ]
 
     def test_invalid_params_raise(self, spark):
@@ -981,3 +980,70 @@ class TestStarLinking:
         )
         assert dedup.minhash_lsh_candidates(df, "doc_id", "text", link="star").count() == 29
         assert dedup.minhash_lsh_candidates(df, "doc_id", "text", link="pairs").count() == 435
+
+
+class TestOperatorReviewRegressions:
+    """Pins for the session-3 operator review fixes."""
+
+    def test_tokens_empty_doc_is_empty_array(self, spark):
+        from dbt_decodable_spark.operators.dedup import tokens
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([("",), ("   ",), ("a b",)], "text string")
+        got = [r.n for r in df.select(F.size(tokens("text")).alias("n")).collect()]
+        assert got == [0, 0, 2]
+
+    def test_dedup_by_components_with_id_named_id(self, spark):
+        from dbt_decodable_spark.operators.graph import dedup_by_components
+
+        docs = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        out = dedup_by_components(docs, pairs, "id")
+        comp = {r.id: r.component for r in out.collect()}
+        assert comp == {1: 1, 2: 1, 3: 3}
+
+    def test_connected_components_raises_when_budget_exhausted(self, spark):
+        from dbt_decodable_spark.operators.graph import connected_components
+        import pytest as _pytest
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 9)], "src long, dst long"
+        )
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(edges, max_iter=1, smallgraph_edges=0)
+
+    def test_ivf_centroids_fallback_when_stride_misses(self, spark):
+        from dbt_decodable_spark.operators.similarity import ivf_topk
+
+        e = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(1, 20)],
+            "vec_id long, embedding array<float>",
+        )
+        q = e.filter("vec_id = 1")
+        out = ivf_topk(e, q, k=3, n_lists=4, n_probe=2, stride=97)
+        assert out.count() > 0  # previously crashed on the empty centroid set
+
+    def test_zero_norm_vectors_excluded_from_topk(self, spark):
+        from dbt_decodable_spark.operators.similarity import brute_force_topk
+
+        e = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 1.0]), (4, [1.0, 1.0])],
+            "vec_id long, embedding array<float>",
+        )
+        q = e.filter("vec_id = 1")
+        out = brute_force_topk(e, q, k=3)
+        ids = {r.neighbor_id for r in out.collect()}
+        assert 2 not in ids and ids == {3, 4}
+
+    def test_multimodal_bins_non_power_of_two(self, spark):
+        from dbt_decodable_spark.operators.multimodal import (
+            attach_binary_payload,
+            extract_features_pandas,
+        )
+
+        df = spark.createDataFrame([(1, "abcxyz")], "doc_id long, text string")
+        out = extract_features_pandas(
+            attach_binary_payload(df, "text"), n_bins=10, normalize=False
+        )
+        [r] = out.collect()
+        assert len(r.features) == 10 and sum(r.features) == 6  # all bytes binned

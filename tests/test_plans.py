@@ -241,7 +241,9 @@ class TestSession2Plans:
         # gate reaches the scan stage: the word-count predicate appears in
         # the FileScan's DataFilters (same codegen stage as the read)
         scan = plan[plan.index("FileScan") :]
-        assert "DataFilters: [(size(split" in scan
+        # (tokens() now filters empty strings, so the pushed predicate
+        # spells size(filter(split(...)))
+        assert "DataFilters: [(size(filter(split" in scan
         assert plan.count("Exchange hashpartitioning") == 1
 
 
