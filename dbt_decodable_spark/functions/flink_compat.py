@@ -80,12 +80,27 @@ def rewrite_function_calls(sql: str) -> str:
 
     ``TO_TIMESTAMP_LTZ(x, 3)`` → ``timestamp_millis(CAST(x AS BIGINT))`` is
     handled by argument-aware substitution; ``datenow()`` → ``current_date()``.
+    Both respect string literals and comments (a 'datenow()' inside a
+    literal is data; a commented-out TO_TIMESTAMP_LTZ must not raise).
     """
-    sql = _DATENOW_RE.sub("current_date()", sql)
-
+    protected = _protected_spans(sql)
     out: list[str] = []
     pos = 0
+    for m in _DATENOW_RE.finditer(sql):
+        if any(s <= m.start() < e for s, e in protected):
+            continue
+        out.append(sql[pos : m.start()])
+        out.append("current_date()")
+        pos = m.end()
+    out.append(sql[pos:])
+    sql = "".join(out)
+
+    protected = _protected_spans(sql)
+    out = []
+    pos = 0
     for m in _TO_TS_LTZ_RE.finditer(sql):
+        if m.start() < pos or any(s <= m.start() < e for s, e in protected):
+            continue
         out.append(sql[pos : m.start()])
         args, end = _read_args(sql, m.end())
         if len(args) == 1 or (len(args) == 2 and args[1].strip() == "3"):

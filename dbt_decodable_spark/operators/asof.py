@@ -51,6 +51,18 @@ def asof_join(
     )
     # quotes sort before probes at the same instant (<= semantics)
     merged = quotes.unionByName(probes)
+    # carry the LATEST QUOTE ROW as one struct, not per-column last():
+    # last(value, ignorenulls) cannot distinguish probe-padding NULLs from a
+    # genuine NULL in the latest quote, and would forward-fill PAST it to a
+    # stale older value — merge_asof (and asof_join_pandas) return the
+    # latest quote's NULL. The struct is non-null on every quote row.
+    merged = merged.withColumn(
+        "__vals",
+        F.when(
+            F.col("__is_probe") == 0,
+            F.struct(*[F.col(c).alias(c) for c in value_cols]),
+        ),
+    )
     w = (
         W.partitionBy("__k")
         .orderBy(F.col("__ts"), F.col("__is_probe"))
@@ -60,7 +72,7 @@ def asof_join(
         "__is_probe",
         "__l",
         F.last("__rts", ignorenulls=True).over(w).alias("__last_rts"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last("__vals", ignorenulls=True).over(w).alias("__vals"),
     ).filter(F.col("__is_probe") == 1)
     if tolerance is not None:
         fresh = F.col("__last_rts") >= F.col("__l." + left_ts) - F.expr(
@@ -68,10 +80,15 @@ def asof_join(
         )
         filled = filled.select(
             "__l",
-            *[F.when(fresh, F.col(c)).otherwise(F.lit(None)).alias(c) for c in value_cols],
+            *[
+                F.when(fresh, F.col(f"__vals.{c}")).otherwise(F.lit(None)).alias(c)
+                for c in value_cols
+            ],
         )
     else:
-        filled = filled.select("__l", *value_cols)
+        filled = filled.select(
+            "__l", *[F.col(f"__vals.{c}").alias(c) for c in value_cols]
+        )
     return filled.select(*[F.col(f"__l.{c}").alias(c) for c in lcols], *value_cols)
 
 
@@ -86,9 +103,6 @@ def asof_join_pandas(
     """merge_asof per key group via applyInPandas (Arrow-batched)."""
     import pandas as pd
 
-    out_schema = left.schema.add(
-        right.select(*value_cols).schema[value_cols[0]]
-    ) if len(value_cols) == 1 else None
     # build output schema: left columns + value columns
     from pyspark.sql import types as T
 

@@ -102,9 +102,14 @@ def check_membership(
         .alias("hit"),
     )
     flags = hits.groupBy("__bid").agg(F.min("hit").alias("maybe_seen"))
-    return batch.join(
-        flags, batch[id_col] == flags["__bid"], "inner"
-    ).drop("__bid")
+    # LEFT join + coalesce: a NULL id produces NULL probe positions and no
+    # flag row — an inner join would silently drop the document from the
+    # routing entirely. A NULL key was never inserted, so it is certainly new.
+    return (
+        batch.join(flags, batch[id_col] == flags["__bid"], "left")
+        .withColumn("maybe_seen", F.coalesce(F.col("maybe_seen"), F.lit(0)))
+        .drop("__bid")
+    )
 
 
 def bloom_prefilter_new_keys(

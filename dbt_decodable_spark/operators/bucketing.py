@@ -76,7 +76,10 @@ def plan_has_no_exchange(df: DataFrame) -> bool:
     """True iff the physical plan contains no shuffle (Exchange) operator.
     (BroadcastExchange doesn't count — it's not a data shuffle.)"""
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # strip ALL tree-drawing prefix chars — a join's non-last child renders
+    # with ':' prefixes (':  +- Exchange ...'), which a '+-* '-only lstrip
+    # would hide, reporting "no shuffle" over a real left-side Exchange
     return not any(
-        line.strip().lstrip("+-* ").startswith("Exchange")
+        line.strip().lstrip(":+-| *").startswith("Exchange")
         for line in plan.splitlines()
     )

@@ -144,7 +144,9 @@ def length_bucket_thresholds(
     )
     w = W.orderBy("__len").rowsBetween(W.unboundedPreceding, 0)
     cum = hist.withColumn("__cum", F.sum("__cnt").over(w))
-    total = df.agg(F.count(F.lit(1)).alias("__N"))
+    # N comes from the tiny histogram — re-counting df would be a second
+    # full corpus pass for a number the first aggregate already holds
+    total = hist.agg(F.sum("__cnt").alias("__N"))
     spark = df.sparkSession
     buckets = spark.createDataFrame(
         [(b,) for b in range(1, n_buckets + 1)], "bucket long"

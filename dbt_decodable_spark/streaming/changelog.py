@@ -57,13 +57,15 @@ def apply_changes_batch(
     """
     folded = fold_last_image(changes, keys, order)
     if delete_col is not None:
-        deletes = folded.filter(F.col(delete_col))
-        upserts = folded.filter(~F.col(delete_col)).drop(delete_col)
-        touched = folded.select(*keys).distinct()
+        # NULL delete flags mean "not a delete" — a bare ~col(delete) is
+        # NULL on NULL and would drop the row from upserts while its key
+        # still lands in `touched`, silently deleting the target row
+        upserts = folded.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
     else:
-        deletes = None
         upserts = folded
-        touched = folded.select(*keys).distinct()
+    touched = folded.select(*keys).distinct()
     untouched = target.join(touched, on=list(keys), how="left_anti")
     return untouched.unionByName(upserts.select(*target.columns), allowMissingColumns=False)
 

@@ -122,7 +122,11 @@ def sessionize_stateful(
             if state.exists:  # keep the open session + its timeout armed
                 cur = state.get
                 state.update(cur)
-                state.setTimeoutTimestamp(cur[1] // 1000 + gap_ms)
+                # clamp: re-arming below the advanced watermark would crash
+                # the query; firing on the next advance closes it correctly
+                state.setTimeoutTimestamp(
+                    max(cur[1] // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
+                )
             return
         cents = np.concatenate(cents_parts)
         order = np.argsort(ts_us, kind="stable")
@@ -145,8 +149,11 @@ def sessionize_stateful(
         if state.exists:
             s0, e0, n0, c0 = state.get
             if ts_us[0] - e0 <= gap_us:
-                # first segment continues the open session
+                # first segment continues the open session; end = max so an
+                # out-of-order (but in-watermark) batch can't regress the
+                # session end and re-arm an earlier timeout
                 seg_start[0], seg_n[0], seg_cents[0] = s0, seg_n[0] + n0, seg_cents[0] + c0
+                seg_end[0] = max(int(seg_end[0]), int(e0))
             else:
                 closed_state = (s0, e0, n0, c0)  # closed by data, emit first
 
@@ -166,8 +173,14 @@ def sessionize_stateful(
 
         state.update((int(seg_start[last]), int(seg_end[last]), int(seg_n[last]), int(seg_cents[last])))
         # fire when the watermark passes session_end + gap (ms floor — the
-        # same truncation Spark's watermark tracker applies)
-        state.setTimeoutTimestamp(int(seg_end[last]) // 1000 + gap_ms)
+        # same truncation Spark's watermark tracker applies); clamped above
+        # the current watermark (arming at/below it crashes the query)
+        state.setTimeoutTimestamp(
+            max(
+                int(seg_end[last]) // 1000 + gap_ms,
+                state.getCurrentWatermarkMs() + 1,
+            )
+        )
 
     # project to exactly the columns the operator needs BEFORE the stateful
     # shuffle: the stream may carry wide payloads (props/text/etc.) that would
@@ -284,7 +297,12 @@ def sessionize_stateful_bucketed(
         if not ts_parts or sum(len(t) for t in ts_parts) == 0:
             if state.exists:
                 ku, s0, e0, n0, c0 = (np.asarray(x, dtype="int64") for x in state.get)
-                _save(state, ku, s0, e0, n0, c0)
+                wm = state.getCurrentWatermarkMs()
+                overdue = (e0 // 1000 + gap_ms) <= wm
+                if overdue.any():
+                    yield _emit(ku[overdue], s0[overdue], e0[overdue], n0[overdue], c0[overdue])
+                keep = ~overdue
+                _save(state, ku[keep], s0[keep], e0[keep], n0[keep], c0[keep])
             return
         users = np.concatenate(users_parts)
         ts_us = np.concatenate(ts_parts) // 1000
@@ -327,6 +345,7 @@ def sessionize_stateful_bucketed(
             ps, pe, pn, pc = prev
             if seg_start[j] - pe <= gap_us:
                 seg_start[j], seg_n[j], seg_cents[j] = ps, seg_n[j] + pn, seg_cents[j] + pc
+                seg_end[j] = max(int(seg_end[j]), int(pe))  # no end regression
             else:
                 emit_k.append(int(seg_user[j]))
                 emit_s.append(ps)
@@ -345,13 +364,21 @@ def sessionize_stateful_bucketed(
             yield _emit(emit_k, emit_s, emit_e, emit_n, emit_c)
 
         # new open set: carried-forward keys absent from this batch + each
-        # batch key's last segment
-        nk = list(carried.keys()) + seg_user[last_mask].tolist()
-        ns = [v[0] for v in carried.values()] + seg_start[last_mask].tolist()
-        ne = [v[1] for v in carried.values()] + seg_end[last_mask].tolist()
-        nn = [v[2] for v in carried.values()] + seg_n[last_mask].tolist()
-        nc = [v[3] for v in carried.values()] + seg_cents[last_mask].tolist()
-        _save(state, nk, ns, ne, nn, nc)
+        # batch key's last segment. Carried keys whose deadline the watermark
+        # already passed must EMIT here — the bucket had data, so no timeout
+        # fires for them, and re-arming min(e)+gap below the watermark would
+        # crash the query.
+        nk = np.asarray(list(carried.keys()) + seg_user[last_mask].tolist(), dtype="int64")
+        ns = np.asarray([v[0] for v in carried.values()] + seg_start[last_mask].tolist(), dtype="int64")
+        ne = np.asarray([v[1] for v in carried.values()] + seg_end[last_mask].tolist(), dtype="int64")
+        nn = np.asarray([v[2] for v in carried.values()] + seg_n[last_mask].tolist(), dtype="int64")
+        nc = np.asarray([v[3] for v in carried.values()] + seg_cents[last_mask].tolist(), dtype="int64")
+        wm = state.getCurrentWatermarkMs()
+        overdue = (ne // 1000 + gap_ms) <= wm
+        if overdue.any():
+            yield _emit(nk[overdue], ns[overdue], ne[overdue], nn[overdue], nc[overdue])
+        keep = ~overdue
+        _save(state, nk[keep], ns[keep], ne[keep], nn[keep], nc[keep])
 
     return (
         events.select(key_col, ts_col, cents_col)

@@ -103,7 +103,13 @@ def run_temporal_asof_bounded(
         stream, dim_provider, on, stream_ts, dim_ts, value_cols, out_path=out,
         tolerance=tolerance,
     )
-    q.awaitTermination(timeout)
+    finished = q.awaitTermination(timeout)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"bounded temporal join did not drain within {timeout}s — "
+            "partial output discarded"
+        )
     if not os.path.exists(out):
         dim = dim_provider() if callable(dim_provider) else dim_provider
         empty_stream = spark.createDataFrame([], stream.schema)

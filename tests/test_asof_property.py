@@ -175,3 +175,21 @@ def test_duplicate_spans_match_bruteforce(spark, case):
     }
     want = _ref_spans({i: t for i, t in case.items() if t}, n)
     assert got == want
+
+
+class TestAsofNullQuoteValues:
+    def test_latest_quote_null_not_skipped(self, spark):
+        """A NULL in the latest quote must surface as NULL — not be
+        forward-filled past to a stale older value (merge_asof parity)."""
+        from dbt_decodable_spark.operators.asof import asof_join, asof_join_pandas
+
+        left = spark.createDataFrame(
+            [(1, 3_000_000)], "k long, t long"
+        ).selectExpr("k", "timestamp_micros(t) AS t")
+        right = spark.createDataFrame(
+            [(1, 1_000_000, 10.0), (1, 2_000_000, None)],
+            "k long, rt long, v double",
+        ).selectExpr("k", "timestamp_micros(rt) AS rt", "v")
+        [r1] = asof_join(left, right, "k", "t", "rt", ["v"]).collect()
+        [r2] = asof_join_pandas(left, right, "k", "t", "rt", ["v"]).collect()
+        assert r1.v is None and r2.v is None

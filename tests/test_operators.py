@@ -1047,3 +1047,17 @@ class TestOperatorReviewRegressions:
         )
         [r] = out.collect()
         assert len(r.features) == 10 and sum(r.features) == 6  # all bytes binned
+
+    def test_bloom_membership_keeps_null_ids(self, spark):
+        from dbt_decodable_spark.operators.bloom import build_bloom, check_membership
+
+        hist = spark.createDataFrame([("seen",)], "k string")
+        bloom = build_bloom(hist, "k", m_bits=1 << 12, k=2)
+        batch = spark.createDataFrame(
+            [(1, "seen"), (2, "new"), (None, "whatever")],
+            "doc_id long, k string",
+        )
+        out = check_membership(batch, bloom, "k", "doc_id", m_bits=1 << 12, k=2)
+        assert out.count() == 3  # NULL-id row must not vanish
+        flags = {r.doc_id: r.maybe_seen for r in out.collect()}
+        assert flags[1] == 1 and flags[2] == 0
