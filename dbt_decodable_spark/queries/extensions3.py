@@ -329,19 +329,31 @@ _KHOP_SQL = """
         UNION ALL
         SELECT walk.src, sym.d, walk.depth + 1
         FROM walk JOIN sym ON walk.node = sym.s
-        WHERE walk.depth < 3
+        WHERE walk.depth < 2
     )
     SELECT DISTINCT src, node FROM walk WHERE src < node
 """
+
+# star edges in SQL (same construction as the dedup_cc_star_edges oracle):
+# each (band, minhash) bucket's members link to the bucket-min hub
+_KHOP_STAR_CTE = """star AS (
+        SELECT h.hub AS id_a, s.id AS id_b
+        FROM sig s JOIN (
+            SELECT band, minhash, min(id) AS hub
+            FROM sig GROUP BY band, minhash
+        ) h ON h.band = s.band AND h.minhash = s.minhash
+        WHERE s.id <> h.hub
+    )"""
 
 
 def _khop_oracle() -> str:
     from dbt_decodable_spark.queries.extensions import _MINHASH_PAIRS_CTES
 
-    body = _KHOP_SQL.format(pairs="pairs")
-    # splice the pairs CTEs into the RECURSIVE prologue
+    body = _KHOP_SQL.format(pairs="star")
+    # splice the signature + star-edge CTEs into the RECURSIVE prologue
     return body.replace(
-        "WITH RECURSIVE sym AS", f"WITH RECURSIVE {_MINHASH_PAIRS_CTES},\n    sym AS"
+        "WITH RECURSIVE sym AS",
+        f"WITH RECURSIVE {_MINHASH_PAIRS_CTES},\n    {_KHOP_STAR_CTE},\n    sym AS",
     )
 
 
@@ -350,22 +362,31 @@ def _khop_oracle() -> str:
     oracle=_khop_oracle(),
     doc="§2.12 bounded k-hop graph expansion via WITH RECURSIVE (the Spark 4 "
     "recursive-CTE surface, UNION ALL + depth bound + terminal DISTINCT): "
-    "all within-3-hops pairs over the MinHash-LSH near-dup graph. The depth "
-    "bound makes recursion terminate on cyclic graphs and keeps the blowup "
-    "at fan-out^3 per vertex — the scale-safe form; *unbounded* closure "
-    "stays the job of the O(log n) large-star/small-star CC operator "
+    "within-2-hops pairs over the STAR-LINKED near-dup graph (leaf→hub→"
+    "leaf reaches the whole bucket cluster). The star edges + depth bound "
+    "keep the path materialization at Σ cluster² — UNION ALL recursion "
+    "materializes PATHS before the terminal DISTINCT, and a depth-3 walk "
+    "on the all-pairs graph measurably explodes past Spark's recursion "
+    "row cap on duplicate-dense corpora. Unbounded closure stays the job "
+    "of the O(log n) large-star/small-star CC operator "
     "(operators/graph.py), which dedup_connected_components proves.",
 )
 def graph_khop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_decodable_spark.operators import dedup
 
     d = read_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_candidates(d, "doc_id", "text", n=3, num_hashes=6)
+    pairs = dedup.minhash_lsh_candidates(
+        d, "doc_id", "text", n=3, num_hashes=6, link="star"
+    )
     # DataFrame-typed SQL argument, issued on the DataFrame's OWN session:
     # the minhash pipeline runs in the shingle child session
     # (operators/dedup._shingle_session_df), and a df-arg registers its
     # backing view there — sql() on any other session would not see it
-    return pairs.sparkSession.sql(_KHOP_SQL.format(pairs="{pairs}"), pairs=pairs)
+    sess = pairs.sparkSession
+    # headroom over the 1M default path cap for skewed clusters; the star
+    # orientation + depth bound are the real safety net
+    sess.conf.set("spark.sql.cteRecursionRowLimit", str(64_000_000))
+    return sess.sql(_KHOP_SQL.format(pairs="{pairs}"), pairs=pairs)
 
 
 # ---------------------------------------------- k-means-trained IVF ANN

@@ -131,8 +131,8 @@ class TestSmallGraphFinisher:
 
 class TestKhopRecursiveCte:
     def test_khop_on_known_graph(self, spark):
-        # path 1-2-3-4-5 plus isolated edge 8-9: 3 hops from 1 reaches 4 but
-        # not 5; symmetric closure, src<node halves the output
+        # path 1-2-3-4-5 plus isolated edge 8-9: 2 hops from 1 reaches 3 but
+        # not 4; symmetric closure, src<node halves the output
         from dbt_decodable_spark.queries.extensions3 import _KHOP_SQL
 
         edges = spark.createDataFrame(
@@ -141,8 +141,7 @@ class TestKhopRecursiveCte:
         out = spark.sql(_KHOP_SQL.format(pairs="{pairs}"), pairs=edges)
         got = sorted(map(tuple, out.collect()))
         want = sorted(
-            [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (2, 5), (3, 4), (3, 5),
-             (4, 5), (8, 9)]
+            [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (3, 5), (4, 5), (8, 9)]
         )
         assert got == want
 
