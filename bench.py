@@ -1,8 +1,12 @@
 """Benchmark harness (driver contract): run the engine's queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+``local[$SPARK_GRAFT_CPUS]`` and print JSON::
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Two lines, same headline number: first the full per-query detail (~6 KB),
+then a compact (<1 KB) summary whose tail survives the driver's capture
+window — the driver parses the LAST complete JSON object on stdout.
 
 Each query is materialized through the ``noop`` sink (full execution, no
 driver collect). Every query runs ``$SPARK_GRAFT_BENCH_REPEAT`` times
@@ -114,6 +118,36 @@ def main() -> None:
                 "n_queries": len(timings),
                 "repeat": repeat,
                 "aggregation": "best_of_n",
+            }
+        )
+    )
+    # The driver's capture window keeps the TAIL of stdout and the ~6 KB
+    # detail line above gets head-truncated (every BENCH_r1-r6 recorded
+    # parsed: null). Emit a final COMPACT line (<1 KB) so the tail always
+    # ends with one complete parseable JSON object carrying the headline
+    # number plus the 10 slowest queries.
+    slowest = dict(
+        sorted(
+            ((n, t) for n, t in timings.items() if t > 0),
+            key=lambda kv: kv[1],
+            reverse=True,
+        )[:10]
+    )
+    failed = sorted(n for n, t in timings.items() if t < 0)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "n_failed": len(failed),
+                "failed": failed,
+                "repeat": repeat,
+                "aggregation": "best_of_n",
+                "slowest": slowest,
+                "queries": "see preceding detail line",
             }
         )
     )

@@ -358,12 +358,23 @@ class Engine:
             # swap — same crash-safe shape as operators/maintenance.
             path = os.path.join(self.warehouse_dir, sdef.name)
             tmp = path + ".__insert_tmp__"
-            if os.path.isdir(tmp):
-                shutil.rmtree(tmp)
+            old = path + ".__insert_old__"
+            # crash recovery: a previous run that died between the two renames
+            # below leaves the only copy at `old` — restore it before anything
+            # else (never delete leftovers while `path` is missing).
+            if not os.path.isdir(path) and os.path.isdir(old):
+                os.rename(old, path)
+            for leftover in (tmp, old):
+                if os.path.isdir(leftover):
+                    shutil.rmtree(leftover)
             result.write.mode("overwrite").parquet(tmp)
+            # swap via rename-aside (never rmtree the live sink before the
+            # replacement is in place): path -> old, tmp -> path, drop old.
             if os.path.isdir(path):
-                shutil.rmtree(path)
+                os.rename(path, old)
             os.rename(tmp, path)
+            if os.path.isdir(old):
+                shutil.rmtree(old)
             sdef.path = path
             self.spark.read.parquet(path).createOrReplaceTempView(sdef.name)
         else:

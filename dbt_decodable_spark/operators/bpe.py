@@ -31,6 +31,18 @@ and both ends are ``~~``) survives any number of rounds; resegmentation is
 
 No reference counterpart (decodableco/dbt-decodable has no text-processing
 surface); driver-mandated extension per /root/repo/BASELINE.json:6.
+
+**100 TB pattern — sample-then-apply.** Every merge round is a full corpus
+pass (standard BPE shape: the pair histogram must see all adjacent pairs),
+so learning V merge rules costs V corpus scans. At 100 TB you do NOT run
+the trainer over the whole corpus: learn the rules on a hash-sampled
+subset (``WHERE xxhash64(doc_id) % K = 0`` — a few GB is statistically
+ample for a pair-frequency ranking, same sampling contract as
+``operators/sampling.py``), then apply them corpus-wide via
+the ``text_bpe_segment`` apply path, which is a single map-only pass per
+ruleset (rules inlined as literal replaces, no shuffle, no driver data). The
+trainer here is exact-by-construction so the sampled run stays
+value-oracle-able; scale lives in the apply path.
 """
 
 from __future__ import annotations

@@ -19,7 +19,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 
 def write_compacted(
@@ -130,13 +130,20 @@ def delete_rows_partitioned(
 
     base = path.rstrip("/")
     id_set = sorted(set(ids))  # dedupe: a repeated id must count once
-    doomed = spark.createDataFrame([(i,) for i in id_set], f"{id_col} long")
+    table = spark.read.format(fmt).load(base)
+    # the doomed-id frame must carry the TABLE's id dtype (string/int/long/
+    # decimal all occur) or the locate join mis-types and silently misses
+    id_type = table.schema[id_col].dataType
+    doomed = spark.createDataFrame(
+        [(i,) for i in id_set],
+        T.StructType([T.StructField(id_col, id_type)]),
+    )
     # Locate via input_file_name, not by reconstructing dir names from
     # partition values: Hive escapes special chars (%xx) and encodes NULLs
     # (__HIVE_DEFAULT_PARTITION__) in the path, and the file path is the
     # ground truth for which directory actually holds a doomed row.
     located = (
-        spark.read.format(fmt).load(base)
+        table
         .select(id_col, F.input_file_name().alias("__f"))
         .join(F.broadcast(doomed), id_col)
         .select(F.expr("substring_index(__f, '/', size(split(__f, '/')) - 1)")

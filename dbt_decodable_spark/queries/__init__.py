@@ -47,75 +47,47 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 # The driver's correctness gate measures the FIRST 50 registry entries per
-# round. Round-6 rotation: (a) the ONLY two queries that have never had a
-# driver row (staged since round 4; green under tools/oracle_check.py);
-# (b) everything round 6 touches — the two r5-red array-canon queries now
-# serialized with concat_ws/to_json, the ADVICE-fixed operators (chunked
-# threshold join, interval-join conf, temporal-join idempotence,
-# read_table conf hygiene → events-reading queries), the auto-bucketed
-# stateful sessionization, and the two noise-suspect subquery regressions
-# being re-measured after bench isolation; (b2) the six operators NEW in
-# round 6 (paragraph/keep-best/semantic dedup, streaming watermark dedup,
-# ORC source, salient terms); (c) staleness guard — the 32 oldest
-# hash-green rows (all last driver-measured in rounds 1-2: the
-# agg/join/window/set-op relational core) so no row's evidence ages past
-# four rounds. Everything NOT in the window stays verified by
-# tools/oracle_check.py (driver-faithful local replica, including the
-# pandas array-canon crash mode) and pytest.
+# round. Round-7 rotation (VERDICT r6 item 1 — the code is done, the proof
+# isn't): (a) the ONLY three queries with zero driver history (overflow
+# slots 51-53 last round); (a2) queries NEW this round; (b) the two queries
+# whose rows-only oracles were UPGRADED to full value oracles in r6 — their
+# latest driver rows are still r5 ``no_oracle``, the board's only
+# non-hash-green latest entries; (b2) the stateful-sessionize re-measure
+# (r5-green, but the r6 auto-bucketed dispatcher has only pytest proof of
+# output equality); (c) staleness guard — ALL 33 rows whose latest driver
+# evidence is round 2 (the join/agg/window/set-op/scan relational core);
+# (d) remaining slots refresh the oldest round-4 rows. After this round
+# every registered query has at least one driver row and no row's evidence
+# predates round 4. Everything NOT in the window stays verified by
+# tools/oracle_check.py (driver-faithful local replica) and pytest;
+# tools/window_audit.py mechanically checks the staleness invariant.
 _DRIVER_WINDOW_PRIORITY = (
-    # (a) never driver-measured:
-    "func_url", "source_json_roundtrip",
-    # (b) round-6-touched:
-    "embedding_quantize_int8", "multimodal_features",
-    # (stream_interval_join, similarity_threshold_join, stream_temporal_join
-    # dropped from the re-measure set: their r6 fixes change
-    # sizing/robustness/idempotence-on-retry, not bounded-run results, and
-    # all are green under the local replica — never-measured wins;
-    # stream_sessionize_stateful moved to the overflow tail, see below)
-    # (b4) new in session 3 — never driver-measured (these displace the four
-    # r5-green re-measures subquery_scalar_correlated / subquery_in /
-    # events_count / stream_session_window: a never-measured row always
-    # outranks a re-measure, and the subquery pair's open question is bench
-    # timing, which the driver measures over the full registry regardless.
-    # Solo re-bench this session confirmed both subqueries at r4 levels —
-    # see SCALING.md "Bench-noise postmortem"):
-    "cluster_kmeans_lloyd", "mix_epochs_upsample",
-    "sample_reservoir_per_source", "events_rolling_active_7d",
-    "text_bpe_train", "text_bpe_segment", "graph_khop_neighbors",
-    "similarity_ivf_kmeans_topk", "sample_importance_weighted",
-    "dedup_cross_source_matrix", "stream_kmeans_assign",
-    # (b2) new in round 6 — never driver-measured:
-    "dedup_paragraph_exact", "dedup_cluster_keep_best",
-    "dedup_semantic_clusters", "stream_dedup_watermark",
-    "source_orc_roundtrip", "text_salient_terms",
-    "stream_interval_join_outer", "text_winnowing",
-    "func_unicode_nfc", "stream_minhash_index", "text_bigram_commonness",
-    "similarity_ivf_quantized_topk",
-    # (b3) new in this session — never driver-measured:
-    "dedup_bloom_filter", "dedup_span_ngram", "text_gopher_quality",
-    "mix_temperature_quota", "sample_split_assign", "stream_window_topk",
-    "text_strip_markup", "dedup_url_canonical", "stream_bloom_index",
-    "source_text_roundtrip", "source_parquet_zstd_roundtrip",
-    "source_partitioned_pruned", "pack_length_buckets",
-    "text_novelty_score", "corpus_length_quantiles", "text_oov_rate",
-    "stream_window_topk_run", "agg_kmv_distinct", "events_funnel_stages",
-    "pipeline_curation_end2end", "dedup_span_removal", "dedup_minhash_verified",
-    "dedup_cc_star_edges", "agg_kmv_by_source",
-    # --- 1-based slots 51+ fall OUTSIDE the driver's 50-row window this
-    # round and overflow to round 7: agg_kmv_by_source (the per-stratum
-    # variant of the in-window agg_kmv_distinct), the two Flink-builtin
-    # parity queries (thinnest marginal evidence — the rewrites are
-    # byte-level pytest-pinned in test_dialect and local-replica green) and
-    # the sessionize re-measure (r5-green; the r6 auto-bucket path is
-    # pytest-pinned to produce identical output):
-    "func_string_flink", "func_datetime_flink", "stream_sessionize_stateful",
-    # (c) staleness guard: EMPTY this round — the session added 24
-    # never-driver-measured queries and a never-measured row always
-    # outranks a re-measure, so all 50 slots go to (a)/(b). Every former
-    # guard row (the join/agg/set-op/scan relational core, incl.
-    # join_asof whose merge twin had an r5 driver row) stays green under
-    # tools/oracle_check.py, which this session ran at sf0.01 over the
-    # FULL registry three times (149-, 161-, and 166-pass boards, 0 red).
+    # (a) never driver-measured (slots 51-53 overflow from round 6):
+    "func_string_flink", "func_datetime_flink", "agg_kmv_by_source",
+    # (a2) new in round 7 — never driver-measured:
+    "source_time_of_day_roundtrip",
+    # (b) oracle-upgraded r6 (hex-digit simhash bit decode / seeded-LCG
+    # hyperplane literals), local-green; driver proof of the upgrade pending:
+    "dedup_simhash", "similarity_lsh_topk",
+    # (b2) r6 auto-bucket dispatcher re-measure (pytest-pinned identical
+    # output; 3.13 s -> 1.84 s locally):
+    "stream_sessionize_stateful",
+    # (c) staleness guard: all 33 rows last driver-measured in round 2:
+    "agg_cube", "agg_distinct", "agg_global", "agg_groupby_expression",
+    "agg_grouping_sets", "agg_having", "agg_minmax_by", "agg_percentile",
+    "agg_rollup", "agg_stats", "case_when", "derived_table_subquery",
+    "except_all", "intersect_except", "join_anti", "join_asof",
+    "join_full_outer", "join_left_outer", "join_lookup_broadcast",
+    "join_right_outer", "join_semi", "join_theta", "join_three_way",
+    "like_predicate", "order_by_limit", "scan_project_filter",
+    "subquery_scalar_correlated", "text_fingerprint", "text_langid",
+    "union_all", "union_distinct", "values_inline", "where_predicates",
+    # (d) round-4-stale refreshes (oldest remaining evidence; relational +
+    # streaming-window core variety — any past slot 50 overflow to round 8):
+    "join_inner", "projection_cast_alias", "cte_chain", "func_grok",
+    "stream_tumble_window", "stream_hop_window", "stream_cumulate_window",
+    "stream_change_fold", "stream_start_latest", "window_rank_dense",
+    "window_rows_frame", "window_topk_per_group", "subquery_in",
 )
 
 

@@ -384,9 +384,25 @@ def graph_khop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # backing view there — sql() on any other session would not see it
     sess = pairs.sparkSession
     # headroom over the 1M default path cap for skewed clusters; the star
-    # orientation + depth bound are the real safety net
-    sess.conf.set("spark.sql.cteRecursionRowLimit", str(64_000_000))
-    return sess.sql(_KHOP_SQL.format(pairs="{pairs}"), pairs=pairs)
+    # orientation + depth bound are the real safety net. Scoped: restore the
+    # prior cap so later recursive CTEs on the shared session keep the
+    # safety limit (the sql() call is eager enough — the recursion executes
+    # inside it — that try/finally restores before the frame escapes).
+    _key = "spark.sql.cteRecursionRowLimit"
+    _prior = sess.conf.get(_key, None)
+    sess.conf.set(_key, str(64_000_000))
+    try:
+        out = sess.sql(_KHOP_SQL.format(pairs="{pairs}"), pairs=pairs)
+        # the recursion must EXECUTE while the raised cap is in force —
+        # localCheckpoint(eager=True) materializes here, so the restored
+        # (default) cap applies only to later, unrelated recursive CTEs
+        out = out.localCheckpoint(eager=True)
+    finally:
+        if _prior is None:
+            sess.conf.unset(_key)
+        else:
+            sess.conf.set(_key, _prior)
+    return out
 
 
 # ---------------------------------------------- k-means-trained IVF ANN
@@ -592,5 +608,11 @@ def stream_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            "stream_kmeans_assign: bounded availableNow run did not finish "
+            "within 300s; refusing to return a partially populated sink"
+        )
     return spark.table(sink)

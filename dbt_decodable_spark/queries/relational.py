@@ -392,3 +392,55 @@ def source_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "click")
         .select("event_id", "user_id", "value_cents")
     )
+
+
+@register(
+    "source_time_of_day_roundtrip",
+    oracle="""
+        SELECT event_id,
+               t_nanos,
+               strftime(ts, '%H:%M:%S.%f') AS t_str,
+               (t_nanos + 5400000000000) % 86400000000000 AS t_shifted_nanos
+        FROM (
+            SELECT event_id, ts,
+                   CAST((hour(ts) * 3600 + minute(ts) * 60 + second(ts))
+                        AS BIGINT) * 1000000000
+                   + (extract('microseconds' FROM ts) % 1000000) * 1000
+                       AS t_nanos
+            FROM events WHERE event_id < 500
+        )
+    """,
+    doc="§1.4 TIME(p) type mapping (reference "
+    "decodable/client/types.py:498-512 — Flink TIME(p); Spark has no "
+    "time-of-day type): the engine's nanos-of-day LongType encoding "
+    "(functions/time_of_day.py) round-tripped through parquet scratch, "
+    "then formatted back to 'HH:mm:ss.ffffff' and shifted +90min with "
+    "midnight wrap — parse, storage, format, and arithmetic on one row. "
+    "All pure JVM expressions; the encoding is a plain BIGINT so "
+    "predicate pushdown/stats work unchanged at 100 TB.",
+)
+def source_time_of_day_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from dbt_decodable_spark.functions import time_of_day as tod
+
+    df = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 500)
+        .select(
+            "event_id",
+            tod.time_from_timestamp(F.col("ts")).alias("t_nanos"),
+        )
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_time_src_{tag}"
+    df.write.mode("overwrite").parquet(path)
+    back = spark.read.schema(df.schema).parquet(path)
+    return back.select(
+        "event_id",
+        "t_nanos",
+        tod.time_to_string(F.col("t_nanos"), precision=6).alias("t_str"),
+        tod.time_add(F.col("t_nanos"), 90 * 60 * tod.NANOS_PER_SECOND)
+        .cast("long")
+        .alias("t_shifted_nanos"),
+    )

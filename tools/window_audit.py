@@ -1,0 +1,122 @@
+"""Mechanical staleness guard for the driver's 50-slot correctness window
+(VERDICT r6 item 3 — the r6 window comment tracked this by hand; this makes
+it a CI-style check).
+
+Reads every ``CORRECTNESS_r*.json`` plus the live registry ordering
+(``load_all()``) and fails if the *plan* for the upcoming round leaves an
+evidence hole:
+
+1. **Never measured** — a registered query with zero driver rows across all
+   rounds must sit inside the upcoming window (first ``WINDOW`` entries of
+   ``load_all()``).
+2. **Stale** — a query whose latest driver row is older than
+   ``MAX_AGE_ROUNDS`` rounds behind the latest judged round must be in the
+   window (or explicitly grandfathered below).
+3. **Oracle upgraded** — a query whose latest driver row recorded
+   ``no_oracle`` while the registry now carries a value oracle must be in
+   the window: the upgrade is unproven at the driver until re-measured.
+4. **Red** — a query whose latest driver row failed (rows/schema/hash
+   mismatch or a non-``no_oracle`` error) must be in the window.
+
+Exit 0 = every invariant holds for the upcoming round's window; exit 1
+prints each violation. Run from the repo root (or anywhere — paths are
+repo-relative to this file). Wired into pytest via
+``tests/test_window_audit.py`` so a registry edit that silently squeezes
+the guard out fails the suite, not a judging round.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
+MAX_AGE_ROUNDS = 4
+
+# Queries allowed to stay rows-only forever (engine-specific sketches whose
+# exact twin carries the value evidence) — exempt from rule 3.
+ROWS_ONLY_BY_DESIGN = {"agg_approx_distinct"}
+
+
+def load_driver_history() -> tuple[int, dict[str, tuple[int, dict]]]:
+    """(latest_round, {query: (latest_round_measured, latest_row)})."""
+    latest: dict[str, tuple[int, dict]] = {}
+    max_round = 0
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
+        max_round = max(max_round, rnd)
+        with open(f) as fh:
+            rows = json.load(fh)
+        for name, row in rows.items():
+            latest[name] = (rnd, row)
+    return max_round, latest
+
+
+def audit() -> list[str]:
+    sys.path.insert(0, REPO)
+    from dbt_decodable_spark.queries import load_all
+
+    registry = load_all()
+    names = list(registry)
+    window = set(names[:WINDOW])
+    max_round, latest = load_driver_history()
+
+    problems: list[str] = []
+    for name, qdef in registry.items():
+        got = latest.get(name)
+        if got is None:
+            if name not in window:
+                problems.append(
+                    f"NEVER-MEASURED outside window: {name} has no driver "
+                    f"row in any of rounds 1-{max_round}"
+                )
+            continue
+        rnd, row = got
+        is_no_oracle = row.get("err") == "no_oracle"
+        failed = (not is_no_oracle) and (
+            row.get("err") is not None
+            or row.get("rows_match") is False
+            or row.get("schema_match") is False
+            or row.get("hash_match") is False
+        )
+        if failed and name not in window:
+            problems.append(
+                f"RED outside window: {name} latest driver row (r{rnd}) "
+                f"failed: {row}"
+            )
+        if (
+            is_no_oracle
+            and qdef.oracle is not None
+            and name not in window
+            and name not in ROWS_ONLY_BY_DESIGN
+        ):
+            problems.append(
+                f"ORACLE-UPGRADED outside window: {name} latest driver row "
+                f"(r{rnd}) is no_oracle but the registry now has a value "
+                f"oracle — the upgrade is unproven at the driver"
+            )
+        if max_round - rnd >= MAX_AGE_ROUNDS and name not in window:
+            problems.append(
+                f"STALE outside window: {name} last driver-measured r{rnd} "
+                f"(latest judged round r{max_round}, max age "
+                f"{MAX_AGE_ROUNDS})"
+            )
+    return problems
+
+
+def main() -> int:
+    problems = audit()
+    if problems:
+        for p in problems:
+            print(p)
+        print(f"\nwindow_audit: {len(problems)} violation(s)")
+        return 1
+    print("window_audit: OK — upcoming window covers every evidence hole")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
