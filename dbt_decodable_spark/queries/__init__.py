@@ -65,7 +65,8 @@ _DRIVER_WINDOW_PRIORITY = (
     # (a) never driver-measured (slots 51-53 overflow from round 6):
     "func_string_flink", "func_datetime_flink", "agg_kmv_by_source",
     # (a2) new in round 7 — never driver-measured:
-    "source_time_of_day_roundtrip",
+    "source_time_of_day_roundtrip", "stream_static_enrich",
+    "cluster_outlier_filter",
     # (b) oracle-upgraded r6 (hex-digit simhash bit decode / seeded-LCG
     # hyperplane literals), local-green; driver proof of the upgrade pending:
     "dedup_simhash", "similarity_lsh_topk",

@@ -616,3 +616,63 @@ def stream_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within 300s; refusing to return a partially populated sink"
         )
     return spark.table(sink)
+
+
+# --------------------------------------------- embedding outlier filtering
+
+@register(
+    "cluster_outlier_filter",
+    oracle=f"""
+    WITH assigned AS ({_KM_ORACLE}),
+    ranked AS (
+        SELECT vec_id, centroid_id, dist2,
+               row_number() OVER (PARTITION BY centroid_id
+                                  ORDER BY dist2, vec_id) AS rn,
+               count(*) OVER (PARTITION BY centroid_id) AS n
+        FROM assigned
+    ),
+    thr AS (
+        SELECT centroid_id, dist2 AS thr FROM ranked WHERE rn = (n + 1) // 2
+    )
+    SELECT a.vec_id, a.centroid_id, a.dist2
+    FROM assigned a JOIN thr t USING (centroid_id)
+    WHERE a.dist2 <= t.thr
+    """,
+    doc="§2.12 embedding-space outlier filtering (curation gate: drop "
+    "vectors far from their cluster centroid — the SemDeDup/quality-gate "
+    "companion that removes off-manifold junk instead of near-dups): "
+    "reuse the exact-integer Lloyd assignment (operators/clustering.py), "
+    "then keep each cluster's closer-than-median half. The median "
+    "threshold is the dist2 VALUE at rank ceil(n/2) under the total order "
+    "(dist2, vec_id) — tie-invariant, so both engines cut identically. "
+    "One shuffle by centroid_id for the rank; the k-row threshold table "
+    "broadcasts back. At 100 TB the exact per-cluster median would come "
+    "from the histogram-threshold pattern (operators/packing.py) instead "
+    "of a full sort-rank — same cut, no global window.",
+)
+def cluster_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = read_table(spark, sf_dir, "embeddings")
+    assigned = clustering.kmeans_lloyd(
+        e, "vec_id", "embedding", k=_KM_K, iters=2, init_mod=_KM_INIT_MOD
+    )
+    w = W.partitionBy("centroid_id")
+    ranked = assigned.select(
+        "centroid_id",
+        "dist2",
+        F.row_number()
+        .over(w.orderBy("dist2", "vec_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(
+            w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("n"),
+    )
+    thr = ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "centroid_id", F.col("dist2").alias("thr")
+    )
+    return (
+        assigned.join(F.broadcast(thr), "centroid_id")
+        .filter(F.col("dist2") <= F.col("thr"))
+        .select("vec_id", "centroid_id", "dist2")
+    )

@@ -22,6 +22,19 @@ from dbt_decodable_spark.sources.tables import read_table
 _SESSIONIZE_KEY_ESTIMATES: dict[str, int] = {}
 
 
+def _await_bounded(q, name: str, timeout: float = 300.0) -> None:
+    """Wait for a bounded (availableNow) streaming run; on timeout stop the
+    query and raise instead of letting the caller read a partially populated
+    sink (the silent-truncation bug class ADVICE r6 flagged on
+    stream_kmeans_assign — one checked helper for every bounded run here)."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"{name}: bounded availableNow run did not finish within "
+            f"{timeout:.0f}s; refusing to return a partial sink"
+        )
+
+
 @register(
     "stream_tumble_window",
     oracle="""
@@ -304,7 +317,7 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_bounded(q, "stream_sessionize_stateful")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
@@ -455,7 +468,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_bounded(q, "stream_interval_join")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
@@ -497,7 +510,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_bounded(q, "stream_dedup_watermark")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
@@ -583,7 +596,7 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_bounded(q, "stream_interval_join_outer")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
@@ -665,7 +678,7 @@ def stream_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", index_dir + "_ckpt")
         .start()
     )
-    q.awaitTermination(300)
+    _await_bounded(q, "stream_minhash_index")
     shutil.rmtree(index_dir + "_ckpt", ignore_errors=True)
     return spark.read.parquet(index_dir)
 
@@ -736,7 +749,7 @@ def stream_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", index_dir + "_ckpt")
         .start()
     )
-    q.awaitTermination(300)
+    _await_bounded(q, "stream_bloom_index")
     shutil.rmtree(index_dir + "_ckpt", ignore_errors=True)
     return (
         spark.read.parquet(index_dir)
@@ -793,7 +806,7 @@ def stream_window_topk_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_bounded(q, "stream_window_topk_run")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     rk = F.row_number().over(
@@ -804,3 +817,56 @@ def stream_window_topk_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", rk.cast("long"))
         .filter(F.col("rk") <= 2)
     )
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+        SELECT e.event_id, e.user_id,
+               c.c_name AS cust_name, n.n_name AS nation_name
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    doc="§2.3/§2.9 stream-static enrichment join — the canonical streaming "
+    "star-schema pattern the reference runs as a Flink lookup join on a "
+    "changing dim (SURVEY §2.3): a REAL bounded streaming run where the "
+    "events fact stream joins a STATIC customer⋈nation dimension prepared "
+    "batch-side. Stateless (no watermark needed on the join itself — "
+    "inner stream-static joins keep no state), so each micro-batch is a "
+    "map-side broadcast hash join against the pinned dim: at 100 TB/day "
+    "the dim is broadcast once per batch and the stream never shuffles. "
+    "Batch oracle is the plain two-join SQL — a bounded availableNow run "
+    "converges to it exactly.",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_file_stream(spark, sf_dir)
+    dim = (
+        read_table(spark, sf_dir, "customer")
+        .join(
+            read_table(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "c_custkey",
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+    )
+    joined = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"]
+    ).select("event_id", "user_id", "cust_name", "nation_name")
+    sink = "stream_static_enrich_sink"
+    try:
+        spark.catalog.dropTempView(sink)
+    except Exception:
+        pass
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_bounded(q, "stream_static_enrich")
+    return spark.table(sink)

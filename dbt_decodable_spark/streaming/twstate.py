@@ -21,6 +21,11 @@ operator is availability-gated like the kinesis connector — call
 :func:`tws_available` first. On any standard PySpark 4.x install with
 ``pip install pyspark[connect]`` or plain ``protobuf`` present it runs
 as written (contract pytest skips when unavailable).
+
+Round-7 re-check: ``import google.protobuf`` still fails
+(``ModuleNotFoundError: No module named 'google'``) and package
+installation is prohibited in this environment, so the gate stands —
+un-gating is impossible in-sandbox, not a residual task.
 """
 
 from __future__ import annotations

@@ -192,3 +192,40 @@ class TestImportanceSample:
         k500 = {r.id for r in kept.filter("w = 500").collect()}
         k1000 = {r.id for r in kept.filter("w = 1000").collect()}
         assert k500 <= k1000
+
+
+class TestOutlierFilter:
+    """cluster_outlier_filter: keep each cluster's closer-than-median half
+    of the exact-integer Lloyd assignment (queries/extensions3.py)."""
+
+    @pytest.fixture(scope="class")
+    def parts(self, spark):
+        from dbt_decodable_spark.queries import load_all
+
+        reg = load_all()
+        kept = reg["cluster_outlier_filter"].fn(spark, SF)
+        emb = read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+        assigned = kmeans_lloyd(emb, k=8, iters=2, init_mod=61)
+        return (
+            {r.vec_id: (r.centroid_id, r.dist2) for r in kept.collect()},
+            {r.vec_id: (r.centroid_id, r.dist2) for r in assigned.collect()},
+        )
+
+    def test_subset_of_assignment(self, parts):
+        kept, assigned = parts
+        assert kept
+        for vid, row in kept.items():
+            assert assigned[vid] == row
+
+    def test_per_cluster_median_cut(self, parts):
+        kept, assigned = parts
+        by_cluster: dict = {}
+        for vid, (cid, d2) in assigned.items():
+            by_cluster.setdefault(cid, []).append((d2, vid))
+        for cid, members in by_cluster.items():
+            members.sort()
+            n = len(members)
+            thr = members[(n + 1) // 2 - 1][0]  # value at rank ceil(n/2)
+            expect = {vid for d2, vid in members if d2 <= thr}
+            got = {vid for vid, (c, _) in kept.items() if c == cid}
+            assert got == expect

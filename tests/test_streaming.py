@@ -568,3 +568,36 @@ class TestCheckpointRecovery:
         got = spark.read.parquet(out)
         assert got.count() == 15
         assert got.select("id").distinct().count() == 15  # no duplicates
+
+
+class TestStreamStaticEnrich:
+    """stream_static_enrich: a bounded stream-static broadcast join run
+    converges to the batch two-join answer (queries/streaming_q.py)."""
+
+    def test_matches_batch_join(self, spark):
+        from dbt_decodable_spark.queries import load_all
+        from dbt_decodable_spark.sources.tables import read_table
+
+        sf = "/root/testdata/sf0.001"
+        reg = load_all()
+        got = sorted(
+            map(tuple, reg["stream_static_enrich"].fn(spark, sf).collect())
+        )
+        e = read_table(spark, sf, "events")
+        c = read_table(spark, sf, "customer")
+        n = read_table(spark, sf, "nation")
+        want = sorted(
+            map(
+                tuple,
+                e.join(c, e["user_id"] == c["c_custkey"])
+                .join(n, c["c_nationkey"] == n["n_nationkey"])
+                .select(
+                    "event_id",
+                    "user_id",
+                    F.col("c_name").alias("cust_name"),
+                    F.col("n_name").alias("nation_name"),
+                )
+                .collect(),
+            )
+        )
+        assert got and got == want
