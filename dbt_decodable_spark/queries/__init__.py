@@ -66,7 +66,7 @@ _DRIVER_WINDOW_PRIORITY = (
     "func_string_flink", "func_datetime_flink", "agg_kmv_by_source",
     # (a2) new in round 7 — never driver-measured:
     "source_time_of_day_roundtrip", "stream_static_enrich",
-    "cluster_outlier_filter",
+    "cluster_outlier_filter", "agg_salted_skew", "layout_zorder_stats",
     # (b) oracle-upgraded r6 (hex-digit simhash bit decode / seeded-LCG
     # hyperplane literals), local-green; driver proof of the upgrade pending:
     "dedup_simhash", "similarity_lsh_topk",

@@ -319,3 +319,41 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
         F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
     )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS price_units
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="§2.4 skew-resistant two-phase aggregation: lineitem's "
+    "l_returnflag has 3 hot keys carrying ~2M rows each at sf1 — a naive "
+    "groupBy sends every hot-key row to one reducer. Phase 1 groups by "
+    "(key, salt=xxhash64(id)%32) so each hot key spreads over 32 "
+    "reducers; phase 2 merges the ≤32·k tiny partials. The merge is exact "
+    "because count and integer-cent sums are associative — the same "
+    "mergeability contract as the KMV sketches. (AQE's skew handling "
+    "covers sort-merge JOINS, not aggregations — hash aggs already do "
+    "map-side partials, but a true hot-key REDUCE still bottlenecks one "
+    "task; explicit salting is the portable fix and composes with "
+    "non-decomposable finals like exact medians.) Result is byte-identical "
+    "to the plain groupBy the oracle runs.",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    partial = (
+        li.select(
+            "l_returnflag",
+            (F.xxhash64("l_orderkey", "l_linenumber") % 32).alias("__salt"),
+            cents("l_extendedprice").alias("__units"),
+        )
+        .groupBy("l_returnflag", "__salt")
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__units").alias("__u"))
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("__n").alias("n"), F.sum("__u").alias("price_units")
+    )

@@ -329,3 +329,70 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     return e.select("vec_id", sq.alias("sq_norm"))
+
+
+def _zspread(x: str, shl: str) -> str:
+    """Morton 'magic bits' spread of a 16-bit value to even bit positions.
+    ``shl`` formats a left shift — ``"shiftleft({v}, {n})"`` for Spark SQL,
+    ``"({v} << {n})"`` for DuckDB — everything else (&, |) is shared."""
+    v = x
+    for n, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        v = f"(({v} | {shl.format(v=v, n=n)}) & {mask})"
+    return v
+
+
+def _zkey(x: str, y: str, shl: str) -> str:
+    return f"({_zspread(x, shl)} | {shl.format(v=_zspread(y, shl), n=1)})"
+
+
+_Z_SPARK_SHL = "shiftleft({v}, {n})"
+_Z_DUCK_SHL = "({v} << {n})"
+
+
+@register(
+    "layout_zorder_stats",
+    oracle=f"""
+        WITH base AS (
+            SELECT user_id % 256 AS ux,
+                   (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 256
+                       AS dy
+            FROM events
+        ),
+        z AS (SELECT ux, dy, {_zkey('ux', 'dy', _Z_DUCK_SHL)} AS zkey FROM base)
+        SELECT zkey // 64 AS zbucket,
+               count(*) AS n,
+               min(ux) AS u_min, max(ux) AS u_max,
+               min(dy) AS d_min, max(dy) AS d_max
+        FROM z GROUP BY 1
+    """,
+    doc="§2.12 Z-order (Morton) layout key for multi-dimensional data "
+    "skipping — the lakehouse technique for pruning a 100 TB table on "
+    "EITHER of two dims: interleave the bits of (user_id, event-day) with "
+    "the magic-bits spread (pure integer shifts/masks, whole-stage "
+    "codegen), sort/range-partition by zkey at write time, and every "
+    "file's min/max stats stay tight on BOTH columns — a filter on either "
+    "dim prunes ~sqrt-fraction of files instead of reading everything. "
+    "The query emits per-zbucket (2^20-wide key ranges) row counts and "
+    "min/max of both dims — exactly the footer stats a writer would get. "
+    "Deterministic bit math, value-oracle-able; no sampling-based "
+    "repartitionByRange nondeterminism anywhere.",
+)
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    base = e.select(
+        (F.col("user_id") % 256).alias("ux"),
+        (F.expr("unix_micros(ts) div 86400000000") % 256).alias("dy"),
+    )
+    z = base.select(
+        "ux", "dy", F.expr(_zkey("ux", "dy", _Z_SPARK_SHL)).alias("zkey")
+    )
+    return (
+        z.groupBy(F.expr("zkey div 64").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ux").alias("u_min"),
+            F.max("ux").alias("u_max"),
+            F.min("dy").alias("d_min"),
+            F.max("dy").alias("d_max"),
+        )
+    )

@@ -1061,3 +1061,70 @@ class TestOperatorReviewRegressions:
         assert out.count() == 3  # NULL-id row must not vanish
         flags = {r.doc_id: r.maybe_seen for r in out.collect()}
         assert flags[1] == 1 and flags[2] == 0
+
+
+class TestSaltedSkewAgg:
+    def test_matches_plain_groupby(self, spark):
+        from dbt_decodable_spark.queries import load_all
+        from dbt_decodable_spark.queries.money import cents
+        from dbt_decodable_spark.sources.tables import read_table
+        from pyspark.sql import functions as F
+
+        sf = "/root/testdata/sf0.001"
+        reg = load_all()
+        got = {
+            r.l_returnflag: (r.n, r.price_units)
+            for r in reg["agg_salted_skew"].fn(spark, sf).collect()
+        }
+        want = {
+            r.l_returnflag: (r.n, r.price_units)
+            for r in read_table(spark, sf, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents("l_extendedprice")).alias("price_units"),
+            )
+            .collect()
+        }
+        assert got and got == want
+
+
+class TestZorderKey:
+    def _py_spread(self, x: int) -> int:
+        for n, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                        (2, 0x33333333), (1, 0x55555555)):
+            x = (x | (x << n)) & mask
+        return x
+
+    def test_interleave_matches_python(self, spark):
+        from dbt_decodable_spark.queries.relational2 import _zkey, _Z_SPARK_SHL
+        from pyspark.sql import functions as F
+
+        pts = [(0, 0), (1, 0), (0, 1), (255, 255), (170, 85), (37, 201)]
+        df = spark.createDataFrame(pts, "ux long, dy long")
+        got = {
+            (r.ux, r.dy): r.z
+            for r in df.select(
+                "ux", "dy", F.expr(_zkey("ux", "dy", _Z_SPARK_SHL)).alias("z")
+            ).collect()
+        }
+        for ux, dy in pts:
+            assert got[(ux, dy)] == self._py_spread(ux) | (self._py_spread(dy) << 1)
+
+    def test_zkey_locality(self, spark):
+        # consecutive (ux, dy) cells share high z-bits: the 2x2 block
+        # (0,0),(1,0),(0,1),(1,1) must occupy z 0..3 — the property that
+        # makes min/max file stats tight on both dims after a z-sort
+        from dbt_decodable_spark.queries.relational2 import _zkey, _Z_SPARK_SHL
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(x, y) for x in range(2) for y in range(2)], "ux long, dy long"
+        )
+        zs = sorted(
+            r.z
+            for r in df.select(
+                F.expr(_zkey("ux", "dy", _Z_SPARK_SHL)).alias("z")
+            ).collect()
+        )
+        assert zs == [0, 1, 2, 3]
