@@ -100,7 +100,9 @@ def main() -> None:
                 dt = time.time() - t0
             except Exception as e:  # a failing query gets a sentinel, not a crash
                 print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
-                dt = -1.0
+                # a failure on ANY repeat marks the query failed — an earlier
+                # repeat's success must not mask it in the compact summary
+                best = -1.0
                 break
             best = dt if best < 0 else min(best, dt)
         timings[name] = round(best, 3)

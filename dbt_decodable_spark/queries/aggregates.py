@@ -348,7 +348,7 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial = (
         li.select(
             "l_returnflag",
-            (F.xxhash64("l_orderkey", "l_linenumber") % 32).alias("__salt"),
+            F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(32)).alias("__salt"),
             cents("l_extendedprice").alias("__units"),
         )
         .groupBy("l_returnflag", "__salt")

@@ -608,13 +608,9 @@ def stream_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    finished = q.awaitTermination(300)
-    if not finished:
-        q.stop()
-        raise TimeoutError(
-            "stream_kmeans_assign: bounded availableNow run did not finish "
-            "within 300s; refusing to return a partially populated sink"
-        )
+    from dbt_decodable_spark.queries.streaming_q import _await_bounded
+
+    _await_bounded(q, "stream_kmeans_assign")
     return spark.table(sink)
 
 
@@ -657,6 +653,10 @@ def cluster_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = clustering.kmeans_lloyd(
         e, "vec_id", "embedding", k=_KM_K, iters=2, init_mod=_KM_INIT_MOD
     )
+    # the assignment feeds BOTH the threshold branch and the final probe —
+    # materialize it once so the k-means distance lineage doesn't execute
+    # twice (at scale: write the assignment to parquet and read it back)
+    assigned = assigned.localCheckpoint(eager=True)
     w = W.partitionBy("centroid_id")
     ranked = assigned.select(
         "centroid_id",

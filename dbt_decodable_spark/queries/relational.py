@@ -402,10 +402,13 @@ def source_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                strftime(ts, '%H:%M:%S.%f') AS t_str,
                (t_nanos + 5400000000000) % 86400000000000 AS t_shifted_nanos
         FROM (
-            SELECT event_id, ts,
-                   CAST((hour(ts) * 3600 + minute(ts) * 60 + second(ts))
+            SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CAST((hour(CAST(ts AS TIMESTAMP)) * 3600
+                         + minute(CAST(ts AS TIMESTAMP)) * 60
+                         + second(CAST(ts AS TIMESTAMP)))
                         AS BIGINT) * 1000000000
-                   + (extract('microseconds' FROM ts) % 1000000) * 1000
+                   + (extract('microseconds' FROM CAST(ts AS TIMESTAMP))
+                      % 1000000) * 1000
                        AS t_nanos
             FROM events WHERE event_id < 500
         )

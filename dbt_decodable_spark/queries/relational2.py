@@ -372,7 +372,8 @@ _Z_DUCK_SHL = "({v} << {n})"
     "codegen), sort/range-partition by zkey at write time, and every "
     "file's min/max stats stay tight on BOTH columns — a filter on either "
     "dim prunes ~sqrt-fraction of files instead of reading everything. "
-    "The query emits per-zbucket (2^20-wide key ranges) row counts and "
+    "The query emits per-zbucket (64-wide key ranges — 1024 buckets over "
+    "the 16-bit z space) row counts and "
     "min/max of both dims — exactly the footer stats a writer would get. "
     "Deterministic bit math, value-oracle-able; no sampling-based "
     "repartitionByRange nondeterminism anywhere.",
