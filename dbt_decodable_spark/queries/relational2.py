@@ -397,3 +397,131 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dy").alias("d_max"),
         )
     )
+
+
+@register(
+    "table_checksum_shards",
+    oracle="""
+        WITH canon AS (
+            SELECT md5(concat_ws('|',
+                       CAST(event_id AS VARCHAR),
+                       CAST(user_id AS VARCHAR),
+                       event_type,
+                       CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)))
+                   AS h
+            FROM events
+        ),
+        v AS (
+            SELECT CAST('0x' || substr(h, 1, 5) AS BIGINT) AS v1,
+                   CAST('0x' || substr(h, 6, 5) AS BIGINT) AS v2
+            FROM canon
+        )
+        SELECT v1 % 64 AS shard,
+               count(*) AS cnt,
+               CAST(SUM(v1) AS BIGINT) AS s1,
+               CAST(SUM(v2) AS BIGINT) AS s2
+        FROM v GROUP BY 1
+    """,
+    doc="§2.12 order-independent table checksum — the cross-cluster data "
+    "validation primitive (did the 100 TB migration/replication land "
+    "byte-identically?): md5 over a canonical per-row serialization, two "
+    "independent 20-bit chunks summed per 64-way shard. Sums are "
+    "commutative so partitioning/order never matters; 20-bit values keep "
+    "BIGINT sums overflow-free to ~8.8e12 rows per shard; 64 shards x two "
+    "sums + counts give a ~2.6k-bit fingerprint — a single flipped row "
+    "flips its shard with probability 1 against both chunks. Fully "
+    "engine-portable (md5 + hex→int are exact both sides). Map + one "
+    "64-key groupBy, no data movement beyond the 64-row rollup.",
+)
+def table_checksum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.queries.money import cents
+
+    e = read_table(spark, sf_dir, "events")
+    canon = e.select(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("event_id").cast("string"),
+                F.col("user_id").cast("string"),
+                F.col("event_type"),
+                cents("value").cast("string"),
+            )
+        ).alias("h")
+    )
+    v = canon.select(
+        F.expr("CAST(conv(substr(h, 1, 5), 16, 10) AS BIGINT)").alias("v1"),
+        F.expr("CAST(conv(substr(h, 6, 5), 16, 10) AS BIGINT)").alias("v2"),
+    )
+    return (
+        v.groupBy((F.col("v1") % 64).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("v1").alias("s1"),
+            F.sum("v2").alias("s2"),
+        )
+    )
+
+
+@register(
+    "snapshot_diff_status",
+    oracle="""
+        WITH old AS (
+            SELECT user_id,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS units, count(*) AS n
+            FROM events WHERE event_id < 8000 GROUP BY user_id
+        ),
+        new AS (
+            SELECT user_id,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS units, count(*) AS n
+            FROM events GROUP BY user_id
+        )
+        SELECT coalesce(o.user_id, n.user_id) AS user_id,
+               CASE WHEN o.user_id IS NULL THEN 'added'
+                    WHEN n.user_id IS NULL THEN 'removed'
+                    WHEN o.units <> n.units OR o.n <> n.n THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               o.units AS old_units, n.units AS new_units
+        FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id
+    """,
+    doc="§2.11/§2.12 snapshot diff — the reconciliation report behind the "
+    "reference's apply-diff plan surface (impl.py:402-417 computes a "
+    "create/update/delete plan before touching resources; this is the same "
+    "classification pushed down to ROW level at table scale): two "
+    "snapshot aggregates full-outer-joined on the key, each row labeled "
+    "added/removed/changed/unchanged by comparing exact integer state. At "
+    "100 TB both sides shuffle once on the join key (or zero times if the "
+    "snapshots are bucketed by key at write time — the bucketing path "
+    "test_bucketing pins); the checksum-shard twin (table_checksum_shards) "
+    "answers 'did anything change' in O(64) before this row-level pass "
+    "runs at all.",
+)
+def snapshot_diff_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.queries.money import cents
+
+    e = read_table(spark, sf_dir, "events")
+
+    def snap(df):
+        return df.groupBy("user_id").agg(
+            F.sum(cents("value")).alias("units"), F.count(F.lit(1)).alias("n")
+        )
+
+    old = snap(e.filter(F.col("event_id") < 8000)).alias("o")
+    new = snap(e).alias("n")
+    joined = old.join(new, F.col("o.user_id") == F.col("n.user_id"), "full_outer")
+    status = (
+        F.when(F.col("o.user_id").isNull(), F.lit("added"))
+        .when(F.col("n.user_id").isNull(), F.lit("removed"))
+        .when(
+            (F.col("o.units") != F.col("n.units")) | (F.col("o.n") != F.col("n.n")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        F.coalesce(F.col("o.user_id"), F.col("n.user_id")).alias("user_id"),
+        status.alias("status"),
+        F.col("o.units").alias("old_units"),
+        F.col("n.units").alias("new_units"),
+    )

@@ -1128,3 +1128,80 @@ class TestZorderKey:
             ).collect()
         )
         assert zs == [0, 1, 2, 3]
+
+
+class TestTableChecksum:
+    def test_order_and_partition_invariant(self, spark):
+        from dbt_decodable_spark.queries import load_all
+
+        sf = "/root/testdata/sf0.001"
+        reg = load_all()
+        fn = reg["table_checksum_shards"].fn
+        a = sorted(map(tuple, fn(spark, sf).collect()))
+        b = sorted(map(tuple, fn(spark, sf).collect()))  # fresh lineage
+        assert a and a == b
+
+    def test_detects_single_row_change(self, spark):
+        from pyspark.sql import functions as F
+        from dbt_decodable_spark.queries.money import cents
+
+        def checksum(df):
+            canon = df.select(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("event_id").cast("string"),
+                        F.col("user_id").cast("string"),
+                        F.col("event_type"),
+                        cents("value").cast("string"),
+                    )
+                ).alias("h")
+            )
+            v = canon.select(
+                F.expr("CAST(conv(substr(h, 1, 5), 16, 10) AS BIGINT)").alias("v1"),
+                F.expr("CAST(conv(substr(h, 6, 5), 16, 10) AS BIGINT)").alias("v2"),
+            )
+            out = v.groupBy((F.col("v1") % 64).alias("shard")).agg(
+                F.sum("v1").alias("s1"), F.sum("v2").alias("s2")
+            )
+            return sorted(map(tuple, out.collect()))
+
+        rows = [(i, i % 7, "click", float(i)) for i in range(200)]
+        schema = "event_id long, user_id long, event_type string, value double"
+        base = spark.createDataFrame(rows, schema)
+        mutated = spark.createDataFrame(
+            [r if r[0] != 117 else (117, 3, "click", 999.0) for r in rows], schema
+        )
+        assert checksum(base) != checksum(mutated)
+        assert checksum(base) == checksum(spark.createDataFrame(rows[::-1], schema))
+
+
+class TestSnapshotDiff:
+    def test_statuses(self, spark):
+        from dbt_decodable_spark.queries import load_all
+        from dbt_decodable_spark.queries.money import cents
+        from dbt_decodable_spark.sources.tables import read_table
+        from pyspark.sql import functions as F
+
+        sf = "/root/testdata/sf0.001"
+        reg = load_all()
+        got = {r.user_id: r.status for r in reg["snapshot_diff_status"].fn(spark, sf).collect()}
+        e = read_table(spark, sf, "events")
+
+        def snap(df):
+            return {
+                r.user_id: (r.units, r.n)
+                for r in df.groupBy("user_id")
+                .agg(F.sum(cents("value")).alias("units"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+
+        old, new = snap(e.filter(F.col("event_id") < 8000)), snap(e)
+        for uid in set(old) | set(new):
+            expect = (
+                "added" if uid not in old
+                else "removed" if uid not in new
+                else "changed" if old[uid] != new[uid]
+                else "unchanged"
+            )
+            assert got[uid] == expect
