@@ -68,6 +68,7 @@ _DRIVER_WINDOW_PRIORITY = (
     "source_time_of_day_roundtrip", "stream_static_enrich",
     "cluster_outlier_filter", "agg_salted_skew", "layout_zorder_stats",
     "table_checksum_shards", "snapshot_diff_status",
+    "source_schema_evolution", "events_retention_cohorts",
     # (b) oracle-upgraded r6 (hex-digit simhash bit decode / seeded-LCG
     # hyperplane literals), local-green; driver proof of the upgrade pending:
     "dedup_simhash", "similarity_lsh_topk",

@@ -357,3 +357,43 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("l_returnflag").agg(
         F.sum("__n").alias("n"), F.sum("__u").alias("price_units")
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+        WITH act AS (
+            SELECT DISTINCT user_id,
+                   (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) // 7
+                       AS week
+            FROM events
+        ),
+        cohort AS (SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id)
+        SELECT c.cohort_week,
+               a.week - c.cohort_week AS week_offset,
+               count(*) AS n_users
+        FROM act a JOIN cohort c ON a.user_id = c.user_id
+        GROUP BY 1, 2
+    """,
+    doc="§2.4/§2.12 weekly cohort retention — the canonical product-"
+    "analytics rollup (the reference's users run exactly this class of "
+    "model over event streams): cohort = a user's first active epoch-week "
+    "(exact integer week index, no calendar ambiguity), retention cell "
+    "(cohort_week, week_offset) counts users active offset weeks later. "
+    "Shapes: one (user, week) distinct, one per-user min, one broadcast-"
+    "able join back (cohort table is |users| rows — at 100 TB it still "
+    "shuffles on user_id once and the rollup is tiny). act is DISTINCT so "
+    "n_users is exact without COUNT(DISTINCT) in the final agg.",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    act = e.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000 div 7").alias("week"),
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

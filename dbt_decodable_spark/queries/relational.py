@@ -447,3 +447,40 @@ def source_time_of_day_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("t_shifted_nanos"),
     )
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+        SELECT CAST(1 AS INT) AS gen, n_nationkey, n_name,
+               CAST(NULL AS BIGINT) AS n_regionkey
+        FROM nation
+        UNION ALL
+        SELECT CAST(2 AS INT) AS gen, n_nationkey, n_name, n_regionkey
+        FROM nation
+    """,
+    doc="§2.1 schema evolution across file generations — the lake reality "
+    "at 100 TB (a column added mid-corpus must not force a rewrite of "
+    "petabytes of old files): generation 1 written WITHOUT n_regionkey, "
+    "generation 2 WITH it, both under one table root partitioned by gen; "
+    "a mergeSchema read unions the footers and back-fills NULL for the "
+    "missing column in old files. Reader-side evolution only — additive "
+    "columns; renames/type-changes still need a rewrite (or a view).",
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    n = read_table(spark, sf_dir, "nation")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/spark_evo_src_{tag}"
+    n.select("n_nationkey", "n_name").write.mode("overwrite").parquet(
+        f"{root}/gen=1"
+    )
+    n.select("n_nationkey", "n_name", "n_regionkey").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/gen=2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(root)
+        .select("gen", "n_nationkey", "n_name", "n_regionkey")
+    )

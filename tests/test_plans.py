@@ -299,3 +299,29 @@ class TestSession3Plans:
         )
         assert "TakeOrderedAndProject" in plan
         assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+class TestRound7Plans:
+    def test_zorder_is_jvm_expression_only(self, spark, registry):
+        plan = plan_of(spark, registry, "layout_zorder_stats")
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # partial+final hash agg around the single 64-ish-key shuffle
+        assert plan.count("HashAggregate") >= 2
+
+    def test_checksum_is_jvm_and_two_phase(self, spark, registry):
+        plan = plan_of(spark, registry, "table_checksum_shards")
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert plan.count("HashAggregate") >= 2  # map-side partial sums
+
+    def test_salted_agg_two_shuffles_no_python(self, spark, registry):
+        plan = plan_of(spark, registry, "agg_salted_skew")
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # phase 1 groups by (key, salt), phase 2 by key — the salt column
+        # must appear in a shuffle's partitioning expressions
+        assert "__salt" in plan
+
+    def test_stream_static_dim_is_broadcast(self, spark, registry):
+        # the enrichment dim must reach the stream join as a broadcast —
+        # a shuffled dim would re-shuffle the stream every micro-batch
+        df = registry["stream_static_enrich"].fn(spark, SF_DIR)
+        assert df.count() > 0  # bounded run completed into the sink
