@@ -95,6 +95,48 @@ def probes(spark, sf_dir: str) -> dict[str, float]:
         "bpe_round": lambda: run(
             bpe.learn_merges(d, "text", rounds=1, max_chars=64)[1]
         ),
+        # r7 reconciliation operators — all expected ~linear:
+        # order-independent checksum: map + 64-key rollup
+        "checksum_shards": lambda: run(
+            d.select(
+                F.expr(
+                    "CAST(conv(substr(md5(concat_ws('|', CAST(doc_id AS STRING),"
+                    " text)), 1, 5), 16, 10) AS BIGINT)"
+                ).alias("v1")
+            )
+            .groupBy((F.col("v1") % 64).alias("shard"))
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v1").alias("s1"))
+        ),
+        # two-phase salted aggregation over the skewed lang column
+        "salted_agg": lambda: run(
+            d.select(
+                "lang",
+                F.pmod(F.xxhash64("doc_id"), F.lit(32)).alias("__salt"),
+                F.col("n_chars").cast("long").alias("__v"),
+            )
+            .groupBy("lang", "__salt")
+            .agg(F.count(F.lit(1)).alias("__n"), F.sum("__v").alias("__s"))
+            .groupBy("lang")
+            .agg(F.sum("__n").alias("n"), F.sum("__s").alias("chars"))
+        ),
+        # row-level snapshot diff: one key shuffle on doc_id (full outer)
+        "snapshot_diff": lambda: run(
+            d.filter(F.col("doc_id") % 10 != 0)
+            .select("doc_id", F.col("n_chars").alias("old_n"))
+            .join(
+                d.select("doc_id", F.col("n_chars").alias("new_n")),
+                "doc_id",
+                "full_outer",
+            )
+            .select(
+                "doc_id",
+                F.when(F.col("old_n").isNull(), "added")
+                .when(F.col("new_n").isNull(), "removed")
+                .when(F.col("old_n") != F.col("new_n"), "changed")
+                .otherwise("unchanged")
+                .alias("status"),
+            )
+        ),
     }
     out: dict[str, float] = {}
     for name, job in jobs.items():
