@@ -132,12 +132,16 @@ def delete_rows_partitioned(
     id_set = sorted(set(ids))  # dedupe: a repeated id must count once
     table = spark.read.format(fmt).load(base)
     # the doomed-id frame must carry the TABLE's id dtype (string/int/long/
-    # decimal all occur) or the locate join mis-types and silently misses
+    # decimal/date all occur) or the locate join mis-types and silently
+    # misses. createDataFrame's schema verification rejects raw Python
+    # values whose type doesn't match (an int against DecimalType, a string
+    # against DateType — ADVICE r7), so build string-typed first and CAST:
+    # string→decimal/date/int casts are exact for canonical str(value) forms.
     id_type = table.schema[id_col].dataType
     doomed = spark.createDataFrame(
-        [(i,) for i in id_set],
-        T.StructType([T.StructField(id_col, id_type)]),
-    )
+        [(str(i),) for i in id_set],
+        T.StructType([T.StructField(id_col, T.StringType())]),
+    ).select(F.col(id_col).cast(id_type).alias(id_col))
     # Locate via input_file_name, not by reconstructing dir names from
     # partition values: Hive escapes special chars (%xx) and encodes NULLs
     # (__HIVE_DEFAULT_PARTITION__) in the path, and the file path is the

@@ -387,9 +387,14 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events")
+    # FLOOR division, not Spark's truncate-toward-zero `div`: DuckDB's `//`
+    # floors, so the pair would diverge on pre-1970 timestamps (ADVICE r7).
+    # (x - pmod(x, b)) is an exact multiple of b, so `div` equals floor;
+    # floordiv(floordiv(x, 86400e6), 7) == floordiv(x, 604800e6) exactly.
+    us = "unix_micros(ts)"
     act = e.select(
         "user_id",
-        F.expr("unix_micros(ts) div 86400000000 div 7").alias("week"),
+        F.expr(f"(({us}) - pmod(({us}), 604800000000)) div 604800000000").alias("week"),
     ).distinct()
     cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (

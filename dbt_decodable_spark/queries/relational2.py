@@ -380,9 +380,13 @@ _Z_DUCK_SHL = "({v} << {n})"
 )
 def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events")
+    # FLOOR division for the day index (Spark `div` truncates toward zero,
+    # DuckDB `//` floors — divergent pre-1970; ADVICE r7): subtract pmod
+    # first so `div` lands on an exact multiple and equals floor.
+    us = "unix_micros(ts)"
     base = e.select(
         (F.col("user_id") % 256).alias("ux"),
-        (F.expr("unix_micros(ts) div 86400000000") % 256).alias("dy"),
+        (F.expr(f"(({us}) - pmod(({us}), 86400000000)) div 86400000000") % 256).alias("dy"),
     )
     z = base.select(
         "ux", "dy", F.expr(_zkey("ux", "dy", _Z_SPARK_SHL)).alias("zkey")

@@ -322,6 +322,33 @@ class TestRound7Plans:
 
     def test_stream_static_dim_is_broadcast(self, spark, registry):
         # the enrichment dim must reach the stream join as a broadcast —
-        # a shuffled dim would re-shuffle the stream every micro-batch
+        # a shuffled dim would re-shuffle the stream every micro-batch.
+        # The streaming plan isn't inspectable after the bounded run ends,
+        # so assert on the batch-equivalent plan of the same join shape
+        # (same dim prep, same broadcast hint, events read batch-side) —
+        # a planner regression to a shuffled join fails here (ADVICE r7).
+        from pyspark.sql import functions as F
+
+        from dbt_decodable_spark.sources.tables import read_table
+
+        dim = (
+            read_table(spark, SF_DIR, "customer")
+            .join(
+                read_table(spark, SF_DIR, "nation"),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .select("c_custkey", "c_name", "n_name")
+        )
+        ev = read_table(spark, SF_DIR, "events")
+        batch_plan = (
+            ev.join(F.broadcast(dim), ev["user_id"] == dim["c_custkey"])
+            .select("event_id", "user_id", "c_name", "n_name")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in batch_plan
+        assert "ShuffledHashJoin" not in batch_plan and "SortMergeJoin" not in batch_plan
+        # and the real bounded streaming run still completes into the sink
         df = registry["stream_static_enrich"].fn(spark, SF_DIR)
-        assert df.count() > 0  # bounded run completed into the sink
+        assert df.count() > 0

@@ -51,7 +51,11 @@ def load_driver_history() -> tuple[int, dict[str, tuple[int, dict]]]:
         with open(f) as fh:
             rows = json.load(fh)
         for name, row in rows.items():
-            latest[name] = (rnd, row)
+            # max by PARSED round number, not file order: lexicographic
+            # sorting would let r9 beat r10 (or a stray non-padded r1 beat
+            # r01) and silently corrupt the staleness audit (ADVICE r7).
+            if name not in latest or rnd > latest[name][0]:
+                latest[name] = (rnd, row)
     return max_round, latest
 
 
