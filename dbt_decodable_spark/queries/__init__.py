@@ -47,50 +47,38 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 # The driver's correctness gate measures the FIRST 50 registry entries per
-# round. Round-7 rotation (VERDICT r6 item 1 — the code is done, the proof
-# isn't): (a) the ONLY three queries with zero driver history (overflow
-# slots 51-53 last round); (a2) queries NEW this round; (b) the two queries
-# whose rows-only oracles were UPGRADED to full value oracles in r6 — their
-# latest driver rows are still r5 ``no_oracle``, the board's only
-# non-hash-green latest entries; (b2) the stateful-sessionize re-measure
-# (r5-green, but the r6 auto-bucketed dispatcher has only pytest proof of
-# output equality); (c) staleness guard — ALL 33 rows whose latest driver
-# evidence is round 2 (the join/agg/window/set-op/scan relational core);
-# (d) remaining slots refresh the oldest round-4 rows. After this round
-# every registered query has at least one driver row and no row's evidence
-# predates round 4. Everything NOT in the window stays verified by
+# round. Round-8 rotation (VERDICT r7 item 1 — the window squeeze): the 45
+# rows whose latest driver evidence is round 4 hit the MAX_AGE_ROUNDS=4
+# staleness bound this round and MUST refresh, leaving exactly 5 free
+# slots — all 5 spent on queries NEW in round 8 (never driver-measured, so
+# window_audit forces them in anyway). 45 + 5 = 50: the window is full; any
+# further registry growth this round would evict a mandatory row, so there
+# is none (verdict item 3's slot arithmetic). At r9 the 45 r5-cohort rows
+# age out next — same drill. Everything NOT in the window stays verified by
 # tools/oracle_check.py (driver-faithful local replica) and pytest;
 # tools/window_audit.py mechanically checks the staleness invariant.
 _DRIVER_WINDOW_PRIORITY = (
-    # (a) never driver-measured (slots 51-53 overflow from round 6):
-    "func_string_flink", "func_datetime_flink", "agg_kmv_by_source",
-    # (a2) new in round 7 — never driver-measured:
-    "source_time_of_day_roundtrip", "stream_static_enrich",
-    "cluster_outlier_filter", "agg_salted_skew", "layout_zorder_stats",
-    "table_checksum_shards", "snapshot_diff_status",
-    "source_schema_evolution", "events_retention_cohorts",
-    # (b) oracle-upgraded r6 (hex-digit simhash bit decode / seeded-LCG
-    # hyperplane literals), local-green; driver proof of the upgrade pending:
-    "dedup_simhash", "similarity_lsh_topk",
-    # (b2) r6 auto-bucket dispatcher re-measure (pytest-pinned identical
-    # output; 3.13 s -> 1.84 s locally):
-    "stream_sessionize_stateful",
-    # (c) staleness guard: all 33 rows last driver-measured in round 2:
-    "agg_cube", "agg_distinct", "agg_global", "agg_groupby_expression",
-    "agg_grouping_sets", "agg_having", "agg_minmax_by", "agg_percentile",
-    "agg_rollup", "agg_stats", "case_when", "derived_table_subquery",
-    "except_all", "intersect_except", "join_anti", "join_asof",
-    "join_full_outer", "join_left_outer", "join_lookup_broadcast",
-    "join_right_outer", "join_semi", "join_theta", "join_three_way",
-    "like_predicate", "order_by_limit", "scan_project_filter",
-    "subquery_scalar_correlated", "text_fingerprint", "text_langid",
-    "union_all", "union_distinct", "values_inline", "where_predicates",
-    # (d) round-4-stale refreshes (oldest remaining evidence; relational +
-    # streaming-window core variety — any past slot 50 overflow to round 8):
-    "join_inner", "projection_cast_alias", "cte_chain", "func_grok",
-    "stream_tumble_window", "stream_hop_window", "stream_cumulate_window",
-    "stream_change_fold", "stream_start_latest", "window_rank_dense",
-    "window_rows_frame", "window_topk_per_group", "subquery_in",
+    # (a) new in round 8 — never driver-measured (5 slots):
+    "stream_cdc_merge", "maintenance_compaction_roundtrip",
+    "source_multiset_roundtrip", "func_grok_patterns", "join_skew_aqe",
+    # (b) the full round-4 cohort (45 rows at the staleness bound):
+    "cte_chain", "func_array", "func_array_explode",
+    "func_char_length_not_null", "func_coalesce_nullif", "func_conditional",
+    "func_datetime", "func_grok", "func_grok_agg", "func_json", "func_map",
+    "func_math", "func_string", "func_string_extra", "func_to_timestamp",
+    "join_salted_skew", "pivot_status_by_year", "stream_change_fold",
+    "stream_cumulate_window", "stream_hop_window", "stream_start_latest",
+    "stream_tumble_window", "subquery_in", "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customer", "tpch_q19_discounted_revenue",
+    "tpch_q22_sales_opportunity", "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority", "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_national_market_share", "window_dedup_latest",
+    "window_first_last", "window_lag_lead", "window_ntile_cume",
+    "window_range_frame", "window_rank_dense", "window_rows_frame",
+    "window_topk_per_group",
 )
 
 

@@ -9,6 +9,8 @@ the join key with AQE skew splitting).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dbt_decodable_spark.queries import register
@@ -246,3 +248,130 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@contextmanager
+def _aqe_skew_conf(spark: SparkSession, threshold: str, advisory: str):
+    """Force AQE's runtime skew-split on for the enclosed execution.
+
+    ``forceOptimizeSkewedJoin`` keeps the split on even when it adds a
+    shuffle for the downstream aggregation; ``autoBroadcastJoinThreshold=-1``
+    stops the small supplier side from broadcasting, which would bypass the
+    shuffle being demonstrated (the broadcast IS the right plan at this
+    size — join_lookup_broadcast covers it; this path deliberately
+    exercises the skewed-shuffle join a 100 TB fact⋈fact join is stuck
+    with). Confs restore on exit; AQE reads them at execution time, so
+    callers must materialize inside the context."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": threshold,
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": advisory,
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # AQE splits a skewed reduce partition at MAP-output granularity —
+        # a single-file local read is ONE map task, leaving nothing to
+        # split. Small read splits emulate the thousands of map tasks a
+        # 100 TB scan has naturally; the coalesce knob stays default so the
+        # non-skewed partitions still merge back.
+        "spark.sql.files.maxPartitionBytes": advisory,
+    }
+    saved: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _skew_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.operators.dedup import fan_out
+
+    # fan_out: the testdata parquet is one row group → ONE map task, and
+    # AQE splits skewed reduce partitions at map-output granularity, so a
+    # single-map shuffle has nothing to split. At 100 TB the scan is
+    # thousands of row groups and this rebalance is a no-op-ish shuffle.
+    li = fan_out(read_table(spark, sf_dir, "lineitem"))
+    s = read_table(spark, sf_dir, "supplier")
+    return li.join(s, li["l_suppkey"] == s["s_suppkey"]).select(
+        "s_name", "l_extendedprice", "l_discount"
+    )
+
+
+def skew_aqe_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: str = "256KB",
+    advisory: str = "128KB",
+) -> DataFrame:
+    """The join_salted_skew rollup computed the OTHER way: a plain shuffled
+    join with AQE's runtime skew-split doing the scattering (the twin the
+    salted operator's docstring defers to for sort-merge JOIN skew).
+
+    The JOIN is materialized on its own, then aggregated: AQE's
+    OptimizeSkewedJoin only fires when nothing but simple wrappers sit
+    between the join and its stage boundary — a partial HashAggregate
+    planned into the same stage suppresses the split even under
+    ``forceOptimizeSkewedJoin`` (verified empirically on this Spark; the
+    salted twin exists precisely because AQE's skew handling cannot reach
+    every shape). Cutting the lineage with a localCheckpoint between join
+    and rollup keeps the split live where it matters — the skewed join
+    stage — at the cost of materializing the join output once; at 100 TB
+    the equivalent is a persisted intermediate or simply accepting the
+    partial-agg plan, which map-side-combines away the skew for
+    decomposable aggregates anyway (that case needs no skew fix at all).
+    """
+    with _aqe_skew_conf(spark, threshold, advisory):
+        joined = _skew_join_frame(spark, sf_dir).localCheckpoint(eager=True)
+        return (
+            joined.groupBy("s_name")
+            .agg(
+                revenue(),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
+def skew_aqe_plan(
+    spark: SparkSession, sf_dir: str, threshold: str, advisory: str
+) -> str:
+    """Execute the skewed join under forced confs and return the FINAL
+    adaptive physical plan string (for plan assertions — the registered
+    query returns a checkpointed frame whose lineage is already cut)."""
+    with _aqe_skew_conf(spark, threshold, advisory):
+        df = _skew_join_frame(spark, sf_dir)
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+
+@register(
+    "join_skew_aqe",
+    oracle=f"""
+        SELECT s_name,
+               {sql_revenue()},
+               count(*) AS n_items
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name
+    """,
+    doc="§2.3 + SCALING: AQE runtime skew-split join — the twin of "
+    "join_salted_skew demonstrating Spark's built-in answer to JOIN-side "
+    "skew (AQE splits oversized shuffle partitions at runtime from map "
+    "output stats; salting remains the fix for skewed REDUCE "
+    "aggregations, which AQE does not cover). Identical rollup, identical "
+    "oracle — both skew strategies are proven result-equivalent to the "
+    "plain join. Plan shape (AQEShuffleRead with skew splits under forced "
+    "thresholds) is pinned in tests/test_plans.py.",
+)
+def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return skew_aqe_rollup(spark, sf_dir)

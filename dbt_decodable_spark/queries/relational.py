@@ -484,3 +484,61 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(root)
         .select("gen", "n_nationkey", "n_name", "n_regionkey")
     )
+
+
+@register(
+    "source_multiset_roundtrip",
+    oracle="""
+        WITH per AS (
+            SELECT user_id, event_type, count(*) AS cnt
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id,
+               '{' || string_agg('"' || event_type || '":'
+                                 || CAST(cnt AS VARCHAR),
+                                 ',' ORDER BY event_type) || '}'
+                   AS multiset_json,
+               CAST(SUM(cnt) AS BIGINT) AS n_elements
+        FROM per GROUP BY user_id
+    """,
+    doc="§1.4 MULTISET type mapping (reference decodable/client/"
+    "types.py:795-807 — the bare-keyword MULTISET the reference parses but "
+    "never finished typing): the engine's count-map encoding "
+    "MapType(elem, INT) (ftypes.Multiset) built per user over event_type "
+    "bags, CAST through the ftypes-declared Spark type, round-tripped "
+    "through parquet scratch, then read back and both decoded legs "
+    "emitted — the deterministic JSON serialization (entries pre-sorted "
+    "by key, so Spark's map order and the oracle's ORDER BY agree) and "
+    "the multiset cardinality folded JVM-side from map_values. Count-maps "
+    "keep multiset columns groupable/joinable and parquet-dictionary-"
+    "friendly at 100 TB where a repeated-element array would bloat "
+    "storage by the duplication factor.",
+)
+def source_multiset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from dbt_decodable_spark import ftypes
+
+    e = read_table(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("int").alias("cnt")
+    )
+    ms_type = ftypes.to_spark("MULTISET<STRING>")  # MapType(string, int)
+    ms = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        )
+        .cast(ms_type)
+        .alias("ms")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_multiset_src_{tag}"
+    ms.write.mode("overwrite").parquet(path)
+    back = spark.read.schema(ms.schema).parquet(path)
+    return back.select(
+        "user_id",
+        F.to_json("ms").alias("multiset_json"),
+        F.aggregate(
+            F.map_values("ms"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("n_elements"),
+    )

@@ -529,3 +529,54 @@ def snapshot_diff_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o.units").alias("old_units"),
         F.col("n.units").alias("new_units"),
     )
+
+
+@register(
+    "maintenance_compaction_roundtrip",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS price_units
+        FROM orders GROUP BY o_orderpriority
+    """,
+    doc="§2.1/§2.11 small-file compaction round-trip — the maintenance "
+    "operation every streaming sink needs at 100 TB (file-open overhead "
+    "and footer-per-tiny-file kill scan throughput): a copy of orders is "
+    "deliberately shattered into 48 small files, compact_path rewrites it "
+    "crash-safely (tmp → row-count verify → rename-aside swap, "
+    "operators/maintenance.py — reference parity: the platform owns "
+    "storage layout; nearest surface is stream clear/truncate), and the "
+    "query returns the per-priority exact-cents rollup FROM THE COMPACTED "
+    "COPY. The oracle computes the same rollup from the source table, so "
+    "a hash-green row proves compaction moved every row and every value "
+    "losslessly; the file-count collapse itself (48 → 4) is pinned by "
+    "pytest where the scale is controlled. maxRecordsPerFile bounds file "
+    "size without a count pass; target_files rebalances in one "
+    "round-robin shuffle — both scale-safe (no driver-side data).",
+)
+def maintenance_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+
+    from dbt_decodable_spark.operators.maintenance import compact_path
+    from dbt_decodable_spark.queries.money import cents
+
+    o = read_table(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_compact_src_{tag}"
+    # shatter: 48 near-empty files, the shape a per-minute streaming sink
+    # leaves behind
+    o.repartition(48).write.mode("overwrite").parquet(path)
+    compact_path(spark, path, max_records_per_file=100_000, target_files=4)
+    out = (
+        spark.read.parquet(path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("o_totalprice")).alias("price_units"),
+        )
+        .localCheckpoint(eager=True)  # materialize before scratch cleanup
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    return out

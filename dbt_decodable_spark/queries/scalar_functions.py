@@ -377,6 +377,95 @@ def func_grok_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SYSLOG_GROK = (
+    r"%{IP:client} %{WORD:service}:%{INT:port} %{NUMBER:dur} %{LOGLEVEL:level}"
+)
+_SYSLOG_REGEX, _SYSLOG_FIELDS = compile_pattern(SYSLOG_GROK)
+
+_SYSLOG_LINE_DUCK = (
+    "concat('10.', CAST(user_id % 256 AS VARCHAR), '.0.', "
+    "CAST(event_id % 256 AS VARCHAR), ' svc', CAST(user_id % 7 AS VARCHAR), "
+    "':', CAST(8000 + user_id % 100 AS VARCHAR), ' ', "
+    "CAST(CAST(round(value * 100) AS BIGINT) // 100 AS VARCHAR), '.', "
+    "lpad(CAST(CAST(round(value * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0'), "
+    "' ', CASE event_type WHEN 'click' THEN 'INFO' WHEN 'error' THEN 'ERROR' "
+    "WHEN 'purchase' THEN 'WARN' WHEN 'signup' THEN 'DEBUG' "
+    "ELSE 'TRACE' END)"
+)
+
+
+def _syslog_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize syslog-ish lines from events exercising the IP / WORD /
+    INT / NUMBER / LOGLEVEL corners of the grok pattern library (the
+    breadth beyond the Envoy example-model set)."""
+    from dbt_decodable_spark.operators.dedup import fan_out
+
+    e = fan_out(read_table(spark, sf_dir, "events"))
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    level = (
+        F.when(F.col("event_type") == "click", F.lit("INFO"))
+        .when(F.col("event_type") == "error", F.lit("ERROR"))
+        .when(F.col("event_type") == "purchase", F.lit("WARN"))
+        .when(F.col("event_type") == "signup", F.lit("DEBUG"))
+        .otherwise(F.lit("TRACE"))
+    )
+    return e.select(
+        "event_id",
+        F.concat(
+            F.lit("10."),
+            (F.col("user_id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("event_id") % 256).cast("string"),
+            F.lit(" svc"),
+            (F.col("user_id") % 7).cast("string"),
+            F.lit(":"),
+            (F.lit(8000) + F.col("user_id") % 100).cast("string"),
+            F.lit(" "),
+            F.expr("cast(cast(round(value * 100) as bigint) div 100 as string)"),
+            F.lit("."),
+            F.lpad((cents % 100).cast("string"), 2, "0"),
+            F.lit(" "),
+            level,
+        ).alias("line"),
+    )
+
+
+@register(
+    "func_grok_patterns",
+    oracle=f"""
+        SELECT event_id,
+               regexp_extract(line, '{_SYSLOG_REGEX}', 1) AS client,
+               regexp_extract(line, '{_SYSLOG_REGEX}', 2) AS service,
+               CAST(regexp_extract(line, '{_SYSLOG_REGEX}', 3) AS INT) AS port,
+               regexp_extract(line, '{_SYSLOG_REGEX}', 4) AS dur,
+               regexp_extract(line, '{_SYSLOG_REGEX}', 5) AS level
+        FROM (SELECT event_id, {_SYSLOG_LINE_DUCK} AS line FROM events) t
+        WHERE regexp_matches(line, '{_SYSLOG_REGEX}')
+    """,
+    doc="§2.8 grok pattern-library breadth — IP, WORD, INT, NUMBER and "
+    "LOGLEVEL base patterns (functions/grok.py GROK_PATTERNS) beyond the "
+    "Envoy example-model subset (http_events.sql:44): a syslog-shaped "
+    "line parsed back to five typed fields with the same compile-once → "
+    "native regexp machinery as func_grok (two regex executions per row, "
+    "zero Python UDFs). The identical compiled regex string runs in the "
+    "DuckDB oracle, so every base pattern's translation is value-proven, "
+    "not just unit-tested.",
+)
+def func_grok_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_decodable_spark.functions.grok import grok_extract
+
+    lines = _syslog_lines(spark, sf_dir)
+    g = grok_extract(lines, "line", SYSLOG_GROK)
+    return g.select(
+        "event_id",
+        "client",
+        "service",
+        F.col("port").cast("int").alias("port"),
+        "dur",
+        "level",
+    )
+
+
 @register(
     "func_url",
     oracle="""

@@ -870,3 +870,103 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _await_bounded(q, "stream_static_enrich")
     return spark.table(sink)
+
+
+@register(
+    "stream_cdc_merge",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   (event_id % 20 = 0) AS is_delete,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        SELECT user_id,
+               event_type AS last_event_type,
+               cents AS last_cents
+        FROM ranked WHERE rn = 1 AND NOT is_delete
+    """,
+    doc="§2.9 change-stream MERGE into a PK-keyed table — the keyed-upsert "
+    "convergence arm of the reference's change-stream contract "
+    "(handler.py:89-94 last-after-image fold, schema.py:109-111 PK "
+    "declaration): a REAL bounded foreachBatch run where each micro-batch "
+    "MERGEs into a parquet snapshot via merge_changes_ordered (order-aware "
+    "winner per key, tombstoned deletes — delete marker here: every 20th "
+    "event_id, the deterministic stand-in for a null after-image). The "
+    "converged snapshot equals the batch fold minus tombstones for ANY "
+    "micro-batch split, which is exactly what the oracle computes. Scale: "
+    "one key-shuffle of |state|+|batch| per merge (the standard lakehouse "
+    "MERGE); snapshot swap is the same crash-safe rename-aside dance as "
+    "catalog insert-into.",
+)
+def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from dbt_decodable_spark.streaming.changelog import merge_changes_ordered
+
+    stream = events_file_stream(spark, sf_dir).select(
+        "user_id",
+        "ts_event",
+        "event_id",
+        "event_type",
+        "cents",
+        (F.pmod("event_id", F.lit(20)) == 0).alias("is_delete"),
+    )
+    state_root = tempfile.mkdtemp(prefix="cdc_merge_")
+    tgt = os.path.join(state_root, "snapshot")
+    schema_ddl = (
+        "user_id long, ts_event timestamp, event_id long, "
+        "event_type string, cents long, is_delete boolean"
+    )
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        sp = batch_df.sparkSession
+        target = (
+            sp.read.parquet(tgt)
+            if os.path.exists(tgt)
+            else sp.createDataFrame([], schema_ddl)
+        )
+        new = merge_changes_ordered(
+            target,
+            batch_df,
+            keys=["user_id"],
+            order=[F.col("ts_event"), F.col("event_id")],
+        )
+        # crash-safe swap: write beside, rename-aside, then replace — the
+        # read path is never overwritten while a job may still scan it
+        nxt, old = tgt + ".__next__", tgt + ".__old__"
+        new.write.mode("overwrite").parquet(nxt)
+        if os.path.exists(tgt):
+            os.rename(tgt, old)
+            os.rename(nxt, tgt)
+            shutil.rmtree(old)
+        else:
+            os.rename(nxt, tgt)
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(state_root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_bounded(q, "stream_cdc_merge")
+        out = (
+            spark.read.parquet(tgt)
+            .filter(~F.col("is_delete"))
+            .select(
+                "user_id",
+                F.col("event_type").alias("last_event_type"),
+                F.col("cents").alias("last_cents"),
+            )
+            .localCheckpoint(eager=True)  # materialize before temp-dir cleanup
+        )
+    finally:
+        shutil.rmtree(state_root, ignore_errors=True)
+    return out

@@ -70,6 +70,39 @@ def apply_changes_batch(
     return untouched.unionByName(upserts.select(*target.columns), allowMissingColumns=False)
 
 
+def merge_changes_ordered(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[Column | str],
+) -> DataFrame:
+    """Order-aware CDC MERGE of one micro-batch into a keyed snapshot,
+    tombstones included.
+
+    Unlike :func:`apply_changes_batch` (arrival-order wins, deletes drop the
+    key from state), this keeps the full last image per key — *including* a
+    delete flag as a tombstone row — and the winner across target∪batch is
+    decided by the ``order`` columns, so the converged state is the global
+    ``fold_last_image`` of the whole stream **regardless of how the source
+    splits rows into micro-batches or reorders them across batches** (the
+    fold is associative and commutative over the order key). Readers filter
+    tombstones; a later upsert with a newer order key resurrects the key.
+
+    This is the reference's change-stream contract (last ``after`` image per
+    primary key, null-after = delete — ``handler.py:89-94``,
+    ``schema.py:109-111``) made safe for out-of-order delivery.
+
+    Scale: one key-shuffle over |state| + |batch| per merge — the standard
+    lakehouse MERGE cost; on a partitioned/bucketed target only the
+    partitions holding touched keys need rewriting, and tombstones are
+    garbage-collected by compaction once past the retention horizon.
+    """
+    folded = fold_last_image(changes, keys, order)
+    return fold_last_image(
+        target.unionByName(folded.select(*target.columns)), keys, order
+    )
+
+
 def scd2_from_changelog(
     changes: DataFrame,
     keys: Sequence[str],

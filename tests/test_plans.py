@@ -352,3 +352,40 @@ class TestRound7Plans:
         # and the real bounded streaming run still completes into the sink
         df = registry["stream_static_enrich"].fn(spark, SF_DIR)
         assert df.count() > 0
+
+
+class TestRound8Plans:
+    def test_aqe_skew_split_fires(self, spark):
+        """Under forced thresholds the skewed join stage must execute with
+        AQE's runtime skew-split — SortMergeJoin(skew=true) over a skewed
+        AQEShuffleRead (the built-in twin of operators/skew.salted_join)."""
+        from dbt_decodable_spark.queries.joins import skew_aqe_plan
+
+        plan = skew_aqe_plan(spark, SF_DIR, "1KB", "1KB")
+        assert "skew=true" in plan
+        assert "skewed" in plan  # the AQEShuffleRead annotation
+
+    def test_skew_confs_restored(self, spark):
+        """The forced-conf context must not leak into the session."""
+        from dbt_decodable_spark.queries.joins import skew_aqe_rollup
+
+        before = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                "spark.sql.files.maxPartitionBytes",
+            )
+        }
+        df = skew_aqe_rollup(spark, SF_DIR, "1KB", "1KB")
+        assert df.count() > 0
+        after = {k: spark.conf.get(k, None) for k in before}
+        assert after == before
+
+    def test_grok_patterns_jvm_only(self, spark, registry):
+        plan = plan_of(spark, registry, "func_grok_patterns")
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_multiset_roundtrip_jvm_only(self, spark, registry):
+        plan = plan_of(spark, registry, "source_multiset_roundtrip")
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -111,6 +111,45 @@ def audit() -> list[str]:
     return problems
 
 
+def forecast() -> list[str]:
+    """Non-failing lookahead: rows that will hit the staleness bound at the
+    round AFTER the upcoming one (i.e., the NEXT round's mandatory window
+    load). Prints the slot arithmetic the next round must start from —
+    the r7→r8 squeeze (45 mandatory rows, 5 free slots) showed this must
+    be known before any new query is registered."""
+    sys.path.insert(0, REPO)
+    from dbt_decodable_spark.queries import load_all
+
+    registry = load_all()
+    max_round, latest = load_driver_history()
+    # After the upcoming round (r{max+1}) lands, rows in the current window
+    # refresh to age 0 and everything else ages one. The NEXT round's
+    # (r{max+2}) build must then put every row whose evidence would reach
+    # age MAX_AGE_ROUNDS into its window: rows NOT in the current window
+    # with rnd <= (max_round + 2) - MAX_AGE_ROUNDS.
+    names = list(registry)
+    window = set(names[:WINDOW])
+    due = sorted(
+        name
+        for name, (rnd, _) in latest.items()
+        if name in registry
+        and name not in window
+        and (max_round + 2) - rnd >= MAX_AGE_ROUNDS
+    )
+    out = []
+    if due:
+        out.append(
+            f"forecast: {len(due)} row(s) become window-mandatory for the "
+            f"r{max_round + 2} build (evidence age {MAX_AGE_ROUNDS} when "
+            f"r{max_round + 2} lands); free slots then: {WINDOW - len(due)} "
+            f"— gate new registry additions on this."
+        )
+        out.extend(f"  due-next-round: {n}" for n in due)
+    else:
+        out.append("forecast: no rows age out next round")
+    return out
+
+
 def main() -> int:
     problems = audit()
     if problems:
@@ -119,6 +158,8 @@ def main() -> int:
         print(f"\nwindow_audit: {len(problems)} violation(s)")
         return 1
     print("window_audit: OK — upcoming window covers every evidence hole")
+    for line in forecast():
+        print(line)
     return 0
 
 
