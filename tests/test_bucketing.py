@@ -152,3 +152,36 @@ class TestTargetedDeletion:
         assert sorted(
             r.doc_id for r in left.filter("doc_id is not null").collect()
         ) == [1, 3]
+
+    def test_typed_id_columns_date_and_decimal(self, spark, tmp_path):
+        """ADVICE r7: the doomed-id frame must work for DATE and DECIMAL id
+        columns — values go in string-typed and CAST to the table's dtype
+        (createDataFrame's verifier rejects raw Python values otherwise)."""
+        from datetime import date
+        from decimal import Decimal
+
+        from dbt_decodable_spark.operators.maintenance import delete_rows_partitioned
+
+        dpath = str(tmp_path / "corpus_date")
+        spark.createDataFrame(
+            [(date(2024, 1, i + 1), f"lang{i % 2}", "x") for i in range(6)],
+            "did date, lang string, text string",
+        ).write.partitionBy("lang").parquet(dpath)
+        deleted = delete_rows_partitioned(
+            spark, dpath, "lang", "did", [date(2024, 1, 1), date(2024, 1, 2)]
+        )
+        assert sum(deleted.values()) == 2
+        assert spark.read.parquet(dpath).count() == 4
+
+        cpath = str(tmp_path / "corpus_dec")
+        spark.createDataFrame(
+            [(Decimal(f"{i}.50"), f"lang{i % 2}", "x") for i in range(6)],
+            "did decimal(10,2), lang string, text string",
+        ).write.partitionBy("lang").parquet(cpath)
+        deleted = delete_rows_partitioned(
+            spark, cpath, "lang", "did", [Decimal("0.50"), Decimal("3.50")]
+        )
+        assert sum(deleted.values()) == 2
+        left = spark.read.parquet(cpath)
+        assert left.count() == 4
+        assert left.filter("did in (0.50, 3.50)").count() == 0
