@@ -279,10 +279,10 @@ def _aqe_skew_conf(spark: SparkSession, threshold: str, advisory: str):
     }
     saved: dict[str, str | None] = {}
     for k, v in confs.items():
-        try:
-            saved[k] = spark.conf.get(k)
-        except Exception:
-            saved[k] = None
+        # get(k, None) — NOT bare get(k): for registered SQL confs the
+        # bare form returns the DEFAULT instead of raising, which would
+        # make restore pin previously-unset confs to explicit values
+        saved[k] = spark.conf.get(k, None)
         spark.conf.set(k, v)
     try:
         yield

@@ -421,7 +421,16 @@ def _syslog_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(":"),
             (F.lit(8000) + F.col("user_id") % 100).cast("string"),
             F.lit(" "),
-            F.expr("cast(cast(round(value * 100) as bigint) div 100 as string)"),
+            # FLOOR division to match DuckDB's `//` (Spark `div` truncates
+            # toward zero — divergent for negative cents; same ADVICE-r7
+            # hazard class as the retention/zorder day math): subtract pmod
+            # first so div lands on an exact multiple. The `%` remainder is
+            # truncation-semantics in BOTH engines, so it needs no shim.
+            F.expr(
+                "cast((cast(round(value * 100) as bigint)"
+                " - pmod(cast(round(value * 100) as bigint), 100))"
+                " div 100 as string)"
+            ),
             F.lit("."),
             F.lpad((cents % 100).cast("string"), 2, "0"),
             F.lit(" "),

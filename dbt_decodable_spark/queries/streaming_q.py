@@ -819,6 +819,32 @@ def stream_window_topk_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def static_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pinned customer⋈nation dimension of stream_static_enrich."""
+    return (
+        read_table(spark, sf_dir, "customer")
+        .join(
+            read_table(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "c_custkey",
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+    )
+
+
+def static_enrich_join(fact: DataFrame, dim: DataFrame) -> DataFrame:
+    """The enrichment join itself — ONE definition for the streaming query
+    and its batch twin, so the broadcast hint is pinned by plan tests on
+    the batch form and cannot silently drop out of the production path
+    (which would re-shuffle the stream every micro-batch)."""
+    return fact.join(
+        F.broadcast(dim), fact["user_id"] == dim["c_custkey"]
+    ).select("event_id", "user_id", "cust_name", "nation_name")
+
+
 @register(
     "stream_static_enrich",
     oracle="""
@@ -841,21 +867,7 @@ def stream_window_topk_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_file_stream(spark, sf_dir)
-    dim = (
-        read_table(spark, sf_dir, "customer")
-        .join(
-            read_table(spark, sf_dir, "nation"),
-            F.col("c_nationkey") == F.col("n_nationkey"),
-        )
-        .select(
-            "c_custkey",
-            F.col("c_name").alias("cust_name"),
-            F.col("n_name").alias("nation_name"),
-        )
-    )
-    joined = stream.join(
-        F.broadcast(dim), stream["user_id"] == dim["c_custkey"]
-    ).select("event_id", "user_id", "cust_name", "nation_name")
+    joined = static_enrich_join(stream, static_enrich_dim(spark, sf_dir))
     sink = "stream_static_enrich_sink"
     try:
         spark.catalog.dropTempView(sink)
@@ -927,6 +939,18 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
         sp = batch_df.sparkSession
+        nxt, old = tgt + ".__next__", tgt + ".__old__"
+        # crash recovery FIRST (same dance as maintenance.compact_path): a
+        # death between the two renames leaves tgt missing and `old` as the
+        # only full copy — restore it BEFORE the exists(tgt) check, or a
+        # checkpointed restart would silently re-fold onto an EMPTY
+        # snapshot, discarding every previously merged batch. Stale nxt/old
+        # leftovers are then safe to clear.
+        if not os.path.exists(tgt) and os.path.exists(old):
+            os.rename(old, tgt)
+        for leftover in (nxt, old):
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
         target = (
             sp.read.parquet(tgt)
             if os.path.exists(tgt)
@@ -940,7 +964,6 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # crash-safe swap: write beside, rename-aside, then replace — the
         # read path is never overwritten while a job may still scan it
-        nxt, old = tgt + ".__next__", tgt + ".__old__"
         new.write.mode("overwrite").parquet(nxt)
         if os.path.exists(tgt):
             os.rename(tgt, old)

@@ -324,25 +324,21 @@ class TestRound7Plans:
         # the enrichment dim must reach the stream join as a broadcast —
         # a shuffled dim would re-shuffle the stream every micro-batch.
         # The streaming plan isn't inspectable after the bounded run ends,
-        # so assert on the batch-equivalent plan of the same join shape
-        # (same dim prep, same broadcast hint, events read batch-side) —
-        # a planner regression to a shuffled join fails here (ADVICE r7).
-        from pyspark.sql import functions as F
-
+        # so drive the PRODUCTION join construction (static_enrich_join —
+        # the same function the streaming query calls, hint included) with
+        # a batch fact frame and assert on its plan: dropping the broadcast
+        # hint from the production path fails here (ADVICE r7; the r8
+        # review killed an earlier version that hand-built its own hinted
+        # join and so could never catch the production regression).
+        from dbt_decodable_spark.queries.streaming_q import (
+            static_enrich_dim,
+            static_enrich_join,
+        )
         from dbt_decodable_spark.sources.tables import read_table
 
-        dim = (
-            read_table(spark, SF_DIR, "customer")
-            .join(
-                read_table(spark, SF_DIR, "nation"),
-                F.col("c_nationkey") == F.col("n_nationkey"),
-            )
-            .select("c_custkey", "c_name", "n_name")
-        )
         ev = read_table(spark, SF_DIR, "events")
         batch_plan = (
-            ev.join(F.broadcast(dim), ev["user_id"] == dim["c_custkey"])
-            .select("event_id", "user_id", "c_name", "n_name")
+            static_enrich_join(ev, static_enrich_dim(spark, SF_DIR))
             ._jdf.queryExecution()
             .executedPlan()
             .toString()

@@ -23,6 +23,19 @@ prints each violation. Run from the repo root (or anywhere — paths are
 repo-relative to this file). Wired into pytest via
 ``tests/test_window_audit.py`` so a registry edit that silently squeezes
 the guard out fails the suite, not a judging round.
+
+Staleness semantics — deliberate two-tier design (r8 review considered and
+rejected tightening rule 2 to the upcoming round): the HARD rule fails on
+evidence that is already ``MAX_AGE_ROUNDS`` old against the *existing*
+CORRECTNESS files, which means a cohort can momentarily reach age
+MAX_AGE_ROUNDS when a round lands and the NEXT build is then forced to
+refresh it — a hard floor with one-round grace. Counting age against the
+upcoming round instead would flag the next cohort the moment a round's
+file lands, i.e. the suite would be red at every judging checkpoint in
+steady state (the build that fixes it hasn't started yet). The tighter
+refresh-at-age-4 convention the builds actually follow is surfaced by
+``forecast()`` below — advisory, printed on every run, so the build phase
+sees the mandatory load and free-slot count up front.
 """
 
 from __future__ import annotations
