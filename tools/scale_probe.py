@@ -138,6 +138,52 @@ def probes(spark, sf_dir: str) -> dict[str, float]:
             )
         ),
     }
+
+    # r8 operators — both expected ~linear:
+    # order-aware CDC merge: one key-shuffle over |state| + |batch|
+    # (batch = 10% of keys updated, 1% tombstoned — the lakehouse MERGE load)
+    from dbt_decodable_spark.streaming.changelog import merge_changes_ordered
+
+    state = d.select(
+        "doc_id",
+        F.lit(0).cast("long").alias("seq"),
+        F.col("n_chars").cast("long").alias("v"),
+        F.lit(False).alias("is_delete"),
+    )
+    batch = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            F.lit(1).cast("long").alias("seq"),
+            (F.col("n_chars") + 1).cast("long").alias("v"),
+            (F.col("doc_id") % 100 == 0).alias("is_delete"),
+        )
+    )
+    jobs["cdc_merge"] = lambda: run(
+        merge_changes_ordered(state, batch, keys=["doc_id"], order=["seq"])
+    )
+    # grok parse: two regex executions per row, map-only (func_grok_patterns
+    # hot path over synthesized lines)
+    from dbt_decodable_spark.functions.grok import grok_extract
+
+    lines = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 svc"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(":8080 1.00 INFO"),
+        ).alias("line"),
+    )
+    jobs["grok_parse"] = lambda: run(
+        grok_extract(
+            lines,
+            "line",
+            r"%{IP:client} %{WORD:service}:%{INT:port} %{NUMBER:dur} %{LOGLEVEL:level}",
+        )
+    )
+
     out: dict[str, float] = {}
     for name, job in jobs.items():
         job()  # warm (JIT/codegen) — scale ratios must not include compile cost
