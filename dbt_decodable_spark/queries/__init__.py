@@ -47,38 +47,40 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 # The driver's correctness gate measures the FIRST 50 registry entries per
-# round. Round-8 rotation (VERDICT r7 item 1 — the window squeeze): the 45
-# rows whose latest driver evidence is round 4 hit the MAX_AGE_ROUNDS=4
-# staleness bound this round and MUST refresh, leaving exactly 5 free
-# slots — all 5 spent on queries NEW in round 8 (never driver-measured, so
-# window_audit forces them in anyway). 45 + 5 = 50: the window is full; any
-# further registry growth this round would evict a mandatory row, so there
-# is none (verdict item 3's slot arithmetic). At r9 the 45 r5-cohort rows
-# age out next — same drill. Everything NOT in the window stays verified by
-# tools/oracle_check.py (driver-faithful local replica) and pytest;
-# tools/window_audit.py mechanically checks the staleness invariant.
+# round. Round-9 rotation (VERDICT r8 items 1-2): the 45 rows whose latest
+# driver evidence is round 5 hit the MAX_AGE_ROUNDS=4 staleness bound and
+# MUST refresh. The registry is feature-complete (VERDICT r8 "What's
+# missing" is all env-gated), so the 5 free slots are spent EARLY-REFRESHING
+# the 5 oldest round-6 rows instead of registering new queries — this turns
+# the 4-round zero-slack cycle into a sustainable 45-mandatory/5-free
+# cadence (window_audit forecast would otherwise read 95 mandatory at r10).
+# Everything NOT in the window stays verified by tools/oracle_check.py
+# (driver-faithful local replica) and pytest; tools/window_audit.py
+# mechanically checks the staleness invariant.
 _DRIVER_WINDOW_PRIORITY = (
-    # (a) new in round 8 — never driver-measured (5 slots):
-    "stream_cdc_merge", "maintenance_compaction_roundtrip",
-    "source_multiset_roundtrip", "func_grok_patterns", "join_skew_aqe",
-    # (b) the full round-4 cohort (45 rows at the staleness bound):
-    "cte_chain", "func_array", "func_array_explode",
-    "func_char_length_not_null", "func_coalesce_nullif", "func_conditional",
-    "func_datetime", "func_grok", "func_grok_agg", "func_json", "func_map",
-    "func_math", "func_string", "func_string_extra", "func_to_timestamp",
-    "join_salted_skew", "pivot_status_by_year", "stream_change_fold",
-    "stream_cumulate_window", "stream_hop_window", "stream_start_latest",
-    "stream_tumble_window", "subquery_in", "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customer", "tpch_q19_discounted_revenue",
-    "tpch_q22_sales_opportunity", "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority", "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
-    "tpch_q8_national_market_share", "window_dedup_latest",
-    "window_first_last", "window_lag_lead", "window_ntile_cume",
-    "window_range_frame", "window_rank_dense", "window_rows_frame",
-    "window_topk_per_group",
+    # (a) the full round-5 cohort (45 rows at the staleness bound):
+    "agg_approx_distinct", "agg_bool_string", "agg_groupby_q1",
+    "corpus_stats_by_source", "decontaminate_against_benchmark",
+    "dedup_connected_components", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_incremental_minhash", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "embedding_normalize", "events_count", "func_timestamp_ltz",
+    "join_asof_merge", "join_interval", "mix_token_budget",
+    "multimodal_metadata", "pack_token_shards", "sample_stratified",
+    "sample_uniform", "similarity_bruteforce_topk", "similarity_ivf_topk",
+    "similarity_threshold_join", "source_csv_roundtrip",
+    "stream_interval_join", "stream_scd2_versions", "stream_session_window",
+    "stream_temporal_join", "text_chunk_windows", "text_quality",
+    "text_quality_quantile_gate", "text_redact_pii",
+    "text_repetition_filter", "text_token_count", "text_token_histogram",
+    "text_vocab_topk", "tpch_q11_important_part_value",
+    "tpch_q12_late_shipment_priority", "tpch_q16_supplier_part_count",
+    "tpch_q20_excess_shipments", "tpch_q21_suppliers_kept_waiting",
+    "tpch_q2_min_cost_supplier", "tpch_q9_product_type_profit",
+    "unpivot_stack",
+    # (b) 5 early-refreshed round-6 rows (free slots; keeps r10 at
+    # 45-mandatory/5-free instead of 50/0):
+    "agg_kmv_distinct", "cluster_kmeans_lloyd", "corpus_length_quantiles",
+    "dedup_bloom_filter", "dedup_cc_star_edges",
 )
 
 
