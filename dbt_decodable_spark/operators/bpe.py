@@ -100,13 +100,27 @@ def _top_pair(sym_df: DataFrame) -> tuple[str, str, int] | None:
 
 
 def learn_merges(
-    docs: DataFrame, text_col: str, rounds: int = 2, max_chars: int = 64
+    docs: DataFrame,
+    text_col: str,
+    rounds: int = 2,
+    max_chars: int = 64,
+    sample_mod: int | None = None,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Run ``rounds`` BPE merge rounds over the first ``max_chars`` chars of
     each document. Returns ``(rules, segmented)`` where ``rules`` is
     ``[(round, left, right, count), …]`` (the only driver-side state — one
     row per round) and ``segmented`` carries ``(doc_id, syms, sym_string)``
     after all merges.
+
+    ``sample_mod`` is the 100 TB sample-then-apply switch (module
+    docstring): when set to K, the pair histograms are learned only over
+    docs passing ``pmod(xxhash64(doc_id), K) = 0`` (deterministic ~1/K hash
+    sample, same contract as ``operators/sampling.py``), and the returned
+    ``segmented`` applies the learned rules to the FULL corpus in one
+    map-only chained-replace projection — no shuffle, no extra corpus
+    passes. ``rules`` counts are then sample counts. pytest pins rule
+    identity on a replicated corpus at K=1 vs K=4
+    (``tests/test_round9.py``).
 
     Documents shorter than 2 chars contribute no pairs and are dropped up
     front (they could never be resegmented anyway)."""
@@ -119,7 +133,12 @@ def learn_merges(
         # is excluded — pick a SEP outside the corpus alphabet
         .filter((F.length("__s") >= 2) & ~F.col("__s").contains(SEP))
     )
-    cur = base.select(
+    train = base
+    if sample_mod is not None and sample_mod > 1:
+        train = base.filter(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(sample_mod)) == 0
+        )
+    cur = train.select(
         "doc_id",
         chars_of(F.col("__s")).alias("syms"),
     ).withColumn("sym_string", to_sym_string(F.col("syms")))
@@ -155,4 +174,20 @@ def learn_merges(
     while len(live) > 1:
         live.pop(0).unpersist(False)
     spark._bpe_round_cache = live[0]
+    if sample_mod is not None and sample_mod > 1:
+        # apply the sampled-learned rules CORPUS-WIDE: one lazy map-only
+        # projection chaining every merge as a literal replace (the
+        # text_bpe_segment apply shape) — the scale path the module
+        # docstring promises
+        expr: Column = to_sym_string(chars_of(F.col("__s")))
+        for _r, a, b, _c in rules:
+            expr = F.replace(
+                expr,
+                F.lit(f"{SEP}{a}{SEP}{SEP}{b}{SEP}"),
+                F.lit(f"{SEP}{a}{b}{SEP}"),
+            )
+        full = base.select("doc_id", expr.alias("sym_string")).withColumn(
+            "syms", _resplit("sym_string")
+        )
+        return rules, full
     return rules, cur

@@ -72,6 +72,36 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), on, how)
 
 
+def scan_shuffle_free(df: DataFrame, scan_marker: str) -> bool:
+    """True iff the physical plan contains a file scan whose description
+    includes ``scan_marker`` (e.g. the snapshot table/path name) AND no
+    shuffle Exchange sits between that scan and the plan root.
+
+    This is the one-sided contract a bucketed-snapshot MERGE needs: the
+    batch side may (must) shuffle, the state side must not. Walks the plan
+    tree through py4j so tree-drawing prefixes can't fool it; descends into
+    AQE and whole-stage-codegen wrappers.
+    """
+
+    def walk(node, shuffled_above: bool) -> bool:
+        cls = node.getClass().getSimpleName()
+        if cls.startswith("ShuffleExchange") or cls.startswith("ShuffleQueryStage"):
+            shuffled_above = True
+        if "FileSourceScan" in cls or "BatchScan" in cls:
+            if scan_marker in node.toString() and not shuffled_above:
+                return True
+        # AdaptiveSparkPlanExec hides its live plan outside children()
+        if cls == "AdaptiveSparkPlanExec":
+            return walk(node.executedPlan(), shuffled_above)
+        found = False
+        children = node.children()
+        for i in range(children.size()):
+            found = found or walk(children.apply(i), shuffled_above)
+        return found
+
+    return walk(df._jdf.queryExecution().executedPlan(), False)
+
+
 def plan_has_no_exchange(df: DataFrame) -> bool:
     """True iff the physical plan contains no shuffle (Exchange) operator.
     (BroadcastExchange doesn't count — it's not a data shuffle.)"""

@@ -129,7 +129,13 @@ def delete_rows_partitioned(
     import urllib.parse
 
     base = path.rstrip("/")
-    id_set = sorted(set(ids))  # dedupe: a repeated id must count once
+    # dedupe by the CANONICAL STRING form (what the doomed frame is built
+    # from): a repeated id — including 4 vs "4", or a mixed-type list that
+    # plain sorted(set(...)) would crash on — must count once
+    _seen: dict = {}
+    for _i in ids:
+        _seen.setdefault(str(_i), _i)
+    id_set = [_seen[k] for k in sorted(_seen)]
     table = spark.read.format(fmt).load(base)
     # the doomed-id frame must carry the TABLE's id dtype (string/int/long/
     # decimal/date all occur) or the locate join mis-types and silently
@@ -138,10 +144,24 @@ def delete_rows_partitioned(
     # against DateType — ADVICE r7), so build string-typed first and CAST:
     # string→decimal/date/int casts are exact for canonical str(value) forms.
     id_type = table.schema[id_col].dataType
-    doomed = spark.createDataFrame(
+    doomed_raw = spark.createDataFrame(
         [(str(i),) for i in id_set],
-        T.StructType([T.StructField(id_col, T.StringType())]),
-    ).select(F.col(id_col).cast(id_type).alias(id_col))
+        T.StructType([T.StructField("__raw", T.StringType())]),
+    ).select("__raw", F.col("__raw").try_cast(id_type).alias(id_col))
+    # an unrepresentable id must fail LOUDLY with the offending values —
+    # for a takedown path a silent non-delete is worse than an error, and
+    # the per-partition count verify can't catch it (locate and rewrite
+    # agree on the miss). try_cast normalizes both cast modes (ANSI throws
+    # mid-job with no value list, non-ANSI silently NULLs) into NULLs we
+    # check here (ADVICE r8). Bounded collect: |ids| is the takedown list,
+    # not data.
+    bad = [r["__raw"] for r in doomed_raw.filter(F.col(id_col).isNull()).collect()]
+    if bad:
+        raise ValueError(
+            f"{len(bad)} id(s) not castable to {id_col}'s type "
+            f"{id_type.simpleString()} — would be silently skipped: {bad}"
+        )
+    doomed = doomed_raw.select(id_col)
     # Locate via input_file_name, not by reconstructing dir names from
     # partition values: Hive escapes special chars (%xx) and encodes NULLs
     # (__HIVE_DEFAULT_PARTITION__) in the path, and the file path is the

@@ -515,7 +515,8 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "storage by the duplication factor.",
 )
 def source_multiset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
+    import shutil
+    import tempfile
 
     from dbt_decodable_spark import ftypes
 
@@ -531,14 +532,18 @@ def source_multiset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast(ms_type)
         .alias("ms")
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/spark_multiset_src_{tag}"
+    # mkdtemp (not a deterministic /tmp tag): concurrent runs against the
+    # same sf_dir must not share scratch; materialize before cleanup so the
+    # returned frame doesn't lazily read the removed dir (ADVICE r8)
+    path = tempfile.mkdtemp(prefix="spark_multiset_src_")
     ms.write.mode("overwrite").parquet(path)
     back = spark.read.schema(ms.schema).parquet(path)
-    return back.select(
+    out = back.select(
         "user_id",
         F.to_json("ms").alias("multiset_json"),
         F.aggregate(
             F.map_values("ms"), F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("n_elements"),
-    )
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(path, ignore_errors=True)
+    return out

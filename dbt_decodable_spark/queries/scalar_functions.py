@@ -381,6 +381,12 @@ SYSLOG_GROK = (
     r"%{IP:client} %{WORD:service}:%{INT:port} %{NUMBER:dur} %{LOGLEVEL:level}"
 )
 _SYSLOG_REGEX, _SYSLOG_FIELDS = compile_pattern(SYSLOG_GROK)
+# the compiled regex is interpolated into the DuckDB oracle as a
+# single-quoted SQL literal — escape quotes so a future GROK_PATTERNS entry
+# containing one corrupts nothing at judge time (ADVICE r8); RE2
+# compatibility of every base pattern is pinned by
+# tests/test_round9.py::TestGrokOracleSafety
+_SYSLOG_REGEX_SQL = _SYSLOG_REGEX.replace("'", "''")
 
 _SYSLOG_LINE_DUCK = (
     "concat('10.', CAST(user_id % 256 AS VARCHAR), '.0.', "
@@ -443,13 +449,13 @@ def _syslog_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     "func_grok_patterns",
     oracle=f"""
         SELECT event_id,
-               regexp_extract(line, '{_SYSLOG_REGEX}', 1) AS client,
-               regexp_extract(line, '{_SYSLOG_REGEX}', 2) AS service,
-               CAST(regexp_extract(line, '{_SYSLOG_REGEX}', 3) AS INT) AS port,
-               regexp_extract(line, '{_SYSLOG_REGEX}', 4) AS dur,
-               regexp_extract(line, '{_SYSLOG_REGEX}', 5) AS level
+               regexp_extract(line, '{_SYSLOG_REGEX_SQL}', 1) AS client,
+               regexp_extract(line, '{_SYSLOG_REGEX_SQL}', 2) AS service,
+               CAST(regexp_extract(line, '{_SYSLOG_REGEX_SQL}', 3) AS INT) AS port,
+               regexp_extract(line, '{_SYSLOG_REGEX_SQL}', 4) AS dur,
+               regexp_extract(line, '{_SYSLOG_REGEX_SQL}', 5) AS level
         FROM (SELECT event_id, {_SYSLOG_LINE_DUCK} AS line FROM events) t
-        WHERE regexp_matches(line, '{_SYSLOG_REGEX}')
+        WHERE regexp_matches(line, '{_SYSLOG_REGEX_SQL}')
     """,
     doc="§2.8 grok pattern-library breadth — IP, WORD, INT, NUMBER and "
     "LOGLEVEL base patterns (functions/grok.py GROK_PATTERNS) beyond the "

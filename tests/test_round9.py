@@ -1,0 +1,313 @@
+"""Round-9 additions (VERDICT r8 items 4/6/7 + ADVICE r8):
+
+- keyed (join-based) CDC MERGE: equivalence with the union+window form,
+  multi-batch convergence, and the bucketed-snapshot no-Exchange plan pin
+  (the lakehouse MERGE optimization — O(|batch|) shuffle per merge);
+- BPE sampled rule learning (``sample_mod``): rule identity on a replicated
+  corpus at K=1 vs K=4, and the corpus-wide apply path;
+- grok oracle safety: every GROK_PATTERNS base regex must compile in DuckDB
+  (RE2), and quote-escaping of the interpolated literal;
+- maintenance cast guard: un-castable takedown ids fail LOUDLY instead of
+  silently skipping the delete;
+- oracle_check bounded-error assertion plumbing (violation path).
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture()
+def change_data(spark):
+    import random
+
+    random.seed(17)
+    rows = [
+        (
+            random.randint(0, 40),
+            i,
+            f"e{random.randint(0, 5)}",
+            random.randint(0, 10_000),
+            random.random() < 0.15,
+        )
+        for i in range(1500)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, event_type string, cents long, "
+        "is_delete boolean",
+    )
+
+
+class TestKeyedMerge:
+    KEYS = ["user_id"]
+
+    def _order(self):
+        return [F.col("event_id")]
+
+    def test_equivalent_to_union_window_form(self, spark, change_data):
+        from dbt_decodable_spark.streaming.changelog import (
+            fold_last_image,
+            merge_changes_keyed,
+            merge_changes_ordered,
+        )
+
+        tgt = fold_last_image(
+            change_data.filter("event_id < 700"), self.KEYS, self._order()
+        )
+        bat = change_data.filter("event_id >= 700")
+        a = merge_changes_ordered(tgt, bat, self.KEYS, self._order())
+        b = merge_changes_keyed(tgt, bat, self.KEYS, self._order())
+        assert _rows(a) == _rows(b)
+
+    def test_multi_batch_convergence_to_global_fold(self, spark, change_data):
+        """Sequential keyed merges over arbitrary batch splits converge to
+        the global fold — the reference's change-stream contract
+        (handler.py:89-94) under the join-based execution."""
+        from dbt_decodable_spark.streaming.changelog import (
+            fold_last_image,
+            merge_changes_keyed,
+        )
+
+        state = fold_last_image(
+            change_data.filter("event_id < 400"), self.KEYS, self._order()
+        )
+        for lo, hi in [(400, 900), (900, 1100), (1100, 1500)]:
+            state = merge_changes_keyed(
+                state,
+                change_data.filter(f"event_id >= {lo} and event_id < {hi}"),
+                self.KEYS,
+                self._order(),
+            )
+        glob = fold_last_image(change_data, self.KEYS, self._order())
+        assert _rows(state) == _rows(glob)
+
+    def test_bucketed_state_side_is_shuffle_free(self, spark, tmp_path, change_data):
+        """THE r9 scale deliverable: with the snapshot bucketed on the PK,
+        the merge plan has NO Exchange above the state-side scan — only the
+        micro-batch shuffles, so per-merge cost is O(|batch|) not
+        O(|state|+|batch|)."""
+        from dbt_decodable_spark.operators.bucketing import (
+            materialize_bucketed,
+            scan_shuffle_free,
+        )
+        from dbt_decodable_spark.streaming.changelog import (
+            fold_last_image,
+            merge_changes_keyed,
+        )
+
+        tgt = fold_last_image(
+            change_data.filter("event_id < 700"), self.KEYS, self._order()
+        )
+        materialize_bucketed(
+            tgt, "t_r9_snap", ["user_id"], 4, path=str(tmp_path / "snap")
+        )
+        try:
+            state = spark.table("t_r9_snap")
+            merged = merge_changes_keyed(
+                state,
+                change_data.filter("event_id >= 700"),
+                self.KEYS,
+                self._order(),
+            )
+            assert scan_shuffle_free(merged, "t_r9_snap"), (
+                merged._jdf.queryExecution().executedPlan().toString()
+            )
+            # and the optimization changed nothing about the answer
+            from dbt_decodable_spark.streaming.changelog import (
+                merge_changes_ordered,
+            )
+
+            ref = merge_changes_ordered(
+                tgt,
+                change_data.filter("event_id >= 700"),
+                self.KEYS,
+                self._order(),
+            )
+            assert _rows(merged) == _rows(ref)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_r9_snap")
+
+    def test_unbucketed_state_control_does_shuffle(self, spark, tmp_path, change_data):
+        from dbt_decodable_spark.operators.bucketing import scan_shuffle_free
+        from dbt_decodable_spark.streaming.changelog import (
+            fold_last_image,
+            merge_changes_keyed,
+        )
+
+        tgt = fold_last_image(
+            change_data.filter("event_id < 700"), self.KEYS, self._order()
+        )
+        flat = str(tmp_path / "flat_snap")
+        tgt.write.parquet(flat)
+        merged = merge_changes_keyed(
+            spark.read.parquet(flat),
+            change_data.filter("event_id >= 700"),
+            self.KEYS,
+            self._order(),
+        )
+        assert not scan_shuffle_free(merged, "flat_snap")
+
+    def test_tombstone_and_resurrection(self, spark):
+        """A newer-order delete tombstones the key; an even newer upsert
+        resurrects it — order decides, not arrival."""
+        from dbt_decodable_spark.streaming.changelog import merge_changes_keyed
+
+        ddl = "k long, seq long, v string, is_delete boolean"
+        tgt = spark.createDataFrame([(1, 10, "a", False), (2, 10, "b", False)], ddl)
+        batch = spark.createDataFrame(
+            [(1, 20, "a", True), (1, 30, "a2", False), (2, 5, "stale", True)], ddl
+        )
+        out = {
+            r.k: (r.seq, r.v, r.is_delete)
+            for r in merge_changes_keyed(
+                tgt, batch, ["k"], [F.col("seq")]
+            ).collect()
+        }
+        assert out[1] == (30, "a2", False)  # resurrected past the tombstone
+        assert out[2] == (10, "b", False)  # stale delete loses to state
+
+
+class TestBpeSampleMod:
+    def _docs(self, spark):
+        texts = [
+            "the cat sat on the mat",
+            "the dog ate the bone",
+            "a cat and a dog",
+            "the the the",
+            "bone of the dog",
+            "mat of the cat",
+            "dog dog cat cat",
+            "on and on and on",
+            "a bone a mat a cat",
+            "the mat the bone",
+        ]
+        # replicated corpus: every text appears under many doc_ids, so any
+        # uniform hash-sample preserves the pair-frequency ranking
+        rows = [(i, texts[i % len(texts)]) for i in range(400)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_sample_mod_none_equals_one(self, spark):
+        from dbt_decodable_spark.operators.bpe import learn_merges
+
+        docs = self._docs(spark)
+        r_none, _ = learn_merges(docs, "text", rounds=3)
+        r_one, _ = learn_merges(docs, "text", rounds=3, sample_mod=1)
+        assert r_none == r_one
+
+    def test_sampled_rules_match_full_on_replicated_corpus(self, spark):
+        from dbt_decodable_spark.operators.bpe import learn_merges
+
+        docs = self._docs(spark)
+        full_rules, _ = learn_merges(docs, "text", rounds=3)
+        samp_rules, seg = learn_merges(docs, "text", rounds=3, sample_mod=4)
+        # same merge decisions (counts differ — they are sample counts)
+        assert [(a, b) for _, a, b, _ in full_rules] == [
+            (a, b) for _, a, b, _ in samp_rules
+        ]
+        # the apply path covers the FULL corpus, not the sample
+        assert seg.count() == 400
+        # and applies the same segmentation as the full-corpus trainer
+        _, full_seg = learn_merges(docs, "text", rounds=3)
+        a = {r.doc_id: r.sym_string for r in full_seg.collect()}
+        b = {r.doc_id: r.sym_string for r in seg.collect()}
+        assert a == b
+
+
+class TestGrokOracleSafety:
+    def test_every_base_pattern_compiles_in_duckdb(self):
+        """ADVICE r8: a Python-only regex construct (RE2 rejects e.g.
+        backrefs/lookaheads) would silently corrupt the oracle at judge
+        time. Pin every base pattern + every compiled registered pattern."""
+        from dbt_decodable_spark.functions.grok import (
+            GROK_PATTERNS,
+            compile_pattern,
+        )
+
+        con = duckdb.connect()
+        for name, base in GROK_PATTERNS.items():
+            lit = base.replace("'", "''")
+            con.sql(f"SELECT regexp_matches('probe', '{lit}')").fetchall()
+        for pat in (
+            r"%{IP:client} %{WORD:service}:%{INT:port} %{NUMBER:dur} "
+            r"%{LOGLEVEL:level}",
+        ):
+            regex, _ = compile_pattern(pat)
+            lit = regex.replace("'", "''")
+            con.sql(f"SELECT regexp_matches('probe', '{lit}')").fetchall()
+
+    def test_quote_escaping_roundtrip(self):
+        """A pattern containing a single quote must survive SQL-literal
+        interpolation via the '' doubling the query module now applies."""
+        regex = r"won't|can't"
+        lit = regex.replace("'", "''")
+        con = duckdb.connect()
+        [(hit,)] = con.sql(
+            f"SELECT regexp_matches('it won''t work', '{lit}')"
+        ).fetchall()
+        assert hit is True
+
+    def test_registered_syslog_literal_is_escaped(self):
+        from dbt_decodable_spark.queries import scalar_functions as sf
+
+        assert sf._SYSLOG_REGEX_SQL == sf._SYSLOG_REGEX.replace("'", "''")
+        assert "'{_SYSLOG_REGEX}'" not in open(sf.__file__).read()
+
+
+class TestMaintenanceCastGuard:
+    def test_uncastable_id_fails_loudly(self, spark, tmp_path):
+        """ADVICE r8: an id that can't cast to the table's id dtype must
+        raise (listing the ids), not silently skip the delete."""
+        from dbt_decodable_spark.operators.maintenance import (
+            delete_rows_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(i, f"p{i % 2}") for i in range(20)], "doc_id long, part string"
+        ).write.partitionBy("part").parquet(path)
+        with pytest.raises(ValueError, match="not-an-int"):
+            delete_rows_partitioned(
+                spark, path, "part", "doc_id", [3, "not-an-int"]
+            )
+        # nothing was deleted by the failed call
+        assert spark.read.parquet(path).count() == 20
+
+    def test_castable_ids_still_delete(self, spark, tmp_path):
+        from dbt_decodable_spark.operators.maintenance import (
+            delete_rows_partitioned,
+        )
+
+        path = str(tmp_path / "t2")
+        spark.createDataFrame(
+            [(i, f"p{i % 2}") for i in range(20)], "doc_id long, part string"
+        ).write.partitionBy("part").parquet(path)
+        deleted = delete_rows_partitioned(spark, path, "part", "doc_id", [4])
+        assert deleted == {"p0": 1}
+        assert spark.read.parquet(path).count() == 19
+
+
+class TestBoundedErrorCheck:
+    def test_violation_detected(self):
+        import tools.oracle_check as oc
+
+        con = duckdb.connect()
+        con.sql("CREATE TABLE lineitem AS SELECT range AS l_partkey FROM range(100)")
+        oc.BOUNDED_ERROR["__t"] = (
+            "SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS approx_parts "
+            "FROM lineitem",
+            0.05,
+        )
+        try:
+            ok = oc.check_bounded_error("__t", [(100,)], ["approx_parts"], con)
+            assert ok is None
+            bad = oc.check_bounded_error("__t", [(120,)], ["approx_parts"], con)
+            assert bad is not None and "exceeds" in bad
+            shape = oc.check_bounded_error("__t", [(100,)], ["wrong_col"], con)
+            assert shape is not None
+        finally:
+            del oc.BOUNDED_ERROR["__t"]

@@ -48,6 +48,40 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+# Bounded-error assertions for rows-only (oracle=None) queries whose output
+# is an engine-specific ESTIMATE of a well-defined exact quantity (VERDICT
+# r8 item 7): {query: (exact_sql, rel_tol)}. The exact SQL must emit the
+# same column names; every numeric cell is compared within rel_tol. The
+# driver row stays rows-only (driver protocol unchanged) — this is a
+# local-gate-only quantitative check, reported as ROWS-ONLY(±tol) / FAIL-APPROX.
+BOUNDED_ERROR: dict[str, tuple[str, float]] = {
+    "agg_approx_distinct": (
+        "SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS approx_parts "
+        "FROM lineitem",
+        0.05,  # HLL++ with default rsd 0.05
+    ),
+}
+
+
+def check_bounded_error(name, rows, cols, con) -> str | None:
+    """Compare every numeric cell of a rows-only result to the exact-SQL
+    twin within the registered relative tolerance. Returns an error string
+    on violation (shape mismatch counts), None when within bounds."""
+    exact_sql, tol = BOUNDED_ERROR[name]
+    res = con.sql(exact_sql)
+    e_rows, e_cols = res.fetchall(), res.columns
+    if [c.lower() for c in e_cols] != [c.lower() for c in cols]:
+        return f"approx-oracle cols {e_cols} != query cols {list(cols)}"
+    if len(e_rows) != len(rows):
+        return f"approx-oracle rows {len(e_rows)} != query rows {len(rows)}"
+    for r_s, r_e in zip(sorted(map(tuple, rows)), sorted(map(tuple, e_rows))):
+        for v_s, v_e in zip(r_s, r_e):
+            if isinstance(v_e, (int, float)) and not isinstance(v_e, bool):
+                if abs(v_s - v_e) > tol * max(abs(v_e), 1):
+                    return (f"estimate {v_s} vs exact {v_e} exceeds "
+                            f"±{tol:.0%} ({abs(v_s - v_e) / max(abs(v_e), 1):.1%})")
+    return None
+
 
 def _norm_cell(v):
     """Type-tagged normal form: equal only if type class AND value agree."""
@@ -221,6 +255,17 @@ def main():
                     print(f"{'FAIL-CANON':12s} {name:32s} rows={len(rows):7d} "
                           f"driver canon would crash: {canon_err[:160]}")
                     n_fail += 1
+                elif name in BOUNDED_ERROR:
+                    err = check_bounded_error(name, rows, df.columns, con)
+                    if err:
+                        print(f"{'FAIL-APPROX':12s} {name:32s} "
+                              f"rows={len(rows):7d} {err[:180]}")
+                        n_fail += 1
+                    else:
+                        tol = BOUNDED_ERROR[name][1]
+                        print(f"{'ROWS-ONLY':12s} {name:32s} rows={len(rows):7d} "
+                              f"estimate within ±{tol:.0%} of exact")
+                        n_skip += 1
                 else:
                     print(f"{'ROWS-ONLY':12s} {name:32s} rows={len(rows):7d}")
                     n_skip += 1
