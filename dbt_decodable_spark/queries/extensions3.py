@@ -383,26 +383,15 @@ def graph_khop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (operators/dedup._shingle_session_df), and a df-arg registers its
     # backing view there — sql() on any other session would not see it
     sess = pairs.sparkSession
-    # headroom over the 1M default path cap for skewed clusters; the star
-    # orientation + depth bound are the real safety net. Scoped: restore the
-    # prior cap so later recursive CTEs on the shared session keep the
-    # safety limit (the sql() call is eager enough — the recursion executes
-    # inside it — that try/finally restores before the frame escapes).
-    _key = "spark.sql.cteRecursionRowLimit"
-    _prior = sess.conf.get(_key, None)
-    sess.conf.set(_key, str(64_000_000))
-    try:
-        out = sess.sql(_KHOP_SQL.format(pairs="{pairs}"), pairs=pairs)
-        # the recursion must EXECUTE while the raised cap is in force —
-        # localCheckpoint(eager=True) materializes here, so the restored
-        # (default) cap applies only to later, unrelated recursive CTEs
-        out = out.localCheckpoint(eager=True)
-    finally:
-        if _prior is None:
-            sess.conf.unset(_key)
-        else:
-            sess.conf.set(_key, _prior)
-    return out
+    # the raised cteRecursionRowLimit (headroom over the 1M default path
+    # cap for skewed clusters; the star orientation + depth bound are the
+    # real safety net) is set ONCE at shingle-child-session creation
+    # (operators/dedup._shingle_session_df) — the parent session keeps the
+    # default cap. This replaced the r8 save/restore + eager
+    # localCheckpoint scoping (VERDICT r8 item 3): the checkpoint pushed
+    # 223k rows into the block manager every run, which clearCache cannot
+    # reclaim, inflating khop 2-4x inside long bench sessions.
+    return sess.sql(_KHOP_SQL.format(pairs="{pairs}"), pairs=pairs)
 
 
 # ---------------------------------------------- k-means-trained IVF ANN

@@ -407,7 +407,6 @@ class TestJvmSweepAllQueries:
     EAGER_SKIP_PREFIXES = ("stream_",)
     EAGER_SKIP = {
         "join_skew_aqe",  # checkpointed under forced confs; plan pinned above
-        "graph_khop_neighbors",  # scoped-cap localCheckpoint
         "maintenance_compaction_roundtrip",  # writes + compacts scratch
         "source_time_of_day_roundtrip",  # parquet scratch round-trip
         "source_schema_evolution",
