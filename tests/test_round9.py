@@ -291,6 +291,67 @@ class TestMaintenanceCastGuard:
         assert spark.read.parquet(path).count() == 19
 
 
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@st.composite
+def _cdc_case(draw):
+    n = draw(st.integers(1, 18))
+    # unique seq per change record (the deterministic tie-breaker the
+    # operator contract requires); key space small to force collisions
+    seqs = draw(st.permutations(list(range(n))))
+    rows = [
+        (
+            seq,
+            f"k{draw(st.integers(0, 3))}",
+            draw(st.integers(0, 99)),
+            draw(st.booleans()),
+        )
+        for seq in seqs
+    ]
+    assignment = [draw(st.integers(0, 3)) for _ in rows]
+    return rows, assignment
+
+
+class TestKeyedMergeProperty:
+    """Same convergence property the union form carries
+    (test_round8.TestCdcMergeProperty), for the join-based keyed form:
+    batch-by-batch merge_changes_keyed equals the global last-image fold
+    for ANY micro-batch split and ANY within/across-batch order."""
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(case=_cdc_case())
+    def test_any_batch_split_converges(self, spark, case):
+        from dbt_decodable_spark.streaming.changelog import (
+            fold_last_image,
+            merge_changes_keyed,
+        )
+
+        rows, assignment = case
+        ddl = "seq long, key string, v long, is_delete boolean"
+        state = spark.createDataFrame([], ddl)
+        for b in range(4):
+            batch = [r for r, a in zip(rows, assignment) if a == b]
+            if not batch:
+                continue
+            state = merge_changes_keyed(
+                state,
+                spark.createDataFrame(batch, ddl),
+                keys=["key"],
+                order=["seq"],
+            ).localCheckpoint()
+        want = fold_last_image(
+            spark.createDataFrame(rows, ddl), keys=["key"], order=["seq"]
+        )
+        assert {tuple(r) for r in state.collect()} == {
+            tuple(r) for r in want.collect()
+        }
+
+
 class TestBoundedErrorCheck:
     def test_violation_detected(self):
         import tools.oracle_check as oc
