@@ -291,6 +291,130 @@ class TestMaintenanceCastGuard:
         assert spark.read.parquet(path).count() == 19
 
 
+class TestPartialRewriteMerge:
+    """merge_into_hash_partitioned: MERGE write amplification bounded by
+    touched partitions — untouched bucket directories keep byte-identical
+    files (inodes), reads prune to touched buckets, and the converged
+    content equals the global fold."""
+
+    DDL = "k long, seq long, v long, is_delete boolean"
+
+    def _inodes(self, pdir):
+        import os
+
+        return {
+            f: os.stat(os.path.join(pdir, f)).st_ino
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet")
+        }
+
+    def _build(self, spark, tmp_path, n_buckets=8):
+        from dbt_decodable_spark.streaming.changelog import (
+            write_hash_partitioned,
+        )
+
+        path = str(tmp_path / "snap")
+        init = spark.createDataFrame(
+            [(i, 0, i * 10, False) for i in range(200)], self.DDL
+        )
+        write_hash_partitioned(init, path, ["k"], n_buckets)
+        return path, init
+
+    def test_untouched_buckets_keep_inodes_and_content_converges(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from dbt_decodable_spark.streaming.changelog import (
+            fold_last_image,
+            hash_bucket,
+            merge_into_hash_partitioned,
+        )
+
+        path, init = self._build(spark, tmp_path)
+        # batch touches exactly the keys 0..9 → a strict subset of buckets
+        batch = spark.createDataFrame(
+            [(i, 1, i * 100, i % 5 == 0) for i in range(10)], self.DDL
+        )
+        touched_ids = {
+            r[0]
+            for r in batch.select(hash_bucket(["k"], 8)).distinct().collect()
+        }
+        assert 0 < len(touched_ids) < 8
+        before = {
+            b: self._inodes(os.path.join(path, f"__bucket={b}"))
+            for b in range(8)
+        }
+        result = merge_into_hash_partitioned(
+            spark, path, batch, ["k"], [F.col("seq")], 8
+        )
+        assert set(result) == touched_ids
+        for b in range(8):
+            if b not in touched_ids:
+                assert (
+                    self._inodes(os.path.join(path, f"__bucket={b}"))
+                    == before[b]
+                ), f"untouched bucket {b} was rewritten"
+        # converged content = global fold of init ∪ batch (incl. tombstones)
+        want = fold_last_image(
+            init.unionByName(batch), ["k"], [F.col("seq")]
+        )
+        got = spark.read.parquet(path).drop("__bucket")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    def test_read_prunes_to_touched_buckets(self, spark, tmp_path):
+        path, _ = self._build(spark, tmp_path)
+        one = spark.read.parquet(path).filter(F.col("__bucket").isin([3]))
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        frag = plan.split("PartitionFilters")[1][:200]
+        assert "__bucket" in frag
+        pushed = (
+            plan.split("PushedFilters")[1][:200]
+            if "PushedFilters" in plan
+            else ""
+        )
+        assert "__bucket" not in pushed  # directory filter, not data filter
+
+    def test_idempotent_replay(self, spark, tmp_path):
+        from dbt_decodable_spark.streaming.changelog import (
+            merge_into_hash_partitioned,
+        )
+
+        path, _ = self._build(spark, tmp_path)
+        batch = spark.createDataFrame(
+            [(3, 1, 999, False), (1000, 1, 1, False)], self.DDL
+        )  # key 1000 lands in a bucket as a new key
+        r1 = merge_into_hash_partitioned(
+            spark, path, batch, ["k"], [F.col("seq")], 8
+        )
+        snap1 = sorted(map(tuple, spark.read.parquet(path).collect()))
+        r2 = merge_into_hash_partitioned(
+            spark, path, batch, ["k"], [F.col("seq")], 8
+        )
+        snap2 = sorted(map(tuple, spark.read.parquet(path).collect()))
+        assert r1 == r2 and snap1 == snap2
+        assert (
+            spark.read.parquet(path).filter("k = 1000").count() == 1
+        )
+
+    def test_empty_batch_is_noop(self, spark, tmp_path):
+        from dbt_decodable_spark.streaming.changelog import (
+            merge_into_hash_partitioned,
+        )
+
+        path, _ = self._build(spark, tmp_path)
+        empty = spark.createDataFrame([], self.DDL)
+        assert (
+            merge_into_hash_partitioned(
+                spark, path, empty, ["k"], [F.col("seq")], 8
+            )
+            == {}
+        )
+
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 
