@@ -291,6 +291,78 @@ class TestMaintenanceCastGuard:
         assert spark.read.parquet(path).count() == 19
 
 
+class TestScd2IncrementalMerge:
+    """scd2_merge_batch folded over time-ordered batches equals the
+    full-rebuild scd2_from_changelog over the concatenated change log."""
+
+    DDL = "k long, ts long, v string"
+
+    def _changes(self):
+        import random
+
+        random.seed(23)
+        rows = []
+        ts = 0
+        for _ in range(120):
+            ts += random.randint(1, 3)  # strictly increasing global time
+            rows.append((random.randint(0, 9), ts, f"v{ts}"))
+        return rows
+
+    def test_converges_to_full_rebuild(self, spark):
+        from dbt_decodable_spark.streaming.changelog import (
+            scd2_from_changelog,
+            scd2_merge_batch,
+        )
+
+        rows = self._changes()
+        # time-ordered splits (preserves per-key order by construction)
+        cuts = [0, 30, 31, 75, 120]
+        state = scd2_from_changelog(
+            spark.createDataFrame(rows[: cuts[1]], self.DDL), ["k"], "ts"
+        )
+        for lo, hi in zip(cuts[1:], cuts[2:]):
+            if lo == hi:
+                continue
+            state = scd2_merge_batch(
+                state,
+                spark.createDataFrame(rows[lo:hi], self.DDL),
+                ["k"],
+                "ts",
+            ).localCheckpoint()
+        want = scd2_from_changelog(
+            spark.createDataFrame(rows, self.DDL), ["k"], "ts"
+        )
+        assert sorted(map(tuple, state.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    def test_new_key_and_single_current_invariant(self, spark):
+        from dbt_decodable_spark.streaming.changelog import (
+            scd2_from_changelog,
+            scd2_merge_batch,
+        )
+
+        init = scd2_from_changelog(
+            spark.createDataFrame([(1, 10, "a"), (1, 20, "b")], self.DDL),
+            ["k"],
+            "ts",
+        )
+        merged = scd2_merge_batch(
+            init,
+            spark.createDataFrame([(1, 30, "c"), (2, 30, "x")], self.DDL),
+            ["k"],
+            "ts",
+        )
+        cur = {
+            r.k: (r.v, r.valid_from)
+            for r in merged.filter("is_current").collect()
+        }
+        assert cur == {1: ("c", 30), 2: ("x", 30)}
+        # exactly one current row per key; closed chain is contiguous
+        per_k = merged.filter("k = 1").orderBy("valid_from").collect()
+        assert [r.valid_to for r in per_k] == [20, 30, None]
+
+
 class TestPartialRewriteMerge:
     """merge_into_hash_partitioned: MERGE write amplification bounded by
     touched partitions — untouched bucket directories keep byte-identical
