@@ -254,14 +254,34 @@ def hash_bucket(keys: Sequence[str], n_buckets: int) -> Column:
 
 
 def write_hash_partitioned(
-    df: DataFrame, path: str, keys: Sequence[str], n_buckets: int
+    df: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    n_buckets: int,
+    partition_expr: Column | None = None,
 ) -> None:
-    """Materialize a snapshot hash-partitioned on the primary key
-    (``__bucket = pmod(xxhash64(pk), n)`` directory column). One shuffle on
-    the bucket id; each partition lands as one directory that
-    :func:`merge_into_hash_partitioned` can later rewrite independently."""
+    """Materialize a snapshot partitioned for partial-rewrite MERGE
+    (``__bucket`` directory column). One shuffle on the bucket id; each
+    partition lands as one directory that
+    :func:`merge_into_hash_partitioned` can later rewrite independently.
+
+    ``partition_expr`` chooses the LAYOUT — and it decides how much a
+    merge rewrites (measured, SCALING.md r9 notes):
+
+    - default ``hash_bucket(keys, n)``: uniform sizes, but NO key
+      locality — a batch of B distinct keys touches ~min(B, n) buckets
+      (200 contiguous ids touched 61/64 hash buckets in the probe). Right
+      when batches are small relative to n or keys are uncorrelated.
+    - a range/entity-aligned expression over the SAME key (e.g.
+      ``F.col("id") div 10_000``, or a tenant/date prefix): preserves the
+      key locality CDC batches usually have, so touched ≪ n (the same
+      200-id batch touched 2/50 range partitions — 4% of the snapshot
+      rewritten). The expression must be a pure function of the key
+      columns; both the writer and every merge must use the same one.
+    """
+    part = partition_expr if partition_expr is not None else hash_bucket(keys, n_buckets)
     (
-        df.withColumn("__bucket", hash_bucket(keys, n_buckets))
+        df.withColumn("__bucket", part)
         .repartition("__bucket")
         .write.partitionBy("__bucket")
         .mode("overwrite")
@@ -276,6 +296,7 @@ def merge_into_hash_partitioned(
     keys: Sequence[str],
     order: Sequence[Column | str],
     n_buckets: int,
+    partition_expr: Column | None = None,
 ) -> dict:
     """CDC MERGE with write amplification bounded by TOUCHED partitions —
     the missing half of the scale story once shuffle is O(|batch|)
@@ -300,12 +321,15 @@ def merge_into_hash_partitioned(
     batch is idempotent (the fold is), so recovery is replay. Returns
     ``{bucket_id: rows_after}`` for the touched buckets.
 
-    At 100 TB: rewrite cost per merge is |touched buckets| × bucket size.
-    With time-correlated CDC keys (the common case) touched ≪ n_buckets;
-    in the adversarial uniform-key case every bucket is touched once
-    |batch| ≳ n·ln n — then raise ``n_buckets`` so a bucket approximates
-    the batch's key locality, or absorb small batches into a delta minor
-    compaction (``operators/maintenance.compact_path``) — the standard
+    At 100 TB: rewrite cost per merge is |touched buckets| × bucket size,
+    and ``partition_expr`` (see :func:`write_hash_partitioned` — MUST be
+    the same expression the snapshot was written with) decides how many
+    buckets a batch touches: the default hash layout touches ~min(|batch
+    keys|, n) — measured 61/64 for 200 contiguous ids — while a
+    range/entity-aligned layout preserves CDC key locality (same batch:
+    2/50 partitions, 4% of the snapshot). When every bucket is touched
+    anyway, absorb small batches via delta minor compaction
+    (``operators/maintenance.compact_path``) — the standard
     merge-on-read/merge-on-write trade.
 
     Reference parity: the same change-stream contract
@@ -316,7 +340,8 @@ def merge_into_hash_partitioned(
     import shutil
 
     base = path.rstrip("/")
-    batch = changes.withColumn("__bucket", hash_bucket(keys, n_buckets))
+    part = partition_expr if partition_expr is not None else hash_bucket(keys, n_buckets)
+    batch = changes.withColumn("__bucket", part)
     touched = sorted(
         r[0] for r in batch.select("__bucket").distinct().collect()
     )

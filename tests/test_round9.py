@@ -486,6 +486,38 @@ class TestPartialRewriteMerge:
             == {}
         )
 
+    def test_range_layout_preserves_key_locality(self, spark, tmp_path):
+        """A range-aligned partition_expr keeps a contiguous-key batch in
+        few partitions (hash scatters it across ~all of them) — the layout
+        decision that bounds write amplification for time-correlated CDC
+        keys (measured 2/50 vs 61/64 partitions in SCALING.md)."""
+        from dbt_decodable_spark.streaming.changelog import (
+            fold_last_image,
+            merge_into_hash_partitioned,
+            write_hash_partitioned,
+        )
+
+        path = str(tmp_path / "rng")
+        init = spark.createDataFrame(
+            [(i, 0, i * 10, False) for i in range(200)], self.DDL
+        )
+        rng = F.expr("k div 25")  # 8 range partitions
+        write_hash_partitioned(init, path, ["k"], 8, partition_expr=rng)
+        batch = spark.createDataFrame(
+            [(i, 1, i, False) for i in range(50, 60)], self.DDL
+        )
+        res = merge_into_hash_partitioned(
+            spark, path, batch, ["k"], [F.col("seq")], 8, partition_expr=rng
+        )
+        assert set(res) == {2}  # 10 contiguous keys → exactly one partition
+        want = fold_last_image(
+            init.unionByName(batch), ["k"], [F.col("seq")]
+        )
+        got = spark.read.parquet(path).drop("__bucket")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
 
 from hypothesis import HealthCheck, given, settings, strategies as st
 
