@@ -400,3 +400,78 @@ def merge_into_hash_partitioned(
         out[b] = want.get(b, 0)
     shutil.rmtree(stage, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------- merge-on-read
+
+
+def read_with_deltas(
+    spark,
+    base_path: str,
+    delta_paths: Sequence[str],
+    keys: Sequence[str],
+    order: Sequence[Column | str],
+    include_tombstones: bool = False,
+    delete_col: str = "is_delete",
+) -> DataFrame:
+    """Merge-on-READ view of a snapshot plus pending delta files — the
+    other half of the merge-on-read/merge-on-write trade the partial-
+    rewrite docstring describes: when micro-batches are too small to
+    justify rewriting even one partition, append each batch as a cheap
+    delta file and fold at read time.
+
+    The view is ``fold_last_image(base ∪ deltas)`` — one key shuffle over
+    what is read, with the winner decided by ``order`` exactly as the
+    write-side merges do, so a reader sees the same converged state
+    whether a batch was merged in or still sits as a delta
+    (pytest-pinned equivalence). Tombstoned keys are dropped unless
+    ``include_tombstones`` (readers of the raw CDC state want them;
+    consumers of the dim don't).
+
+    Scale: read cost grows with Σ|deltas| — bounded by compacting deltas
+    into the snapshot (:func:`compact_deltas`) on a size/age trigger, the
+    standard LSM/lakehouse shape. Partition pruning still applies to the
+    base side when it is laid out by :func:`write_hash_partitioned` and
+    the reader filters on the partition column.
+    """
+    base = spark.read.parquet(base_path.rstrip("/"))
+    if "__bucket" in base.columns:
+        base = base.drop("__bucket")
+    view = base
+    for p in delta_paths:
+        d = spark.read.parquet(p)
+        view = view.unionByName(d.select(*view.columns))
+    out = fold_last_image(view, keys, order)
+    if not include_tombstones and delete_col in out.columns:
+        out = out.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
+    return out
+
+
+def compact_deltas(
+    spark,
+    base_path: str,
+    delta_paths: Sequence[str],
+    keys: Sequence[str],
+    order: Sequence[Column | str],
+    n_buckets: int,
+    partition_expr: Column | None = None,
+) -> dict:
+    """Fold pending delta files into the partitioned snapshot (minor
+    compaction): concatenate the deltas, fold them to one image per key
+    (cross-delta winners resolved HERE, so the partial-rewrite merge sees
+    a snapshot-shaped batch), and run
+    :func:`merge_into_hash_partitioned`. After this returns, the caller
+    deletes the delta files — a crash before that point just means the
+    next read folds already-merged deltas again, which is idempotent.
+    Returns the per-bucket rewrite map from the underlying merge."""
+    if not delta_paths:
+        return {}
+    acc = None
+    for p in delta_paths:
+        d = spark.read.parquet(p)
+        acc = d if acc is None else acc.unionByName(d.select(*acc.columns))
+    folded = fold_last_image(acc, keys, order)
+    return merge_into_hash_partitioned(
+        spark, base_path, folded, keys, order, n_buckets,
+        partition_expr=partition_expr,
+    )

@@ -519,6 +519,156 @@ class TestPartialRewriteMerge:
         )
 
 
+class TestMergeOnRead:
+    """read_with_deltas: a reader sees the same converged state whether a
+    batch was merged in (merge-on-write) or still sits as a delta file;
+    compact_deltas folds the deltas in and the view is unchanged."""
+
+    DDL = "k long, seq long, v long, is_delete boolean"
+
+    def test_view_equals_merged_state(self, spark, tmp_path):
+        from dbt_decodable_spark.streaming.changelog import (
+            fold_last_image,
+            read_with_deltas,
+            write_hash_partitioned,
+        )
+
+        base = str(tmp_path / "base")
+        init = spark.createDataFrame(
+            [(i, 0, i * 10, False) for i in range(100)], self.DDL
+        )
+        write_hash_partitioned(init, base, ["k"], 8)
+        d1 = spark.createDataFrame(
+            [(3, 1, 333, False), (4, 1, 0, True)], self.DDL
+        )
+        d2 = spark.createDataFrame(
+            [(3, 2, 999, False), (200, 1, 7, False)], self.DDL
+        )
+        p1, p2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+        d1.write.parquet(p1)
+        d2.write.parquet(p2)
+        view = read_with_deltas(
+            spark, base, [p1, p2], ["k"], [F.col("seq")]
+        )
+        want = fold_last_image(
+            init.unionByName(d1).unionByName(d2), ["k"], [F.col("seq")]
+        ).filter("NOT is_delete")
+        assert sorted(map(tuple, view.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        # tombstoned key 4 is hidden by default, visible on request
+        assert view.filter("k = 4").count() == 0
+        raw = read_with_deltas(
+            spark, base, [p1, p2], ["k"], [F.col("seq")],
+            include_tombstones=True,
+        )
+        assert raw.filter("k = 4 AND is_delete").count() == 1
+
+    def test_compact_then_read_is_identical(self, spark, tmp_path):
+        from dbt_decodable_spark.streaming.changelog import (
+            compact_deltas,
+            read_with_deltas,
+            write_hash_partitioned,
+        )
+
+        base = str(tmp_path / "base")
+        init = spark.createDataFrame(
+            [(i, 0, i * 10, False) for i in range(100)], self.DDL
+        )
+        write_hash_partitioned(init, base, ["k"], 8)
+        d1 = spark.createDataFrame(
+            [(5, 1, 50, False), (5, 2, 55, False), (6, 1, 0, True)], self.DDL
+        )
+        p1 = str(tmp_path / "d1")
+        d1.write.parquet(p1)
+        before = sorted(
+            map(
+                tuple,
+                read_with_deltas(
+                    spark, base, [p1], ["k"], [F.col("seq")]
+                ).collect(),
+            )
+        )
+        res = compact_deltas(
+            spark, base, [p1], ["k"], [F.col("seq")], 8
+        )
+        assert res  # some buckets rewritten
+        after = sorted(
+            map(
+                tuple,
+                read_with_deltas(
+                    spark, base, [], ["k"], [F.col("seq")]
+                ).collect(),
+            )
+        )
+        assert before == after
+        # cross-delta winner resolved: k=5 holds seq 2
+        snap = spark.read.parquet(base)
+        assert snap.filter("k = 5 AND seq = 2 AND v = 55").count() == 1
+
+
+class TestCdcSnapshotDdlRecovery:
+    """The stream_cdc_merge crash-recovery path re-registers the snapshot
+    via CREATE TABLE ... CLUSTERED BY ... LOCATION after a catalog loss.
+    The re-registered table must STILL plan the merge shuffle-free on the
+    state side — otherwise recovery silently loses the whole optimization."""
+
+    def test_reregistered_table_is_still_shuffle_free(self, spark, tmp_path):
+        from dbt_decodable_spark.operators.bucketing import (
+            materialize_bucketed,
+            scan_shuffle_free,
+        )
+        from dbt_decodable_spark.streaming.changelog import (
+            fold_last_image,
+            merge_changes_keyed,
+        )
+
+        ddl = (
+            "user_id long, ts_event timestamp, event_id long, "
+            "event_type string, cents long, is_delete boolean"
+        )
+        rows = [
+            (i % 30, None, i, f"e{i % 4}", i * 3, i % 20 == 0)
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, ddl).withColumn(
+            "ts_event", F.timestamp_seconds(F.col("event_id"))
+        )
+        snap = fold_last_image(
+            df.filter("event_id < 200"), ["user_id"],
+            [F.col("ts_event"), F.col("event_id")],
+        )
+        loc = str(tmp_path / "snap_v0")
+        materialize_bucketed(snap, "t_r9_ddl_a", ["user_id"], 8, path=loc)
+        # simulate catalog loss, then the production recovery DDL
+        spark.sql("DROP TABLE t_r9_ddl_a")
+        spark.sql(
+            "CREATE TABLE t_r9_ddl_b (user_id BIGINT, ts_event TIMESTAMP, "
+            "event_id BIGINT, event_type STRING, cents BIGINT, "
+            "is_delete BOOLEAN) USING PARQUET CLUSTERED BY (user_id) "
+            f"SORTED BY (user_id) INTO 8 BUCKETS LOCATION '{loc}'"
+        )
+        try:
+            merged = merge_changes_keyed(
+                spark.table("t_r9_ddl_b"),
+                df.filter("event_id >= 200"),
+                ["user_id"],
+                [F.col("ts_event"), F.col("event_id")],
+            )
+            assert scan_shuffle_free(merged, "t_r9_ddl_b"), (
+                merged._jdf.queryExecution().executedPlan().toString()
+            )
+            # and content equals the global fold
+            want = fold_last_image(
+                df, ["user_id"], [F.col("ts_event"), F.col("event_id")]
+            )
+            assert sorted(map(tuple, merged.collect())) == sorted(
+                map(tuple, want.collect())
+            )
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_r9_ddl_b")
+
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 
