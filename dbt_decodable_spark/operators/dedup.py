@@ -121,16 +121,6 @@ def _shingle_session_df(df: DataFrame, name: str = "__dedup_shingle_input") -> D
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
-        # headroom over the 1M default recursion path cap for the recursive
-        # CTEs that walk shingle-derived edge sets (graph_khop_neighbors:
-        # UNION ALL recursion materializes PATHS before the terminal
-        # DISTINCT, and duplicate-dense corpora measurably explode past the
-        # default). Set once at child creation — the parent session keeps
-        # the default cap, and this replaces the per-query save/restore +
-        # eager localCheckpoint that r8 used for scoping (VERDICT r8 item
-        # 3: the checkpoint materialized 223k rows into the block manager
-        # per run, unreclaimed by clearCache, inflating long benches).
-        child.conf.set("spark.sql.cteRecursionRowLimit", str(64_000_000))
         parent._shingle_session = child
     df.createOrReplaceGlobalTempView(name)
     # spark.table() analyzes EAGERLY, so the returned DataFrame captures the

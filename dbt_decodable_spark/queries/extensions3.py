@@ -385,13 +385,29 @@ def graph_khop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = pairs.sparkSession
     # the raised cteRecursionRowLimit (headroom over the 1M default path
     # cap for skewed clusters; the star orientation + depth bound are the
-    # real safety net) is set ONCE at shingle-child-session creation
-    # (operators/dedup._shingle_session_df) — the parent session keeps the
-    # default cap. This replaced the r8 save/restore + eager
-    # localCheckpoint scoping (VERDICT r8 item 3): the checkpoint pushed
+    # real safety net) lives on a DEDICATED khop child session — not the
+    # shared shingle session, whose other pipelines keep the 1M
+    # runaway-recursion guard (review r9). Set once at creation; lazy and
+    # checkpoint-free: the r8 save/restore + eager localCheckpoint pushed
     # 223k rows into the block manager every run, which clearCache cannot
-    # reclaim, inflating khop 2-4x inside long bench sessions.
-    return sess.sql(_KHOP_SQL.format(pairs="{pairs}"), pairs=pairs)
+    # reclaim, inflating khop 2-4x inside long bench sessions (VERDICT r8
+    # item 3). The handoff crosses sessions via a global temp view — the
+    # one cross-session-visible relation kind.
+    khop_sess = getattr(sess, "_khop_session", None)
+    if khop_sess is None:
+        khop_sess = sess.newSession()
+        khop_sess.conf.set("spark.sql.cteRecursionRowLimit", str(64_000_000))
+        # newSession() does NOT inherit runtime confs: re-apply the shingle
+        # optimizer exclusion, since the pairs view's plan re-optimizes in
+        # THIS session (operators/dedup._shingle_session_df documents why)
+        khop_sess.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
+        sess._khop_session = khop_sess
+    pairs.createOrReplaceGlobalTempView("__khop_pairs")
+    khop_pairs = khop_sess.table("global_temp.__khop_pairs")
+    return khop_sess.sql(_KHOP_SQL.format(pairs="{pairs}"), pairs=khop_pairs)
 
 
 # ---------------------------------------------- k-means-trained IVF ANN

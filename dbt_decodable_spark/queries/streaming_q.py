@@ -1014,9 +1014,16 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         _await_bounded(q, "stream_cdc_merge")
-        final = _valid_versions(spark)[-1]
+        versions = _valid_versions(spark)
+        if not versions:
+            # zero micro-batches (empty/missing events source): the merged
+            # state is legitimately empty — return the empty result shape
+            # instead of an opaque IndexError (review r9)
+            return spark.createDataFrame(
+                [], "user_id long, last_event_type string, last_cents long"
+            )
         out = (
-            _table(spark, final)
+            _table(spark, versions[-1])
             .filter(~F.col("is_delete"))
             .select(
                 "user_id",

@@ -223,8 +223,16 @@ def scd2_merge_batch(
     out with :func:`write_hash_partitioned`). Nothing scans history-wide.
     """
     batch_v = scd2_from_changelog(changes, keys, ts_col, order)
-    firsts = batch_v.groupBy(*keys).agg(
-        F.min("valid_from").alias("__new_from")
+    # close the old current row at the ORDER-FIRST new version's
+    # valid_from — not min(valid_from): with a custom `order` that
+    # disagrees with ts ordering, the rebuild chains by `order`, so the
+    # close-out must follow the same winner (review r9)
+    ordc = [F.col(c) if isinstance(c, str) else c for c in (order or [ts_col])]
+    w_first = W.partitionBy(*keys).orderBy(*ordc)
+    firsts = (
+        batch_v.withColumn("__rn", F.row_number().over(w_first))
+        .filter(F.col("__rn") == 1)
+        .select(*keys, F.col("valid_from").alias("__new_from"))
     )
     closed = (
         target.join(F.broadcast(firsts), on=list(keys), how="left")
@@ -299,10 +307,19 @@ def merge_into_hash_partitioned(
     partition_expr: Column | None = None,
 ) -> dict:
     """CDC MERGE with write amplification bounded by TOUCHED partitions —
-    the missing half of the scale story once shuffle is O(|batch|)
-    (``merge_changes_keyed``): a full-snapshot rewrite per micro-batch is
-    O(|state|) WRITE I/O no matter how little shuffles. Here the snapshot
-    is laid out by :func:`write_hash_partitioned` and a merge
+    the other lever next to ``merge_changes_keyed``'s shuffle bound: a
+    full-snapshot rewrite per micro-batch is O(|state|) WRITE I/O no
+    matter how little shuffles. Here the snapshot is laid out by
+    :func:`write_hash_partitioned` and a merge
+
+    (Cost honesty: in THIS path the touched-state slice is read as plain
+    partitioned parquet — no bucket metadata — so the merge join and the
+    pre-write ``repartition`` shuffle O(|touched state| + |batch|), i.e.
+    bounded by the touched slice, not |batch| alone; the pure O(|batch|)
+    shuffle needs the bucketed-TABLE path ``stream_cdc_merge`` uses. The
+    two optimizations compose only with a catalog that keeps bucket
+    metadata per partition directory — a lakehouse table format's job,
+    out of scope here.)
 
     1. computes the touched bucket ids from the batch keys (bounded
        driver-side collect: at most ``n_buckets`` longs);
@@ -340,6 +357,21 @@ def merge_into_hash_partitioned(
     import shutil
 
     base = path.rstrip("/")
+    stage = base + ".__merge_stage__"
+    # crash recovery FIRST (review r9 — same lesson as compact_path r8): a
+    # death between the two swap renames leaves base/__bucket=b missing and
+    # stage/__bucket=b.old as the ONLY copy of that bucket's prior state.
+    # Restore any such orphan BEFORE clearing the stage, or the replay's
+    # rmtree would destroy it and the merge would silently rebuild the
+    # bucket from the batch alone, dropping every other key in it.
+    if os.path.isdir(stage):
+        for entry in os.listdir(stage):
+            if entry.endswith(".old"):
+                dst = os.path.join(base, entry.removesuffix(".old"))
+                if not os.path.exists(dst):
+                    os.rename(os.path.join(stage, entry), dst)
+    shutil.rmtree(stage, ignore_errors=True)
+
     part = partition_expr if partition_expr is not None else hash_bucket(keys, n_buckets)
     batch = changes.withColumn("__bucket", part)
     touched = sorted(
@@ -356,21 +388,29 @@ def merge_into_hash_partitioned(
     batch_aligned = batch.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in state.schema.fields]
     )
-    merged = merge_changes_keyed(state, batch_aligned, keys, order)
-    stage = base + ".__merge_stage__"
-    shutil.rmtree(stage, ignore_errors=True)
-    (
-        merged.repartition("__bucket")
-        .write.partitionBy("__bucket")
-        .mode("overwrite")
-        .parquet(stage)
-    )
-    # read-back verify per touched bucket BEFORE any swap: the staged write
-    # must carry exactly the merged row count per bucket
-    want = {
-        r["__bucket"]: r["n"]
-        for r in merged.groupBy("__bucket").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    # persist: the merged slice is consumed twice (staged write + the
+    # verify counts) — without this the full outer-join merge would run
+    # end-to-end twice per micro-batch (review r9)
+    merged = merge_changes_keyed(state, batch_aligned, keys, order).persist()
+    try:
+        # one shuffle on the bucket id so each touched partition lands as
+        # one file instead of one-per-task; bounded by the touched slice
+        (
+            merged.repartition("__bucket")
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(stage)
+        )
+        # read-back verify per touched bucket BEFORE any swap: the staged
+        # write must carry exactly the merged row count per bucket
+        want = {
+            r["__bucket"]: r["n"]
+            for r in merged.groupBy("__bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    finally:
+        merged.unpersist(False)
     got = {
         r["__bucket"]: r["n"]
         for r in spark.read.parquet(stage)

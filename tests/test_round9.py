@@ -336,6 +336,40 @@ class TestScd2IncrementalMerge:
             map(tuple, want.collect())
         )
 
+    def test_custom_order_disagreeing_with_ts(self, spark):
+        """Review r9: with order=[seq] and ts NOT monotone in seq, the
+        close-out must use the ORDER-FIRST new version's valid_from (the
+        rebuild chains by order), not min(valid_from)."""
+        from dbt_decodable_spark.streaming.changelog import (
+            scd2_from_changelog,
+            scd2_merge_batch,
+        )
+
+        ddl = "k long, seq long, ts long, v string"
+        init_rows = [(1, 0, 5, "a")]
+        batch_rows = [(1, 1, 10, "b"), (1, 2, 9, "c")]  # ts regresses at seq 2
+        init = scd2_from_changelog(
+            spark.createDataFrame(init_rows, ddl), ["k"], "ts",
+            order=[F.col("seq")],
+        )
+        merged = scd2_merge_batch(
+            init,
+            spark.createDataFrame(batch_rows, ddl),
+            ["k"],
+            "ts",
+            order=[F.col("seq")],
+        )
+        want = scd2_from_changelog(
+            spark.createDataFrame(init_rows + batch_rows, ddl), ["k"], "ts",
+            order=[F.col("seq")],
+        )
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        # the old current row closes at the seq-first version's ts (10)
+        closed = merged.filter("seq = 0").collect()[0]
+        assert closed.valid_to == 10 and not closed.is_current
+
     def test_new_key_and_single_current_invariant(self, spark):
         from dbt_decodable_spark.streaming.changelog import (
             scd2_from_changelog,
@@ -470,6 +504,53 @@ class TestPartialRewriteMerge:
         assert r1 == r2 and snap1 == snap2
         assert (
             spark.read.parquet(path).filter("k = 1000").count() == 1
+        )
+
+    def test_crash_between_swap_renames_recovers_old_copy(
+        self, spark, tmp_path
+    ):
+        """Review r9: a death between rename(dst, old) and rename(src, dst)
+        leaves stage/__bucket=b.old as the ONLY copy of b's prior state.
+        The next merge must restore it before clearing the stage —
+        otherwise the bucket is silently rebuilt from the batch alone."""
+        import os
+        import shutil
+
+        from dbt_decodable_spark.streaming.changelog import (
+            fold_last_image,
+            hash_bucket,
+            merge_into_hash_partitioned,
+        )
+
+        path, init = self._build(spark, tmp_path)
+        # pick the bucket key 7 lives in and fabricate the crash state:
+        # base/__bucket=b moved aside into the stage as .old
+        [b] = [
+            r[0]
+            for r in spark.createDataFrame([(7,)], "k long")
+            .select(hash_bucket(["k"], 8))
+            .collect()
+        ]
+        stage = path + ".__merge_stage__"
+        os.makedirs(stage, exist_ok=True)
+        os.rename(
+            os.path.join(path, f"__bucket={b}"),
+            os.path.join(stage, f"__bucket={b}.old"),
+        )
+        # also leave a half-written src dir, as the crashed write would
+        os.makedirs(os.path.join(stage, f"__bucket={b}"), exist_ok=True)
+        batch = spark.createDataFrame([(7, 1, 777, False)], self.DDL)
+        merge_into_hash_partitioned(
+            spark, path, batch, ["k"], [F.col("seq")], 8
+        )
+        shutil.rmtree(stage, ignore_errors=True)
+        # every pre-existing key of bucket b survived, plus the update
+        want = fold_last_image(
+            init.unionByName(batch), ["k"], [F.col("seq")]
+        )
+        got = spark.read.parquet(path).drop("__bucket")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
         )
 
     def test_empty_batch_is_noop(self, spark, tmp_path):
