@@ -129,6 +129,20 @@ def delete_rows_partitioned(
     import urllib.parse
 
     base = path.rstrip("/")
+    # crash recovery FIRST (review r9 — same dance as the changelog.py
+    # partial-rewrite merge): a death between the two swap renames leaves
+    # the partition dir missing and stage/<part>.old as the ONLY copy of
+    # its surviving rows. Restore any such orphan BEFORE the locate scan
+    # (so its rows are visible again) and BEFORE any stage cleanup (which
+    # would otherwise destroy the copy — silent loss on a purge path).
+    _stage = base + ".__del_stage__"
+    if os.path.isdir(_stage):
+        for _entry in os.listdir(_stage):
+            if _entry.endswith(".old"):
+                _dst = os.path.join(base, _entry.removesuffix(".old"))
+                if not os.path.exists(_dst):
+                    os.rename(os.path.join(_stage, _entry), _dst)
+        shutil.rmtree(_stage, ignore_errors=True)
     # dedupe by the CANONICAL STRING form (what the doomed frame is built
     # from): a repeated id — including 4 vs "4", or a mixed-type list that
     # plain sorted(set(...)) would crash on — must count once

@@ -208,14 +208,19 @@ def scd2_merge_batch(
     (window over |batch|, not |history|), then MERGE-close the target's
     previous current rows whose key the batch touches.
 
-    Contract (standard CDC ingestion): batches arrive time-ordered per key
-    — every batch row's ``ts_col`` is ≥ the target's current-row
-    ``valid_from`` for that key. Under that contract, folding batches
-    through this function converges to ``scd2_from_changelog`` over the
-    concatenated change log (property-tested across random time-ordered
-    splits, ``tests/test_round9.py``). Out-of-order history repair is a
-    different operation: rebuild the affected keys' chains via the batch
-    form over their full history.
+    Contract (standard CDC ingestion): batches arrive ORDER-ordered per
+    key — every batch row sorts after the target's current row by the
+    ``order`` columns (default ``[ts_col]``, where this is the usual
+    "timestamps only move forward" guarantee). Note the contract is about
+    ``order``, not ``ts_col`` (review r9): with a custom ``order``, a
+    batch whose order-first row sorts BEFORE the target's current row
+    diverges from the rebuild even if its timestamps are newer. Under the
+    contract, folding batches through this function converges to
+    ``scd2_from_changelog`` over the concatenated change log
+    (property-tested across random order-respecting splits,
+    ``tests/test_round9.py``). Out-of-order history repair is a different
+    operation: rebuild the affected keys' chains via the batch form over
+    their full history.
 
     Scale: the window shuffles only the batch; the close-out is a key-equi
     join of target against the batch's ≤|batch| distinct keys (broadcast

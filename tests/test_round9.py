@@ -277,6 +277,38 @@ class TestMaintenanceCastGuard:
         # nothing was deleted by the failed call
         assert spark.read.parquet(path).count() == 20
 
+    def test_crash_between_swap_renames_recovers_partition(
+        self, spark, tmp_path
+    ):
+        """Review r9 follow-up: the same orphan-restore the partial-rewrite
+        merge got — a death between rename(pdir, old) and rename(tmp, pdir)
+        leaves stage/<part>.old as the ONLY copy of the partition's
+        surviving rows; the next run must restore it, not rmtree it."""
+        import os
+
+        from dbt_decodable_spark.operators.maintenance import (
+            delete_rows_partitioned,
+        )
+
+        path = str(tmp_path / "t3")
+        spark.createDataFrame(
+            [(i, f"p{i % 2}") for i in range(20)], "doc_id long, part string"
+        ).write.partitionBy("part").parquet(path)
+        # fabricate the crash state: partition p0 moved aside into stage
+        stage = path + ".__del_stage__"
+        os.makedirs(stage, exist_ok=True)
+        os.rename(
+            os.path.join(path, "part=p0"),
+            os.path.join(stage, "part=p0.old"),
+        )
+        # replay the purge — doc_id 4 lives in the orphaned p0
+        deleted = delete_rows_partitioned(spark, path, "part", "doc_id", [4])
+        assert deleted == {"p0": 1}
+        left = spark.read.parquet(path)
+        assert left.count() == 19  # all of p0's other rows survived
+        assert left.filter("doc_id = 4").count() == 0
+        assert not os.path.exists(stage)
+
     def test_castable_ids_still_delete(self, spark, tmp_path):
         from dbt_decodable_spark.operators.maintenance import (
             delete_rows_partitioned,
