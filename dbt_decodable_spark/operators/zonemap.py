@@ -1,0 +1,373 @@
+"""Zone-map data skipping: per-FILE min/max statistics + read-time file
+pruning — the lakehouse lever BELOW partition pruning.
+
+Partition pruning (``write_hash_partitioned``, ``source_partitioned_pruned``)
+skips directories; parquet row-group stats skip pages *after* a file is
+opened.  The gap between them at 100 TB is the file list itself: a table of
+~100k files where a range predicate touches 1% still *opens* every footer
+unless something stores per-file column ranges and prunes the listing first.
+That something is the zone map (Moerkotte, "Small Materialized Aggregates",
+VLDB 1998) — the mechanism behind Delta/Iceberg ``add.stats`` / manifest
+min-max skipping.
+
+Design (Spark-first):
+
+- **Stats collection is one distributed pass**, not a driver loop over
+  footers: re-read the written files and ``groupBy(_metadata.file_path)``
+  aggregating min/max/count/null-count per tracked column.  The collect is
+  bounded at one row per file.
+- **The manifest is advisory, never load-bearing for correctness.**
+  ``read_pruned`` re-applies the predicate as a real Spark filter after
+  pruning, so a too-wide zone map only costs I/O; and the manifest records
+  the exact file inventory (name + size) it described, so if the directory
+  has drifted (compaction, merge, manual edits) the reader detects the
+  mismatch and falls back to the full listing instead of silently missing
+  rows.
+- **Crash-safe manifest write**: temp file + ``os.replace`` — a reader never
+  sees a half-written manifest; a crash mid-write leaves the old manifest
+  (stale → inventory mismatch → full-scan fallback).
+- **NULL semantics**: min/max are computed over non-NULL values (Spark
+  ``min``/``max`` ignore NULLs).  A range predicate ``lo <= col <= hi``
+  can never select a NULL row, so intersecting the predicate with the
+  non-NULL [min, max] interval is exact even for files that contain NULLs,
+  and an all-NULL file (min is NULL) is prunable outright.
+
+Works with any layout, but pays off with a clustered one: files written
+sorted (or z-ordered — ``queries/relational2.py::layout_zorder_stats`` is
+the key computation) have tight disjoint ranges, so a selective predicate
+prunes all but ~the matching fraction of files; an unclustered layout keeps
+every file's range wide and prunes ~nothing (both measured in
+``tests/test_zonemap.py``).
+
+Reference parity: the reference (decodableco/dbt-decodable) delegates
+storage layout to its managed service and exposes nothing here; this module
+is part of the §2.12 extension surface (Z-order layout row).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import tempfile
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_NAME = "_zonemap.json"
+
+# stat value (de)serialization: JSON can't carry timestamps/dates natively,
+# so values are stored tagged and revived to comparable Python types.
+_TAG_ENCODERS = {
+    _dt.datetime: ("ts", lambda v: v.isoformat()),
+    _dt.date: ("date", lambda v: v.isoformat()),
+}
+
+
+def _encode(v: Any) -> Any:
+    if v is None:
+        return None
+    for typ, (tag, enc) in _TAG_ENCODERS.items():
+        # datetime subclasses date — check datetime first (dict is ordered)
+        if isinstance(v, typ):
+            return {"__t": tag, "v": enc(v)}
+    return v
+
+
+def _decode(v: Any) -> Any:
+    if isinstance(v, dict) and "__t" in v:
+        if v["__t"] == "ts":
+            return _dt.datetime.fromisoformat(v["v"])
+        if v["__t"] == "date":
+            return _dt.date.fromisoformat(v["v"])
+    return v
+
+
+def _coerce_bound(bound: Any, sample: Any) -> Any:
+    """Make a user-supplied predicate bound comparable with stored stats:
+    ints vs floats compare fine natively; a date bound against timestamp
+    stats (or the reverse) is widened to the stats' type."""
+    if bound is None or sample is None:
+        return bound
+    if isinstance(sample, _dt.datetime) and isinstance(bound, _dt.date) and not isinstance(bound, _dt.datetime):
+        return _dt.datetime.combine(bound, _dt.time.min)
+    if (
+        isinstance(sample, _dt.date)
+        and not isinstance(sample, _dt.datetime)
+        and isinstance(bound, _dt.datetime)
+    ):
+        return bound.date()
+    return bound
+
+
+def _list_data_files(path: str) -> list[tuple[str, int]]:
+    """(name, size) for every data file directly under ``path`` (recursing
+    into partition subdirectories), excluding Spark markers and our
+    manifest. Sorted for a stable inventory comparison."""
+    out: list[tuple[str, int]] = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            full = os.path.join(root, f)
+            out.append((os.path.relpath(full, path), os.path.getsize(full)))
+    return sorted(out)
+
+
+def _stats_pass(
+    spark: SparkSession,
+    base: str,
+    read_paths: Sequence[str],
+    stats_cols: Sequence[str],
+) -> list[dict]:
+    """One distributed pass over ``read_paths``: per-file row count plus
+    min/max/null-count for each tracked column, keyed by the hidden
+    ``_metadata.file_path`` column (exact provenance — no reliance on task
+    boundaries). ``basePath`` keeps directory-partition columns
+    trackable. The collect is bounded at one row per file."""
+    df = spark.read.option("basePath", base).parquet(*read_paths)
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in stats_cols:
+        aggs += [
+            F.min(c).alias(f"__min_{c}"),
+            F.max(c).alias(f"__max_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+        ]
+    rows = (
+        df.select(F.col("_metadata.file_path").alias("__file"), *[F.col(c) for c in stats_cols])
+        .groupBy("__file")
+        .agg(*aggs)
+        .collect()
+    )
+    abs_base = os.path.abspath(base)
+    out = []
+    for r in rows:
+        fp = r["__file"]
+        if fp.startswith("file:"):
+            fp = fp[len("file:") :]
+        entry = {
+            "file": os.path.relpath(fp, abs_base),
+            "rows": r["__rows"],
+            "cols": {},
+        }
+        for c in stats_cols:
+            entry["cols"][c] = {
+                "min": _encode(r[f"__min_{c}"]),
+                "max": _encode(r[f"__max_{c}"]),
+                "nulls": r[f"__nulls_{c}"],
+            }
+        out.append(entry)
+    return sorted(out, key=lambda e: e["file"])
+
+
+def compute_file_stats(
+    spark: SparkSession, path: str, stats_cols: Sequence[str]
+) -> list[dict]:
+    """Per-file stats for every data file under ``path`` — one pass."""
+    return _stats_pass(spark, path, [path], stats_cols)
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    """Atomic manifest persist: temp file + ``os.replace`` — a reader never
+    observes a torn manifest; a crash leaves the previous one (stale →
+    inventory mismatch → full-scan fallback)."""
+    fd, tmp = tempfile.mkstemp(dir=path, prefix="._zonemap_", suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(path, MANIFEST_NAME))
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def write_zonemap(
+    spark: SparkSession, path: str, stats_cols: Sequence[str]
+) -> dict:
+    """Compute per-file stats for ``path`` and persist them as
+    ``_zonemap.json`` next to the data. Records the file inventory the
+    stats describe so readers can detect drift. Returns the manifest."""
+    path = path.rstrip("/")
+    manifest = {
+        "version": 1,
+        "stats_cols": list(stats_cols),
+        "inventory": [[n, s] for n, s in _list_data_files(path)],
+        "files": compute_file_stats(spark, path, stats_cols),
+    }
+    _write_manifest(path, manifest)
+    return manifest
+
+
+def refresh_zonemap_partial(
+    spark: SparkSession, path: str, changed_subdirs: Sequence[str]
+) -> dict | None:
+    """Incrementally update ``path``'s zone map after a partial rewrite
+    that replaced exactly the given partition subdirectories (e.g.
+    ``["__bucket=3", "__bucket=7"]`` from
+    ``streaming/changelog.merge_into_hash_partitioned``).
+
+    Stats work is O(|touched|): entries under the changed subdirs are
+    dropped, only those subdirs are re-scanned (one bounded pass), and the
+    merged manifest is written atomically.  Entries for untouched files are
+    carried over verbatim — their bytes did not change (the merge pins
+    them by inode).  This is the manifest-update discipline a lakehouse
+    table format applies on MERGE: stats stay transactionally fresh
+    without re-scanning the table.
+
+    Returns the new manifest, or ``None`` when ``path`` has no (readable)
+    manifest — nothing to maintain, and writing one from a partial scan
+    would claim coverage it doesn't have.  A crash between the data swap
+    and this refresh leaves the old manifest whose inventory no longer
+    matches → readers fall back to the full listing (correct, just
+    unpruned) until the next refresh or :func:`write_zonemap`.
+    """
+    path = path.rstrip("/")
+    mpath = os.path.join(path, MANIFEST_NAME)
+    try:
+        with open(mpath) as fh:
+            manifest = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return None
+    prefixes = tuple(d.rstrip("/") + os.sep for d in changed_subdirs)
+    kept = [e for e in manifest["files"] if not e["file"].startswith(prefixes)]
+    live_dirs = [
+        os.path.join(path, d) for d in changed_subdirs
+        if os.path.isdir(os.path.join(path, d))  # a dir can vanish (all rows deleted)
+    ]
+    fresh = (
+        _stats_pass(spark, path, live_dirs, manifest["stats_cols"])
+        if live_dirs
+        else []
+    )
+    manifest["files"] = sorted(kept + fresh, key=lambda e: e["file"])
+    manifest["inventory"] = [[n, s] for n, s in _list_data_files(path)]
+    _write_manifest(path, manifest)
+    return manifest
+
+
+def write_with_zonemap(
+    df: DataFrame,
+    path: str,
+    stats_cols: Sequence[str],
+    cluster_by: Sequence[str] | None = None,
+    n_files: int | None = None,
+) -> dict:
+    """Write ``df`` as parquet and attach a zone map over ``stats_cols``.
+
+    ``cluster_by`` sorts rows ACROSS files on the given expressions via
+    ``repartitionByRange`` + ``sortWithinPartitions`` — the step that makes
+    the zone map selective (disjoint tight ranges per file). Omit it to
+    keep the incoming layout (the zone map is then honest but wide). A
+    z-order key expression works here unchanged: cluster on the interleaved
+    key and track the ORIGINAL dims in ``stats_cols`` — each file stays
+    tight on both (the §2.12 ``layout_zorder_stats`` story, measured in
+    ``tests/test_zonemap.py``).
+    """
+    path = path.rstrip("/")
+    out = df
+    if cluster_by:
+        nf = n_files or max(df.sparkSession.sparkContext.defaultParallelism, 1)
+        cols = [F.expr(c) if isinstance(c, str) else c for c in cluster_by]
+        out = df.repartitionByRange(nf, *cols).sortWithinPartitions(*cols)
+    elif n_files:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(path)
+    return write_zonemap(df.sparkSession, path, stats_cols)
+
+
+def _file_survives(entry: dict, col: str, lo: Any, hi: Any) -> bool:
+    st = entry["cols"].get(col)
+    if st is None:
+        return True  # column untracked → no evidence to prune on
+    mn, mx = _decode(st["min"]), _decode(st["max"])
+    if mn is None or mx is None:
+        # min/max NULL ⇒ every value in the file is NULL (Spark min/max
+        # ignore NULLs) ⇒ no row can satisfy a range predicate
+        return False
+    lo = _coerce_bound(lo, mn)
+    hi = _coerce_bound(hi, mx)
+    if lo is not None and mx < lo:
+        return False
+    if hi is not None and mn > hi:
+        return False
+    return True
+
+
+def prune_files(
+    path: str, predicates: Sequence[tuple[str, Any, Any]]
+) -> dict:
+    """Resolve the file list for a conjunction of range predicates
+    ``(col, lo, hi)`` (either bound may be ``None`` for one-sided; equality
+    is ``(col, v, v)``) against ``path``'s zone map.
+
+    Returns ``{"files": [abs paths], "total": N, "pruned": M, "fallback":
+    reason|None}``. Fallback to the full listing — never an error — when
+    the manifest is absent, unreadable, or describes a different file
+    inventory than the directory currently holds (a compaction/merge wrote
+    data without refreshing the map): the zone map is an optimization, not
+    a correctness gate.
+    """
+    path = path.rstrip("/")
+    inventory = _list_data_files(path)
+    all_files = [os.path.join(path, n) for n, _s in inventory]
+    mpath = os.path.join(path, MANIFEST_NAME)
+    try:
+        with open(mpath) as fh:
+            manifest = json.load(fh)
+    except (OSError, json.JSONDecodeError) as e:
+        return {
+            "files": all_files,
+            "total": len(all_files),
+            "pruned": 0,
+            "fallback": f"manifest unreadable: {e.__class__.__name__}",
+        }
+    if [tuple(x) for x in manifest.get("inventory", [])] != inventory:
+        return {
+            "files": all_files,
+            "total": len(all_files),
+            "pruned": 0,
+            "fallback": "inventory drift: directory changed since zonemap write",
+        }
+    keep = [
+        e["file"]
+        for e in manifest["files"]
+        if all(_file_survives(e, c, lo, hi) for c, lo, hi in predicates)
+    ]
+    return {
+        "files": [os.path.join(path, f) for f in keep],
+        "total": len(all_files),
+        "pruned": len(all_files) - len(keep),
+        "fallback": None,
+    }
+
+
+def read_pruned(
+    spark: SparkSession,
+    path: str,
+    predicates: Sequence[tuple[str, Any, Any]],
+) -> tuple[DataFrame, dict]:
+    """Read ``path`` with zone-map file skipping for a conjunction of range
+    predicates, then RE-APPLY the predicates as real Spark filters (the map
+    prunes at file granularity; rows inside a surviving file still need the
+    filter — and parquet row-group stats then prune below file level for
+    free, since the filter reaches the scan as a pushed predicate).
+
+    Returns ``(df, info)`` where ``info`` is :func:`prune_files`' report.
+    An empty survivor list yields an empty DataFrame with the table's real
+    schema (schema read from the full path, no data scanned)."""
+    info = prune_files(path, predicates)
+    if not info["files"]:
+        df = spark.read.parquet(path.rstrip("/")).limit(0)
+    else:
+        # basePath keeps directory-partition columns (`k=v` path segments)
+        # inferable when individual leaf files are listed explicitly —
+        # without it a pruned read of a partitioned layout would silently
+        # drop the partition column from the schema
+        df = spark.read.option("basePath", path.rstrip("/")).parquet(*info["files"])
+    for c, lo, hi in predicates:
+        if lo is not None:
+            df = df.filter(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(c) <= F.lit(hi))
+    return df, info

@@ -444,6 +444,16 @@ def merge_into_hash_partitioned(
             os.rename(src, dst)
         out[b] = want.get(b, 0)
     shutil.rmtree(stage, ignore_errors=True)
+    # keep the optional zone map transactionally fresh: if the snapshot
+    # carries a `_zonemap.json` (operators/zonemap.py), re-stat ONLY the
+    # touched partition dirs — O(|touched|), entries for untouched files
+    # carry over (their bytes are inode-pinned above). No manifest → no-op.
+    # A crash between the swap and this refresh is safe: the stale map's
+    # inventory no longer matches and readers fall back to the full
+    # listing until the next merge refreshes it.
+    from dbt_decodable_spark.operators.zonemap import refresh_zonemap_partial
+
+    refresh_zonemap_partial(spark, base, [f"__bucket={b}" for b in touched])
     return out
 
 

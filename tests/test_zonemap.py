@@ -1,0 +1,336 @@
+"""Zone-map data skipping (``operators/zonemap.py``): per-file min/max
+manifest + read-time file pruning.
+
+Pins the four properties that make a zone map safe AND useful at 100 TB:
+
+- **exactness**: pruned read ≡ full-scan filter, for clustered, unclustered,
+  z-ordered, NULL-bearing, and empty-survivor cases;
+- **selectivity**: a clustered layout prunes ~(1 - selectivity) of files; an
+  unclustered layout prunes ~nothing (the map is honest about wide ranges);
+  the z-ordered layout prunes on EITHER dimension;
+- **fail-open**: missing / torn / stale manifests fall back to the full file
+  list — never a wrong answer, never an exception;
+- **crash-safety**: manifest writes are temp+rename; a leftover temp file is
+  inert.
+"""
+
+import datetime
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_decodable_spark.operators import zonemap as zm
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # 4000 rows, ids 0..3999, value = id * 3, day cycles over 40 days
+    return spark.range(4000).select(
+        F.col("id"),
+        (F.col("id") * 3).alias("value"),
+        F.date_add(F.lit(datetime.date(2024, 1, 1)), (F.col("id") % 40).cast("int")).alias("day"),
+    )
+
+
+class TestZonemapExactness:
+    def test_clustered_pruned_read_equals_full_filter(self, spark, corpus, tmp_path):
+        path = str(tmp_path / "t")
+        zm.write_with_zonemap(corpus, path, ["id"], cluster_by=["id"], n_files=16)
+        preds = [("id", 1000, 1200)]
+        got, info = zm.read_pruned(spark, path, preds)
+        want = spark.read.parquet(path).filter("id between 1000 and 1200")
+        assert _rows(got) == _rows(want)
+        assert info["fallback"] is None
+        # 16 files over 4000 sorted ids → a 201-id range touches ≤2 files
+        assert info["total"] == 16
+        assert info["total"] - info["pruned"] <= 2
+        # the DataFrame really reads only the surviving files
+        assert len(got.inputFiles()) == info["total"] - info["pruned"]
+
+    def test_one_sided_and_equality_predicates(self, spark, corpus, tmp_path):
+        path = str(tmp_path / "t")
+        zm.write_with_zonemap(corpus, path, ["id"], cluster_by=["id"], n_files=8)
+        got, info = zm.read_pruned(spark, path, [("id", 3900, None)])
+        assert _rows(got) == _rows(spark.read.parquet(path).filter("id >= 3900"))
+        assert info["pruned"] >= 6
+        got_eq, info_eq = zm.read_pruned(spark, path, [("id", 42, 42)])
+        assert [r[0] for r in got_eq.collect()] == [42]
+        assert info_eq["total"] - info_eq["pruned"] == 1
+
+    def test_empty_survivor_set_keeps_schema(self, spark, corpus, tmp_path):
+        path = str(tmp_path / "t")
+        zm.write_with_zonemap(corpus, path, ["id"], cluster_by=["id"], n_files=4)
+        got, info = zm.read_pruned(spark, path, [("id", 10_000, 20_000)])
+        assert got.count() == 0
+        assert got.columns == spark.read.parquet(path).columns
+        assert info["pruned"] == info["total"]
+
+    def test_conjunction_intersects(self, spark, corpus, tmp_path):
+        path = str(tmp_path / "t")
+        zm.write_with_zonemap(corpus, path, ["id", "value"], cluster_by=["id"], n_files=8)
+        preds = [("id", 500, 1500), ("value", 3000, 3300)]
+        got, _ = zm.read_pruned(spark, path, preds)
+        want = spark.read.parquet(path).filter(
+            "id between 500 and 1500 and value between 3000 and 3300"
+        )
+        assert _rows(got) == _rows(want)
+
+    def test_date_stats_roundtrip_and_pruning(self, spark, corpus, tmp_path):
+        path = str(tmp_path / "t")
+        zm.write_with_zonemap(corpus, path, ["day"], cluster_by=["day", "id"], n_files=8)
+        lo, hi = datetime.date(2024, 1, 5), datetime.date(2024, 1, 7)
+        got, info = zm.read_pruned(spark, path, [("day", lo, hi)])
+        want = spark.read.parquet(path).filter("day between '2024-01-05' and '2024-01-07'")
+        assert _rows(got) == _rows(want)
+        assert info["pruned"] > 0
+
+    def test_all_null_file_pruned_nulls_elsewhere_kept(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = spark.range(100).select(
+            F.col("id"),
+            F.when(F.col("id") < 50, F.col("id")).alias("v"),  # ids 50+ → NULL v
+        )
+        # cluster by id so one file is all-NULL in v
+        zm.write_with_zonemap(df, path, ["v"], cluster_by=["id"], n_files=2)
+        got, info = zm.read_pruned(spark, path, [("v", 0, 200)])
+        want = spark.read.parquet(path).filter("v between 0 and 200")
+        assert _rows(got) == _rows(want)
+        # the all-NULL file cannot satisfy a range predicate → pruned
+        assert info["pruned"] == 1
+
+
+class TestZonemapSelectivity:
+    def test_clustered_beats_unclustered(self, spark, corpus, tmp_path):
+        clustered = str(tmp_path / "c")
+        unclustered = str(tmp_path / "u")
+        zm.write_with_zonemap(corpus, clustered, ["id"], cluster_by=["id"], n_files=16)
+        # hash-scatter the same rows: every file's id range is ~full-width
+        zm.write_with_zonemap(
+            corpus.repartition(16, "value"), unclustered, ["id"], n_files=None
+        )
+        preds = [("id", 0, 249)]  # ~6% of rows
+        _, ci = zm.read_pruned(spark, clustered, preds)
+        _, ui = zm.read_pruned(spark, unclustered, preds)
+        assert ci["pruned"] >= 14  # tight layout: ≥14/16 skipped
+        assert ui["pruned"] == 0  # scattered layout: honest, skips nothing
+        # both still return identical rows
+        g1, _ = zm.read_pruned(spark, clustered, preds)
+        g2, _ = zm.read_pruned(spark, unclustered, preds)
+        assert _rows(g1.select("id", "value", "day")) == _rows(g2.select("id", "value", "day"))
+
+    def test_zorder_prunes_on_either_dimension(self, spark, tmp_path):
+        """The §2.12 z-order story end-to-end: cluster on the interleaved
+        key, track BOTH original dims — a selective filter on either dim
+        prunes files; a linear sort on x alone cannot prune on y."""
+        from dbt_decodable_spark.queries.relational2 import _zkey, _Z_SPARK_SHL
+
+        # full 256 x 64 grid: x and y genuinely independent
+        df = spark.range(256 * 64).select(
+            (F.col("id") % 256).alias("x"),
+            F.expr("id div 256").alias("y"),
+        )
+        zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
+        zdf = df.withColumn("zkey", F.expr(_zkey("x", "y", _Z_SPARK_SHL)))
+        zm.write_with_zonemap(zdf, zpath, ["x", "y"], cluster_by=["zkey"], n_files=16)
+        zm.write_with_zonemap(df, lpath, ["x", "y"], cluster_by=["x"], n_files=16)
+        px, py = [("x", 0, 31)], [("y", 0, 7)]  # 1/8 of each dim
+        _, zx = zm.read_pruned(spark, zpath, px)
+        _, zy = zm.read_pruned(spark, zpath, py)
+        _, lx = zm.read_pruned(spark, lpath, px)
+        _, ly = zm.read_pruned(spark, lpath, py)
+        # z-order tiles fix (x bits 5-7, y bit 5) per file: x-selective
+        # filters keep ~2/16 files, y-selective ~8/16 — BOTH dims prune
+        assert zx["pruned"] >= 10 and zy["pruned"] >= 6
+        assert lx["pruned"] >= 12  # linear: excellent on the sort key...
+        assert ly["pruned"] == 0  # ...nothing on the other dim
+        # correctness on the z layout for both dims
+        got, _ = zm.read_pruned(spark, zpath, py)
+        want = spark.read.parquet(zpath).filter("y between 0 and 7")
+        assert _rows(got) == _rows(want)
+
+
+class TestZonemapIncrementalRefresh:
+    """The MERGE ↔ zone-map integration: `merge_into_hash_partitioned`
+    re-stats ONLY the touched partition dirs (O(|touched|) manifest
+    maintenance), untouched entries carry over verbatim, and pruning stays
+    live across merges with no full rescan."""
+
+    DDL = "k long, seq long, v long, is_delete boolean"
+
+    def _build(self, spark, tmp_path):
+        from dbt_decodable_spark.streaming.changelog import write_hash_partitioned
+
+        path = str(tmp_path / "snap")
+        init = spark.createDataFrame(
+            [(i, 0, i * 10, False) for i in range(1000)], self.DDL
+        )
+        # range layout: k div 100 → 10 dirs, keys stay local
+        write_hash_partitioned(
+            init, path, ["k"], 10, partition_expr=F.expr("k div 100")
+        )
+        zm.write_zonemap(spark, path, ["k", "v"])
+        return path
+
+    def test_merge_refreshes_touched_entries_only(self, spark, tmp_path):
+        from dbt_decodable_spark.streaming.changelog import (
+            merge_into_hash_partitioned,
+        )
+
+        path = self._build(spark, tmp_path)
+        before = json.load(open(os.path.join(path, zm.MANIFEST_NAME)))
+        batch = spark.createDataFrame(
+            [(i, 1, 999_000 + i, False) for i in range(150, 250)], self.DDL
+        )
+        touched = merge_into_hash_partitioned(
+            spark, path, batch, ["k"], [F.col("seq")], 10,
+            partition_expr=F.expr("k div 100"),
+        )
+        assert set(touched) == {1, 2}
+        after = json.load(open(os.path.join(path, zm.MANIFEST_NAME)))
+        # untouched dirs: manifest entries byte-identical to before
+        b_un = [e for e in before["files"] if not e["file"].startswith(("__bucket=1/", "__bucket=2/"))]
+        a_un = [e for e in after["files"] if not e["file"].startswith(("__bucket=1/", "__bucket=2/"))]
+        assert b_un == a_un and len(b_un) == 8
+        # touched dirs: stats reflect the merged values (v max jumped)
+        vmax = max(
+            zm._decode(e["cols"]["v"]["max"])
+            for e in after["files"]
+            if e["file"].startswith(("__bucket=1/", "__bucket=2/"))
+        )
+        assert vmax == 999_249
+        # pruning is LIVE right after the merge (no fallback) — and exact
+        got, info = zm.read_pruned(spark, path, [("v", 999_000, None)])
+        assert info["fallback"] is None
+        assert info["total"] - info["pruned"] == 2
+        assert got.count() == 100
+
+    def test_merge_without_manifest_is_noop(self, spark, tmp_path):
+        from dbt_decodable_spark.streaming.changelog import (
+            merge_into_hash_partitioned,
+        )
+
+        path = self._build(spark, tmp_path)
+        os.unlink(os.path.join(path, zm.MANIFEST_NAME))
+        batch = spark.createDataFrame([(5, 1, 7, False)], self.DDL)
+        merge_into_hash_partitioned(
+            spark, path, batch, ["k"], [F.col("seq")], 10,
+            partition_expr=F.expr("k div 100"),
+        )
+        assert not os.path.exists(os.path.join(path, zm.MANIFEST_NAME))
+
+    def test_refresh_handles_vanished_dir(self, spark, corpus, tmp_path):
+        path = str(tmp_path / "t")
+        from dbt_decodable_spark.streaming.changelog import write_hash_partitioned
+
+        df = corpus.select(
+            F.col("id").alias("k"), F.lit(0).alias("seq"),
+            F.col("value").alias("v"), F.lit(False).alias("is_delete"),
+        )
+        write_hash_partitioned(df, path, ["k"], 8, partition_expr=F.expr("k div 500"))
+        zm.write_zonemap(spark, path, ["k"])
+        shutil.rmtree(os.path.join(path, "__bucket=3"))
+        m = zm.refresh_zonemap_partial(spark, path, ["__bucket=3"])
+        assert not any(e["file"].startswith("__bucket=3/") for e in m["files"])
+        got, info = zm.read_pruned(spark, path, [("k", 0, 499)])
+        assert info["fallback"] is None
+        assert got.count() == 500
+
+
+class TestZonemapFailOpen:
+    def _write(self, corpus, tmp_path):
+        path = str(tmp_path / "t")
+        zm.write_with_zonemap(corpus, path, ["id"], cluster_by=["id"], n_files=8)
+        return path
+
+    def test_missing_manifest_falls_back(self, spark, corpus, tmp_path):
+        path = self._write(corpus, tmp_path)
+        os.unlink(os.path.join(path, zm.MANIFEST_NAME))
+        got, info = zm.read_pruned(spark, path, [("id", 0, 99)])
+        assert info["fallback"] is not None and info["pruned"] == 0
+        assert got.count() == 100
+
+    def test_torn_manifest_falls_back(self, spark, corpus, tmp_path):
+        path = self._write(corpus, tmp_path)
+        with open(os.path.join(path, zm.MANIFEST_NAME), "w") as fh:
+            fh.write('{"version": 1, "files": [')  # truncated JSON
+        got, info = zm.read_pruned(spark, path, [("id", 0, 99)])
+        assert "unreadable" in info["fallback"]
+        assert got.count() == 100
+
+    def test_stale_manifest_after_rewrite_falls_back(self, spark, corpus, tmp_path):
+        """Compaction/merge rewrote the data but nobody refreshed the map:
+        the inventory mismatch must force a full read — the old stats refer
+        to files that no longer exist and would otherwise silently drop
+        every row of the new layout."""
+        path = self._write(corpus, tmp_path)
+        manifest = open(os.path.join(path, zm.MANIFEST_NAME)).read()
+        corpus.repartition(3).write.mode("overwrite").parquet(path)
+        with open(os.path.join(path, zm.MANIFEST_NAME), "w") as fh:
+            fh.write(manifest)  # restore the now-stale map
+        got, info = zm.read_pruned(spark, path, [("id", 0, 99)])
+        assert info["fallback"] is not None and "drift" in info["fallback"]
+        assert got.count() == 100
+
+    def test_refresh_after_rewrite_restores_pruning(self, spark, corpus, tmp_path):
+        path = self._write(corpus, tmp_path)
+        (
+            corpus.repartitionByRange(8, "id")
+            .sortWithinPartitions("id")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        zm.write_zonemap(spark, path, ["id"])  # the post-compaction refresh
+        got, info = zm.read_pruned(spark, path, [("id", 0, 99)])
+        assert info["fallback"] is None and info["pruned"] >= 6
+        assert got.count() == 100
+
+    def test_leftover_temp_file_is_inert(self, spark, corpus, tmp_path):
+        path = self._write(corpus, tmp_path)
+        # simulate a crash mid-manifest-write: tmp file left behind
+        with open(os.path.join(path, "._zonemap_crash.tmp"), "w") as fh:
+            fh.write("garbage")
+        got, info = zm.read_pruned(spark, path, [("id", 0, 99)])
+        assert info["fallback"] is None  # live manifest still wins
+        assert got.count() == 100
+
+    def test_untracked_column_never_prunes(self, spark, corpus, tmp_path):
+        path = self._write(corpus, tmp_path)  # tracks only `id`
+        got, info = zm.read_pruned(spark, path, [("value", 0, 299)])
+        assert info["pruned"] == 0  # no stats for `value` → keep everything
+        assert got.count() == 100  # values 0..297 step 3
+
+    def test_partitioned_layout_keeps_partition_column(self, spark, tmp_path):
+        """Zone map over a directory-partitioned snapshot (the
+        ``write_hash_partitioned`` layout): pruned reads must keep the
+        ``__bucket`` partition column inferable (basePath) and compose
+        with a range layout — file skipping BELOW directory skipping."""
+        from dbt_decodable_spark.streaming.changelog import write_hash_partitioned
+
+        df = spark.range(2000).select(
+            F.col("id").alias("doc_id"), (F.col("id") * 7).alias("v")
+        )
+        path = str(tmp_path / "snap")
+        write_hash_partitioned(
+            df, path, ["doc_id"], 10, partition_expr=F.expr("doc_id div 200")
+        )
+        zm.write_zonemap(spark, path, ["doc_id"])
+        got, info = zm.read_pruned(spark, path, [("doc_id", 100, 299)])
+        assert "__bucket" in got.columns  # basePath kept the partition col
+        want = spark.read.parquet(path).filter("doc_id between 100 and 299")
+        assert _rows(got) == _rows(want)
+        assert info["pruned"] >= info["total"] - 4  # ≥6/10 dirs skipped
+
+    def test_manifest_inventory_matches_disk(self, corpus, tmp_path, spark):
+        path = self._write(corpus, tmp_path)
+        m = json.load(open(os.path.join(path, zm.MANIFEST_NAME)))
+        disk = {n for n, _ in zm._list_data_files(path)}
+        assert {f[0] for f in m["inventory"]} == disk
+        assert {e["file"] for e in m["files"]} == disk
+        assert m["stats_cols"] == ["id"]
