@@ -342,6 +342,96 @@ def prune_files(
     }
 
 
+def prune_for_join(
+    spark: SparkSession,
+    fact_path: str,
+    dim: DataFrame,
+    dim_key: str,
+    fact_key: str | None = None,
+    max_distinct: int = 10_000,
+) -> tuple[DataFrame, dict]:
+    """Dynamic FILE skipping for a join — the zone-map analogue of Spark's
+    dynamic partition pruning: before joining a big zone-mapped fact table
+    against a selective dim side, derive the dim's key envelope and drop
+    every fact file whose ``fact_key`` range can't contain any dim key.
+
+    Two modes, picked by the dim's distinct-key count (one small agg on the
+    dim side first — its result is a single row):
+
+    - ≤ ``max_distinct`` distinct keys: collect them (bounded by contract,
+      same budget class as a broadcast join's build side) and keep a file
+      iff at least one key stabs its [min, max] interval — exact at file
+      granularity even for sparse key sets that span a wide range;
+    - larger: fall back to the [min(dim), max(dim)] envelope — two values,
+      no per-key work, still correct (envelope ⊇ keys).
+
+    SAFETY — this is a *semi-join reduction*, valid only where a fact row
+    with no dim match contributes nothing: INNER and LEFT-SEMI joins with
+    the fact on the pruned side. An outer join that must preserve
+    unmatched fact rows must not use it (documented contract, not
+    detectable here — the caller owns the join type).
+
+    Returns ``(pruned_fact_df, info)`` — ``info`` adds ``"mode"``
+    (``"stab"``/``"envelope"``) to :func:`prune_files`' report.  All the
+    fail-open behavior of :func:`read_pruned` applies (no manifest /
+    drift → full listing).  An all-NULL or empty dim key set yields an
+    empty fact (inner-join identity: NULL keys never match).
+    """
+    fact_key = fact_key or dim_key
+    row = dim.agg(
+        F.min(dim_key).alias("lo"),
+        F.max(dim_key).alias("hi"),
+        F.count_distinct(F.col(dim_key)).alias("n"),
+    ).collect()[0]
+    if row["n"] == 0:
+        df = spark.read.parquet(fact_path.rstrip("/")).limit(0)
+        total = len(_list_data_files(fact_path.rstrip("/")))
+        return df, {
+            "files": [],
+            "total": total,
+            "pruned": total,
+            "fallback": None,
+            "mode": "empty-dim",
+        }
+    if row["n"] <= max_distinct:
+        keys = sorted(
+            r[0] for r in dim.select(dim_key).distinct().dropna().collect()
+        )
+        info = prune_files(fact_path, [(fact_key, row["lo"], row["hi"])])
+        if info["fallback"] is None:
+            # refine the envelope survivors: keep a file iff some dim key
+            # stabs its interval (bisect over the sorted key list)
+            import bisect
+
+            mpath = os.path.join(fact_path.rstrip("/"), MANIFEST_NAME)
+            with open(mpath) as fh:
+                by_file = {e["file"]: e for e in json.load(fh)["files"]}
+            base = fact_path.rstrip("/")
+            kept = []
+            for f in info["files"]:
+                st = by_file[os.path.relpath(f, base)]["cols"].get(fact_key)
+                if st is None:
+                    kept.append(f)
+                    continue
+                mn, mx = _decode(st["min"]), _decode(st["max"])
+                if mn is None:
+                    continue
+                i = bisect.bisect_left(keys, _coerce_bound(mn, keys[0]))
+                if i < len(keys) and keys[i] <= _coerce_bound(mx, keys[0]):
+                    kept.append(f)
+            info["pruned"] = info["total"] - len(kept)
+            info["files"] = kept
+        info["mode"] = "stab"
+    else:
+        info = prune_files(fact_path, [(fact_key, row["lo"], row["hi"])])
+        info["mode"] = "envelope"
+    if not info["files"]:
+        df = spark.read.parquet(fact_path.rstrip("/")).limit(0)
+    else:
+        df = spark.read.option("basePath", fact_path.rstrip("/")).parquet(*info["files"])
+    return df, info
+
+
 def read_pruned(
     spark: SparkSession,
     path: str,

@@ -156,6 +156,59 @@ class TestZonemapSelectivity:
         assert _rows(got) == _rows(want)
 
 
+class TestZonemapJoinPruning:
+    """`prune_for_join`: dynamic file skipping from the dim side's key set
+    — the zone-map analogue of dynamic partition pruning, valid for
+    inner/semi joins with the fact on the pruned side."""
+
+    @pytest.fixture()
+    def fact_path(self, spark, corpus, tmp_path):
+        path = str(tmp_path / "fact")
+        zm.write_with_zonemap(corpus, path, ["id"], cluster_by=["id"], n_files=16)
+        return path
+
+    def test_stab_mode_equals_unpruned_inner_join(self, spark, corpus, fact_path):
+        dim = spark.createDataFrame([(10, "a"), (2000, "b"), (3999, "c")], "id long, tag string")
+        pruned, info = zm.prune_for_join(spark, fact_path, dim, "id")
+        assert info["mode"] == "stab" and info["fallback"] is None
+        assert info["total"] - info["pruned"] <= 3
+        got = pruned.join(dim, "id").select("id", "value", "tag")
+        want = spark.read.parquet(fact_path).join(dim, "id").select("id", "value", "tag")
+        assert _rows(got) == _rows(want)
+
+    def test_stab_beats_envelope_on_sparse_keys(self, spark, fact_path):
+        # keys at both extremes: the [min,max] envelope covers every file,
+        # interval stabbing keeps only the two containing files
+        dim = spark.createDataFrame([(5,), (3995,)], "id long")
+        _, stab = zm.prune_for_join(spark, fact_path, dim, "id")
+        assert stab["mode"] == "stab" and stab["total"] - stab["pruned"] == 2
+        _, env = zm.prune_for_join(spark, fact_path, dim, "id", max_distinct=1)
+        assert env["mode"] == "envelope" and env["pruned"] == 0
+
+    def test_envelope_mode_still_correct(self, spark, fact_path):
+        dim = spark.createDataFrame([(i,) for i in range(100, 140)], "id long")
+        pruned, info = zm.prune_for_join(spark, fact_path, dim, "id", max_distinct=5)
+        assert info["mode"] == "envelope" and info["pruned"] >= 14
+        got = pruned.join(dim, "id").select("id", "value")
+        want = spark.read.parquet(fact_path).join(dim, "id").select("id", "value")
+        assert _rows(got) == _rows(want)
+
+    def test_empty_or_all_null_dim_yields_empty_fact(self, spark, fact_path):
+        empty = spark.createDataFrame([], "id long")
+        pruned, info = zm.prune_for_join(spark, fact_path, empty, "id")
+        assert info["mode"] == "empty-dim" and pruned.count() == 0
+        nulls = spark.createDataFrame([(None,)], "id long")
+        pruned2, info2 = zm.prune_for_join(spark, fact_path, nulls, "id")
+        assert info2["mode"] == "empty-dim" and pruned2.count() == 0
+
+    def test_missing_manifest_falls_back_full_join(self, spark, fact_path):
+        os.unlink(os.path.join(fact_path, zm.MANIFEST_NAME))
+        dim = spark.createDataFrame([(10,)], "id long")
+        pruned, info = zm.prune_for_join(spark, fact_path, dim, "id")
+        assert info["fallback"] is not None and info["pruned"] == 0
+        assert pruned.join(dim, "id").count() == 1
+
+
 class TestZonemapIncrementalRefresh:
     """The MERGE ↔ zone-map integration: `merge_into_hash_partitioned`
     re-stats ONLY the touched partition dirs (O(|touched|) manifest
