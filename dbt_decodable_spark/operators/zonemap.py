@@ -246,6 +246,42 @@ def refresh_zonemap_partial(
     return manifest
 
 
+def refresh_zonemap_appended(spark: SparkSession, path: str) -> dict | None:
+    """Bring ``path``'s zone map up to date after APPENDS — the streaming
+    sink's manifest maintenance (e.g. call it from ``foreachBatch`` after
+    the batch's ``mode("append")`` write, or on a periodic trigger).
+
+    Appends never rewrite existing bytes, so entries whose (name, size)
+    still match the old inventory carry over and only the manifest-unseen
+    files are statted — O(|appended|) per call, one bounded pass. A file
+    whose SIZE changed for the same name (not an append — someone rewrote
+    in place) is re-statted too, so the refresh is also a general
+    catch-up. Returns the new manifest, or ``None`` when there is no
+    manifest to maintain (write one with :func:`write_zonemap` first).
+    """
+    path = path.rstrip("/")
+    mpath = os.path.join(path, MANIFEST_NAME)
+    try:
+        with open(mpath) as fh:
+            manifest = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return None
+    old_inv = {tuple(x) for x in manifest.get("inventory", [])}
+    disk = _list_data_files(path)
+    unchanged = {n for n, s in disk if (n, s) in old_inv}
+    kept = [e for e in manifest["files"] if e["file"] in unchanged]
+    new_files = [os.path.join(path, n) for n, s in disk if n not in unchanged]
+    fresh = (
+        _stats_pass(spark, path, new_files, manifest["stats_cols"])
+        if new_files
+        else []
+    )
+    manifest["files"] = sorted(kept + fresh, key=lambda e: e["file"])
+    manifest["inventory"] = [[n, s] for n, s in disk]
+    _write_manifest(path, manifest)
+    return manifest
+
+
 def write_with_zonemap(
     df: DataFrame,
     path: str,
@@ -340,6 +376,114 @@ def prune_files(
         "pruned": len(all_files) - len(keep),
         "fallback": None,
     }
+
+
+def count_pruned(
+    spark: SparkSession,
+    path: str,
+    predicates: Sequence[tuple[str, Any, Any]],
+) -> tuple[int, dict]:
+    """Predicate count with metadata short-circuiting: a surviving file
+    whose tracked interval lies ENTIRELY inside every predicate range (and
+    has zero NULLs in each predicate column — NULL rows never satisfy a
+    range predicate, and per-column null counts can't be intersected
+    across columns) contributes its exact row count straight from the
+    manifest; only the boundary files — those the predicate cuts through —
+    are scanned.  On a clustered layout a range predicate has at most two
+    boundary files regardless of table size, so the count is O(manifest)
+    + two file scans at 100 TB.  Exactness is unconditional: anything not
+    provably fully-covered is scanned with the real filter, and manifest
+    fallback (missing/drifted) degrades to a plain filtered count.
+
+    Returns ``(count, info)`` — ``info`` extends :func:`prune_files`'
+    report with ``files_metadata_only`` and ``files_scanned``.
+    """
+    info = prune_files(path, predicates)
+    if info["fallback"] is not None:
+        df = spark.read.parquet(path.rstrip("/"))
+        for c, lo, hi in predicates:
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(c) <= F.lit(hi))
+        n = df.count()
+        info.update({"files_metadata_only": 0, "files_scanned": info["total"]})
+        return n, info
+
+    base = path.rstrip("/")
+    with open(os.path.join(base, MANIFEST_NAME)) as fh:
+        by_file = {e["file"]: e for e in json.load(fh)["files"]}
+
+    def fully_covered(entry: dict) -> bool:
+        for c, lo, hi in predicates:
+            st = entry["cols"].get(c)
+            if st is None or st["nulls"] != 0:
+                return False
+            mn, mx = _decode(st["min"]), _decode(st["max"])
+            if mn is None:
+                return False
+            if lo is not None and mn < _coerce_bound(lo, mn):
+                return False
+            if hi is not None and mx > _coerce_bound(hi, mx):
+                return False
+        return True
+
+    meta_rows = 0
+    to_scan: list[str] = []
+    for f in info["files"]:
+        e = by_file[os.path.relpath(f, base)]
+        if fully_covered(e):
+            meta_rows += e["rows"]
+        else:
+            to_scan.append(f)
+    n = meta_rows
+    if to_scan:
+        df = spark.read.option("basePath", base).parquet(*to_scan)
+        for c, lo, hi in predicates:
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(c) <= F.lit(hi))
+        n += df.count()
+    info.update(
+        {
+            "files_metadata_only": len(info["files"]) - len(to_scan),
+            "files_scanned": len(to_scan),
+        }
+    )
+    return n, info
+
+
+def minmax_from_zonemap(path: str, col: str) -> tuple[Any, Any] | None:
+    """Global (min, max) of a tracked column straight from the manifest —
+    zero data scanned (min of file mins / max of file maxes is exact:
+    NULLs are ignored by min/max on both levels). Returns ``None`` when
+    the manifest is missing/drifted/doesn't track ``col``, or every file
+    is all-NULL — callers fall back to a real aggregation."""
+    path = path.rstrip("/")
+    inventory = _list_data_files(path)
+    try:
+        with open(os.path.join(path, MANIFEST_NAME)) as fh:
+            manifest = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return None
+    if [tuple(x) for x in manifest.get("inventory", [])] != inventory:
+        return None
+    if col not in manifest.get("stats_cols", []):
+        return None
+    mins = [
+        _decode(e["cols"][col]["min"])
+        for e in manifest["files"]
+        if _decode(e["cols"][col]["min"]) is not None
+    ]
+    maxes = [
+        _decode(e["cols"][col]["max"])
+        for e in manifest["files"]
+        if _decode(e["cols"][col]["max"]) is not None
+    ]
+    if not mins:
+        return None
+    return min(mins), max(maxes)
 
 
 def prune_for_join(

@@ -296,6 +296,104 @@ class TestZonemapIncrementalRefresh:
         assert got.count() == 500
 
 
+class TestZonemapMetadataAggregates:
+    """count_pruned / minmax_from_zonemap: the metadata-only aggregate
+    path — boundary files scanned, interior files counted from the
+    manifest, min/max answered with zero scan."""
+
+    def test_count_matches_scan_and_scans_only_boundaries(self, spark, corpus, tmp_path):
+        path = str(tmp_path / "t")
+        zm.write_with_zonemap(corpus, path, ["id"], cluster_by=["id"], n_files=16)
+        # 4000 ids / 16 files → 250 per file; [300, 1700] cuts through the
+        # files holding 300 and 1700, fully covers the ones between
+        n, info = zm.count_pruned(spark, path, [("id", 300, 1700)])
+        assert n == 1401
+        assert info["files_scanned"] == 2
+        assert info["files_metadata_only"] >= 4
+        # exact-file-boundary range: zero scans
+        n2, info2 = zm.count_pruned(spark, path, [("id", 250, 499)])
+        assert n2 == 250 and info2["files_scanned"] == 0
+
+    def test_count_with_nulls_never_uses_metadata_for_null_files(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = spark.range(1000).select(
+            F.col("id"),
+            F.when(F.col("id") % 10 != 0, F.col("id")).alias("v"),
+        )
+        zm.write_with_zonemap(df, path, ["v"], cluster_by=["id"], n_files=4)
+        n, info = zm.count_pruned(spark, path, [("v", 0, 2000)])
+        want = df.filter("v between 0 and 2000").count()
+        assert n == want == 900
+        assert info["files_metadata_only"] == 0  # nulls → every file scanned
+
+    def test_count_fallback_without_manifest(self, spark, corpus, tmp_path):
+        path = str(tmp_path / "t")
+        zm.write_with_zonemap(corpus, path, ["id"], cluster_by=["id"], n_files=8)
+        os.unlink(os.path.join(path, zm.MANIFEST_NAME))
+        n, info = zm.count_pruned(spark, path, [("id", 0, 999)])
+        assert n == 1000 and info["fallback"] is not None
+
+    def test_minmax_zero_scan(self, spark, corpus, tmp_path):
+        path = str(tmp_path / "t")
+        zm.write_with_zonemap(corpus, path, ["id", "day"], cluster_by=["id"], n_files=8)
+        assert zm.minmax_from_zonemap(path, "id") == (0, 3999)
+        lo, hi = zm.minmax_from_zonemap(path, "day")
+        assert (lo, hi) == (datetime.date(2024, 1, 1), datetime.date(2024, 2, 9))
+        assert zm.minmax_from_zonemap(path, "value") is None  # untracked
+        os.unlink(os.path.join(path, zm.MANIFEST_NAME))
+        assert zm.minmax_from_zonemap(path, "id") is None
+
+
+class TestZonemapAppendRefresh:
+    """`refresh_zonemap_appended`: the streaming-sink manifest maintenance
+    — only manifest-unseen files are statted after an append; carried
+    entries stay byte-identical; removals are caught up too."""
+
+    def test_appends_stat_only_new_files(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        base = spark.range(1000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+        zm.write_with_zonemap(base, path, ["id"], cluster_by=["id"], n_files=4)
+        before = json.load(open(os.path.join(path, zm.MANIFEST_NAME)))
+        # two micro-batch appends, refresh after each (the foreachBatch shape)
+        for lo in (1000, 2000):
+            batch = spark.range(lo, lo + 1000).select(
+                F.col("id"), (F.col("id") * 2).alias("v")
+            )
+            batch.coalesce(1).write.mode("append").parquet(path)
+            m = zm.refresh_zonemap_appended(spark, path)
+            assert m is not None
+        after = json.load(open(os.path.join(path, zm.MANIFEST_NAME)))
+        assert len(after["files"]) == 6  # 4 original + 2 appended
+        # original entries carried over verbatim
+        orig = {e["file"]: e for e in before["files"]}
+        for f, e in orig.items():
+            assert next(x for x in after["files"] if x["file"] == f) == e
+        # pruning live and exact over old + appended data
+        got, info = zm.read_pruned(spark, path, [("id", 1500, 2499)])
+        assert info["fallback"] is None and info["pruned"] >= 4
+        assert got.count() == 1000
+
+    def test_catchup_after_file_removal(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = spark.range(400).select(F.col("id"))
+        zm.write_with_zonemap(df, path, ["id"], cluster_by=["id"], n_files=4)
+        victim = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )[0]
+        os.unlink(os.path.join(path, victim))
+        m = zm.refresh_zonemap_appended(spark, path)
+        assert all(e["file"] != victim for e in m["files"])
+        assert len(m["files"]) == 3
+        got, info = zm.read_pruned(spark, path, [("id", 0, 399)])
+        assert info["fallback"] is None
+        assert got.count() == 300  # the removed quarter is gone
+
+    def test_no_manifest_returns_none(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        spark.range(10).write.parquet(path)
+        assert zm.refresh_zonemap_appended(spark, path) is None
+
+
 class TestZonemapFailOpen:
     def _write(self, corpus, tmp_path):
         path = str(tmp_path / "t")

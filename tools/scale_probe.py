@@ -203,6 +203,35 @@ def probes(spark, sf_dir: str) -> dict[str, float]:
         )
     )
 
+    # r9: zone-map file skipping. Setup (clustered copy + manifest) is
+    # outside the timed jobs, like production where the layout is written
+    # once. File size is held ~constant (file COUNT grows with data — the
+    # honest 100 TB model), and the predicate selects a fixed ~1% of the
+    # key range: the pruned read should stay ~flat across the replication
+    # while the full-scan control grows with the corpus.
+    from dbt_decodable_spark.operators import zonemap as zm
+
+    zdir = tempfile.mkdtemp(prefix="probe_zm_")
+    zpath = f"{zdir}/docs"
+    n_docs_z = d.count()
+    zm.write_with_zonemap(
+        d.select("doc_id", "n_chars", "text"),
+        zpath,
+        ["doc_id"],
+        cluster_by=["doc_id"],
+        n_files=max(16, n_docs_z // 20_000),
+    )
+    zb = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    z_lo, z_hi = zb[0], zb[0] + max(1, (zb[1] - zb[0]) // 100)
+    jobs["zonemap_pruned_read"] = lambda: run(
+        zm.read_pruned(spark, zpath, [("doc_id", z_lo, z_hi)])[0]
+    )
+    jobs["zonemap_full_read"] = lambda: run(
+        spark.read.parquet(zpath).filter(
+            (F.col("doc_id") >= z_lo) & (F.col("doc_id") <= z_hi)
+        )
+    )
+
     out: dict[str, float] = {}
     try:
         for name, job in jobs.items():
@@ -213,6 +242,7 @@ def probes(spark, sf_dir: str) -> dict[str, float]:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {snap_tbl}")
         shutil.rmtree(snap_dir, ignore_errors=True)
+        shutil.rmtree(zdir, ignore_errors=True)
     return out
 
 
