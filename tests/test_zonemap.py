@@ -91,6 +91,24 @@ class TestZonemapExactness:
         assert _rows(got) == _rows(want)
         assert info["pruned"] > 0
 
+    def test_string_column_stats_prune_prefix_ranges(self, spark, tmp_path):
+        """String min/max prune lexicographic ranges — the URL/path-prefix
+        case: predicate ["m", "p") via ("col", "m", "p")-style bounds."""
+        path = str(tmp_path / "t")
+        df = spark.range(2600).select(
+            F.concat(
+                F.chr(F.lit(97) + (F.col("id") % 26)), F.lit("-doc-"),
+                F.col("id").cast("string"),
+            ).alias("name"),
+            F.col("id"),
+        )
+        zm.write_with_zonemap(df, path, ["name"], cluster_by=["name"], n_files=13)
+        got, info = zm.read_pruned(spark, path, [("name", "m", "p")])
+        want = spark.read.parquet(path).filter("name >= 'm' and name <= 'p'")
+        assert _rows(got) == _rows(want)
+        assert got.count() == 300  # prefixes m, n, o × 100 each
+        assert info["fallback"] is None and info["pruned"] >= 9
+
     def test_all_null_file_pruned_nulls_elsewhere_kept(self, spark, tmp_path):
         path = str(tmp_path / "t")
         df = spark.range(100).select(
@@ -104,6 +122,44 @@ class TestZonemapExactness:
         assert _rows(got) == _rows(want)
         # the all-NULL file cannot satisfy a range predicate → pruned
         assert info["pruned"] == 1
+
+
+class TestZonemapPlanAndProperties:
+    def test_predicates_reach_scan_as_pushed_filters(self, spark, corpus, tmp_path):
+        """The re-applied predicate must land in the parquet scan's
+        PushedFilters — file-level pruning composes with row-group-level
+        pruning only if the filter survives to the reader."""
+        path = str(tmp_path / "t")
+        zm.write_with_zonemap(corpus, path, ["id"], cluster_by=["id"], n_files=8)
+        got, _ = zm.read_pruned(spark, path, [("id", 100, 200)])
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan
+        assert "GreaterThanOrEqual(id,100)" in plan
+        assert "LessThanOrEqual(id,200)" in plan
+
+    def test_random_intervals_property(self, spark, corpus, tmp_path):
+        """Property sweep: for ANY interval (including degenerate, empty,
+        and out-of-range ones) the pruned read equals the full-scan
+        filter. One layout, many predicates — the per-case cost is a
+        single small read."""
+        import random
+
+        rng = random.Random(909)
+        path = str(tmp_path / "t")
+        zm.write_with_zonemap(corpus, path, ["id"], cluster_by=["id"], n_files=16)
+        full = spark.read.parquet(path)
+        cases = [(-50, -1), (4000, 9000), (0, 3999), (7, 7)] + [
+            tuple(sorted((rng.randint(-100, 4200), rng.randint(-100, 4200))))
+            for _ in range(12)
+        ]
+        for lo, hi in cases:
+            got, info = zm.read_pruned(spark, path, [("id", lo, hi)])
+            want = full.filter(f"id between {lo} and {hi}")
+            assert _rows(got) == _rows(want), (lo, hi)
+            # survivor count is never larger than the ceiling the layout
+            # implies: 250 ids/file → an interval spans ≤ width/250 + 2 files
+            width = max(0, min(hi, 3999) - max(lo, 0) + 1)
+            assert info["total"] - info["pruned"] <= width // 250 + 2, (lo, hi)
 
 
 class TestZonemapSelectivity:
