@@ -39,6 +39,17 @@ prunes all but ~the matching fraction of files; an unclustered layout keeps
 every file's range wide and prunes ~nothing (both measured in
 ``tests/test_zonemap.py``).
 
+Metadata scaling honesty: the manifest is one JSON document, one entry per
+file — O(|files|) driver-side read/write per refresh (~300 bytes/file, so
+~30 MB at 10⁵ files: fine to parse, but the atomic-replace write serializes
+refreshes). Past that point the metadata layer itself needs sharding (a
+manifest per partition directory, which :func:`refresh_zonemap_partial`'s
+per-bucket structure maps onto directly) or a table format that already
+owns file-level stats (Delta/Iceberg). Because the map here is purely
+advisory — never consulted without the inventory check, never load-bearing
+for correctness — it can be dropped and rebuilt at any time, which is what
+makes the simple single-document design safe to start with.
+
 Reference parity: the reference (decodableco/dbt-decodable) delegates
 storage layout to its managed service and exposes nothing here; this module
 is part of the §2.12 extension surface (Z-order layout row).
