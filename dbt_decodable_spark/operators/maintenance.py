@@ -28,11 +28,21 @@ def write_compacted(
     max_records_per_file: int,
     target_files: int | None = None,
     fmt: str = "parquet",
+    cluster_by: list | None = None,
 ) -> None:
     """Write ``df`` to ``path`` with files bounded at
     ``max_records_per_file`` rows; optionally rebalance to
-    ``target_files`` partitions first (one round-robin shuffle)."""
-    out = df.repartition(target_files) if target_files else df
+    ``target_files`` partitions first (one round-robin shuffle).
+    ``cluster_by`` replaces the round-robin rebalance with a
+    range-repartition + in-partition sort on the given expressions —
+    layout-establishing compaction, so per-file min/max stay tight (the
+    zone-map prerequisite; a z-order key expression works unchanged)."""
+    if cluster_by:
+        cols = [F.col(c) if isinstance(c, str) else c for c in cluster_by]
+        n = target_files or df.sparkSession.sparkContext.defaultParallelism
+        out = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    else:
+        out = df.repartition(target_files) if target_files else df
     (
         out.write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
@@ -47,6 +57,7 @@ def compact_path(
     max_records_per_file: int,
     target_files: int | None = None,
     fmt: str = "parquet",
+    cluster_by: list | None = None,
 ) -> None:
     """Rewrite the files under ``path`` compacted, crash-safely:
     read → write to a ``<path>.__compact_tmp__`` sibling → verify the row
@@ -70,9 +81,25 @@ def compact_path(
     for leftover in (tmp, old):
         if os.path.exists(leftover):
             shutil.rmtree(leftover)
+    # a zone map (operators/zonemap.py) lives INSIDE the directory being
+    # swapped out — without this it would vanish silently with the old
+    # layout. Capture its tracked columns now and rebuild it after the
+    # swap (full rebuild: compaction rewrites every file). A crash before
+    # the rebuild leaves no manifest → readers fall back to full listings
+    # (correct, just unpruned) until the next compaction or write_zonemap.
+    import json as _json
+
+    stats_cols: list | None = None
+    mpath = os.path.join(path.rstrip("/"), "_zonemap.json")
+    if os.path.exists(mpath):
+        try:
+            with open(mpath) as fh:
+                stats_cols = _json.load(fh)["stats_cols"]
+        except (OSError, _json.JSONDecodeError, KeyError):
+            stats_cols = None
     df = spark.read.format(fmt).load(path)
     n_before = df.count()
-    write_compacted(df, tmp, max_records_per_file, target_files, fmt)
+    write_compacted(df, tmp, max_records_per_file, target_files, fmt, cluster_by)
     n_after = spark.read.format(fmt).load(tmp).count()
     if n_after != n_before:
         shutil.rmtree(tmp)
@@ -83,6 +110,10 @@ def compact_path(
     os.rename(path.rstrip("/"), old)
     os.rename(tmp, path.rstrip("/"))
     shutil.rmtree(old)
+    if stats_cols is not None and fmt == "parquet":
+        from dbt_decodable_spark.operators.zonemap import write_zonemap
+
+        write_zonemap(spark, path.rstrip("/"), stats_cols)
 
 
 def delete_rows_partitioned(

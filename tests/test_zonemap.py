@@ -352,6 +352,38 @@ class TestZonemapIncrementalRefresh:
         assert got.count() == 500
 
 
+class TestCompactionClusteringAndManifest:
+    """compact_path × zone map: clustering compaction makes a useless map
+    useful, and the manifest survives the directory swap by rebuild (it
+    previously lived in the replaced directory and vanished silently)."""
+
+    def test_clustering_compaction_rebuilds_manifest(self, spark, corpus, tmp_path):
+        from dbt_decodable_spark.operators.maintenance import compact_path
+
+        path = str(tmp_path / "t")
+        # scattered layout: every file spans ~the full id range
+        zm.write_with_zonemap(corpus.repartition(12, "value"), path, ["id"])
+        _, before = zm.read_pruned(spark, path, [("id", 0, 249)])
+        assert before["pruned"] == 0
+        compact_path(spark, path, max_records_per_file=500, target_files=8,
+                     cluster_by=["id"])
+        got, after = zm.read_pruned(spark, path, [("id", 0, 249)])
+        assert after["fallback"] is None  # manifest rebuilt by compaction
+        assert after["pruned"] >= after["total"] - 2
+        assert got.count() == 250
+        want = spark.read.parquet(path).filter("id between 0 and 249")
+        assert _rows(got) == _rows(want)
+
+    def test_compaction_without_manifest_writes_none(self, spark, corpus, tmp_path):
+        from dbt_decodable_spark.operators.maintenance import compact_path
+
+        path = str(tmp_path / "t")
+        corpus.repartition(12).write.parquet(path)
+        compact_path(spark, path, max_records_per_file=2000, target_files=2)
+        assert not os.path.exists(os.path.join(path, zm.MANIFEST_NAME))
+        assert spark.read.parquet(path).count() == 4000
+
+
 class TestZonemapMetadataAggregates:
     """count_pruned / minmax_from_zonemap: the metadata-only aggregate
     path — boundary files scanned, interior files counted from the
