@@ -502,6 +502,113 @@ def read_with_deltas(
     return out
 
 
+def _deltas_root(base_path: str) -> str:
+    return base_path.rstrip("/") + ".__deltas__"
+
+
+def append_delta(spark, base_path: str, batch: DataFrame) -> str:
+    """Durably append a micro-batch as the next delta of ``base_path``'s
+    merge-on-read view (single-writer contract — one ingest process per
+    table, the same assumption every sibling maintenance op makes).
+
+    Deltas live in a sibling directory (``<base>.__deltas__/delta-<seq>``)
+    so plain snapshot readers never see them, numbered by a
+    monotonically increasing sequence (max existing + 1 — no clock).
+    Commit is Spark's own ``_SUCCESS`` marker: :func:`list_deltas` ignores
+    directories without it, so a crash mid-write leaves an invisible
+    partial that the next append simply numbers past (and sweeps).
+    Returns the committed delta path."""
+    import os
+    import shutil
+
+    root = _deltas_root(base_path)
+    os.makedirs(root, exist_ok=True)
+    seqs = []
+    for d in os.listdir(root):
+        if d.startswith("delta-"):
+            if os.path.exists(os.path.join(root, d, "_SUCCESS")):
+                seqs.append(int(d.split("-")[1]))
+            else:
+                # uncommitted leftover from a crashed append (single
+                # writer ⇒ nothing else can be writing it now)
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    path = os.path.join(root, f"delta-{(max(seqs) + 1 if seqs else 0):08d}")
+    batch.write.parquet(path)
+    return path
+
+
+def list_deltas(base_path: str) -> list[str]:
+    """Committed (``_SUCCESS``-marked) delta paths in sequence order."""
+    import os
+
+    root = _deltas_root(base_path)
+    if not os.path.isdir(root):
+        return []
+    return [
+        os.path.join(root, d)
+        for d in sorted(os.listdir(root))
+        if d.startswith("delta-")
+        and os.path.exists(os.path.join(root, d, "_SUCCESS"))
+    ]
+
+
+def read_merged(
+    spark,
+    base_path: str,
+    keys: Sequence[str],
+    order: Sequence[Column | str],
+    include_tombstones: bool = False,
+    delete_col: str = "is_delete",
+) -> DataFrame:
+    """The managed merge-on-read view: snapshot ∪ all committed deltas,
+    folded to the last image per key (:func:`read_with_deltas` over
+    :func:`list_deltas`). What a reader of the table should call."""
+    return read_with_deltas(
+        spark,
+        base_path,
+        list_deltas(base_path),
+        keys,
+        order,
+        include_tombstones=include_tombstones,
+        delete_col=delete_col,
+    )
+
+
+def compact_and_vacuum(
+    spark,
+    base_path: str,
+    keys: Sequence[str],
+    order: Sequence[Column | str],
+    n_buckets: int,
+    partition_expr: Column | None = None,
+) -> dict:
+    """Fold every committed delta into the partitioned snapshot, then
+    delete exactly the deltas that were folded — the LSM minor-compaction
+    step with its retention policy attached.
+
+    Crash-safety is ordering: the delta list is captured FIRST, the merge
+    (:func:`compact_deltas` → :func:`merge_into_hash_partitioned`) is
+    crash-safe per its own contract, and deltas are removed only after it
+    returns. A crash anywhere before the removals leaves all deltas in
+    place — the next :func:`read_merged` folds already-merged deltas
+    again, which is idempotent (same winners), and the next compaction
+    retries the removal. Deltas appended AFTER the capture are untouched
+    (single-writer: none appear mid-call by contract).
+
+    Returns ``{"buckets": per-bucket rewrite map, "vacuumed": [paths]}``.
+    """
+    import shutil
+
+    pending = list_deltas(base_path)
+    buckets = compact_deltas(
+        spark, base_path, pending, keys, order, n_buckets,
+        partition_expr=partition_expr,
+    )
+    for p in pending:
+        shutil.rmtree(p, ignore_errors=True)
+    return {"buckets": buckets, "vacuumed": pending}
+
+
 def compact_deltas(
     spark,
     base_path: str,

@@ -863,3 +863,133 @@ class TestBoundedErrorCheck:
             assert shape is not None
         finally:
             del oc.BOUNDED_ERROR["__t"]
+
+
+class TestDeltaLogLifecycle:
+    """append_delta / list_deltas / read_merged / compact_and_vacuum: the
+    managed merge-on-read lifecycle — _SUCCESS-gated delta commit, view
+    equal to the global fold at every stage, idempotent replay between
+    merge and vacuum, uncommitted leftovers invisible and swept."""
+
+    DDL = "k long, seq long, v long, is_delete boolean"
+
+    def _snap(self, spark, tmp_path):
+        from dbt_decodable_spark.streaming.changelog import (
+            write_hash_partitioned,
+        )
+
+        base = str(tmp_path / "base")
+        init = spark.createDataFrame(
+            [(i, 0, i * 10, False) for i in range(100)], self.DDL
+        )
+        write_hash_partitioned(
+            init, base, ["k"], 5, partition_expr=F.expr("k div 20")
+        )
+        return base, init
+
+    def _rows(self, df):
+        return sorted(map(tuple, df.collect()))
+
+    def test_lifecycle_append_read_compact_vacuum(self, spark, tmp_path):
+        import os
+
+        from dbt_decodable_spark.streaming.changelog import (
+            append_delta,
+            compact_and_vacuum,
+            fold_last_image,
+            list_deltas,
+            read_merged,
+        )
+
+        base, init = self._snap(spark, tmp_path)
+        batches = [
+            [(3, 1, 333, False), (4, 1, 0, True)],
+            [(3, 2, 999, False), (200, 1, 7, False)],
+            [(4, 3, 444, False), (50, 1, 555, False)],  # resurrection + update
+        ]
+        all_rows = init
+        for b in batches:
+            bdf = spark.createDataFrame(b, self.DDL)
+            p = append_delta(spark, base, bdf)
+            assert os.path.exists(os.path.join(p, "_SUCCESS"))
+            all_rows = all_rows.unionByName(bdf)
+        assert len(list_deltas(base)) == 3
+        want = fold_last_image(all_rows, ["k"], [F.col("seq")]).filter(
+            "NOT is_delete"
+        )
+        view_before = read_merged(spark, base, ["k"], [F.col("seq")])
+        assert self._rows(view_before) == self._rows(want)
+        out = compact_and_vacuum(spark, base, ["k"], [F.col("seq")], 5,
+                                 partition_expr=F.expr("k div 20"))
+        assert len(out["vacuumed"]) == 3
+        assert list_deltas(base) == []
+        # view unchanged by compaction; snapshot itself now carries it
+        view_after = read_merged(spark, base, ["k"], [F.col("seq")])
+        assert self._rows(view_after) == self._rows(want)
+        assert view_after.filter("k = 4").collect()[0]["v"] == 444
+
+    def test_uncommitted_delta_invisible_and_swept(self, spark, tmp_path):
+        import os
+
+        from dbt_decodable_spark.streaming.changelog import (
+            _deltas_root,
+            append_delta,
+            list_deltas,
+            read_merged,
+        )
+
+        base, init = self._snap(spark, tmp_path)
+        root = _deltas_root(base)
+        os.makedirs(os.path.join(root, "delta-00000007"))
+        # fabricate a crashed write: parquet data but NO _SUCCESS marker
+        spark.createDataFrame([(1, 9, 777, False)], self.DDL).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, "delta-00000007.tmp"))
+        os.rename(
+            os.path.join(root, "delta-00000007.tmp", "_SUCCESS"),
+            os.path.join(root, "gone"),
+        )
+        for f in os.listdir(os.path.join(root, "delta-00000007.tmp")):
+            os.rename(
+                os.path.join(root, "delta-00000007.tmp", f),
+                os.path.join(root, "delta-00000007", f),
+            )
+        os.rmdir(os.path.join(root, "delta-00000007.tmp"))
+        assert list_deltas(base) == []
+        view = read_merged(spark, base, ["k"], [F.col("seq")])
+        assert view.filter("k = 1").collect()[0]["v"] == 10  # not 777
+        p = append_delta(
+            spark, base, spark.createDataFrame([(2, 1, 22, False)], self.DDL)
+        )
+        # the crashed dir was swept; the new delta numbered from scratch
+        assert not os.path.exists(os.path.join(root, "delta-00000007"))
+        assert p.endswith("delta-00000000")
+
+    def test_replay_between_merge_and_vacuum_is_idempotent(self, spark, tmp_path):
+        from dbt_decodable_spark.streaming.changelog import (
+            append_delta,
+            compact_and_vacuum,
+            compact_deltas,
+            list_deltas,
+            read_merged,
+        )
+
+        base, init = self._snap(spark, tmp_path)
+        append_delta(
+            spark, base,
+            spark.createDataFrame([(7, 1, 77, False), (8, 1, 0, True)], self.DDL),
+        )
+        want = self._rows(read_merged(spark, base, ["k"], [F.col("seq")]))
+        # crash simulation: the merge completed but the vacuum never ran
+        compact_deltas(
+            spark, base, list_deltas(base), ["k"], [F.col("seq")], 5,
+            partition_expr=F.expr("k div 20"),
+        )
+        assert len(list_deltas(base)) == 1  # delta still on disk
+        # reader folds the already-merged delta again — same state
+        assert self._rows(read_merged(spark, base, ["k"], [F.col("seq")])) == want
+        # the retried compaction converges and completes the vacuum
+        out = compact_and_vacuum(spark, base, ["k"], [F.col("seq")], 5,
+                                 partition_expr=F.expr("k div 20"))
+        assert len(out["vacuumed"]) == 1 and list_deltas(base) == []
+        assert self._rows(read_merged(spark, base, ["k"], [F.col("seq")])) == want
