@@ -574,6 +574,46 @@ def read_merged(
     )
 
 
+def stream_append_deltas(
+    stream_df: DataFrame,
+    base_path: str,
+    keys: Sequence[str],
+    order: Sequence[Column | str],
+    n_buckets: int,
+    partition_expr: Column | None = None,
+    compact_every: int = 4,
+):
+    """Structured-Streaming ingestion into the merge-on-read table: each
+    micro-batch lands as one committed delta (:func:`append_delta`), and
+    whenever the pending-delta count reaches ``compact_every`` the batch
+    handler folds them into the partitioned snapshot
+    (:func:`compact_and_vacuum`) — write amplification stays bounded by
+    touched partitions while read amplification stays bounded by
+    ``compact_every`` deltas. Returns a ``DataStreamWriter`` (caller
+    picks trigger/checkpoint and calls ``start()``).
+
+    At-least-once is sufficient: foreachBatch can REPLAY a batch after a
+    crash, landing the same rows under a new delta sequence — the fold's
+    winners are content-identical for duplicated (key, order) rows, so
+    the converged view is unchanged (the same tolerance the keyed MERGE
+    is property-tested for). Compaction inside the handler keeps the
+    single-writer contract: it runs between appends, never concurrently
+    with one."""
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        append_delta(sp, base_path, batch_df)
+        if len(list_deltas(base_path)) >= compact_every:
+            compact_and_vacuum(
+                sp, base_path, keys, order, n_buckets,
+                partition_expr=partition_expr,
+            )
+
+    return stream_df.writeStream.foreachBatch(_handle)
+
+
 def compact_and_vacuum(
     spark,
     base_path: str,

@@ -993,3 +993,66 @@ class TestDeltaLogLifecycle:
                                  partition_expr=F.expr("k div 20"))
         assert len(out["vacuumed"]) == 1 and list_deltas(base) == []
         assert self._rows(read_merged(spark, base, ["k"], [F.col("seq")])) == want
+
+
+class TestStreamAppendDeltas:
+    """stream_append_deltas: Structured-Streaming ingestion into the
+    merge-on-read table — one committed delta per micro-batch,
+    threshold-triggered compact_and_vacuum inside the handler, final view
+    equal to the batch fold of everything ingested."""
+
+    DDL = "k long, seq long, v long, is_delete boolean"
+
+    def test_multi_batch_ingest_converges_and_compacts(self, spark, tmp_path):
+        import os
+
+        from dbt_decodable_spark.streaming.changelog import (
+            fold_last_image,
+            list_deltas,
+            read_merged,
+            stream_append_deltas,
+            write_hash_partitioned,
+        )
+
+        base = str(tmp_path / "base")
+        init = spark.createDataFrame(
+            [(i, 0, i * 10, False) for i in range(60)], self.DDL
+        )
+        write_hash_partitioned(
+            init, base, ["k"], 6, partition_expr=F.expr("k div 10")
+        )
+        # 5 source files → 5 micro-batches (maxFilesPerTrigger=1)
+        src = str(tmp_path / "src")
+        batches = []
+        for j in range(5):
+            rows = [(10 * j + i, j + 1, 1000 * (j + 1) + i, i == 3) for i in range(8)]
+            batches.extend(rows)
+            spark.createDataFrame(rows, self.DDL).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema(self.DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream_append_deltas(
+                stream, base, ["k"], [F.col("seq")], 6,
+                partition_expr=F.expr("k div 10"), compact_every=2,
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # compaction fired: fewer pending deltas than micro-batches
+        assert len(list_deltas(base)) < 5
+        got = read_merged(spark, base, ["k"], [F.col("seq")])
+        want = fold_last_image(
+            init.unionByName(spark.createDataFrame(batches, self.DDL)),
+            ["k"],
+            [F.col("seq")],
+        ).filter("NOT is_delete")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
