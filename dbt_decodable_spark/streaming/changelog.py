@@ -506,7 +506,9 @@ def _deltas_root(base_path: str) -> str:
     return base_path.rstrip("/") + ".__deltas__"
 
 
-def append_delta(spark, base_path: str, batch: DataFrame) -> str:
+def append_delta(
+    spark, base_path: str, batch: DataFrame, tag: str | None = None
+) -> str | None:
     """Durably append a micro-batch as the next delta of ``base_path``'s
     merge-on-read view (single-writer contract — one ingest process per
     table, the same assumption every sibling maintenance op makes).
@@ -517,7 +519,17 @@ def append_delta(spark, base_path: str, batch: DataFrame) -> str:
     Commit is Spark's own ``_SUCCESS`` marker: :func:`list_deltas` ignores
     directories without it, so a crash mid-write leaves an invisible
     partial that the next append simply numbers past (and sweeps).
-    Returns the committed delta path."""
+
+    ``tag`` makes the append IDEMPOTENT: a delta is named
+    ``delta-<seq>-<tag>`` and a second append with the same tag is a
+    no-op returning ``None`` — pass the ``foreachBatch`` ``batch_id`` and
+    a replayed micro-batch lands exactly once instead of at-least-once.
+    (The fold tolerates duplicates anyway; the tag avoids even the
+    duplicate bytes. Tags only guard COMMITTED deltas: compaction folds
+    and removes them, after which a very late replay of that batch would
+    re-land — harmless by the same fold-idempotence.)
+
+    Returns the committed delta path, or ``None`` for a tag no-op."""
     import os
     import shutil
 
@@ -527,12 +539,18 @@ def append_delta(spark, base_path: str, batch: DataFrame) -> str:
     for d in os.listdir(root):
         if d.startswith("delta-"):
             if os.path.exists(os.path.join(root, d, "_SUCCESS")):
-                seqs.append(int(d.split("-")[1]))
+                parts = d.split("-", 2)
+                seqs.append(int(parts[1]))
+                if tag is not None and len(parts) == 3 and parts[2] == str(tag):
+                    return None  # this batch already landed
             else:
                 # uncommitted leftover from a crashed append (single
                 # writer ⇒ nothing else can be writing it now)
                 shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-    path = os.path.join(root, f"delta-{(max(seqs) + 1 if seqs else 0):08d}")
+    name = f"delta-{(max(seqs) + 1 if seqs else 0):08d}"
+    if tag is not None:
+        name += f"-{tag}"
+    path = os.path.join(root, name)
     batch.write.parquet(path)
     return path
 
@@ -592,19 +610,20 @@ def stream_append_deltas(
     ``compact_every`` deltas. Returns a ``DataStreamWriter`` (caller
     picks trigger/checkpoint and calls ``start()``).
 
-    At-least-once is sufficient: foreachBatch can REPLAY a batch after a
-    crash, landing the same rows under a new delta sequence — the fold's
-    winners are content-identical for duplicated (key, order) rows, so
-    the converged view is unchanged (the same tolerance the keyed MERGE
-    is property-tested for). Compaction inside the handler keeps the
-    single-writer contract: it runs between appends, never concurrently
-    with one."""
+    Replay-safe twice over: the ``batch_id`` is passed as the delta TAG,
+    so a replayed micro-batch whose delta already committed is a no-op
+    (exactly-once delta landing) — and even a replay that slips past the
+    tag (its delta was already compacted away) merely lands duplicate
+    rows whose fold winners are content-identical, so the converged view
+    is unchanged (the same tolerance the keyed MERGE is property-tested
+    for). Compaction inside the handler keeps the single-writer
+    contract: it runs between appends, never concurrently with one."""
 
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         sp = batch_df.sparkSession
-        append_delta(sp, base_path, batch_df)
+        append_delta(sp, base_path, batch_df, tag=str(batch_id))
         if len(list_deltas(base_path)) >= compact_every:
             compact_and_vacuum(
                 sp, base_path, keys, order, n_buckets,

@@ -1056,3 +1056,28 @@ class TestStreamAppendDeltas:
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, want.collect())
         )
+
+
+class TestDeltaTagIdempotence:
+    DDL = "k long, seq long, v long, is_delete boolean"
+
+    def test_same_tag_lands_once(self, spark, tmp_path):
+        from dbt_decodable_spark.streaming.changelog import (
+            append_delta,
+            list_deltas,
+            write_hash_partitioned,
+        )
+
+        base = str(tmp_path / "base")
+        init = spark.createDataFrame([(1, 0, 10, False)], self.DDL)
+        write_hash_partitioned(init, base, ["k"], 2)
+        b = spark.createDataFrame([(1, 1, 11, False)], self.DDL)
+        p1 = append_delta(spark, base, b, tag="42")
+        p2 = append_delta(spark, base, b, tag="42")  # the foreachBatch replay
+        assert p1 is not None and p1.endswith("delta-00000000-42")
+        assert p2 is None
+        assert len(list_deltas(base)) == 1
+        # a different batch still appends, numbered past
+        p3 = append_delta(spark, base, b, tag="43")
+        assert p3 is not None and p3.endswith("delta-00000001-43")
+        assert len(list_deltas(base)) == 2
