@@ -468,6 +468,7 @@ def read_with_deltas(
     order: Sequence[Column | str],
     include_tombstones: bool = False,
     delete_col: str = "is_delete",
+    allow_schema_evolution: bool = False,
 ) -> DataFrame:
     """Merge-on-READ view of a snapshot plus pending delta files — the
     other half of the merge-on-read/merge-on-write trade the partial-
@@ -488,6 +489,18 @@ def read_with_deltas(
     standard LSM/lakehouse shape. Partition pruning still applies to the
     base side when it is laid out by :func:`write_hash_partitioned` and
     the reader filters on the partition column.
+
+    ``allow_schema_evolution`` handles ADDITIVE columns in newer deltas
+    at read time: the view's schema is the union of all schemas, with
+    NULL back-fill for sides that predate a column (the
+    ``source_schema_evolution`` read pattern applied to the delta log).
+    Off by default — the strict mode projects every delta to the
+    snapshot's columns and fails loudly if one is missing. Key and
+    order columns must exist everywhere in either mode (the fold needs
+    them). Note compaction is intentionally STRICTER: evolved deltas
+    make :func:`compact_deltas` raise rather than silently dropping the
+    new column from the durable snapshot — widening the snapshot schema
+    is an explicit full rewrite (:func:`write_hash_partitioned`).
     """
     base = spark.read.parquet(base_path.rstrip("/"))
     if "__bucket" in base.columns:
@@ -495,7 +508,10 @@ def read_with_deltas(
     view = base
     for p in delta_paths:
         d = spark.read.parquet(p)
-        view = view.unionByName(d.select(*view.columns))
+        if allow_schema_evolution:
+            view = view.unionByName(d, allowMissingColumns=True)
+        else:
+            view = view.unionByName(d.select(*view.columns))
     out = fold_last_image(view, keys, order)
     if not include_tombstones and delete_col in out.columns:
         out = out.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
@@ -577,6 +593,7 @@ def read_merged(
     order: Sequence[Column | str],
     include_tombstones: bool = False,
     delete_col: str = "is_delete",
+    allow_schema_evolution: bool = False,
 ) -> DataFrame:
     """The managed merge-on-read view: snapshot ∪ all committed deltas,
     folded to the last image per key (:func:`read_with_deltas` over
@@ -589,6 +606,7 @@ def read_merged(
         order,
         include_tombstones=include_tombstones,
         delete_col=delete_col,
+        allow_schema_evolution=allow_schema_evolution,
     )
 
 
@@ -687,9 +705,28 @@ def compact_deltas(
     Returns the per-bucket rewrite map from the underlying merge."""
     if not delta_paths:
         return {}
+    # schema guard BEFORE any work: an evolved delta (extra columns) must
+    # not silently lose its new column to the snapshot-shaped projection
+    # below — widening the durable snapshot's schema is an explicit full
+    # rewrite (write_hash_partitioned), not a side effect of compaction.
+    snap_cols = {
+        f.name
+        for f in spark.read.parquet(base_path.rstrip("/")).schema.fields
+        if f.name != "__bucket"
+    }
     acc = None
     for p in delta_paths:
         d = spark.read.parquet(p)
+        extra = set(d.columns) - snap_cols
+        if extra:
+            raise RuntimeError(
+                f"delta {p} carries columns {sorted(extra)} absent from the "
+                f"snapshot at {base_path}; compacting would drop them. "
+                "Widen the snapshot first (full rewrite via "
+                "write_hash_partitioned with the evolved schema), or read "
+                "through read_merged(allow_schema_evolution=True) until "
+                "then."
+            )
         acc = d if acc is None else acc.unionByName(d.select(*acc.columns))
     folded = fold_last_image(acc, keys, order)
     return merge_into_hash_partitioned(

@@ -1081,3 +1081,56 @@ class TestDeltaTagIdempotence:
         p3 = append_delta(spark, base, b, tag="43")
         assert p3 is not None and p3.endswith("delta-00000001-43")
         assert len(list_deltas(base)) == 2
+
+
+class TestDeltaSchemaEvolution:
+    """Additive delta columns: readable via allow_schema_evolution with
+    NULL back-fill; compaction refuses to silently drop them."""
+
+    DDL = "k long, seq long, v long, is_delete boolean"
+    DDL2 = "k long, seq long, v long, is_delete boolean, w string"
+
+    def _setup(self, spark, tmp_path):
+        from dbt_decodable_spark.streaming.changelog import (
+            append_delta,
+            write_hash_partitioned,
+        )
+
+        base = str(tmp_path / "base")
+        init = spark.createDataFrame(
+            [(i, 0, i * 10, False) for i in range(10)], self.DDL
+        )
+        write_hash_partitioned(init, base, ["k"], 2)
+        append_delta(
+            spark, base,
+            spark.createDataFrame([(3, 1, 33, False, "new")], self.DDL2),
+        )
+        return base
+
+    def test_read_evolved_with_backfill(self, spark, tmp_path):
+        from dbt_decodable_spark.streaming.changelog import read_merged
+
+        base = self._setup(spark, tmp_path)
+        view = read_merged(
+            spark, base, ["k"], [F.col("seq")], allow_schema_evolution=True
+        )
+        assert "w" in view.columns
+        rows = {r["k"]: r["w"] for r in view.collect()}
+        assert rows[3] == "new"
+        assert rows[1] is None  # NULL back-fill for pre-evolution rows
+        # strict mode still reads, projecting the delta to snapshot columns
+        strict = read_merged(spark, base, ["k"], [F.col("seq")])
+        assert "w" not in strict.columns and strict.count() == 10
+
+    def test_compaction_refuses_evolved_delta(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from dbt_decodable_spark.streaming.changelog import (
+            compact_and_vacuum,
+            list_deltas,
+        )
+
+        base = self._setup(spark, tmp_path)
+        with _pytest.raises(RuntimeError, match="carries columns \\['w'\\]"):
+            compact_and_vacuum(spark, base, ["k"], [F.col("seq")], 2)
+        assert len(list_deltas(base)) == 1  # nothing vacuumed, nothing lost
