@@ -610,6 +610,62 @@ def read_merged(
     )
 
 
+def widen_snapshot_schema(
+    spark,
+    base_path: str,
+    new_columns: dict[str, str],
+    keys: Sequence[str],
+    n_buckets: int,
+    partition_expr: Column | None = None,
+) -> None:
+    """The explicit full rewrite :func:`compact_deltas`' evolution error
+    points at: add ``new_columns`` (name → Spark SQL type string) to the
+    snapshot as NULL-filled columns and rewrite it with the SAME layout
+    (``partition_expr`` must be what the snapshot was written with).
+    O(|snapshot|) by design — widening durable storage is the one
+    evolution step that cannot be incremental without footer-level
+    tricks, which is why it is a named, deliberate operation and not a
+    compaction side effect. Crash-safe via the compaction dance: write
+    to a sibling, verify row count, swap (re-using
+    ``operators/maintenance.compact_path``'s pattern through a staged
+    :func:`write_hash_partitioned` + rename)."""
+    import os
+    import shutil
+
+    base = base_path.rstrip("/")
+    tmp = base + ".__widen_tmp__"
+    old = base + ".__widen_old__"
+    # crash recovery first, same shape as compact_path: if a prior run
+    # died between the two renames, `old` holds the only copy
+    if not os.path.exists(base) and os.path.exists(old):
+        os.rename(old, base)
+    for leftover in (tmp, old):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+    snap = spark.read.parquet(base)
+    if "__bucket" in snap.columns:
+        snap = snap.drop("__bucket")
+    widened = snap
+    for name, typ in new_columns.items():
+        if name in widened.columns:
+            raise RuntimeError(f"column {name!r} already exists at {base}")
+        widened = widened.withColumn(name, F.lit(None).cast(typ))
+    n_before = snap.count()
+    write_hash_partitioned(
+        widened, tmp, keys, n_buckets, partition_expr=partition_expr
+    )
+    n_after = spark.read.parquet(tmp).count()
+    if n_after != n_before:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"widen rewrite changed row count ({n_before} -> {n_after}); "
+            f"aborted, snapshot untouched at {base}"
+        )
+    os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old)
+
+
 def stream_append_deltas(
     stream_df: DataFrame,
     base_path: str,
@@ -722,10 +778,9 @@ def compact_deltas(
             raise RuntimeError(
                 f"delta {p} carries columns {sorted(extra)} absent from the "
                 f"snapshot at {base_path}; compacting would drop them. "
-                "Widen the snapshot first (full rewrite via "
-                "write_hash_partitioned with the evolved schema), or read "
-                "through read_merged(allow_schema_evolution=True) until "
-                "then."
+                "Widen the snapshot first (widen_snapshot_schema — the "
+                "explicit full rewrite), or read through "
+                "read_merged(allow_schema_evolution=True) until then."
             )
         acc = d if acc is None else acc.unionByName(d.select(*acc.columns))
     folded = fold_last_image(acc, keys, order)

@@ -1134,3 +1134,56 @@ class TestDeltaSchemaEvolution:
         with _pytest.raises(RuntimeError, match="carries columns \\['w'\\]"):
             compact_and_vacuum(spark, base, ["k"], [F.col("seq")], 2)
         assert len(list_deltas(base)) == 1  # nothing vacuumed, nothing lost
+
+
+class TestWidenSnapshotSchema:
+    DDL = "k long, seq long, v long, is_delete boolean"
+    DDL2 = "k long, seq long, v long, is_delete boolean, w string"
+
+    def test_widen_then_compact_evolved_delta(self, spark, tmp_path):
+        from dbt_decodable_spark.streaming.changelog import (
+            append_delta,
+            compact_and_vacuum,
+            list_deltas,
+            read_merged,
+            widen_snapshot_schema,
+            write_hash_partitioned,
+        )
+
+        base = str(tmp_path / "base")
+        init = spark.createDataFrame(
+            [(i, 0, i * 10, False) for i in range(10)], self.DDL
+        )
+        pexpr = F.expr("k div 5")
+        write_hash_partitioned(init, base, ["k"], 2, partition_expr=pexpr)
+        append_delta(
+            spark, base,
+            spark.createDataFrame([(3, 1, 33, False, "new")], self.DDL2),
+        )
+        widen_snapshot_schema(
+            spark, base, {"w": "string"}, ["k"], 2, partition_expr=pexpr
+        )
+        # the previously-refused compaction now succeeds and keeps `w`
+        compact_and_vacuum(spark, base, ["k"], [F.col("seq")], 2,
+                           partition_expr=pexpr)
+        assert list_deltas(base) == []
+        view = read_merged(spark, base, ["k"], [F.col("seq")])
+        rows = {r["k"]: (r["v"], r["w"]) for r in view.collect()}
+        assert rows[3] == (33, "new")
+        assert rows[1] == (10, None)
+
+    def test_widen_rejects_existing_column(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from dbt_decodable_spark.streaming.changelog import (
+            widen_snapshot_schema,
+            write_hash_partitioned,
+        )
+
+        base = str(tmp_path / "base")
+        write_hash_partitioned(
+            spark.createDataFrame([(1, 0, 10, False)], self.DDL),
+            base, ["k"], 2,
+        )
+        with _pytest.raises(RuntimeError, match="already exists"):
+            widen_snapshot_schema(spark, base, {"v": "long"}, ["k"], 2)
