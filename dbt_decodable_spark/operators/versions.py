@@ -1,0 +1,126 @@
+"""Versioned snapshot publication: time travel + retention for
+batch-materialized tables.
+
+A table that is republished wholesale (a dimension rebuild, a scored
+corpus, a model-ready export) needs three things the bare
+``mode("overwrite")`` write cannot give at scale:
+
+- **atomic publication** — readers must never observe a half-written
+  generation (overwrite-in-place deletes the old data FIRST);
+- **time travel** — yesterday's generation stays readable until retention
+  says otherwise (the rollback path when a publish turns out bad, and the
+  reproducibility path for anything trained on a specific generation);
+- **bounded retention** — generations cannot accumulate forever at 100 TB.
+
+Design — the same filesystem commit contract the delta log and the CDC
+snapshot use, applied to whole generations:
+
+- each publish lands in ``<root>/v=<N>`` (N = max committed + 1, no
+  clock); the COMMIT is Spark's own ``_SUCCESS`` marker, so a crashed
+  publish leaves an invisible partial that the next publish sweeps and
+  numbers past;
+- readers resolve ``latest`` (or an explicit N) against committed
+  generations only, so publication is atomic from their point of view:
+  until ``_SUCCESS`` exists the new generation does not exist;
+- ``vacuum_versions(keep_last=K)`` deletes committed generations beyond
+  the newest K (never the latest; a crash mid-vacuum just leaves more
+  generations for the next vacuum — deletion is idempotent).
+
+Single-writer per root, like every sibling maintenance op. Readers of a
+generation being vacuumed are the caller's retention policy to exclude —
+same contract as every lakehouse VACUUM.
+
+Reference parity: the reference materializes tables by full overwrite
+through its managed service (dbt seeds/models,
+``dbt/adapters/decodable/impl.py``) with no version retention; this module
+is extension surface, giving those publishes lakehouse semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _vdir(root: str, n: int) -> str:
+    return os.path.join(root.rstrip("/"), f"v={n:08d}")
+
+
+def list_versions(root: str) -> list[int]:
+    """Committed (``_SUCCESS``-marked) generation numbers, ascending."""
+    root = root.rstrip("/")
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in os.listdir(root):
+        if d.startswith("v=") and os.path.exists(
+            os.path.join(root, d, "_SUCCESS")
+        ):
+            out.append(int(d.split("=")[1]))
+    return sorted(out)
+
+
+def publish_version(df: DataFrame, root: str, fmt: str = "parquet") -> int:
+    """Write ``df`` as the next committed generation of ``root`` and
+    return its number. Sweeps uncommitted leftovers from crashed
+    publishes first (single-writer ⇒ nothing else can be mid-write)."""
+    root = root.rstrip("/")
+    os.makedirs(root, exist_ok=True)
+    committed = set()
+    for d in os.listdir(root):
+        if not d.startswith("v="):
+            continue
+        if os.path.exists(os.path.join(root, d, "_SUCCESS")):
+            committed.add(int(d.split("=")[1]))
+        else:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    n = (max(committed) + 1) if committed else 0
+    df.write.format(fmt).save(_vdir(root, n))
+    return n
+
+
+def read_version(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Read a committed generation — the latest by default, or an
+    explicit ``version`` for time travel. Raises with the available
+    generation list when the requested one doesn't exist (vacuumed, never
+    published, or uncommitted)."""
+    versions = list_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no committed generations under {root}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise FileNotFoundError(
+            f"generation {version} not available under {root}; "
+            f"committed generations: {versions}"
+        )
+    return spark.read.format(fmt).load(_vdir(root, version))
+
+
+def vacuum_versions(root: str, keep_last: int = 2) -> list[int]:
+    """Delete committed generations beyond the newest ``keep_last``
+    (which must be ≥ 1 — the latest generation is never deleted), plus
+    any uncommitted leftovers. Returns the deleted generation numbers.
+    Crash mid-vacuum is benign: deletion is idempotent and ordering is
+    oldest-first, so the retained window is never violated."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    root = root.rstrip("/")
+    versions = list_versions(root)
+    doomed = versions[:-keep_last] if len(versions) > keep_last else []
+    for n in doomed:
+        shutil.rmtree(_vdir(root, n), ignore_errors=True)
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if d.startswith("v=") and not os.path.exists(
+                os.path.join(root, d, "_SUCCESS")
+            ):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    return doomed

@@ -1,0 +1,86 @@
+"""Versioned snapshot publication (``operators/versions.py``): atomic
+_SUCCESS-gated generations, time travel, retention, crash behavior."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_decodable_spark.operators import versions as V
+
+
+def _vals(df):
+    return sorted(r["v"] for r in df.collect())
+
+
+class TestPublishAndTimeTravel:
+    def test_generations_accumulate_and_travel(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        for gen in range(3):
+            n = V.publish_version(
+                spark.range(5).select((F.col("id") + 100 * gen).alias("v")),
+                root,
+            )
+            assert n == gen
+        assert V.list_versions(root) == [0, 1, 2]
+        assert _vals(V.read_version(spark, root)) == [200, 201, 202, 203, 204]
+        assert _vals(V.read_version(spark, root, 0)) == [0, 1, 2, 3, 4]
+
+    def test_missing_generation_raises_with_inventory(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        V.publish_version(spark.range(1).select(F.col("id").alias("v")), root)
+        with pytest.raises(FileNotFoundError, match=r"generation 9 .*\[0\]"):
+            V.read_version(spark, root, 9)
+        with pytest.raises(FileNotFoundError, match="no committed"):
+            V.read_version(spark, str(tmp_path / "empty"))
+
+
+class TestCrashAndRetention:
+    def test_uncommitted_generation_is_invisible_and_swept(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        V.publish_version(spark.range(3).select(F.col("id").alias("v")), root)
+        # fabricate a crashed publish: data, no _SUCCESS
+        crash = os.path.join(root, "v=00000005")
+        spark.range(9).select(F.col("id").alias("v")).write.parquet(crash)
+        os.unlink(os.path.join(crash, "_SUCCESS"))
+        assert V.list_versions(root) == [0]
+        assert _vals(V.read_version(spark, root)) == [0, 1, 2]
+        n = V.publish_version(
+            spark.range(2).select(F.col("id").alias("v")), root
+        )
+        assert n == 1  # numbered from committed max, not the crashed dir
+        assert not os.path.exists(crash)  # swept
+
+    def test_vacuum_keeps_newest_k(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        for gen in range(5):
+            V.publish_version(
+                spark.range(2).select((F.col("id") + gen).alias("v")), root
+            )
+        deleted = V.vacuum_versions(root, keep_last=2)
+        assert deleted == [0, 1, 2]
+        assert V.list_versions(root) == [3, 4]
+        assert _vals(V.read_version(spark, root, 3)) == [3, 4]
+        with pytest.raises(FileNotFoundError):
+            V.read_version(spark, root, 0)
+        # next publish continues the sequence past the vacuumed range
+        assert V.publish_version(
+            spark.range(1).select(F.col("id").alias("v")), root
+        ) == 5
+
+    def test_vacuum_never_deletes_latest(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        V.publish_version(spark.range(1).select(F.col("id").alias("v")), root)
+        assert V.vacuum_versions(root, keep_last=1) == []
+        assert V.list_versions(root) == [0]
+        with pytest.raises(ValueError):
+            V.vacuum_versions(root, keep_last=0)
+
+    def test_vacuum_sweeps_uncommitted(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        V.publish_version(spark.range(1).select(F.col("id").alias("v")), root)
+        junk = os.path.join(root, "v=00000009")
+        os.makedirs(junk)
+        V.vacuum_versions(root, keep_last=1)
+        assert not os.path.exists(junk)
