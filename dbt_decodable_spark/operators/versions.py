@@ -62,10 +62,27 @@ def list_versions(root: str) -> list[int]:
     return sorted(out)
 
 
-def publish_version(df: DataFrame, root: str, fmt: str = "parquet") -> int:
+def publish_version(
+    df: DataFrame,
+    root: str,
+    fmt: str = "parquet",
+    cluster_by: list | None = None,
+    stats_cols: list | None = None,
+    n_files: int | None = None,
+) -> int:
     """Write ``df`` as the next committed generation of ``root`` and
     return its number. Sweeps uncommitted leftovers from crashed
-    publishes first (single-writer ⇒ nothing else can be mid-write)."""
+    publishes first (single-writer ⇒ nothing else can be mid-write).
+
+    The layout layers compose here: ``cluster_by`` range-sorts the
+    generation across ``n_files`` files and ``stats_cols`` attaches a
+    zone map (``operators/zonemap.py``) INSIDE the generation directory —
+    so every generation is independently clustered and file-skippable
+    (``read_pruned(spark, _vdir(root, n), …)``), and vacuuming a
+    generation removes its map with it. The zone map is written after
+    the data but before this returns; a crash in between leaves a
+    committed generation with no map — readable, just unpruned (the
+    map's usual fail-open stance). Parquet-only options."""
     root = root.rstrip("/")
     os.makedirs(root, exist_ok=True)
     committed = set()
@@ -77,7 +94,26 @@ def publish_version(df: DataFrame, root: str, fmt: str = "parquet") -> int:
         else:
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     n = (max(committed) + 1) if committed else 0
-    df.write.format(fmt).save(_vdir(root, n))
+    if (cluster_by or stats_cols) and fmt != "parquet":
+        raise ValueError("cluster_by/stats_cols require parquet")
+    if stats_cols:
+        from dbt_decodable_spark.operators.zonemap import write_with_zonemap
+
+        write_with_zonemap(
+            df, _vdir(root, n), stats_cols,
+            cluster_by=cluster_by, n_files=n_files,
+        )
+    else:
+        out = df
+        if cluster_by:
+            from pyspark.sql import functions as F
+
+            nf = n_files or max(
+                df.sparkSession.sparkContext.defaultParallelism, 1
+            )
+            cols = [F.expr(c) if isinstance(c, str) else c for c in cluster_by]
+            out = df.repartitionByRange(nf, *cols).sortWithinPartitions(*cols)
+        out.write.format(fmt).save(_vdir(root, n))
     return n
 
 

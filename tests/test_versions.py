@@ -84,3 +84,33 @@ class TestCrashAndRetention:
         os.makedirs(junk)
         V.vacuum_versions(root, keep_last=1)
         assert not os.path.exists(junk)
+
+
+class TestPublishWithLayout:
+    def test_clustered_zonemapped_generation(self, spark, tmp_path):
+        from dbt_decodable_spark.operators import zonemap as zm
+
+        root = str(tmp_path / "t")
+        df = spark.range(1000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+        n = V.publish_version(
+            df, root, cluster_by=["id"], stats_cols=["id"], n_files=4
+        )
+        gen_dir = V._vdir(root, n)
+        assert os.path.exists(os.path.join(gen_dir, zm.MANIFEST_NAME))
+        # the generation is independently file-skippable
+        got, info = zm.read_pruned(spark, gen_dir, [("id", 0, 249)])
+        assert info["fallback"] is None and info["pruned"] >= 2
+        assert got.count() == 250
+        # and still reads whole through the versioned API
+        assert V.read_version(spark, root).count() == 1000
+        # vacuum removes the generation and its map together
+        V.publish_version(df, root)
+        V.vacuum_versions(root, keep_last=1)
+        assert not os.path.exists(gen_dir)
+
+    def test_layout_options_require_parquet(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="require parquet"):
+            V.publish_version(
+                spark.range(1), str(tmp_path / "t"), fmt="orc",
+                cluster_by=["id"],
+            )
