@@ -140,6 +140,59 @@ def read_version(
     return spark.read.format(fmt).load(_vdir(root, version))
 
 
+def diff_versions(
+    spark: SparkSession,
+    root: str,
+    keys: list[str],
+    a: int | None = None,
+    b: int | None = None,
+    compare_cols: list[str] | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Row-level diff between two committed generations — by default the
+    latest against its predecessor (the publish review: what did this
+    generation change?). One full-outer join on ``keys``; each row is
+    labeled ``added`` / ``removed`` / ``changed`` / ``unchanged`` by a
+    null-safe struct comparison over ``compare_cols`` (default: every
+    non-key column the two generations share — so additive schema
+    evolution between generations diffs on the common core instead of
+    failing). Returns keys + ``status`` + the old/new value structs.
+
+    Same shape as the registered ``snapshot_diff_status`` query
+    (reference apply-diff parity, ``impl.py:402-417``), applied to the
+    version log. Scale: one key shuffle over the two generations."""
+    from pyspark.sql import functions as F
+
+    versions = list_versions(root)
+    if b is None:
+        if not versions:
+            raise FileNotFoundError(f"no committed generations under {root}")
+        b = versions[-1]
+    if a is None:
+        prior = [v for v in versions if v < b]
+        if not prior:
+            raise FileNotFoundError(
+                f"generation {b} has no predecessor under {root}"
+            )
+        a = prior[-1]
+    va = read_version(spark, root, a, fmt=fmt)
+    vb = read_version(spark, root, b, fmt=fmt)
+    if compare_cols is None:
+        compare_cols = [
+            c for c in va.columns if c in set(vb.columns) and c not in keys
+        ]
+    a_df = va.select(*keys, F.struct(*compare_cols).alias("old"))
+    b_df = vb.select(*keys, F.struct(*compare_cols).alias("new"))
+    j = a_df.join(b_df, on=list(keys), how="full_outer")
+    status = (
+        F.when(F.col("old").isNull(), F.lit("added"))
+        .when(F.col("new").isNull(), F.lit("removed"))
+        .when(~F.col("old").eqNullSafe(F.col("new")), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(*keys, status.alias("status"), "old", "new")
+
+
 def vacuum_versions(root: str, keep_last: int = 2) -> list[int]:
     """Delete committed generations beyond the newest ``keep_last``
     (which must be ≥ 1 — the latest generation is never deleted), plus

@@ -114,3 +114,40 @@ class TestPublishWithLayout:
                 spark.range(1), str(tmp_path / "t"), fmt="orc",
                 cluster_by=["id"],
             )
+
+
+class TestDiffVersions:
+    def _publish(self, spark, root, rows):
+        return V.publish_version(
+            spark.createDataFrame(rows, "k long, v long"), root
+        )
+
+    def test_default_diffs_latest_against_predecessor(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        self._publish(spark, root, [(1, 10), (2, 20), (3, 30)])
+        self._publish(spark, root, [(1, 10), (2, 99), (4, 40)])
+        d = V.diff_versions(spark, root, ["k"])
+        got = {r["k"]: r["status"] for r in d.collect()}
+        assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+        row2 = {r["k"]: r for r in d.collect()}[2]
+        assert row2["old"]["v"] == 20 and row2["new"]["v"] == 99
+
+    def test_explicit_pair_and_common_core(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        self._publish(spark, root, [(1, 10)])
+        self._publish(spark, root, [(1, 11)])
+        # generation 2 gains a column: diff on the common core still works
+        V.publish_version(
+            spark.createDataFrame([(1, 11, "x")], "k long, v long, w string"),
+            root,
+        )
+        d02 = V.diff_versions(spark, root, ["k"], a=0, b=2)
+        assert d02.collect()[0]["status"] == "changed"
+        d12 = V.diff_versions(spark, root, ["k"], a=1, b=2)
+        assert d12.collect()[0]["status"] == "unchanged"  # v same; w not common
+
+    def test_no_predecessor_raises(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        self._publish(spark, root, [(1, 10)])
+        with pytest.raises(FileNotFoundError, match="no predecessor"):
+            V.diff_versions(spark, root, ["k"])
