@@ -116,6 +116,52 @@ def compact_path(
         write_zonemap(spark, path.rstrip("/"), stats_cols)
 
 
+def expire_partitions(
+    spark: SparkSession,
+    path: str,
+    keep,
+) -> list[str]:
+    """Partition-level retention (TTL): delete every ``col=value``
+    partition directory whose VALUE string fails ``keep(value)`` — the
+    date-retention sweep of a 100 TB time-partitioned table, executed at
+    directory granularity so expiry cost is O(|expired dirs|), zero
+    scan, and trivially crash-safe (directory deletes are idempotent; a
+    crash mid-sweep just leaves some expired partitions for the next
+    run — the retained set is never touched).
+
+    ``keep`` receives the raw partition-value string from the directory
+    name (e.g. ``"2024-01-03"`` from ``day=2024-01-03``) — for ISO dates
+    lexicographic comparison is correct as-is
+    (``keep=lambda v: v >= "2024-01-01"``); for other types the caller
+    parses. Hive ``__HIVE_DEFAULT_PARTITION__`` (NULL) is passed through
+    like any value, so a policy can choose to expire or retain it.
+
+    If the table carries a zone map, the manifest is caught up after the
+    sweep (``refresh_zonemap_appended`` handles removals — entries under
+    deleted directories are dropped, nothing is re-statted). Returns the
+    deleted directory names."""
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+    doomed = []
+    for d in sorted(os.listdir(base)):
+        full = os.path.join(base, d)
+        if not os.path.isdir(full) or "=" not in d:
+            continue
+        value = d.split("=", 1)[1]
+        if not keep(value):
+            doomed.append(d)
+            shutil.rmtree(full)
+    if doomed and os.path.exists(os.path.join(base, "_zonemap.json")):
+        from dbt_decodable_spark.operators.zonemap import (
+            refresh_zonemap_appended,
+        )
+
+        refresh_zonemap_appended(spark, base)
+    return doomed
+
+
 def delete_rows_partitioned(
     spark: SparkSession,
     path: str,

@@ -384,6 +384,53 @@ class TestCompactionClusteringAndManifest:
         assert spark.read.parquet(path).count() == 4000
 
 
+class TestExpirePartitions:
+    """maintenance.expire_partitions: directory-granularity TTL with
+    zone-map catch-up."""
+
+    def test_expire_by_date_string(self, spark, tmp_path):
+        from dbt_decodable_spark.operators.maintenance import expire_partitions
+
+        path = str(tmp_path / "t")
+        df = spark.range(400).select(
+            F.col("id"),
+            F.date_format(
+                F.date_add(F.lit("2024-01-01"), (F.col("id") % 4).cast("int")),
+                "yyyy-MM-dd",
+            ).alias("day"),
+        )
+        df.write.partitionBy("day").parquet(path)
+        zm.write_zonemap(spark, path, ["id"])
+        deleted = expire_partitions(
+            spark, path, keep=lambda v: v >= "2024-01-03"
+        )
+        assert deleted == ["day=2024-01-01", "day=2024-01-02"]
+        left = spark.read.parquet(path)
+        assert left.count() == 200
+        # partition values are type-inferred back to DATE on read
+        assert set(r["day"] for r in left.select("day").distinct().collect()) == {
+            datetime.date(2024, 1, 3), datetime.date(2024, 1, 4)
+        }
+        # zone map caught up: no fallback, no entries under deleted dirs
+        got, info = zm.read_pruned(spark, path, [("id", 0, 399)])
+        assert info["fallback"] is None and got.count() == 200
+        m = json.load(open(os.path.join(path, zm.MANIFEST_NAME)))
+        assert all(not e["file"].startswith(("day=2024-01-01/", "day=2024-01-02/"))
+                   for e in m["files"])
+        # idempotent: nothing left to expire
+        assert expire_partitions(spark, path, keep=lambda v: v >= "2024-01-03") == []
+
+    def test_keep_all_is_noop(self, spark, tmp_path):
+        from dbt_decodable_spark.operators.maintenance import expire_partitions
+
+        path = str(tmp_path / "t")
+        spark.range(10).select(
+            F.col("id"), (F.col("id") % 2).alias("p")
+        ).write.partitionBy("p").parquet(path)
+        assert expire_partitions(spark, path, keep=lambda v: True) == []
+        assert spark.read.parquet(path).count() == 10
+
+
 class TestZonemapMetadataAggregates:
     """count_pruned / minmax_from_zonemap: the metadata-only aggregate
     path — boundary files scanned, interior files counted from the
