@@ -38,9 +38,9 @@ def write_compacted(
     layout-establishing compaction, so per-file min/max stay tight (the
     zone-map prerequisite; a z-order key expression works unchanged)."""
     if cluster_by:
-        cols = [F.col(c) if isinstance(c, str) else c for c in cluster_by]
-        n = target_files or df.sparkSession.sparkContext.defaultParallelism
-        out = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+        from dbt_decodable_spark.operators.zonemap import clustered
+
+        out = clustered(df, cluster_by, target_files)
     else:
         out = df.repartition(target_files) if target_files else df
     (

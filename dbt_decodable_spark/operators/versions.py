@@ -106,13 +106,9 @@ def publish_version(
     else:
         out = df
         if cluster_by:
-            from pyspark.sql import functions as F
+            from dbt_decodable_spark.operators.zonemap import clustered
 
-            nf = n_files or max(
-                df.sparkSession.sparkContext.defaultParallelism, 1
-            )
-            cols = [F.expr(c) if isinstance(c, str) else c for c in cluster_by]
-            out = df.repartitionByRange(nf, *cols).sortWithinPartitions(*cols)
+            out = clustered(df, cluster_by, n_files)
         out.write.format(fmt).save(_vdir(root, n))
     return n
 

@@ -57,7 +57,10 @@ is part of the §2.12 extension surface (Z-order layout row).
 
 from __future__ import annotations
 
+import base64 as _b64
 import datetime as _dt
+import decimal as _dec
+import math as _math
 import json
 import os
 import tempfile
@@ -68,11 +71,16 @@ from pyspark.sql import functions as F
 
 MANIFEST_NAME = "_zonemap.json"
 
-# stat value (de)serialization: JSON can't carry timestamps/dates natively,
-# so values are stored tagged and revived to comparable Python types.
+# stat value (de)serialization: JSON can't carry timestamps/dates/decimals/
+# bytes natively, so values are stored tagged and revived to comparable
+# Python types. (datetime subclasses date; bytes before generic — the dict
+# is checked in order.)
 _TAG_ENCODERS = {
     _dt.datetime: ("ts", lambda v: v.isoformat()),
     _dt.date: ("date", lambda v: v.isoformat()),
+    _dec.Decimal: ("dec", str),
+    bytes: ("b64", lambda v: _b64.b64encode(v).decode("ascii")),
+    bytearray: ("b64", lambda v: _b64.b64encode(bytes(v)).decode("ascii")),
 }
 
 
@@ -80,7 +88,6 @@ def _encode(v: Any) -> Any:
     if v is None:
         return None
     for typ, (tag, enc) in _TAG_ENCODERS.items():
-        # datetime subclasses date — check datetime first (dict is ordered)
         if isinstance(v, typ):
             return {"__t": tag, "v": enc(v)}
     return v
@@ -92,13 +99,24 @@ def _decode(v: Any) -> Any:
             return _dt.datetime.fromisoformat(v["v"])
         if v["__t"] == "date":
             return _dt.date.fromisoformat(v["v"])
+        if v["__t"] == "dec":
+            return _dec.Decimal(v["v"])
+        if v["__t"] == "b64":
+            return _b64.b64decode(v["v"])
     return v
 
 
+def _is_nan(v: Any) -> bool:
+    return isinstance(v, float) and _math.isnan(v)
+
+
 def _coerce_bound(bound: Any, sample: Any) -> Any:
-    """Make a user-supplied predicate bound comparable with stored stats:
-    ints vs floats compare fine natively; a date bound against timestamp
-    stats (or the reverse) is widened to the stats' type."""
+    """Make a user-supplied predicate bound comparable with stored stats
+    for PRUNING (conservative direction — may only WIDEN the predicate
+    interval, never narrow it): ints vs floats compare fine natively; a
+    date bound against timestamp stats (or the reverse) is widened to the
+    stats' type, truncating toward the past for datetime→date (floor is
+    the widening direction on both ends for pruning)."""
     if bound is None or sample is None:
         return bound
     if isinstance(sample, _dt.datetime) and isinstance(bound, _dt.date) and not isinstance(bound, _dt.datetime):
@@ -110,6 +128,30 @@ def _coerce_bound(bound: Any, sample: Any) -> Any:
     ):
         return bound.date()
     return bound
+
+
+def _coerce_cover_lo(lo: Any, sample: Any) -> Any:
+    """Bound coercion for the COVERAGE test (:func:`count_pruned`), which
+    needs the opposite rounding on the lower bound: a datetime lo against
+    date stats must round UP to the next day when it carries a
+    time-of-day, or a date equal to the truncated lo would be wrongly
+    counted as covered (Spark casts that date to midnight < lo)."""
+    if (
+        lo is not None
+        and isinstance(sample, _dt.date)
+        and not isinstance(sample, _dt.datetime)
+        and isinstance(lo, _dt.datetime)
+    ):
+        d = lo.date()
+        return d if lo.time() == _dt.time.min else d + _dt.timedelta(days=1)
+    return _coerce_bound(lo, sample)
+
+
+def _active(predicates: Sequence[tuple[str, Any, Any]]) -> list[tuple[str, Any, Any]]:
+    """Drop predicates with neither bound — they constrain nothing, and
+    treating them as a range would wrongly prune all-NULL files that the
+    (absent) re-applied filter keeps."""
+    return [p for p in predicates if p[1] is not None or p[2] is not None]
 
 
 def _list_data_files(path: str) -> list[tuple[str, int]]:
@@ -154,9 +196,15 @@ def _stats_pass(
     abs_base = os.path.abspath(base)
     out = []
     for r in rows:
+        # _metadata.file_path is a URI: strip the scheme AND percent-decode,
+        # or any path with a URI-escapable character (space, %, #) produces
+        # garbage manifest keys that crash pruned reads instead of matching
+        from urllib.parse import unquote, urlparse
+
         fp = r["__file"]
-        if fp.startswith("file:"):
-            fp = fp[len("file:") :]
+        if "://" in fp or fp.startswith("file:"):
+            fp = urlparse(fp).path
+        fp = unquote(fp)
         entry = {
             "file": os.path.relpath(fp, abs_base),
             "rows": r["__rows"],
@@ -177,6 +225,20 @@ def compute_file_stats(
 ) -> list[dict]:
     """Per-file stats for every data file under ``path`` — one pass."""
     return _stats_pass(spark, path, [path], stats_cols)
+
+
+def clustered(
+    df: DataFrame, cluster_by: Sequence, n_files: int | None = None
+) -> DataFrame:
+    """Range-repartition + in-partition sort on the given expressions —
+    the layout step that makes per-file min/max selective. Strings are
+    parsed as SQL expressions (so a z-order key like
+    ``"pmod(hash(id), 64)"`` works), Columns pass through. The single
+    shared implementation behind ``write_with_zonemap``,
+    ``maintenance.write_compacted`` and ``versions.publish_version``."""
+    cols = [F.expr(c) if isinstance(c, str) else c for c in cluster_by]
+    nf = n_files or max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    return df.repartitionByRange(nf, *cols).sortWithinPartitions(*cols)
 
 
 def _write_manifest(path: str, manifest: dict) -> None:
@@ -314,9 +376,7 @@ def write_with_zonemap(
     path = path.rstrip("/")
     out = df
     if cluster_by:
-        nf = n_files or max(df.sparkSession.sparkContext.defaultParallelism, 1)
-        cols = [F.expr(c) if isinstance(c, str) else c for c in cluster_by]
-        out = df.repartitionByRange(nf, *cols).sortWithinPartitions(*cols)
+        out = clustered(df, cluster_by, n_files)
     elif n_files:
         out = df.repartition(n_files)
     out.write.mode("overwrite").parquet(path)
@@ -324,6 +384,8 @@ def write_with_zonemap(
 
 
 def _file_survives(entry: dict, col: str, lo: Any, hi: Any) -> bool:
+    if lo is None and hi is None:
+        return True  # no constraint — never prune on it (even all-NULL files)
     st = entry["cols"].get(col)
     if st is None:
         return True  # column untracked → no evidence to prune on
@@ -332,30 +394,29 @@ def _file_survives(entry: dict, col: str, lo: Any, hi: Any) -> bool:
         # min/max NULL ⇒ every value in the file is NULL (Spark min/max
         # ignore NULLs) ⇒ no row can satisfy a range predicate
         return False
-    lo = _coerce_bound(lo, mn)
-    hi = _coerce_bound(hi, mx)
-    if lo is not None and mx < lo:
-        return False
-    if hi is not None and mn > hi:
-        return False
+    try:
+        lo = _coerce_bound(lo, mn)
+        hi = _coerce_bound(hi, mx)
+        if lo is not None and mx < lo:
+            return False
+        if hi is not None and mn > hi:
+            return False
+    except TypeError:
+        # bound type incomparable with the stored stats (e.g. a string
+        # bound against int stats): the advisory layer must fail OPEN —
+        # keep the file and let the real Spark filter decide
+        return True
     return True
 
 
-def prune_files(
+def _load_pruned(
     path: str, predicates: Sequence[tuple[str, Any, Any]]
-) -> dict:
-    """Resolve the file list for a conjunction of range predicates
-    ``(col, lo, hi)`` (either bound may be ``None`` for one-sided; equality
-    is ``(col, v, v)``) against ``path``'s zone map.
-
-    Returns ``{"files": [abs paths], "total": N, "pruned": M, "fallback":
-    reason|None}``. Fallback to the full listing — never an error — when
-    the manifest is absent, unreadable, or describes a different file
-    inventory than the directory currently holds (a compaction/merge wrote
-    data without refreshing the map): the zone map is an optimization, not
-    a correctness gate.
-    """
+) -> tuple[dict, dict | None]:
+    """Shared core of the pruning readers: one manifest parse, one
+    inventory check, one survivor walk. Returns ``(info, manifest)`` —
+    ``manifest`` is ``None`` on any fallback."""
     path = path.rstrip("/")
+    predicates = _active(predicates)
     inventory = _list_data_files(path)
     all_files = [os.path.join(path, n) for n, _s in inventory]
     mpath = os.path.join(path, MANIFEST_NAME)
@@ -368,14 +429,14 @@ def prune_files(
             "total": len(all_files),
             "pruned": 0,
             "fallback": f"manifest unreadable: {e.__class__.__name__}",
-        }
+        }, None
     if [tuple(x) for x in manifest.get("inventory", [])] != inventory:
         return {
             "files": all_files,
             "total": len(all_files),
             "pruned": 0,
             "fallback": "inventory drift: directory changed since zonemap write",
-        }
+        }, None
     keep = [
         e["file"]
         for e in manifest["files"]
@@ -386,7 +447,26 @@ def prune_files(
         "total": len(all_files),
         "pruned": len(all_files) - len(keep),
         "fallback": None,
-    }
+    }, manifest
+
+
+def prune_files(
+    path: str, predicates: Sequence[tuple[str, Any, Any]]
+) -> dict:
+    """Resolve the file list for a conjunction of range predicates
+    ``(col, lo, hi)`` (either bound may be ``None`` for one-sided; equality
+    is ``(col, v, v)``; a predicate with NEITHER bound constrains nothing
+    and is ignored) against ``path``'s zone map.
+
+    Returns ``{"files": [abs paths], "total": N, "pruned": M, "fallback":
+    reason|None}``. Fallback to the full listing — never an error — when
+    the manifest is absent, unreadable, or describes a different file
+    inventory than the directory currently holds (a compaction/merge wrote
+    data without refreshing the map): the zone map is an optimization, not
+    a correctness gate. Incomparable bound types likewise keep files
+    rather than raising.
+    """
+    return _load_pruned(path, predicates)[0]
 
 
 def count_pruned(
@@ -409,8 +489,9 @@ def count_pruned(
     Returns ``(count, info)`` — ``info`` extends :func:`prune_files`'
     report with ``files_metadata_only`` and ``files_scanned``.
     """
-    info = prune_files(path, predicates)
-    if info["fallback"] is not None:
+    predicates = _active(predicates)
+    info, manifest = _load_pruned(path, predicates)
+    if manifest is None:
         df = spark.read.parquet(path.rstrip("/"))
         for c, lo, hi in predicates:
             if lo is not None:
@@ -422,20 +503,26 @@ def count_pruned(
         return n, info
 
     base = path.rstrip("/")
-    with open(os.path.join(base, MANIFEST_NAME)) as fh:
-        by_file = {e["file"]: e for e in json.load(fh)["files"]}
+    by_file = {e["file"]: e for e in manifest["files"]}
 
     def fully_covered(entry: dict) -> bool:
+        # anything not PROVABLY covered is scanned: NaN stats compare
+        # False against every bound (so `mx > hi` can't be trusted),
+        # datetime lower bounds against date stats must round UP, and an
+        # incomparable bound type means no proof at all
         for c, lo, hi in predicates:
             st = entry["cols"].get(c)
             if st is None or st["nulls"] != 0:
                 return False
             mn, mx = _decode(st["min"]), _decode(st["max"])
-            if mn is None:
+            if mn is None or _is_nan(mn) or _is_nan(mx):
                 return False
-            if lo is not None and mn < _coerce_bound(lo, mn):
-                return False
-            if hi is not None and mx > _coerce_bound(hi, mx):
+            try:
+                if lo is not None and mn < _coerce_cover_lo(lo, mn):
+                    return False
+                if hi is not None and mx > _coerce_bound(hi, mx):
+                    return False
+            except TypeError:
                 return False
         return True
 
@@ -552,15 +639,15 @@ def prune_for_join(
         keys = sorted(
             r[0] for r in dim.select(dim_key).distinct().dropna().collect()
         )
-        info = prune_files(fact_path, [(fact_key, row["lo"], row["hi"])])
-        if info["fallback"] is None:
+        info, manifest = _load_pruned(
+            fact_path, [(fact_key, row["lo"], row["hi"])]
+        )
+        if manifest is not None:
             # refine the envelope survivors: keep a file iff some dim key
             # stabs its interval (bisect over the sorted key list)
             import bisect
 
-            mpath = os.path.join(fact_path.rstrip("/"), MANIFEST_NAME)
-            with open(mpath) as fh:
-                by_file = {e["file"]: e for e in json.load(fh)["files"]}
+            by_file = {e["file"]: e for e in manifest["files"]}
             base = fact_path.rstrip("/")
             kept = []
             for f in info["files"]:
@@ -571,9 +658,12 @@ def prune_for_join(
                 mn, mx = _decode(st["min"]), _decode(st["max"])
                 if mn is None:
                     continue
-                i = bisect.bisect_left(keys, _coerce_bound(mn, keys[0]))
-                if i < len(keys) and keys[i] <= _coerce_bound(mx, keys[0]):
-                    kept.append(f)
+                try:
+                    i = bisect.bisect_left(keys, _coerce_bound(mn, keys[0]))
+                    if i < len(keys) and keys[i] <= _coerce_bound(mx, keys[0]):
+                        kept.append(f)
+                except TypeError:
+                    kept.append(f)  # incomparable key type: fail open
             info["pruned"] = info["total"] - len(kept)
             info["files"] = kept
         info["mode"] = "stab"

@@ -765,11 +765,12 @@ def compact_deltas(
     # not silently lose its new column to the snapshot-shaped projection
     # below — widening the durable snapshot's schema is an explicit full
     # rewrite (write_hash_partitioned), not a side effect of compaction.
-    snap_cols = {
-        f.name
+    snap_fields = [
+        f
         for f in spark.read.parquet(base_path.rstrip("/")).schema.fields
         if f.name != "__bucket"
-    }
+    ]
+    snap_cols = {f.name for f in snap_fields}
     acc = None
     for p in delta_paths:
         d = spark.read.parquet(p)
@@ -782,7 +783,19 @@ def compact_deltas(
                 "explicit full rewrite), or read through "
                 "read_merged(allow_schema_evolution=True) until then."
             )
-        acc = d if acc is None else acc.unionByName(d.select(*acc.columns))
+        # align every delta to the snapshot's full column set: a delta
+        # written BEFORE a widen lacks the new column — NULL-fill it at
+        # the snapshot's type, so mixed-schema pending deltas (the normal
+        # state right after widen_snapshot_schema) compact cleanly
+        aligned = d.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in d.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in snap_fields
+            ]
+        )
+        acc = aligned if acc is None else acc.unionByName(aligned)
     folded = fold_last_image(acc, keys, order)
     return merge_into_hash_partitioned(
         spark, base_path, folded, keys, order, n_buckets,

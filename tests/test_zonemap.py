@@ -620,3 +620,123 @@ class TestZonemapFailOpen:
         assert {f[0] for f in m["inventory"]} == disk
         assert {e["file"] for e in m["files"]} == disk
         assert m["stats_cols"] == ["id"]
+
+
+class TestReviewRegressions:
+    """Pins for the round-9 session-2 review findings: URI-escapable
+    paths, NaN stats, datetime-vs-date coverage rounding, no-bound
+    predicates, Decimal/bytes stats, expression-string clustering in
+    compact_path, mixed-schema delta compaction, incomparable bounds."""
+
+    def test_path_with_space_prunes_and_reads(self, spark, tmp_path):
+        path = str(tmp_path / "zone map X" / "docs")
+        df = spark.range(400).select(F.col("id"))
+        zm.write_with_zonemap(df, path, ["id"], cluster_by=["id"], n_files=4)
+        got, info = zm.read_pruned(spark, path, [("id", 0, 99)])
+        assert info["fallback"] is None and info["pruned"] == 3
+        assert got.count() == 100
+        n, cinfo = zm.count_pruned(spark, path, [("id", 0, 399)])
+        assert n == 400 and cinfo["files_scanned"] == 0
+
+    def test_nan_stats_force_scan_not_metadata_count(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, 2.0), (3, float("nan"))], "id long, x double"
+        )
+        zm.write_with_zonemap(df.coalesce(1), path, ["x"])
+        n, info = zm.count_pruned(spark, path, [("x", 0.0, 10.0)])
+        want = spark.read.parquet(path).filter("x between 0.0 and 10.0").count()
+        assert n == want == 2  # NaN row excluded, file scanned not trusted
+        assert info["files_metadata_only"] == 0
+
+    def test_datetime_lower_bound_vs_date_stats_is_exact(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, datetime.date(2024, 1, 1)), (2, datetime.date(2024, 1, 2))],
+            "id long, d date",
+        )
+        zm.write_with_zonemap(df.coalesce(1), path, ["d"])
+        lo = datetime.datetime(2024, 1, 1, 12, 0)
+        n, _ = zm.count_pruned(spark, path, [("d", lo, None)])
+        want = spark.read.parquet(path).filter(F.col("d") >= F.lit(lo)).count()
+        assert n == want == 1  # 2024-01-01 casts to midnight < 12:00
+        # midnight lower bound: both rows covered, zero scans
+        lo0 = datetime.datetime(2024, 1, 1, 0, 0)
+        n0, i0 = zm.count_pruned(spark, path, [("d", lo0, None)])
+        assert n0 == 2 and i0["files_scanned"] == 0
+
+    def test_unbounded_predicate_never_prunes_all_null_files(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = spark.range(100).select(
+            F.col("id"), F.when(F.col("id") < 50, F.col("id")).alias("v")
+        )
+        zm.write_with_zonemap(df, path, ["v"], cluster_by=["id"], n_files=2)
+        got, info = zm.read_pruned(spark, path, [("v", None, None)])
+        assert info["pruned"] == 0
+        assert got.count() == 100  # all rows, including the all-NULL file
+        n, _ = zm.count_pruned(spark, path, [("v", None, None)])
+        assert n == 100
+
+    def test_decimal_and_binary_stats_roundtrip(self, spark, tmp_path):
+        import decimal
+
+        path = str(tmp_path / "t")
+        df = spark.range(100).select(
+            F.col("id"),
+            (F.col("id").cast("decimal(10,2)") / 4).alias("amount"),
+            F.col("id").cast("string").cast("binary").alias("raw"),
+        )
+        zm.write_with_zonemap(df, path, ["amount", "raw"], cluster_by=["id"], n_files=4)
+        lo, hi = zm.minmax_from_zonemap(path, "amount")
+        assert lo == decimal.Decimal("0.00") and hi == decimal.Decimal("24.75")
+        got, info = zm.read_pruned(
+            spark, path,
+            [("amount", decimal.Decimal("0"), decimal.Decimal("6.00"))],
+        )
+        assert info["fallback"] is None and info["pruned"] >= 2
+        want = spark.read.parquet(path).filter("amount <= 6.00")
+        assert got.count() == want.count()
+
+    def test_compact_path_accepts_expression_string(self, spark, tmp_path):
+        from dbt_decodable_spark.operators.maintenance import compact_path
+
+        path = str(tmp_path / "t")
+        spark.range(300).select(F.col("id")).repartition(6).write.parquet(path)
+        compact_path(spark, path, max_records_per_file=200, target_files=3,
+                     cluster_by=["pmod(id, 3)"])
+        assert spark.read.parquet(path).count() == 300
+
+    def test_mixed_schema_deltas_compact_after_widen(self, spark, tmp_path):
+        from dbt_decodable_spark.streaming import changelog as cl
+
+        DDL = "k long, seq long, v long, is_delete boolean"
+        DDL2 = DDL + ", w string"
+        base = str(tmp_path / "base")
+        cl.write_hash_partitioned(
+            spark.createDataFrame([(i, 0, i, False) for i in range(10)], DDL),
+            base, ["k"], 2,
+        )
+        cl.append_delta(spark, base,
+                        spark.createDataFrame([(1, 1, 11, False)], DDL))
+        cl.append_delta(spark, base,
+                        spark.createDataFrame([(2, 1, 22, False, "x")], DDL2))
+        cl.widen_snapshot_schema(spark, base, {"w": "string"}, ["k"], 2)
+        cl.compact_and_vacuum(spark, base, ["k"], [F.col("seq")], 2)
+        assert cl.list_deltas(base) == []
+        rows = {r["k"]: (r["v"], r["w"])
+                for r in cl.read_merged(spark, base, ["k"], [F.col("seq")]).collect()}
+        assert rows[1] == (11, None) and rows[2] == (22, "x")
+
+    def test_incomparable_bound_fails_open(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        zm.write_with_zonemap(
+            spark.range(100).select(F.col("id")), path, ["id"],
+            cluster_by=["id"], n_files=4,
+        )
+        got, info = zm.read_pruned(spark, path, [("id", "5", None)])
+        assert info["fallback"] is None and info["pruned"] == 0
+        want = spark.read.parquet(path).filter(F.col("id") >= F.lit("5"))
+        assert _rows(got) == _rows(want)
+        dim = spark.createDataFrame([("7",)], "id string")
+        pruned, jinfo = zm.prune_for_join(spark, path, dim, "id")
+        assert jinfo["pruned"] == 0  # stab refine fails open, keeps files
