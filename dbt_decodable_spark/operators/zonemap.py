@@ -46,9 +46,15 @@ refreshes). Past that point the metadata layer itself needs sharding (a
 manifest per partition directory, which :func:`refresh_zonemap_partial`'s
 per-bucket structure maps onto directly) or a table format that already
 owns file-level stats (Delta/Iceberg). Because the map here is purely
-advisory — never consulted without the inventory check, never load-bearing
-for correctness — it can be dropped and rebuilt at any time, which is what
-makes the simple single-document design safe to start with.
+advisory — checked against the live inventory by default, never
+load-bearing for correctness — it can be dropped and rebuilt at any time,
+which is what makes the simple single-document design safe to start with.
+The inventory check itself costs a directory LIST per read (measured
+~24 µs/file locally; on object storage the LIST is the dominant metadata
+round-trip) — readers on tables whose every writer goes through the
+maintenance hooks can opt out with ``verify_inventory=False`` and resolve
+the file list from the manifest alone, trading drift detection for zero
+listings.
 
 Reference parity: the reference (decodableco/dbt-decodable) delegates
 storage layout to its managed service and exposes nothing here; this module
@@ -410,33 +416,53 @@ def _file_survives(entry: dict, col: str, lo: Any, hi: Any) -> bool:
 
 
 def _load_pruned(
-    path: str, predicates: Sequence[tuple[str, Any, Any]]
+    path: str,
+    predicates: Sequence[tuple[str, Any, Any]],
+    verify_inventory: bool = True,
 ) -> tuple[dict, dict | None]:
     """Shared core of the pruning readers: one manifest parse, one
     inventory check, one survivor walk. Returns ``(info, manifest)`` —
-    ``manifest`` is ``None`` on any fallback."""
+    ``manifest`` is ``None`` on any fallback.
+
+    ``verify_inventory=False`` skips the directory listing that powers
+    the drift check — the LIST round-trip is itself the dominant
+    metadata cost on object storage, and on a table whose every writer
+    goes through the maintenance hooks (merge refresh, append refresh,
+    compaction rebuild — the single-writer contract) the manifest is
+    fresh by construction. The trade is explicit: with verification off,
+    a writer that bypassed the hooks yields a stale file list (missing
+    files then error at read; extra files are silently unseen). Default
+    stays on: fail-open beats fast-but-maybe-wrong unless the caller
+    owns the write discipline."""
     path = path.rstrip("/")
     predicates = _active(predicates)
-    inventory = _list_data_files(path)
-    all_files = [os.path.join(path, n) for n, _s in inventory]
     mpath = os.path.join(path, MANIFEST_NAME)
+    inventory = _list_data_files(path) if verify_inventory else None
     try:
         with open(mpath) as fh:
             manifest = json.load(fh)
     except (OSError, json.JSONDecodeError) as e:
+        inv = inventory if inventory is not None else _list_data_files(path)
+        all_files = [os.path.join(path, n) for n, _s in inv]
         return {
             "files": all_files,
             "total": len(all_files),
             "pruned": 0,
             "fallback": f"manifest unreadable: {e.__class__.__name__}",
         }, None
-    if [tuple(x) for x in manifest.get("inventory", [])] != inventory:
-        return {
-            "files": all_files,
-            "total": len(all_files),
-            "pruned": 0,
-            "fallback": "inventory drift: directory changed since zonemap write",
-        }, None
+    if inventory is not None:
+        all_files = [os.path.join(path, n) for n, _s in inventory]
+        if [tuple(x) for x in manifest.get("inventory", [])] != inventory:
+            return {
+                "files": all_files,
+                "total": len(all_files),
+                "pruned": 0,
+                "fallback": "inventory drift: directory changed since zonemap write",
+            }, None
+    else:
+        all_files = [
+            os.path.join(path, n) for n, _s in manifest.get("inventory", [])
+        ]
     keep = [
         e["file"]
         for e in manifest["files"]
@@ -451,7 +477,9 @@ def _load_pruned(
 
 
 def prune_files(
-    path: str, predicates: Sequence[tuple[str, Any, Any]]
+    path: str,
+    predicates: Sequence[tuple[str, Any, Any]],
+    verify_inventory: bool = True,
 ) -> dict:
     """Resolve the file list for a conjunction of range predicates
     ``(col, lo, hi)`` (either bound may be ``None`` for one-sided; equality
@@ -466,13 +494,14 @@ def prune_files(
     a correctness gate. Incomparable bound types likewise keep files
     rather than raising.
     """
-    return _load_pruned(path, predicates)[0]
+    return _load_pruned(path, predicates, verify_inventory)[0]
 
 
 def count_pruned(
     spark: SparkSession,
     path: str,
     predicates: Sequence[tuple[str, Any, Any]],
+    verify_inventory: bool = True,
 ) -> tuple[int, dict]:
     """Predicate count with metadata short-circuiting: a surviving file
     whose tracked interval lies ENTIRELY inside every predicate range (and
@@ -490,7 +519,7 @@ def count_pruned(
     report with ``files_metadata_only`` and ``files_scanned``.
     """
     predicates = _active(predicates)
-    info, manifest = _load_pruned(path, predicates)
+    info, manifest = _load_pruned(path, predicates, verify_inventory)
     if manifest is None:
         df = spark.read.parquet(path.rstrip("/"))
         for c, lo, hi in predicates:
@@ -591,6 +620,7 @@ def prune_for_join(
     dim_key: str,
     fact_key: str | None = None,
     max_distinct: int = 10_000,
+    verify_inventory: bool = True,
 ) -> tuple[DataFrame, dict]:
     """Dynamic FILE skipping for a join — the zone-map analogue of Spark's
     dynamic partition pruning: before joining a big zone-mapped fact table
@@ -640,7 +670,7 @@ def prune_for_join(
             r[0] for r in dim.select(dim_key).distinct().dropna().collect()
         )
         info, manifest = _load_pruned(
-            fact_path, [(fact_key, row["lo"], row["hi"])]
+            fact_path, [(fact_key, row["lo"], row["hi"])], verify_inventory
         )
         if manifest is not None:
             # refine the envelope survivors: keep a file iff some dim key
@@ -668,7 +698,9 @@ def prune_for_join(
             info["files"] = kept
         info["mode"] = "stab"
     else:
-        info = prune_files(fact_path, [(fact_key, row["lo"], row["hi"])])
+        info = prune_files(
+            fact_path, [(fact_key, row["lo"], row["hi"])], verify_inventory
+        )
         info["mode"] = "envelope"
     if not info["files"]:
         df = spark.read.parquet(fact_path.rstrip("/")).limit(0)
@@ -681,6 +713,7 @@ def read_pruned(
     spark: SparkSession,
     path: str,
     predicates: Sequence[tuple[str, Any, Any]],
+    verify_inventory: bool = True,
 ) -> tuple[DataFrame, dict]:
     """Read ``path`` with zone-map file skipping for a conjunction of range
     predicates, then RE-APPLY the predicates as real Spark filters (the map
@@ -691,7 +724,7 @@ def read_pruned(
     Returns ``(df, info)`` where ``info`` is :func:`prune_files`' report.
     An empty survivor list yields an empty DataFrame with the table's real
     schema (schema read from the full path, no data scanned)."""
-    info = prune_files(path, predicates)
+    info = prune_files(path, predicates, verify_inventory)
     if not info["files"]:
         df = spark.read.parquet(path.rstrip("/")).limit(0)
     else:

@@ -740,3 +740,45 @@ class TestReviewRegressions:
         dim = spark.createDataFrame([("7",)], "id string")
         pruned, jinfo = zm.prune_for_join(spark, path, dim, "id")
         assert jinfo["pruned"] == 0  # stab refine fails open, keeps files
+
+
+class TestVerifyInventoryKnob:
+    """verify_inventory=False: resolve the file list from the manifest
+    alone — zero directory listings, for tables whose writers all go
+    through the maintenance hooks. Same results on a fresh map; stale
+    results (by contract, no fallback) on a bypassed write."""
+
+    def test_fresh_map_identical_results_no_listing(self, spark, corpus, tmp_path):
+        path = str(tmp_path / "t")
+        zm.write_with_zonemap(corpus, path, ["id"], cluster_by=["id"], n_files=8)
+        preds = [("id", 100, 399)]
+        a, ia = zm.read_pruned(spark, path, preds)
+        b, ib = zm.read_pruned(spark, path, preds, verify_inventory=False)
+        assert _rows(a) == _rows(b)
+        assert ia["pruned"] == ib["pruned"] and ib["fallback"] is None
+        na, _ = zm.count_pruned(spark, path, preds)
+        nb, _ = zm.count_pruned(spark, path, preds, verify_inventory=False)
+        assert na == nb == 300
+
+    def test_unverified_read_trusts_stale_manifest(self, spark, corpus, tmp_path):
+        path = str(tmp_path / "t")
+        zm.write_with_zonemap(corpus, path, ["id"], cluster_by=["id"], n_files=4)
+        manifest = open(os.path.join(path, zm.MANIFEST_NAME)).read()
+        extra = str(tmp_path / "x")
+        corpus.limit(10).coalesce(1).write.parquet(extra)
+        # bypass the hooks: drop a foreign data file in without a refresh
+        import glob
+
+        src = glob.glob(os.path.join(extra, "*.parquet"))[0]
+        shutil.copy(src, os.path.join(path, "rogue.parquet"))
+        with open(os.path.join(path, zm.MANIFEST_NAME), "w") as fh:
+            fh.write(manifest)
+        # verified read detects the drift and falls back
+        _, iv = zm.read_pruned(spark, path, [("id", 0, 99)])
+        assert iv["fallback"] is not None
+        # unverified read trusts the manifest: no fallback, rogue unseen
+        got, iu = zm.read_pruned(
+            spark, path, [("id", 0, 99)], verify_inventory=False
+        )
+        assert iu["fallback"] is None
+        assert all("rogue" not in f for f in got.inputFiles())
