@@ -89,8 +89,10 @@ def compact_path(
     # (correct, just unpruned) until the next compaction or write_zonemap.
     import json as _json
 
+    from dbt_decodable_spark.operators.zonemap import MANIFEST_NAME
+
     stats_cols: list | None = None
-    mpath = os.path.join(path.rstrip("/"), "_zonemap.json")
+    mpath = os.path.join(path.rstrip("/"), MANIFEST_NAME)
     if os.path.exists(mpath):
         try:
             with open(mpath) as fh:
@@ -129,19 +131,21 @@ def expire_partitions(
     crash mid-sweep just leaves some expired partitions for the next
     run — the retained set is never touched).
 
-    ``keep`` receives the raw partition-value string from the directory
-    name (e.g. ``"2024-01-03"`` from ``day=2024-01-03``) — for ISO dates
-    lexicographic comparison is correct as-is
-    (``keep=lambda v: v >= "2024-01-01"``); for other types the caller
-    parses. Hive ``__HIVE_DEFAULT_PARTITION__`` (NULL) is passed through
-    like any value, so a policy can choose to expire or retain it.
+    ``keep`` receives the UNESCAPED partition-value string (Hive escapes
+    special characters in directory names — ``10%3A45%3A00`` is decoded
+    back to ``10:45:00`` before the policy sees it, or a lexicographic
+    policy would mis-compare ``%`` against the real character and delete
+    retained partitions). For ISO dates/timestamps lexicographic
+    comparison is then correct as-is (``keep=lambda v: v >=
+    "2024-01-01"``); for other types the caller parses. Hive
+    ``__HIVE_DEFAULT_PARTITION__`` (NULL) is passed through like any
+    value, so a policy can choose to expire or retain it.
 
     If the table carries a zone map, the manifest is caught up after the
     sweep (``refresh_zonemap_appended`` handles removals — entries under
     deleted directories are dropped, nothing is re-statted). Returns the
     deleted directory names."""
-    import os
-    import shutil
+    from urllib.parse import unquote
 
     base = path.rstrip("/")
     doomed = []
@@ -149,11 +153,13 @@ def expire_partitions(
         full = os.path.join(base, d)
         if not os.path.isdir(full) or "=" not in d:
             continue
-        value = d.split("=", 1)[1]
+        value = unquote(d.split("=", 1)[1])
         if not keep(value):
             doomed.append(d)
             shutil.rmtree(full)
-    if doomed and os.path.exists(os.path.join(base, "_zonemap.json")):
+    from dbt_decodable_spark.operators.zonemap import MANIFEST_NAME
+
+    if doomed and os.path.exists(os.path.join(base, MANIFEST_NAME)):
         from dbt_decodable_spark.operators.zonemap import (
             refresh_zonemap_appended,
         )

@@ -69,8 +69,10 @@ import decimal as _dec
 import math as _math
 import json
 import os
+import re as _re
 import tempfile
 from typing import Any, Sequence
+from urllib.parse import unquote as _unquote, urlparse as _urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -205,12 +207,10 @@ def _stats_pass(
         # _metadata.file_path is a URI: strip the scheme AND percent-decode,
         # or any path with a URI-escapable character (space, %, #) produces
         # garbage manifest keys that crash pruned reads instead of matching
-        from urllib.parse import unquote, urlparse
-
         fp = r["__file"]
         if "://" in fp or fp.startswith("file:"):
-            fp = urlparse(fp).path
-        fp = unquote(fp)
+            fp = _urlparse(fp).path
+        fp = _unquote(fp)
         entry = {
             "file": os.path.relpath(fp, abs_base),
             "rows": r["__rows"],
@@ -237,12 +237,21 @@ def clustered(
     df: DataFrame, cluster_by: Sequence, n_files: int | None = None
 ) -> DataFrame:
     """Range-repartition + in-partition sort on the given expressions —
-    the layout step that makes per-file min/max selective. Strings are
-    parsed as SQL expressions (so a z-order key like
-    ``"pmod(hash(id), 64)"`` works), Columns pass through. The single
-    shared implementation behind ``write_with_zonemap``,
+    the layout step that makes per-file min/max selective. Bare
+    identifiers go through ``F.col`` (so a column named ``order`` — a
+    SQL reserved word — works); any other string is parsed as an SQL
+    expression (so a z-order key like ``"pmod(hash(id), 64)"`` works);
+    Columns pass through. A column whose NAME itself isn't a bare
+    identifier must be backticked by the caller. The single shared
+    implementation behind ``write_with_zonemap``,
     ``maintenance.write_compacted`` and ``versions.publish_version``."""
-    cols = [F.expr(c) if isinstance(c, str) else c for c in cluster_by]
+
+    def _c(c):
+        if not isinstance(c, str):
+            return c
+        return F.col(c) if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c) else F.expr(c)
+
+    cols = [_c(c) for c in cluster_by]
     nf = n_files or max(df.sparkSession.sparkContext.defaultParallelism, 1)
     return df.repartitionByRange(nf, *cols).sortWithinPartitions(*cols)
 
@@ -540,6 +549,8 @@ def count_pruned(
         # datetime lower bounds against date stats must round UP, and an
         # incomparable bound type means no proof at all
         for c, lo, hi in predicates:
+            if _is_nan(lo) or _is_nan(hi):
+                return False  # NaN bounds: Spark's ordering decides — scan
             st = entry["cols"].get(c)
             if st is None or st["nulls"] != 0:
                 return False
@@ -657,7 +668,16 @@ def prune_for_join(
     ).collect()[0]
     if row["n"] == 0:
         df = spark.read.parquet(fact_path.rstrip("/")).limit(0)
-        total = len(_list_data_files(fact_path.rstrip("/")))
+        if verify_inventory:
+            total = len(_list_data_files(fact_path.rstrip("/")))
+        else:
+            try:
+                with open(
+                    os.path.join(fact_path.rstrip("/"), MANIFEST_NAME)
+                ) as fh:
+                    total = len(json.load(fh).get("inventory", []))
+            except (OSError, json.JSONDecodeError):
+                total = len(_list_data_files(fact_path.rstrip("/")))
         return df, {
             "files": [],
             "total": total,
@@ -669,10 +689,18 @@ def prune_for_join(
         keys = sorted(
             r[0] for r in dim.select(dim_key).distinct().dropna().collect()
         )
+        # NaN keys legitimately match NaN fact rows (Spark joins treat
+        # NaN = NaN as true) but never reach `keys` — DataFrame.dropna
+        # removes NaN from double columns, not just NULL — and would
+        # poison the sorted/bisect stab anyway. Detect them from the
+        # aggregate instead (Spark max is NaN iff any key is NaN) and
+        # keep the envelope result unrefined (fail open; the envelope is
+        # NaN-safe: a NaN hi never prunes anything).
+        has_nan_key = _is_nan(row["lo"]) or _is_nan(row["hi"])
         info, manifest = _load_pruned(
             fact_path, [(fact_key, row["lo"], row["hi"])], verify_inventory
         )
-        if manifest is not None:
+        if manifest is not None and not has_nan_key:
             # refine the envelope survivors: keep a file iff some dim key
             # stabs its interval (bisect over the sorted key list)
             import bisect
@@ -690,7 +718,12 @@ def prune_for_join(
                     continue
                 try:
                     i = bisect.bisect_left(keys, _coerce_bound(mn, keys[0]))
-                    if i < len(keys) and keys[i] <= _coerce_bound(mx, keys[0]):
+                    # a NaN file-max means the file CONTAINS NaN (Spark
+                    # sorts NaN greatest): its interval is open above —
+                    # any key ≥ mn stabs it
+                    if i < len(keys) and (
+                        _is_nan(mx) or keys[i] <= _coerce_bound(mx, keys[0])
+                    ):
                         kept.append(f)
                 except TypeError:
                     kept.append(f)  # incomparable key type: fail open

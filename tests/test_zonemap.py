@@ -782,3 +782,78 @@ class TestVerifyInventoryKnob:
         )
         assert iu["fallback"] is None
         assert all("rogue" not in f for f in got.inputFiles())
+
+
+class TestReviewRegressions2:
+    """Second review pass (1e74dd2..HEAD): Hive-escaped partition values,
+    NaN dim keys / NaN predicate bounds, reserved-word cluster columns,
+    empty-dim listing under verify_inventory=False."""
+
+    def test_expire_unescapes_hive_partition_values(self, spark, tmp_path):
+        from dbt_decodable_spark.operators.maintenance import expire_partitions
+
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 09:00:00"), (2, "2024-01-01 10:45:00")],
+            "id long, ts string",
+        )
+        df.write.partitionBy("ts").parquet(path)
+        # the ':' is Hive-escaped in the directory names
+        assert any("%3A" in d for d in os.listdir(path) if d.startswith("ts="))
+        deleted = expire_partitions(
+            spark, path, keep=lambda v: v >= "2024-01-01 10:00:00"
+        )
+        assert len(deleted) == 1 and "09" in deleted[0]
+        left = spark.read.parquet(path)
+        assert [r["id"] for r in left.collect()] == [2]
+
+    def test_nan_dim_key_joins_correctly(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1.0, "a"), (2.0, "b"), (float("nan"), "n")], "k double, v string"
+        )
+        zm.write_with_zonemap(df.coalesce(1), path, ["k"])
+        dim = spark.createDataFrame([(1.0,), (float("nan"),)], "k double")
+        pruned, info = zm.prune_for_join(spark, path, dim, "k")
+        got = pruned.join(dim, "k")
+        want = spark.read.parquet(path).join(dim, "k")
+        # nan != nan in Python — compare via repr
+        assert sorted(map(repr, got.collect())) == sorted(map(repr, want.collect()))
+        assert got.count() == 2  # NaN = NaN matches in Spark joins
+
+    def test_nan_predicate_bound_forces_scan(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+        zm.write_with_zonemap(df.coalesce(1), path, ["x"])
+        n, info = zm.count_pruned(spark, path, [("x", float("nan"), None)])
+        want = (
+            spark.read.parquet(path)
+            .filter(F.col("x") >= F.lit(float("nan")))
+            .count()
+        )
+        assert n == want  # Spark orders NaN greatest: no plain row matches
+        assert info["files_metadata_only"] == 0
+
+    def test_cluster_by_reserved_word_column(self, spark, tmp_path):
+        from dbt_decodable_spark.operators.maintenance import compact_path
+
+        path = str(tmp_path / "t")
+        spark.range(100).select(F.col("id").alias("order")).repartition(
+            4
+        ).write.parquet(path)
+        compact_path(spark, path, max_records_per_file=100, target_files=2,
+                     cluster_by=["order"])
+        assert spark.read.parquet(path).count() == 100
+
+    def test_empty_dim_unverified_uses_manifest_total(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        zm.write_with_zonemap(
+            spark.range(100).select(F.col("id")), path, ["id"],
+            cluster_by=["id"], n_files=4,
+        )
+        empty = spark.createDataFrame([], "id long")
+        pruned, info = zm.prune_for_join(
+            spark, path, empty, "id", verify_inventory=False
+        )
+        assert info["mode"] == "empty-dim" and info["total"] == 4
+        assert pruned.count() == 0
