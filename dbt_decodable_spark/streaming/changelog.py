@@ -522,53 +522,175 @@ def _deltas_root(base_path: str) -> str:
     return base_path.rstrip("/") + ".__deltas__"
 
 
+def _committed_deltas(root: str) -> tuple[list[int], set[str]]:
+    """(committed sequence numbers, committed tags) under ``root``."""
+    import os
+
+    seqs: list[int] = []
+    tags: set[str] = set()
+    for d in os.listdir(root):
+        if d.startswith("delta-") and os.path.exists(
+            os.path.join(root, d, "_SUCCESS")
+        ):
+            parts = d.split("-", 2)
+            seqs.append(int(parts[1]))
+            if len(parts) == 3:
+                tags.add(parts[2])
+    return seqs, tags
+
+
 def append_delta(
-    spark, base_path: str, batch: DataFrame, tag: str | None = None
+    spark,
+    base_path: str,
+    batch: DataFrame,
+    tag: str | None = None,
+    stale_stage_seconds: float = 3600.0,
 ) -> str | None:
     """Durably append a micro-batch as the next delta of ``base_path``'s
-    merge-on-read view (single-writer contract — one ingest process per
-    table, the same assumption every sibling maintenance op makes).
+    merge-on-read view. Safe under CONCURRENT writers: commit is an
+    atomic directory rename (put-if-absent on the local/HDFS-style
+    filesystems this layer targets — the same primitive Delta Lake's log
+    protocol builds on), so any number of ingest processes may append to
+    one table without coordination.
 
     Deltas live in a sibling directory (``<base>.__deltas__/delta-<seq>``)
-    so plain snapshot readers never see them, numbered by a
-    monotonically increasing sequence (max existing + 1 — no clock).
-    Commit is Spark's own ``_SUCCESS`` marker: :func:`list_deltas` ignores
-    directories without it, so a crash mid-write leaves an invisible
-    partial that the next append simply numbers past (and sweeps).
+    so plain snapshot readers never see them. The write is two-phase:
 
-    ``tag`` makes the append IDEMPOTENT: a delta is named
-    ``delta-<seq>-<tag>`` and a second append with the same tag is a
-    no-op returning ``None`` — pass the ``foreachBatch`` ``batch_id`` and
-    a replayed micro-batch lands exactly once instead of at-least-once.
-    (The fold tolerates duplicates anyway; the tag avoids even the
-    duplicate bytes. Tags only guard COMMITTED deltas: compaction folds
-    and removes them, after which a very late replay of that batch would
-    re-land — harmless by the same fold-idempotence.)
+    1. **Stage** — the batch is written to a private
+       ``stage-<uuid>`` directory no reader or sweeper touches (stale
+       stages from crashed writers are reaped only after
+       ``stale_stage_seconds``, so a live concurrent writer's stage is
+       never at risk).
+    2. **Commit** — ``os.rename(stage, delta-<seq>[-tag])``. POSIX
+       rename onto an existing non-empty directory fails, so the rename
+       IS the claim: a loser re-lists and retries with the next
+       sequence. Each retry implies another writer committed, so the
+       loop terminates.
+
+    The sequence number is bookkeeping, not a serialization point:
+    unlike Delta Lake's log — whose actions are order-dependent and must
+    serialize on the slot — our log entries COMMUTE, because the fold
+    picks winners by the data's own ``order`` tuple, never by commit
+    order (property-tested under random splits/reorders). Two racing
+    writers that land distinct names with the same sequence leave a
+    converged view either way; the retry loop exists to keep names
+    unique in the common case, not to defend correctness.
+
+    ``tag`` makes the append IDEMPOTENT for replays: a second append
+    with the same tag is a no-op returning ``None`` — pass the
+    ``foreachBatch`` ``batch_id`` and a replayed micro-batch lands
+    exactly once instead of at-least-once. The guarantee is exact for
+    the Structured Streaming case (replays of one stream are
+    sequential); two *concurrent* same-tag appends may in principle both
+    land, and converge by fold-idempotence — same winners, same view.
+    (Tags only guard COMMITTED deltas: compaction folds and removes
+    them, after which a very late replay of that batch would re-land —
+    harmless by the same fold-idempotence.)
 
     Returns the committed delta path, or ``None`` for a tag no-op."""
     import os
     import shutil
+    import time
+    import uuid
 
     root = _deltas_root(base_path)
     os.makedirs(root, exist_ok=True)
-    seqs = []
+    now = time.time()
     for d in os.listdir(root):
-        if d.startswith("delta-"):
-            if os.path.exists(os.path.join(root, d, "_SUCCESS")):
-                parts = d.split("-", 2)
-                seqs.append(int(parts[1]))
-                if tag is not None and len(parts) == 3 and parts[2] == str(tag):
-                    return None  # this batch already landed
-            else:
-                # uncommitted leftover from a crashed append (single
-                # writer ⇒ nothing else can be writing it now)
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-    name = f"delta-{(max(seqs) + 1 if seqs else 0):08d}"
-    if tag is not None:
-        name += f"-{tag}"
-    path = os.path.join(root, name)
-    batch.write.parquet(path)
-    return path
+        p = os.path.join(root, d)
+        if d.startswith("delta-") and not os.path.exists(
+            os.path.join(p, "_SUCCESS")
+        ):
+            # a committed delta always carries _SUCCESS (the rename
+            # happens after Spark finished writing the stage), so this
+            # can only be a crashed pre-rename-era append: sweep it
+            shutil.rmtree(p, ignore_errors=True)
+        elif d.startswith("stage-"):
+            # possibly a LIVE concurrent writer's stage — reap only
+            # when old enough that its writer is surely gone
+            try:
+                if now - os.path.getmtime(p) > stale_stage_seconds:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass  # racing its owner's commit-rename: leave it
+    seqs, tags = _committed_deltas(root)
+    if tag is not None and str(tag) in tags:
+        return None  # this batch already landed
+    stage = os.path.join(root, f"stage-{uuid.uuid4().hex}")
+    batch.write.parquet(stage)
+    while True:
+        name = f"delta-{(max(seqs) + 1 if seqs else 0):08d}"
+        if tag is not None:
+            name += f"-{tag}"
+        path = os.path.join(root, name)
+        try:
+            os.rename(stage, path)
+            return path
+        except OSError:
+            # another writer claimed this sequence between our listing
+            # and the rename — re-list and retry with the next slot
+            seqs, tags = _committed_deltas(root)
+            if tag is not None and str(tag) in tags:
+                shutil.rmtree(stage, ignore_errors=True)
+                return None  # a replay of this very batch beat us
+
+
+class CompactionLockHeld(RuntimeError):
+    """Another process holds the table's compaction lock."""
+
+
+class _compaction_lock:
+    """Mutual exclusion for the COMPACT step (appends need no lock — the
+    rename-commit protocol serializes them; but two concurrent
+    compactions would both rewrite snapshot partitions and vacuum each
+    other's inputs). Acquisition is an atomic ``os.mkdir`` of
+    ``<deltas>/.__compact_lock__`` — the same put-if-absent primitive the
+    append commit uses. Non-blocking by design: a held lock raises
+    :class:`CompactionLockHeld` so callers (the streaming handler) skip
+    this cycle and retry at the next threshold crossing, rather than
+    stalling a micro-batch behind another table's maintenance.
+
+    Crash-staleness: a compactor that died leaves the lock dir behind;
+    a lock older than ``stale_lock_seconds`` is broken and re-acquired.
+    Size the horizon above the longest plausible compaction (the default
+    1 h dwarfs any bounded merge) — the same recovery contract as the
+    stage sweep. The break-then-mkdir pair is itself racy between two
+    waiters, but the loser of the mkdir still fails and backs off, so
+    mutual exclusion holds; only the *breaking* is best-effort."""
+
+    def __init__(self, root: str, stale_lock_seconds: float = 3600.0):
+        import os
+
+        self.path = os.path.join(root, ".__compact_lock__")
+        self.stale = stale_lock_seconds
+
+    def __enter__(self):
+        import os
+        import shutil
+        import time
+
+        try:
+            os.makedirs(os.path.dirname(self.path), exist_ok=True)
+            os.mkdir(self.path)
+        except FileExistsError:
+            try:
+                held_for = time.time() - os.path.getmtime(self.path)
+            except OSError:
+                held_for = 0.0  # just released: not stale
+            if held_for <= self.stale:
+                raise CompactionLockHeld(
+                    f"compaction lock at {self.path} held for "
+                    f"{held_for:.0f}s (stale after {self.stale:.0f}s)"
+                ) from None
+            shutil.rmtree(self.path, ignore_errors=True)
+            os.mkdir(self.path)  # two breakers race here: loser raises
+        return self
+
+    def __exit__(self, *exc):
+        import shutil
+
+        shutil.rmtree(self.path, ignore_errors=True)
+        return False
 
 
 def list_deltas(base_path: str) -> list[str]:
@@ -690,8 +812,12 @@ def stream_append_deltas(
     tag (its delta was already compacted away) merely lands duplicate
     rows whose fold winners are content-identical, so the converged view
     is unchanged (the same tolerance the keyed MERGE is property-tested
-    for). Compaction inside the handler keeps the single-writer
-    contract: it runs between appends, never concurrently with one."""
+    for). Multiple streams may ingest into one table: appends serialize
+    through the rename-commit protocol, and the in-handler compaction
+    takes the table's compaction lock — if another stream's handler is
+    already compacting, this one SKIPS the cycle (deltas merely
+    accumulate a little past the threshold) and retries at the next
+    crossing, so maintenance never stalls a micro-batch."""
 
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -699,10 +825,13 @@ def stream_append_deltas(
         sp = batch_df.sparkSession
         append_delta(sp, base_path, batch_df, tag=str(batch_id))
         if len(list_deltas(base_path)) >= compact_every:
-            compact_and_vacuum(
-                sp, base_path, keys, order, n_buckets,
-                partition_expr=partition_expr,
-            )
+            try:
+                compact_and_vacuum(
+                    sp, base_path, keys, order, n_buckets,
+                    partition_expr=partition_expr,
+                )
+            except CompactionLockHeld:
+                pass  # another stream is compacting; next crossing retries
 
     return stream_df.writeStream.foreachBatch(_handle)
 
@@ -726,19 +855,23 @@ def compact_and_vacuum(
     place — the next :func:`read_merged` folds already-merged deltas
     again, which is idempotent (same winners), and the next compaction
     retries the removal. Deltas appended AFTER the capture are untouched
-    (single-writer: none appear mid-call by contract).
+    — concurrent appenders are safe (the capture bounds what is folded
+    and vacuumed), but concurrent COMPACTIONS are not, so the call takes
+    the table's compaction lock and raises :class:`CompactionLockHeld`
+    (non-blocking) if another process holds it.
 
     Returns ``{"buckets": per-bucket rewrite map, "vacuumed": [paths]}``.
     """
     import shutil
 
-    pending = list_deltas(base_path)
-    buckets = compact_deltas(
-        spark, base_path, pending, keys, order, n_buckets,
-        partition_expr=partition_expr,
-    )
-    for p in pending:
-        shutil.rmtree(p, ignore_errors=True)
+    with _compaction_lock(_deltas_root(base_path)):
+        pending = list_deltas(base_path)
+        buckets = compact_deltas(
+            spark, base_path, pending, keys, order, n_buckets,
+            partition_expr=partition_expr,
+        )
+        for p in pending:
+            shutil.rmtree(p, ignore_errors=True)
     return {"buckets": buckets, "vacuumed": pending}
 
 
