@@ -772,3 +772,265 @@ def read_pruned(
         if hi is not None:
             df = df.filter(F.col(c) <= F.lit(hi))
     return df, info
+
+
+# ---------------------------------------------------------------------------
+# Bloom sidecar: per-file membership filters for EQUALITY pruning
+# ---------------------------------------------------------------------------
+#
+# Min/max intervals prune RANGE predicates, and only pay off on the
+# clustered column(s). The complementary lookup — "which files could hold
+# doc_id = X?" in a table clustered by TIME — has every file's [min, max]
+# spanning nearly the whole id domain, so the interval map keeps all of
+# them. A per-file Bloom filter answers the equality question directly:
+# "definitely not in this file" prunes the file; "maybe" keeps it and the
+# re-applied Spark filter (plus parquet's own footer-level bloom/dictionary
+# stats) decides below file level. Same relationship as the interval map:
+# parquet bloom filters apply AFTER a footer is opened; this one prunes
+# BEFORE the listing is handed to Spark — at 10⁵ files on object storage
+# that is the difference between k GETs and 10⁵ GETs for a point lookup.
+#
+# Sizing honesty (the classic bloom trade): ~1% false-positive rate needs
+# m ≈ 10 bits per distinct value per file, i.e. a 100k-distinct-id file
+# wants m = 2^20 bits = 128 KB packed — per file. That is why bloom
+# sidecars are OPT-IN per column and why the default m is modest; at the
+# manifest's documented 10⁵-file ceiling the sidecar multiplies manifest
+# size long before the interval map does, and the same per-partition
+# sharding answer applies. A too-small m degrades GRACEFULLY: fpp rises
+# toward 1 and the sidecar keeps files it could have pruned — never drops
+# one it shouldn't (correctness rides on the re-applied filter anyway).
+
+_BLOOM_WORD_BITS = 64
+
+
+def _bloom_positions(key, j_count: int, m_bits: int):
+    """k deterministic bit positions for a key column — md5-derived like
+    operators/bloom.py::_position (15 hex chars < 2^63, so the conv cannot
+    overflow), over the value's STRING rendering. Keep bloom columns
+    id-like (integer/string): float renderings are engine-ambiguous."""
+    cols = []
+    for j in range(j_count):
+        h = F.md5(F.concat(F.lit(f"{j}#"), key.cast("string")))
+        cols.append(F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % m_bits)
+    return F.array(*cols)
+
+
+def _bloom_positions_py(value: Any, j_count: int, m_bits: int) -> list[int]:
+    """Driver-side twin of :func:`_bloom_positions` for probe values —
+    must render values exactly as Spark's string cast does (int and str
+    round-trip identically; that's the supported key domain)."""
+    import hashlib
+
+    out = []
+    for j in range(j_count):
+        h = hashlib.md5(f"{j}#{value}".encode("utf-8")).hexdigest()
+        out.append(int(h[:15], 16) % m_bits)
+    return out
+
+
+def _pack_words(words: dict[int, int], n_words: int) -> str:
+    """Dense little-endian uint64 packing of a sparse word map → base64."""
+    import struct
+
+    dense = [(words.get(i, 0)) & 0xFFFFFFFFFFFFFFFF for i in range(n_words)]
+    return _b64.b64encode(struct.pack(f"<{n_words}Q", *dense)).decode("ascii")
+
+
+def _unpack_words(packed: str, n_words: int) -> list[int]:
+    import struct
+
+    return list(struct.unpack(f"<{n_words}Q", _b64.b64decode(packed)))
+
+
+def _bloom_pass(
+    spark: SparkSession,
+    base: str,
+    read_paths: Sequence[str],
+    col: str,
+    m_bits: int,
+    k: int,
+) -> dict[str, str]:
+    """One distributed pass: per-file packed bloom over ``col``'s non-NULL
+    values. Explode k positions per row, fold to (file, word) with
+    ``bit_or`` — partial aggregation ORs map-side, so the shuffle carries
+    at most ``files × m/64`` rows no matter how many rows were scanned;
+    the collect is bounded the same way."""
+    df = spark.read.option("basePath", base).parquet(*read_paths)
+    rows = (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.col("_metadata.file_path").alias("__file"),
+            F.explode(_bloom_positions(F.col(col), k, m_bits)).alias("pos"),
+        )
+        .groupBy(
+            "__file",
+            F.floor(F.col("pos") / _BLOOM_WORD_BITS).alias("w"),
+        )
+        .agg(
+            F.bit_or(
+                F.expr(f"shiftleft(1L, CAST(pos % {_BLOOM_WORD_BITS} AS INT))")
+            ).alias("bits")
+        )
+        .collect()
+    )
+    abs_base = os.path.abspath(base)
+    per_file: dict[str, dict[int, int]] = {}
+    for r in rows:
+        fp = r["__file"]
+        if "://" in fp or fp.startswith("file:"):
+            fp = _urlparse(fp).path
+        fp = _unquote(fp)
+        rel = os.path.relpath(fp, abs_base)
+        per_file.setdefault(rel, {})[int(r["w"])] = int(r["bits"])
+    n_words = m_bits // _BLOOM_WORD_BITS
+    return {f: _pack_words(w, n_words) for f, w in per_file.items()}
+
+
+def add_bloom_sidecar(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    m_bits: int = 1 << 15,
+    k: int = 4,
+    recompute: bool = False,
+) -> dict:
+    """Attach (or incrementally extend) a per-file Bloom sidecar over
+    ``col`` to ``path``'s zone-map manifest.
+
+    Blooms live INSIDE each file's manifest entry (``entry["bloom"][col]``),
+    so the existing maintenance hooks carry them for free: a partial/append
+    refresh keeps untouched entries verbatim — bloom included — and
+    re-statted entries simply come back WITHOUT a bloom, which every probe
+    treats as "keep the file" (fail-open). Re-running this function after
+    maintenance is the catch-up: by default it stats ONLY entries lacking a
+    bloom for ``col`` — O(|new files|), one bounded distributed pass —
+    making it idempotent and cheap to call from the same ``foreachBatch``
+    hook as :func:`refresh_zonemap_appended`. ``recompute=True`` rebuilds
+    every file's bloom (after changing ``m_bits``/``k``).
+
+    A scanned file with zero non-NULL values gets the all-zero bloom —
+    every equality probe prunes it, which is exact (``col = v`` never
+    matches NULL). Raises when ``path`` has no manifest: the sidecar
+    extends the zone map, it doesn't replace it (write_zonemap first).
+    """
+    path = path.rstrip("/")
+    mpath = os.path.join(path, MANIFEST_NAME)
+    try:
+        with open(mpath) as fh:
+            manifest = json.load(fh)
+    except (OSError, json.JSONDecodeError) as e:
+        raise ValueError(
+            f"no readable zone-map manifest at {path} — the bloom sidecar "
+            "extends an existing zone map (call write_zonemap first)"
+        ) from e
+    cfg = manifest.setdefault("bloom_cols", {})
+    prior = cfg.get(col)
+    if prior is not None and not recompute and (
+        prior["m_bits"] != m_bits or prior["k"] != k
+    ):
+        raise ValueError(
+            f"bloom over {col!r} already exists with m_bits="
+            f"{prior['m_bits']}, k={prior['k']}; pass recompute=True to "
+            "rebuild with the new parameters"
+        )
+    cfg[col] = {"m_bits": m_bits, "k": k}
+    todo = [
+        e for e in manifest["files"]
+        if recompute or col not in e.get("bloom", {})
+    ]
+    if todo:
+        packed = _bloom_pass(
+            spark, path, [os.path.join(path, e["file"]) for e in todo],
+            col, m_bits, k,
+        )
+        zero = _pack_words({}, m_bits // _BLOOM_WORD_BITS)
+        for e in todo:
+            e.setdefault("bloom", {})[col] = packed.get(e["file"], zero)
+    _write_manifest(path, manifest)
+    return manifest
+
+
+def _bloom_file_may_contain(
+    entry: dict, col: str, probes: Sequence[list[int]], m_bits: int
+) -> bool:
+    """True unless the file's bloom proves every probed value absent.
+    A missing bloom (file re-statted since the sidecar was built, or the
+    column was never bloomed) keeps the file — advisory, fail-open."""
+    packed = entry.get("bloom", {}).get(col)
+    if packed is None:
+        return True
+    try:
+        words = _unpack_words(packed, m_bits // _BLOOM_WORD_BITS)
+    except Exception:
+        return True  # corrupt sidecar entry: fail open
+    for positions in probes:
+        if all(
+            (words[p // _BLOOM_WORD_BITS] >> (p % _BLOOM_WORD_BITS)) & 1
+            for p in positions
+        ):
+            return True  # this value may be present
+    return False
+
+
+def prune_files_eq(
+    path: str,
+    col: str,
+    values: Sequence[Any],
+    verify_inventory: bool = True,
+) -> dict:
+    """Resolve the file list for an equality/IN predicate
+    ``col IN (values)`` against ``path``'s Bloom sidecar. Same report
+    shape and same fallback ladder as :func:`prune_files`: full listing
+    when the manifest is missing/drifted or ``col`` has no bloom — the
+    sidecar is advisory, never load-bearing (callers re-apply the real
+    filter). NULL probe values are dropped (``col = NULL`` matches
+    nothing); an all-NULL probe list keeps zero files, which is exact.
+    """
+    info, manifest = _load_pruned(path, [], verify_inventory)
+    if manifest is None:
+        return info
+    cfg = manifest.get("bloom_cols", {}).get(col)
+    if cfg is None:
+        info["fallback"] = f"no bloom sidecar over {col!r}"
+        return info
+    m_bits, k = cfg["m_bits"], cfg["k"]
+    probes = [
+        _bloom_positions_py(v, k, m_bits) for v in values if v is not None
+    ]
+    keep = [
+        e["file"]
+        for e in manifest["files"]
+        if probes and _bloom_file_may_contain(e, col, probes, m_bits)
+    ]
+    total = info["total"]
+    return {
+        "files": [os.path.join(path.rstrip("/"), f) for f in keep],
+        "total": total,
+        "pruned": total - len(keep),
+        "fallback": None,
+    }
+
+
+def read_pruned_eq(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values: Sequence[Any],
+    verify_inventory: bool = True,
+) -> tuple[DataFrame, dict]:
+    """Point-lookup read: Bloom-prune the file list for ``col IN
+    (values)``, then RE-APPLY the predicate as a real Spark filter — a
+    bloom false positive costs one extra file scan, never a wrong row.
+    Returns ``(df, info)`` like :func:`read_pruned`."""
+    info = prune_files_eq(path, col, values, verify_inventory)
+    if not info["files"]:
+        df = spark.read.parquet(path.rstrip("/")).limit(0)
+    else:
+        df = spark.read.option("basePath", path.rstrip("/")).parquet(
+            *info["files"]
+        )
+    non_null = [v for v in values if v is not None]
+    df = df.filter(
+        F.col(col).isin(non_null) if non_null else F.lit(False)
+    )
+    return df, info

@@ -857,3 +857,149 @@ class TestReviewRegressions2:
         )
         assert info["mode"] == "empty-dim" and info["total"] == 4
         assert pruned.count() == 0
+
+
+class TestBloomSidecar:
+    """Per-file Bloom sidecar: EQUALITY pruning on a column the layout
+    does NOT cluster — the lookup the interval map is structurally blind
+    to (every file's [min, max] spans ~the whole id domain when the table
+    is laid out by time)."""
+
+    def _table(self, spark, corpus, tmp_path, n_files=16):
+        path = str(tmp_path / "t")
+        # clustered by DAY: id min/max per file is wide (ids cycle mod 40)
+        zm.write_with_zonemap(
+            corpus, path, ["id", "day"], cluster_by=["day"], n_files=n_files
+        )
+        zm.add_bloom_sidecar(spark, path, "id", m_bits=1 << 15, k=4)
+        return path
+
+    def test_point_lookup_exact_and_selective(self, spark, corpus, tmp_path):
+        path = self._table(spark, corpus, tmp_path)
+        got, info = zm.read_pruned_eq(spark, path, "id", [1234])
+        want = spark.read.parquet(path).filter("id = 1234")
+        assert _rows(got) == _rows(want) and got.count() == 1
+        assert info["fallback"] is None and info["total"] == 16
+        # the interval map is blind here: id ranges are wide under a
+        # day-clustered layout, so it keeps (almost) every file…
+        interval = zm.prune_files(path, [("id", 1234, 1234)])
+        assert interval["total"] - interval["pruned"] >= 14
+        # …while the bloom keeps only the file(s) that can hold the id
+        # (id 1234 lives on exactly one day; ≤2 allows range-boundary
+        # splits and the sidecar's tiny false-positive rate)
+        assert info["total"] - info["pruned"] <= 2
+        assert len(got.inputFiles()) == info["total"] - info["pruned"]
+
+    def test_in_list_probe(self, spark, corpus, tmp_path):
+        path = self._table(spark, corpus, tmp_path)
+        ids = [10, 2000, 3999]
+        got, info = zm.read_pruned_eq(spark, path, "id", ids)
+        want = spark.read.parquet(path).filter(F.col("id").isin(ids))
+        assert _rows(got) == _rows(want) and got.count() == 3
+        assert 1 <= info["total"] - info["pruned"] <= 4
+
+    def test_absent_value_prunes_everything(self, spark, corpus, tmp_path):
+        path = self._table(spark, corpus, tmp_path)
+        got, info = zm.read_pruned_eq(spark, path, "id", [99999])
+        assert got.count() == 0
+        assert info["pruned"] >= 15  # ≥15 of 16: allow one false positive
+        assert got.schema == spark.read.parquet(path).schema
+
+    def test_null_probes(self, spark, corpus, tmp_path):
+        path = self._table(spark, corpus, tmp_path)
+        got, info = zm.read_pruned_eq(spark, path, "id", [None])
+        assert got.count() == 0 and info["pruned"] == 16
+        got2, _ = zm.read_pruned_eq(spark, path, "id", [None, 1234])
+        assert got2.count() == 1
+
+    def test_string_keys(self, spark, tmp_path):
+        path = str(tmp_path / "s")
+        df = spark.range(1000).select(
+            F.concat(F.lit("doc-"), F.col("id")).alias("doc"),
+            (F.col("id") % 10).alias("part"),
+        )
+        zm.write_with_zonemap(df, path, ["part"], cluster_by=["part"], n_files=10)
+        zm.add_bloom_sidecar(spark, path, "doc", m_bits=1 << 15, k=4)
+        got, info = zm.read_pruned_eq(spark, path, "doc", ["doc-777"])
+        assert _rows(got) == [("doc-777", 7)]
+        assert info["total"] - info["pruned"] <= 2
+
+    def test_append_refresh_fails_open_then_catches_up(
+        self, spark, corpus, tmp_path
+    ):
+        path = self._table(spark, corpus, tmp_path)
+        with open(os.path.join(path, zm.MANIFEST_NAME)) as fh:
+            before = {
+                e["file"]: e["bloom"]["id"]
+                for e in json.load(fh)["files"]
+            }
+        # new data appends: ids 4000-4099 (absent from every old bloom)
+        extra = spark.range(4000, 4100).select(
+            F.col("id"),
+            (F.col("id") * 3).alias("value"),
+            F.date_add(
+                F.lit(datetime.date(2024, 1, 1)), (F.col("id") % 40).cast("int")
+            ).alias("day"),
+        )
+        extra.coalesce(1).write.mode("append").parquet(path)
+        zm.refresh_zonemap_appended(spark, path)
+        # the refreshed entry has no bloom yet → fail-open keeps it,
+        # old files still prune, and the read stays exact
+        got, info = zm.read_pruned_eq(spark, path, "id", [4050])
+        assert got.count() == 1 and info["fallback"] is None
+        kept_open = info["total"] - info["pruned"]
+        assert kept_open <= 3  # new file kept open + ≤2 bloom survivors
+        # catch-up is incremental: old packed blooms are byte-identical
+        zm.add_bloom_sidecar(spark, path, "id", m_bits=1 << 15, k=4)
+        with open(os.path.join(path, zm.MANIFEST_NAME)) as fh:
+            after = {
+                e["file"]: e["bloom"]["id"]
+                for e in json.load(fh)["files"]
+            }
+        assert all(after[f] == p for f, p in before.items())
+        assert len(after) == len(before) + 1
+        got2, info2 = zm.read_pruned_eq(spark, path, "id", [1234])
+        assert got2.count() == 1
+        assert info2["total"] - info2["pruned"] <= 2  # new file prunes again
+
+    def test_all_null_file_gets_zero_bloom_and_prunes(self, spark, tmp_path):
+        path = str(tmp_path / "n")
+        some = spark.range(100).select(
+            F.col("id").alias("k"), F.lit("a").alias("src")
+        )
+        nulls = spark.range(50).select(
+            F.lit(None).cast("long").alias("k"), F.lit("b").alias("src")
+        )
+        some.coalesce(1).write.parquet(path)
+        nulls.coalesce(1).write.mode("append").parquet(path)
+        zm.write_zonemap(spark, path, ["k"])
+        zm.add_bloom_sidecar(spark, path, "k", m_bits=1 << 12, k=4)
+        got, info = zm.read_pruned_eq(spark, path, "k", [7])
+        assert _rows(got) == [(7, "a")]
+        assert info["total"] == 2 and info["pruned"] == 1  # null file pruned
+
+    def test_fallbacks_and_config_guard(self, spark, corpus, tmp_path):
+        path = self._table(spark, corpus, tmp_path)
+        # un-bloomed column → explicit fallback, full listing
+        info = zm.prune_files_eq(path, "value", [30])
+        assert info["fallback"] and "no bloom" in info["fallback"]
+        assert len(info["files"]) == 16
+        # inventory drift → fallback like the interval reader
+        extra_file = os.path.join(path, "part-manual.parquet")
+        with open(extra_file, "w") as fh:
+            fh.write("x")
+        info2 = zm.prune_files_eq(path, "id", [1234])
+        assert info2["fallback"] and "drift" in info2["fallback"]
+        os.unlink(extra_file)
+        # changing parameters without recompute is refused
+        with pytest.raises(ValueError, match="recompute"):
+            zm.add_bloom_sidecar(spark, path, "id", m_bits=1 << 14, k=4)
+        zm.add_bloom_sidecar(spark, path, "id", m_bits=1 << 14, k=3, recompute=True)
+        got, info3 = zm.read_pruned_eq(spark, path, "id", [1234])
+        assert got.count() == 1 and info3["total"] - info3["pruned"] <= 2
+
+    def test_no_manifest_raises(self, spark, corpus, tmp_path):
+        path = str(tmp_path / "bare")
+        corpus.limit(10).write.parquet(path)
+        with pytest.raises(ValueError, match="write_zonemap first"):
+            zm.add_bloom_sidecar(spark, path, "id")
