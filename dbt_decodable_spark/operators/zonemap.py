@@ -912,8 +912,27 @@ def add_bloom_sidecar(
     every equality probe prunes it, which is exact (``col = v`` never
     matches NULL). Raises when ``path`` has no manifest: the sidecar
     extends the zone map, it doesn't replace it (write_zonemap first).
+
+    FLOAT/DOUBLE key columns are REFUSED outright: the bloom hashes the
+    value's string rendering, and float renderings diverge between
+    Spark's cast ("1.5E-8") and a driver-side probe ("1.5e-08") — a
+    divergence here is a false NEGATIVE, i.e. a pruned file that held
+    the row, the one failure the advisory layer must never allow.
+    Integer and string keys render identically by construction
+    (property-pinned in tests); date/decimal/timestamp keys work when
+    the caller probes with the exact same rendering, but id-like
+    integer/string columns are the intended domain.
     """
     path = path.rstrip("/")
+    probe_schema = spark.read.parquet(path).select(col).schema
+    dtype = probe_schema.fields[0].dataType.simpleString()
+    if dtype in ("float", "double"):
+        raise ValueError(
+            f"bloom sidecar over {col!r} refused: {dtype} keys hash their "
+            "string rendering, which differs between Spark and a probe — "
+            "a rendering mismatch silently prunes files that hold the "
+            "value. Use an integer/string key."
+        )
     mpath = os.path.join(path, MANIFEST_NAME)
     try:
         with open(mpath) as fh:

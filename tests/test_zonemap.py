@@ -1003,3 +1003,44 @@ class TestBloomSidecar:
         corpus.limit(10).write.parquet(path)
         with pytest.raises(ValueError, match="write_zonemap first"):
             zm.add_bloom_sidecar(spark, path, "id")
+
+    def test_spark_python_position_parity(self, spark):
+        """THE correctness coupling of the sidecar: the Spark-side hash
+        (build) and the Python-side hash (probe) must agree on every bit
+        position, for every supported key domain — a divergence is a
+        false negative, i.e. a silently pruned file that held the row.
+        Property-checked across negative/large ints, unicode, empty and
+        whitespace strings, and dates."""
+        values = [
+            0, 1, -1, -987654321, 2**62, 4000, 1234,
+            "", " ", "doc-777", "ünïcødé-√", "a'b\"c\\d", "0", "-0",
+            datetime.date(2024, 2, 29),
+        ]
+        m_bits, k = 1 << 15, 5
+        # ints and strings go through their NATIVE Spark type (that's what
+        # a real table column has) — not pre-stringified
+        ints = [v for v in values if isinstance(v, int)]
+        strs = [v for v in values if isinstance(v, str)]
+        dates = [v for v in values if isinstance(v, datetime.date)]
+        for vals, ddl in ((ints, "v long"), (strs, "v string"),
+                          (dates, "v date")):
+            got = (
+                spark.createDataFrame([(v,) for v in vals], ddl)
+                .select(
+                    F.col("v"),
+                    zm._bloom_positions(F.col("v"), k, m_bits).alias("pos"),
+                )
+                .collect()
+            )
+            for row in got:
+                want = zm._bloom_positions_py(row["v"], k, m_bits)
+                assert list(row["pos"]) == want, row["v"]
+
+    def test_float_keys_refused(self, spark, tmp_path):
+        path = str(tmp_path / "f")
+        df = spark.range(100).select(
+            (F.col("id") / 7).alias("x"), F.col("id")
+        )
+        zm.write_with_zonemap(df, path, ["id"])
+        with pytest.raises(ValueError, match="string rendering"):
+            zm.add_bloom_sidecar(spark, path, "x")
