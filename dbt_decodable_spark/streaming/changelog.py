@@ -626,7 +626,16 @@ def append_delta(
         try:
             os.rename(stage, path)
             return path
-        except OSError:
+        except OSError as e:
+            import errno as _errno
+
+            if e.errno not in (_errno.EEXIST, _errno.ENOTEMPTY):
+                # not a losing claim (permissions, vanished root, …):
+                # re-raising beats spinning on a rename that can never
+                # succeed. Errno-based, not exists()-based — the winner
+                # could be compacted away before an exists() look.
+                shutil.rmtree(stage, ignore_errors=True)
+                raise
             # another writer claimed this sequence between our listing
             # and the rename — re-list and retry with the next slot
             seqs, tags = _committed_deltas(root)
@@ -683,7 +692,13 @@ class _compaction_lock:
                     f"{held_for:.0f}s (stale after {self.stale:.0f}s)"
                 ) from None
             shutil.rmtree(self.path, ignore_errors=True)
-            os.mkdir(self.path)  # two breakers race here: loser raises
+            try:
+                os.mkdir(self.path)  # two breakers race: loser backs off
+            except FileExistsError:
+                raise CompactionLockHeld(
+                    f"compaction lock at {self.path} re-acquired by "
+                    "another process while breaking a stale holder"
+                ) from None
         return self
 
     def __exit__(self, *exc):

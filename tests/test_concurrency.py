@@ -298,3 +298,61 @@ class TestCompactionLock:
         )
         got = read_merged(spark, base, ["k"], [F.col("seq")])
         assert _rows(got) == _rows(want)
+
+
+class TestReviewFindings:
+    def test_non_collision_rename_error_reraises(self, spark, tmp_path):
+        """An OSError that is NOT a losing sequence claim (EACCES here)
+        must re-raise — not spin the retry loop forever — and must not
+        leave the staged batch behind."""
+        import errno
+
+        from unittest import mock
+
+        base, _ = _snap(spark, tmp_path)
+        root = _deltas_root(base)
+        real_rename = os.rename
+
+        def denied(src, dst):
+            if dst.startswith(root + os.sep + "delta-"):
+                raise OSError(errno.EACCES, "Permission denied", dst)
+            return real_rename(src, dst)
+
+        with mock.patch("os.rename", side_effect=denied):
+            with pytest.raises(OSError) as ei:
+                append_delta(
+                    spark, base,
+                    spark.createDataFrame([(1, 1, 11, False)], DDL),
+                )
+        assert ei.value.errno == errno.EACCES
+        assert not [d for d in os.listdir(root) if d.startswith("stage-")]
+        assert list_deltas(base) == []
+
+    def test_stale_break_loser_gets_lock_held(self, tmp_path):
+        """Two processes breaking the same stale lock: the mkdir loser
+        must surface as CompactionLockHeld (the exception callers handle),
+        not a bare FileExistsError."""
+        root = str(tmp_path / "r")
+        os.makedirs(root)
+        lock = os.path.join(root, ".__compact_lock__")
+        os.makedirs(lock)
+        old = time.time() - 7200
+        os.utime(lock, (old, old))
+        real_mkdir = os.mkdir
+        calls = []
+
+        from unittest import mock
+
+        def contended(path, *a, **kw):
+            # after OUR stale-break rmtree, the other breaker re-creates
+            # the lock first — our re-acquiring mkdir must lose
+            if path == lock:
+                calls.append(path)
+                if len(calls) == 2:
+                    real_mkdir(path)  # the other breaker wins
+            return real_mkdir(path, *a, **kw)
+
+        with mock.patch("os.mkdir", side_effect=contended):
+            with pytest.raises(CompactionLockHeld, match="breaking a stale"):
+                with _compaction_lock(root):
+                    pass  # pragma: no cover - never entered
