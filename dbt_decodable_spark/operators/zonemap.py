@@ -42,10 +42,11 @@ every file's range wide and prunes ~nothing (both measured in
 Metadata scaling honesty: the manifest is one JSON document, one entry per
 file — O(|files|) driver-side read/write per refresh (~300 bytes/file, so
 ~30 MB at 10⁵ files: fine to parse, but the atomic-replace write serializes
-refreshes). Past that point the metadata layer itself needs sharding (a
-manifest per partition directory, which :func:`refresh_zonemap_partial`'s
-per-bucket structure maps onto directly) or a table format that already
-owns file-level stats (Delta/Iceberg). Because the map here is purely
+refreshes). Past that point the metadata layer shards — implemented at the
+bottom of this module (:func:`write_zonemap_sharded` /
+:func:`read_pruned_sharded`: one manifest per partition directory,
+directory-name pruning before any manifest opens, per-shard fallback) — or
+moves to a table format that already owns file-level stats (Delta/Iceberg). Because the map here is purely
 advisory — checked against the live inventory by default, never
 load-bearing for correctness — it can be dropped and rebuilt at any time,
 which is what makes the simple single-document design safe to start with.
@@ -1052,4 +1053,194 @@ def read_pruned_eq(
     df = df.filter(
         F.col(col).isin(non_null) if non_null else F.lit(False)
     )
+    return df, info
+
+
+# ---------------------------------------------------------------------------
+# Sharded manifests: one zone map PER partition directory
+# ---------------------------------------------------------------------------
+#
+# The single-document manifest's ceiling is explicit above: ~10⁵ files
+# (~30 MB JSON, ~2.4 s driver walk, one atomic-replace serializing every
+# refresh). The sharding answer the docstring promises is implemented here,
+# and it is deliberately THIN: a shard is nothing but a normal zone map
+# whose root is the partition directory — every reader, refresher, and
+# bloom function above works verbatim on a shard path. What this layer adds
+# is (1) a writer that splits ONE global stats pass into per-directory
+# manifests, (2) a reader that prunes whole shards from the DIRECTORY NAME
+# (`day=2024-01-01`) before any manifest is even opened, and (3) per-shard
+# fallback: one drifted shard degrades to a full listing of THAT directory
+# while its siblings keep pruning — the blast radius of staleness shrinks
+# from the table to the partition.
+#
+# Metadata cost model: prune walk = O(#shards) name comparisons +
+# O(files in surviving shards) manifest entries; refresh touches only the
+# written shard's manifest, so concurrent maintenance of DIFFERENT
+# partitions no longer serializes on one file. At 10⁷ files / 10³
+# partitions each shard is back at the comfortable 10⁴-entry size.
+
+
+def write_zonemap_sharded(
+    spark: SparkSession, path: str, stats_cols: Sequence[str]
+) -> dict[str, int]:
+    """Write one ``_zonemap.json`` into each first-level ``col=value``
+    partition directory of ``path``. Stats come from ONE distributed pass
+    over the whole table (not a job per partition); only the manifest
+    split is per-directory. Returns ``{dirname: n_files}``.
+
+    Requires a Hive-layout table: every data file under a ``col=value``
+    first-level directory (deeper nesting stays inside its first-level
+    shard). Data files at the table root are refused — they would belong
+    to no shard and silently escape every map."""
+    path = path.rstrip("/")
+    shards = [
+        d
+        for d in sorted(os.listdir(path))
+        if os.path.isdir(os.path.join(path, d)) and "=" in d
+    ]
+    if not shards:
+        raise ValueError(
+            f"{path} has no col=value partition directories — use "
+            "write_zonemap for an unpartitioned table"
+        )
+    stray = [n for n, _s in _list_data_files(path) if os.sep not in n]
+    if stray:
+        raise ValueError(
+            f"data files at the table root of {path} ({stray[:3]}…) belong "
+            "to no partition shard; a sharded zone map would silently "
+            "never describe them"
+        )
+    entries = _stats_pass(spark, path, [path], stats_cols)
+    by_shard: dict[str, list[dict]] = {}
+    for e in entries:
+        shard, rel = e["file"].split(os.sep, 1)
+        by_shard.setdefault(shard, []).append({**e, "file": rel})
+    out: dict[str, int] = {}
+    for d in shards:
+        sp = os.path.join(path, d)
+        manifest = {
+            "version": 1,
+            "stats_cols": list(stats_cols),
+            "inventory": [[n, s] for n, s in _list_data_files(sp)],
+            "files": sorted(
+                by_shard.get(d, []), key=lambda e: e["file"]
+            ),
+        }
+        _write_manifest(sp, manifest)
+        out[d] = len(manifest["files"])
+    return out
+
+
+def _shard_survives(
+    dirname: str, predicates: Sequence[tuple[str, Any, Any]]
+) -> bool:
+    """Directory-name pruning: parse ``col=value`` and intersect with any
+    predicate on that column — BEFORE the shard's manifest is opened.
+    Hive-escaped values are unescaped first (the expire_partitions
+    lesson); ``__HIVE_DEFAULT_PARTITION__`` is NULL, which no range
+    predicate can select. Unparseable values fail OPEN (keep the shard —
+    its manifest and the re-applied filter still stand below)."""
+    if "=" not in dirname:
+        return True
+    col, raw = dirname.split("=", 1)
+    raw = _unquote(raw)
+    for c, lo, hi in predicates:
+        if c != col:
+            continue
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            return False  # partition value is NULL: no range match
+        sample = lo if lo is not None else hi
+        try:
+            if isinstance(sample, bool) or sample is None:
+                value: Any = raw
+            elif isinstance(sample, int):
+                value = int(raw)
+            elif isinstance(sample, float):
+                value = float(raw)
+            elif isinstance(sample, _dt.datetime):
+                value = _dt.datetime.fromisoformat(raw.replace(" ", "T"))
+            elif isinstance(sample, _dt.date):
+                value = _dt.date.fromisoformat(raw)
+            elif isinstance(sample, _dec.Decimal):
+                value = _dec.Decimal(raw)
+            else:
+                value = raw
+            if lo is not None and value < lo:
+                return False
+            if hi is not None and value > hi:
+                return False
+        except (ValueError, TypeError, _dec.InvalidOperation):
+            return True  # can't type the dir value: advisory layer keeps it
+    return True
+
+
+def prune_files_sharded(
+    path: str,
+    predicates: Sequence[tuple[str, Any, Any]],
+    verify_inventory: bool = True,
+) -> dict:
+    """Two-level pruning for a sharded zone map: drop whole partition
+    directories from their NAMES, then interval-prune inside each
+    surviving shard via its own manifest (:func:`_load_pruned` verbatim —
+    a shard IS a zone map). Fallback is per-shard: a missing/drifted
+    shard manifest degrades to that directory's full listing while its
+    siblings keep pruning; ``fallback`` reports the degraded shards.
+
+    Report shape matches :func:`prune_files`, with ``total``/``pruned``
+    counting FILES across surviving shards plus ``shards_total`` /
+    ``shards_pruned`` for the directory level (pruned shards' files are
+    never listed — that's the point — so they appear in the shard counts,
+    not the file counts)."""
+    path = path.rstrip("/")
+    predicates = _active(predicates)
+    shards = [
+        d
+        for d in sorted(os.listdir(path))
+        if os.path.isdir(os.path.join(path, d)) and "=" in d
+    ]
+    kept_shards = [d for d in shards if _shard_survives(d, predicates)]
+    files: list[str] = []
+    total = pruned = 0
+    degraded: list[str] = []
+    for d in kept_shards:
+        info, _m = _load_pruned(
+            os.path.join(path, d), predicates, verify_inventory
+        )
+        files.extend(info["files"])
+        total += info["total"]
+        pruned += info["pruned"]
+        if info["fallback"]:
+            degraded.append(f"{d}: {info['fallback']}")
+    return {
+        "files": files,
+        "total": total,
+        "pruned": pruned,
+        "shards_total": len(shards),
+        "shards_pruned": len(shards) - len(kept_shards),
+        "fallback": "; ".join(degraded) or None,
+    }
+
+
+def read_pruned_sharded(
+    spark: SparkSession,
+    path: str,
+    predicates: Sequence[tuple[str, Any, Any]],
+    verify_inventory: bool = True,
+) -> tuple[DataFrame, dict]:
+    """Read a sharded-zone-map table with directory + file pruning, then
+    RE-APPLY the predicates as real Spark filters (the partition column
+    comes back via ``basePath``, so a predicate on it re-applies too).
+    Same advisory contract as :func:`read_pruned`."""
+    info = prune_files_sharded(path, predicates, verify_inventory)
+    if not info["files"]:
+        df = spark.read.parquet(path.rstrip("/")).limit(0)
+    else:
+        df = spark.read.option("basePath", path.rstrip("/")).parquet(
+            *info["files"]
+        )
+    for c, lo, hi in _active(predicates):
+        if lo is not None:
+            df = df.filter(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(c) <= F.lit(hi))
     return df, info

@@ -1044,3 +1044,137 @@ class TestBloomSidecar:
         zm.write_with_zonemap(df, path, ["id"])
         with pytest.raises(ValueError, match="string rendering"):
             zm.add_bloom_sidecar(spark, path, "x")
+
+
+class TestShardedZonemap:
+    """Sharded manifests: one zone map per partition directory — the
+    metadata-scale answer past the single-document ceiling. Directory
+    names prune whole shards before any manifest opens; a shard is a
+    plain zone map, so every existing reader/refresher works on it; one
+    drifted shard degrades alone."""
+
+    @pytest.fixture()
+    def table(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = spark.range(4000).select(
+            F.col("id"),
+            (F.col("id") % 8).alias("day"),
+            (F.col("id") * 3).alias("value"),
+        )
+        # cluster inside partitions so per-file id ranges are tight
+        df.repartitionByRange(16, "id").sortWithinPartitions(
+            "id"
+        ).write.partitionBy("day").parquet(path)
+        shards = zm.write_zonemap_sharded(spark, path, ["id"])
+        return path, shards
+
+    def test_write_splits_one_pass(self, spark, table):
+        path, shards = table
+        assert len(shards) == 8 and sum(shards.values()) >= 8
+        for d in shards:
+            assert os.path.exists(os.path.join(path, d, zm.MANIFEST_NAME))
+        assert not os.path.exists(os.path.join(path, zm.MANIFEST_NAME))
+
+    def test_partition_and_file_pruning_exact(self, spark, table):
+        path, _ = table
+        preds = [("day", 3, 3), ("id", 1000, 1400)]
+        got, info = zm.read_pruned_sharded(spark, path, preds)
+        want = spark.read.parquet(path).filter(
+            "day = 3 AND id BETWEEN 1000 AND 1400"
+        )
+        assert _rows(got) == _rows(want) and got.count() > 0
+        assert info["shards_total"] == 8 and info["shards_pruned"] == 7
+        # file-level pruning applies inside the surviving shard too
+        assert info["pruned"] > 0 and info["fallback"] is None
+        assert len(got.inputFiles()) == info["total"] - info["pruned"]
+
+    def test_no_partition_predicate_still_prunes_files(self, spark, table):
+        path, _ = table
+        got, info = zm.read_pruned_sharded(spark, path, [("id", 0, 99)])
+        want = spark.read.parquet(path).filter("id <= 99")
+        assert _rows(got) == _rows(want)
+        assert info["shards_pruned"] == 0  # no predicate on day
+        assert info["pruned"] > 0  # but id intervals prune inside shards
+
+    def test_single_shard_drift_degrades_alone(self, spark, table):
+        path, _ = table
+        with open(os.path.join(path, "day=5", "stray.parquet"), "w") as fh:
+            fh.write("x")
+        got, info = zm.read_pruned_sharded(
+            spark, path, [("id", 1000, 1400)]
+        )
+        # NOTE: the stray file is junk; exclude day=5 from the value
+        # check (a real drifted write would be readable parquet) — the
+        # point here is the REPORT: day=5 fell back, siblings pruned
+        assert info["fallback"] and "day=5" in info["fallback"]
+        assert info["pruned"] > 0  # other shards still pruned
+        day5 = [f for f in info["files"] if "day=5" in f]
+        assert any(f.endswith("stray.parquet") for f in day5)
+
+    def test_null_partition_pruned_by_range(self, spark, tmp_path):
+        path = str(tmp_path / "n")
+        df = spark.range(100).select(
+            F.col("id"),
+            F.when(F.col("id") < 90, F.col("id") % 3).alias("day"),
+        )
+        df.write.partitionBy("day").parquet(path)
+        zm.write_zonemap_sharded(spark, path, ["id"])
+        got, info = zm.read_pruned_sharded(
+            spark, path, [("day", 0, 99), ("id", 0, 999)]
+        )
+        want = spark.read.parquet(path).filter("day BETWEEN 0 AND 99")
+        assert _rows(got) == _rows(want) and got.count() == 90
+        assert info["shards_pruned"] == 1  # the NULL partition
+
+    def test_hive_escaped_partition_values(self, spark, tmp_path):
+        path = str(tmp_path / "esc")
+        df = spark.createDataFrame(
+            [(1, "b b%1"), (2, "c#c 2"), (3, "a a%0")],
+            "id long, slot string",
+        )
+        df.write.partitionBy("slot").parquet(path)
+        # the % / space / # characters are Hive-escaped in the dir names —
+        # pruning must compare the UNESCAPED value or 'b b%1' ('b%20b%251'
+        # on disk) would sort outside [b, d) and be wrongly pruned
+        assert any("%" in d for d in os.listdir(path) if "=" in d)
+        zm.write_zonemap_sharded(spark, path, ["id"])
+        got, info = zm.read_pruned_sharded(spark, path, [("slot", "b", "d")])
+        want = spark.read.parquet(path).filter(
+            "slot >= 'b' AND slot <= 'd'"
+        )
+        assert _rows(got) == _rows(want) and got.count() == 2
+        assert info["shards_pruned"] == 1  # 'a a%0' pruned, by raw value
+
+    def test_unparseable_partition_value_fails_open(self, spark, table):
+        path, _ = table
+        os.makedirs(os.path.join(path, "day=notanumber"), exist_ok=True)
+        # int bound vs unparseable dir value → shard kept (then its
+        # missing manifest makes it fall back to its (empty) listing)
+        info = zm.prune_files_sharded(path, [("day", 0, 9)])
+        assert info["shards_pruned"] == 0
+        shutil.rmtree(os.path.join(path, "day=notanumber"))
+
+    def test_refusals(self, spark, tmp_path):
+        flat = str(tmp_path / "flat")
+        spark.range(10).write.parquet(flat)
+        with pytest.raises(ValueError, match="no col=value"):
+            zm.write_zonemap_sharded(spark, flat, ["id"])
+
+    def test_per_shard_refresh_composes(self, spark, table):
+        path, _ = table
+        # append into ONE partition, refresh ONLY that shard with the
+        # existing single-table function — a shard IS a zone map
+        extra = spark.range(4000, 4050).select(
+            F.col("id"), (F.col("id") * 3).alias("value")
+        )
+        extra.coalesce(1).write.mode("append").parquet(
+            os.path.join(path, "day=2")
+        )
+        zm.refresh_zonemap_appended(spark, os.path.join(path, "day=2"))
+        got, info = zm.read_pruned_sharded(
+            spark, path, [("id", 4000, 4100)]
+        )
+        want = spark.read.parquet(path).filter("id >= 4000")
+        assert _rows(got) == _rows(want) and got.count() == 50
+        assert info["fallback"] is None  # day=2's manifest is fresh
+        assert info["pruned"] > 0

@@ -232,6 +232,31 @@ def probes(spark, sf_dir: str) -> dict[str, float]:
         )
     )
 
+    # late r9: bloom sidecar point lookup on a column the layout does NOT
+    # cluster (a content fingerprint in a doc_id-clustered table). The
+    # interval map keeps every file here; the bloom keeps ~the one file
+    # that holds the fingerprint — so the pruned lookup should stay ~flat
+    # across the replication while the full-scan control grows. Sidecar
+    # build is setup (one-time, like the layout), outside the timed jobs.
+    zpath_fp = f"{zdir}/docs_fp"
+    zm.write_with_zonemap(
+        d.select("doc_id", F.xxhash64("text").alias("fp"), "text"),
+        zpath_fp,
+        ["doc_id"],
+        cluster_by=["doc_id"],
+        n_files=max(16, n_docs_z // 20_000),
+    )
+    zm.add_bloom_sidecar(spark, zpath_fp, "fp", m_bits=1 << 18, k=4)
+    probe_fp = (
+        spark.read.parquet(zpath_fp).select("fp").limit(1).first()["fp"]
+    )
+    jobs["bloom_point_lookup"] = lambda: run(
+        zm.read_pruned_eq(spark, zpath_fp, "fp", [probe_fp])[0]
+    )
+    jobs["bloom_fullscan_control"] = lambda: run(
+        spark.read.parquet(zpath_fp).filter(F.col("fp") == probe_fp)
+    )
+
     out: dict[str, float] = {}
     try:
         for name, job in jobs.items():
