@@ -1193,15 +1193,38 @@ def prune_files_sharded(
     not the file counts)."""
     path = path.rstrip("/")
     predicates = _active(predicates)
-    shards = [
-        d
-        for d in sorted(os.listdir(path))
-        if os.path.isdir(os.path.join(path, d)) and "=" in d
-    ]
+    shards = []
+    stray_roots: list[str] = []
+    for d in sorted(os.listdir(path)):
+        full = os.path.join(path, d)
+        if os.path.isdir(full):
+            (shards if "=" in d else stray_roots).append(d)
+        elif not d.startswith(("_", ".")):
+            stray_roots.append(d)
     kept_shards = [d for d in shards if _shard_survives(d, predicates)]
     files: list[str] = []
     total = pruned = 0
     degraded: list[str] = []
+    if stray_roots and verify_inventory:
+        # data that belongs to NO shard (a root-level file or a non-Hive
+        # subdirectory written after the sharded manifests): no manifest
+        # describes it, so the advisory contract demands it be read
+        # UNPRUNED — silently missing it is the one failure mode this
+        # layer must never have. With verification off the caller owns
+        # the write discipline and the top-level listing is skipped.
+        for d in stray_roots:
+            full = os.path.join(path, d)
+            if os.path.isdir(full):
+                files.extend(
+                    os.path.join(full, n) for n, _s in _list_data_files(full)
+                )
+            else:
+                files.append(full)
+        total += len(files)
+        degraded.append(
+            f"unsharded data at table root ({', '.join(stray_roots[:3])}"
+            f"{'…' if len(stray_roots) > 3 else ''}): read unpruned"
+        )
     for d in kept_shards:
         info, _m = _load_pruned(
             os.path.join(path, d), predicates, verify_inventory

@@ -1178,3 +1178,27 @@ class TestShardedZonemap:
         assert _rows(got) == _rows(want) and got.count() == 50
         assert info["fallback"] is None  # day=2's manifest is fresh
         assert info["pruned"] > 0
+
+    def test_unsharded_root_file_read_unpruned(self, spark, table):
+        """Data that belongs to no shard (root-level file written after
+        the sharded manifests) must be READ, not silently missed — the
+        advisory layer's one forbidden failure."""
+        path, _ = table
+        stray = spark.range(90000, 90005).select(
+            F.col("id"), (F.col("id") * 3).alias("value"),
+            F.lit(99).alias("day"),
+        )
+        tmpdir = path + "__stray"
+        stray.coalesce(1).write.parquet(tmpdir)
+        part = [f for f in os.listdir(tmpdir) if f.endswith(".parquet")][0]
+        os.rename(
+            os.path.join(tmpdir, part), os.path.join(path, "stray.parquet")
+        )
+        shutil.rmtree(tmpdir)
+        got, info = zm.read_pruned_sharded(
+            spark, path, [("id", 89000, 99000)]
+        )
+        assert got.count() == 5  # the stray rows ARE in the result
+        assert info["fallback"] and "unsharded data" in info["fallback"]
+        assert info["pruned"] > 0  # shards still pruned normally
+        os.unlink(os.path.join(path, "stray.parquet"))
