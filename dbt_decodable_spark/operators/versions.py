@@ -26,9 +26,12 @@ snapshot use, applied to whole generations:
   the newest K (never the latest; a crash mid-vacuum just leaves more
   generations for the next vacuum — deletion is idempotent).
 
-Single-writer per root, like every sibling maintenance op. Readers of a
-generation being vacuumed are the caller's retention policy to exclude —
-same contract as every lakehouse VACUUM.
+Publication is multi-writer safe (stage-then-atomic-rename slot claim,
+the delta-log commit protocol — concurrent publishers serialize into
+consecutive generations); VACUUM remains single-maintainer per root, like
+every sibling maintenance op. Readers of a generation being vacuumed are
+the caller's retention policy to exclude — same contract as every
+lakehouse VACUUM.
 
 Reference parity: the reference materializes tables by full overwrite
 through its managed service (dbt seeds/models,
@@ -69,39 +72,57 @@ def publish_version(
     cluster_by: list | None = None,
     stats_cols: list | None = None,
     n_files: int | None = None,
+    stale_stage_seconds: float = 3600.0,
 ) -> int:
     """Write ``df`` as the next committed generation of ``root`` and
-    return its number. Sweeps uncommitted leftovers from crashed
-    publishes first (single-writer ⇒ nothing else can be mid-write).
+    return its number. Safe under CONCURRENT publishers since late r9 —
+    the same stage-then-atomic-rename commit the delta log uses: the
+    generation is written to a private ``stage-<uuid>`` dir, then
+    ``os.rename``d to ``v=<N>`` (put-if-absent — POSIX rename onto a
+    non-empty directory fails). A publisher that loses its slot re-lists
+    and claims the next one, so two uncoordinated publishers serialize
+    into consecutive generations with commit order deciding which is
+    "latest" — exactly the semantics wholesale republication wants.
+    Crashed publishers leave only invisible stages, reaped past
+    ``stale_stage_seconds`` so a live concurrent stage is never at risk;
+    legacy ``v=`` dirs without ``_SUCCESS`` (pre-rename-era crashes —
+    impossible to create now, the rename happens after Spark finishes)
+    are swept immediately.
 
     The layout layers compose here: ``cluster_by`` range-sorts the
     generation across ``n_files`` files and ``stats_cols`` attaches a
-    zone map (``operators/zonemap.py``) INSIDE the generation directory —
+    zone map (``operators/zonemap.py``) INSIDE the generation directory
+    (written in the stage; relative inventory paths survive the rename) —
     so every generation is independently clustered and file-skippable
     (``read_pruned(spark, _vdir(root, n), …)``), and vacuuming a
-    generation removes its map with it. The zone map is written after
-    the data but before this returns; a crash in between leaves a
-    committed generation with no map — readable, just unpruned (the
-    map's usual fail-open stance). Parquet-only options."""
+    generation removes its map with it. Parquet-only options."""
+    import errno
+    import time
+    import uuid
+
     root = root.rstrip("/")
     os.makedirs(root, exist_ok=True)
-    committed = set()
-    for d in os.listdir(root):
-        if not d.startswith("v="):
-            continue
-        if os.path.exists(os.path.join(root, d, "_SUCCESS")):
-            committed.add(int(d.split("=")[1]))
-        else:
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-    n = (max(committed) + 1) if committed else 0
     if (cluster_by or stats_cols) and fmt != "parquet":
         raise ValueError("cluster_by/stats_cols require parquet")
+    now = time.time()
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        if d.startswith("v=") and not os.path.exists(
+            os.path.join(p, "_SUCCESS")
+        ):
+            shutil.rmtree(p, ignore_errors=True)
+        elif d.startswith("stage-"):
+            try:
+                if now - os.path.getmtime(p) > stale_stage_seconds:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass  # racing its owner's commit-rename: leave it
+    stage = os.path.join(root, f"stage-{uuid.uuid4().hex}")
     if stats_cols:
         from dbt_decodable_spark.operators.zonemap import write_with_zonemap
 
         write_with_zonemap(
-            df, _vdir(root, n), stats_cols,
-            cluster_by=cluster_by, n_files=n_files,
+            df, stage, stats_cols, cluster_by=cluster_by, n_files=n_files,
         )
     else:
         out = df
@@ -109,8 +130,19 @@ def publish_version(
             from dbt_decodable_spark.operators.zonemap import clustered
 
             out = clustered(df, cluster_by, n_files)
-        out.write.format(fmt).save(_vdir(root, n))
-    return n
+        out.write.format(fmt).save(stage)
+    while True:
+        versions = list_versions(root)
+        n = (versions[-1] + 1) if versions else 0
+        try:
+            os.rename(stage, _vdir(root, n))
+            return n
+        except OSError as e:
+            if e.errno not in (errno.EEXIST, errno.ENOTEMPTY):
+                shutil.rmtree(stage, ignore_errors=True)
+                raise
+            # another publisher claimed v=<n> between our listing and the
+            # rename — re-list and take the next slot
 
 
 def read_version(
