@@ -1202,3 +1202,41 @@ class TestShardedZonemap:
         assert info["fallback"] and "unsharded data" in info["fallback"]
         assert info["pruned"] > 0  # shards still pruned normally
         os.unlink(os.path.join(path, "stray.parquet"))
+
+    def test_random_predicates_property_sharded(self, spark, table):
+        """Property sweep over the two-level pruner: for ANY (day, id)
+        interval pair — degenerate, empty, out-of-range, one-sided — the
+        sharded pruned read equals the full-scan filter."""
+        import random
+
+        rng = random.Random(1117)
+        path, _ = table
+        full = spark.read.parquet(path)
+        cases = [
+            ((0, 7), (0, 3999)),
+            ((3, 3), (None, 100)),
+            ((9, 12), (0, 3999)),     # no matching shard
+            ((None, None), (250, 260)),
+            ((2, 5), (4000, 9000)),   # no matching ids
+        ] + [
+            (
+                tuple(sorted((rng.randint(-2, 10), rng.randint(-2, 10)))),
+                tuple(sorted((rng.randint(-100, 4200), rng.randint(-100, 4200)))),
+            )
+            for _ in range(10)
+        ]
+        for (dlo, dhi), (ilo, ihi) in cases:
+            preds = [("day", dlo, dhi), ("id", ilo, ihi)]
+            got, info = zm.read_pruned_sharded(spark, path, preds)
+            cond = []
+            if dlo is not None:
+                cond.append(f"day >= {dlo}")
+            if dhi is not None:
+                cond.append(f"day <= {dhi}")
+            if ilo is not None:
+                cond.append(f"id >= {ilo}")
+            if ihi is not None:
+                cond.append(f"id <= {ihi}")
+            want = full.filter(" AND ".join(cond) if cond else "true")
+            assert _rows(got) == _rows(want), (dlo, dhi, ilo, ihi)
+            assert info["fallback"] is None
