@@ -221,12 +221,19 @@ def diff_versions(
     return j.select(*keys, status.alias("status"), "old", "new")
 
 
-def vacuum_versions(root: str, keep_last: int = 2) -> list[int]:
+def vacuum_versions(
+    root: str, keep_last: int = 2, stale_stage_seconds: float = 3600.0
+) -> list[int]:
     """Delete committed generations beyond the newest ``keep_last``
     (which must be ≥ 1 — the latest generation is never deleted), plus
-    any uncommitted leftovers. Returns the deleted generation numbers.
-    Crash mid-vacuum is benign: deletion is idempotent and ordering is
+    any uncommitted leftovers: legacy ``v=`` dirs without ``_SUCCESS``
+    immediately, crashed publishers' ``stage-*`` dirs only past
+    ``stale_stage_seconds`` (a live concurrent publisher's stage is
+    never at risk). Returns the deleted generation numbers. Crash
+    mid-vacuum is benign: deletion is idempotent and ordering is
     oldest-first, so the retained window is never violated."""
+    import time
+
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     root = root.rstrip("/")
@@ -235,9 +242,17 @@ def vacuum_versions(root: str, keep_last: int = 2) -> list[int]:
     for n in doomed:
         shutil.rmtree(_vdir(root, n), ignore_errors=True)
     if os.path.isdir(root):
+        now = time.time()
         for d in os.listdir(root):
+            p = os.path.join(root, d)
             if d.startswith("v=") and not os.path.exists(
-                os.path.join(root, d, "_SUCCESS")
+                os.path.join(p, "_SUCCESS")
             ):
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                shutil.rmtree(p, ignore_errors=True)
+            elif d.startswith("stage-"):
+                try:
+                    if now - os.path.getmtime(p) > stale_stage_seconds:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass  # racing its owner's commit-rename: leave it
     return doomed

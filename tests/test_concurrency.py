@@ -441,3 +441,23 @@ class TestConcurrentPublish:
         got, info = zmod.read_pruned(spark, _vdir(root, 1), [("id", 0, 99)])
         assert info["fallback"] is None and info["pruned"] >= 2
         assert got.count() == 100
+
+    def test_vacuum_reaps_stale_stage_keeps_live(self, spark, tmp_path):
+        from dbt_decodable_spark.operators.versions import (
+            publish_version,
+            vacuum_versions,
+        )
+
+        root = str(tmp_path / "gens")
+        for i in range(3):
+            publish_version(spark.range(5).toDF("id"), root)
+        dead = os.path.join(root, "stage-dead")
+        live = os.path.join(root, "stage-live")
+        os.makedirs(dead)
+        os.makedirs(live)
+        old = time.time() - 7200
+        os.utime(dead, (old, old))
+        doomed = vacuum_versions(root, keep_last=2)
+        assert doomed == [0]
+        assert not os.path.exists(dead)
+        assert os.path.exists(live)
