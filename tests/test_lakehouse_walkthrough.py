@@ -13,6 +13,7 @@ invariant checked here is one a production pipeline would rely on.
     6. publish the converged view as a clustered, zone-mapped generation;
        publish a second generation after more changes; diff them
     7. time-travel to the first generation; vacuum down to one
+    8. race two uncoordinated publishers into consecutive generations
 """
 
 import os
@@ -118,3 +119,24 @@ def test_full_lifecycle(spark, tmp_path):
     assert V.vacuum_versions(pub, keep_last=1) == [v0]
     assert V.list_versions(pub) == [v1]
     assert not os.path.exists(V._vdir(pub, v0))
+
+    # 8. two uncoordinated publishers race the next slot: the rename
+    # commit serializes them into consecutive generations — none lost,
+    # none torn, latest = whoever claimed the higher slot
+    import threading
+
+    landed = []
+
+    def racer(tag):
+        df = view2.withColumn("v", F.col("v") + tag)
+        landed.append((tag, V.publish_version(df, pub)))
+
+    ts = [threading.Thread(target=racer, args=(t,)) for t in (1, 2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sorted(n for _t, n in landed) == [v1 + 1, v1 + 2]
+    assert V.list_versions(pub) == [v1, v1 + 1, v1 + 2]
+    for _t, n in landed:
+        assert V.read_version(spark, pub, n).count() == view2.count()
