@@ -257,6 +257,62 @@ def probes(spark, sf_dir: str) -> dict[str, float]:
         spark.read.parquet(zpath_fp).filter(F.col("fp") == probe_fp)
     )
 
+    # late r9: incremental view maintenance. The claim under test is that
+    # maintaining a GROUP BY materialization costs O(|batch| + touched
+    # groups' support rows) — so with a FIXED-size batch (~5k changes) and
+    # bounded groups (grp = doc_id div 50, count grows with data, ~50
+    # support rows each), the maintain wall should stay ~flat across the
+    # replication while the recompute control grows with the corpus. All
+    # state setup (bucketed snapshot/agg/support) is one-time, outside the
+    # timed jobs, like production.
+    from dbt_decodable_spark.operators import ivm
+
+    ivm_dir = tempfile.mkdtemp(prefix="probe_ivm_")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    isnap_tbl, iagg_tbl, isup_tbl = (
+        f"probe_ivm_snap_{tag}", f"probe_ivm_agg_{tag}", f"probe_ivm_sup_{tag}"
+    )
+    for t_ in (isnap_tbl, iagg_tbl, isup_tbl):
+        spark.sql(f"DROP TABLE IF EXISTS {t_}")
+    istate = state.withColumn("grp", F.expr("doc_id div 50"))
+    p_mod = max(1, n_docs_z // 5000)
+    ibatch = (
+        d.filter(F.col("doc_id") % p_mod == 0)
+        .select(
+            "doc_id",
+            F.lit(1).cast("long").alias("seq"),
+            (F.col("n_chars") + 1).cast("long").alias("v"),
+            (F.col("doc_id") % (7 * p_mod) == 0).alias("is_delete"),
+        )
+        .withColumn("grp", F.expr("doc_id div 50"))
+    )
+    ispec = ivm.AggViewSpec(
+        group_cols=("grp",),
+        count_star="n",
+        sums={"sum_v": "v"},
+        mins={"min_v": "v"},
+        maxs={"max_v": "v"},
+        count_distincts={"nd_v": "v"},
+    )
+    materialize_bucketed(istate, isnap_tbl, ["doc_id"], 32, path=f"{ivm_dir}/snap")
+    _st0 = ivm.init_state(spark.table(isnap_tbl), ispec, "is_delete")
+    materialize_bucketed(_st0.agg, iagg_tbl, ["__g"], 32, path=f"{ivm_dir}/agg")
+    materialize_bucketed(
+        _st0.supports["v"], isup_tbl, ["__k"], 32, path=f"{ivm_dir}/sup"
+    )
+    ist = ivm.IvmState(
+        agg=spark.table(iagg_tbl), supports={"v": spark.table(isup_tbl)}
+    )
+    jobs["ivm_maintain"] = lambda: run(
+        ivm.maintain(
+            ist, spark.table(isnap_tbl), ibatch, ["doc_id"], ["seq"], ispec,
+            delete_col="is_delete",
+        ).agg
+    )
+    jobs["ivm_recompute_control"] = lambda: run(
+        ivm.compute_agg_view(spark.table(isnap_tbl), ispec, "is_delete")
+    )
+
     out: dict[str, float] = {}
     try:
         for name, job in jobs.items():
@@ -265,9 +321,11 @@ def probes(spark, sf_dir: str) -> dict[str, float]:
             job()
             out[name] = round(time.time() - t, 2)
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {snap_tbl}")
+        for t_ in (snap_tbl, isnap_tbl, iagg_tbl, isup_tbl):
+            spark.sql(f"DROP TABLE IF EXISTS {t_}")
         shutil.rmtree(snap_dir, ignore_errors=True)
         shutil.rmtree(zdir, ignore_errors=True)
+        shutil.rmtree(ivm_dir, ignore_errors=True)
     return out
 
 
