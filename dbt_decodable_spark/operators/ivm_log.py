@@ -1,0 +1,491 @@
+"""Merge-on-read persistence for incremental view maintenance.
+
+``operators/ivm.py`` maintains a GROUP BY materialization with O(|batch|)
+SHUFFLE — but rewriting the state tables per micro-batch still costs
+O(|state|) write I/O, and even a shuffle-free bucketed merge SCANS every
+state file (measured in SCALING.md's IVM probe). This module removes both:
+a maintenance step only APPENDS — one small counter-delta file per state
+table per batch — and readers fold base + pending deltas. The durable
+O(|state|) work happens only at compaction, amortized over many batches.
+This is the LSM shape every lakehouse streaming-aggregate engine uses, and
+the continuous-materialization behavior of the reference platform's
+pipelines (``dbt/adapters/decodable/handler.py:89-94`` change-stream fold;
+the adapter's rejected ``incremental`` materialization) re-expressed over
+Spark + parquet.
+
+Layout under one view root::
+
+    root/agg/v=NNNNNNNN/          aggregate-state generations (atomic,
+                                  _SUCCESS-gated, partitioned by __gbucket,
+                                  carrying _ivm_meta.json)
+    root/agg.__deltas__/delta-*   counter/extreme delta files
+    root/sup_<col>/v=.../         support-table generations (same shape)
+    root/sup_<col>.__deltas__/
+
+Why counter deltas need machinery last-image deltas don't: the CDC delta
+log (``streaming/changelog.py``) is safe to re-fold — winners are decided
+by the data's order tuple, so folding a delta twice is idempotent. Counter
+deltas are NOT idempotent: folding one twice double-counts. Three
+mechanisms restore the same safety:
+
+- **Watermarked generations.** Each generation's ``_ivm_meta.json`` records
+  the highest delta sequence folded into it; readers use the latest
+  generation plus only deltas with seq > watermark. Compaction publishes
+  the new generation ATOMICALLY (stage → rename, the ``versions.py``
+  protocol) before vacuuming — a crash between the two leaves stale deltas
+  that every reader skips by watermark, so re-folding can never happen.
+- **Sequence anchoring.** ``append_delta`` numbers deltas max(existing)+1,
+  so vacuuming everything would reset sequences below the watermark and
+  readers would skip live data. Compaction therefore always KEEPS the
+  highest-sequence delta as a floor (vacuumed by a later compaction once a
+  higher one exists).
+- **Exactly-once appends.** The batch tag (``foreachBatch`` batch_id)
+  dedupes replays at two levels: ``append_delta``'s committed-tag check
+  while the delta is pending, and the generation's ``max_tag`` after it was
+  compacted away. Tags must be monotonically increasing integers per view —
+  exactly what Structured Streaming provides; with non-integer tags only
+  the first level applies (documented, not hidden).
+
+Ordering contract (same reason the counter arithmetic exists at all): call
+:func:`ivm_log_append` with the snapshot image the batch is about to merge
+into, BEFORE advancing the snapshot. On crash-replay the append no-ops by
+tag and the snapshot merge is idempotent by its own contract; the reverse
+order would replay the batch against an already-merged snapshot and
+compute zero contributions, silently losing the batch from the view.
+
+Concurrent readers vs vacuum: a reader resolves a generation and lazily
+opens delta files later, so deltas (and old generations) are reclaimed only
+past a retention horizon (``vacuum_horizon_seconds`` / ``keep_gens``) —
+the same snapshot-isolation-by-retention stance as ``vacuum_versions``.
+
+Single maintainer per view: counter deltas are computed against
+snapshot-before and support-before, so appends for one view must be
+sequential (a streaming query's foreachBatch is). The underlying commit
+protocol still tolerates a concurrent duplicate replay (tags).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from dbt_decodable_spark.operators.ivm import (
+    GKEY,
+    SKEY,
+    AggViewSpec,
+    _contributions,
+    _ext_aggs,
+    _sum0,
+    change_pairs,
+    init_state,
+)
+from dbt_decodable_spark.operators.versions import _vdir, list_versions
+from dbt_decodable_spark.streaming.changelog import (
+    _compaction_lock,
+    append_delta,
+    list_deltas,
+)
+
+META_NAME = "_ivm_meta.json"
+BUCKET = "__gbucket"
+
+
+# ------------------------------------------------------------ table paths
+
+
+def _agg_root(root: str) -> str:
+    return os.path.join(root.rstrip("/"), "agg")
+
+
+def _sup_root(root: str, c: str) -> str:
+    return os.path.join(root.rstrip("/"), f"sup_{c}")
+
+
+def _counter_cols(spec: AggViewSpec) -> list[str]:
+    cols = ["__cnt"]
+    for c in spec.delta_cols():
+        cols += [f"__sum_{c}", f"__nn_{c}"]
+    return cols
+
+
+def _ext_state_cols(spec: AggViewSpec) -> list[str]:
+    return [e for c in spec.support_cols() for e in spec.ext_cols(c)]
+
+
+def _with_bucket(df: DataFrame, meta: dict, key: str) -> DataFrame:
+    """Attach the partition-directory column. ``bucket_expr`` (stored in the
+    generation meta, SQL over the group struct ``__g``) is the same layout
+    lever as ``write_hash_partitioned``'s ``partition_expr``: the default
+    hash form gives uniform directory sizes but scatters correlated groups
+    across every directory, while a range/entity-aligned expression (e.g.
+    ``__g.tenant`` or ``__g.day div 7``) keeps a locality-bearing batch's
+    touched groups in a few directories — measured in SCALING.md's IVM
+    probe. Must be a pure function of ``__g`` and is fixed at init."""
+    expr = F.expr(meta["bucket_expr"])
+    if key == GKEY:
+        return df.withColumn(BUCKET, expr)
+    return (
+        df.withColumn(GKEY, F.col(key).getField("g"))
+        .withColumn(BUCKET, expr)
+        .drop(GKEY)
+    )
+
+
+def _delta_seq(path: str) -> int:
+    return int(os.path.basename(path).split("-")[1])
+
+
+# ------------------------------------------------- generation commit/read
+
+
+def _publish_gen(
+    df: DataFrame, table_root: str, meta: dict, stale_stage_seconds: float = 3600.0
+) -> int:
+    """Stage-then-rename generation commit (the ``versions.publish_version``
+    protocol) with two IVM extras: the data is directory-partitioned by
+    ``__gbucket`` (append-time slice pruning) and ``_ivm_meta.json`` is
+    written INTO the stage so meta commits atomically with the data."""
+    import errno
+
+    table_root = table_root.rstrip("/")
+    os.makedirs(table_root, exist_ok=True)
+    now = time.time()
+    for d in os.listdir(table_root):
+        p = os.path.join(table_root, d)
+        if d.startswith("v=") and not os.path.exists(os.path.join(p, "_SUCCESS")):
+            shutil.rmtree(p, ignore_errors=True)
+        elif d.startswith("stage-"):
+            try:
+                if now - os.path.getmtime(p) > stale_stage_seconds:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    stage = os.path.join(table_root, f"stage-{uuid.uuid4().hex}")
+    df.repartition(BUCKET).write.partitionBy(BUCKET).parquet(stage)
+    # a zero-row partitioned write leaves no part files and hence no
+    # parquet schema (the empty-view init case) — persist the schema in
+    # the meta document so readers can materialize the empty table
+    with open(os.path.join(stage, META_NAME), "w") as fh:
+        json.dump({**meta, "schema": df.schema.json()}, fh)
+    while True:
+        versions = list_versions(table_root)
+        n = (versions[-1] + 1) if versions else 0
+        try:
+            os.rename(stage, _vdir(table_root, n))
+            return n
+        except OSError as e:
+            if e.errno not in (errno.EEXIST, errno.ENOTEMPTY):
+                shutil.rmtree(stage, ignore_errors=True)
+                raise
+
+
+def _latest_gen(table_root: str) -> tuple[str, dict]:
+    versions = list_versions(table_root)
+    if not versions:
+        raise FileNotFoundError(f"no committed generations under {table_root}")
+    gdir = _vdir(table_root, versions[-1])
+    with open(os.path.join(gdir, META_NAME)) as fh:
+        return gdir, json.load(fh)
+
+
+def _read_gen(spark: SparkSession, gdir: str, meta: dict) -> DataFrame:
+    """Read a generation; a zero-row one (no partition dirs, hence no
+    parquet footers) materializes as an empty DataFrame from the schema
+    stored in its meta document."""
+    if any(d.startswith(f"{BUCKET}=") for d in os.listdir(gdir)):
+        return spark.read.parquet(gdir)
+    from pyspark.sql.types import StructType
+
+    return spark.createDataFrame([], StructType.fromJson(json.loads(meta["schema"])))
+
+
+def _pending(table_root: str, watermark: int) -> list[tuple[int, str]]:
+    """Committed deltas newer than the generation's watermark, seq order."""
+    return [
+        (s, p)
+        for p in list_deltas(table_root)
+        if (s := _delta_seq(p)) > watermark
+    ]
+
+
+def _fold(
+    spark: SparkSession,
+    table_root: str,
+    key: str,
+    counter_cols: Sequence[str],
+    ext_cols: Sequence[str],
+    base_filter: Column | None = None,
+) -> DataFrame:
+    """base(latest generation) ∪ deltas(seq > watermark) folded to one row
+    per key: counters sum; extremes last-writer-wins by delta sequence
+    (every delta row carries ABSOLUTE extremes for its group, recomputed at
+    append time). Rows whose primary counter folds to ≤0 disappear.
+    ``base_filter`` prunes the generation read (partition directories)."""
+    gdir, meta = _latest_gen(table_root)
+    base = _read_gen(spark, gdir, meta)
+    if base_filter is not None:
+        base = base.filter(base_filter)
+    cols = [key, *counter_cols, *ext_cols]
+    view = base.select(*cols).withColumn("__eseq", F.lit(-1).cast("long"))
+    for seq, p in _pending(table_root, meta["watermark"]):
+        d = spark.read.parquet(p).select(*cols)
+        view = view.unionByName(d.withColumn("__eseq", F.lit(seq).cast("long")))
+    aggs: list[Column] = [F.sum(c).alias(c) for c in counter_cols]
+    if ext_cols:
+        aggs.append(
+            F.max_by(F.struct(*ext_cols), F.col("__eseq")).alias("__ext")
+        )
+    folded = view.groupBy(key).agg(*aggs).filter(F.col(counter_cols[0]) > 0)
+    if ext_cols:
+        folded = folded.select(
+            key, *counter_cols, *[F.col(f"__ext.{e}").alias(e) for e in ext_cols]
+        )
+    return folded
+
+
+# ------------------------------------------------------------- operations
+
+
+def ivm_log_init(
+    spark: SparkSession,
+    root: str,
+    snapshot: DataFrame,
+    spec: AggViewSpec,
+    delete_col: str | None = None,
+    n_buckets: int = 64,
+    bucket_expr: str | None = None,
+) -> None:
+    """One full pass over the snapshot → generation 0 of every state table.
+    ``bucket_expr`` picks the state-partitioning layout (see
+    :func:`_with_bucket`); the default is a uniform hash over ``n_buckets``
+    directories."""
+    state = init_state(snapshot, spec, delete_col)
+    meta = {
+        "watermark": -1,
+        "max_tag": None,
+        "bucket_expr": bucket_expr
+        or f"pmod(xxhash64({GKEY}), {int(n_buckets)})",
+        "delete_col": delete_col,
+    }
+    _publish_gen(_with_bucket(state.agg, meta, GKEY), _agg_root(root), meta)
+    for c, sup in state.supports.items():
+        _publish_gen(_with_bucket(sup, meta, SKEY), _sup_root(root, c), meta)
+
+
+def ivm_log_append(
+    spark: SparkSession,
+    root: str,
+    snapshot_before: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[Column | str],
+    spec: AggViewSpec,
+    tag: str | None = None,
+    broadcast_patches: bool = True,
+) -> bool:
+    """Land one micro-batch's maintenance as delta appends — O(|batch| +
+    touched groups' support slice) work, no state rewrite. Returns False
+    for a recognized replay (nothing appended). MUST be called with the
+    snapshot image the batch merges into, BEFORE the snapshot advances
+    (see the module ordering contract)."""
+    agg_root = _agg_root(root)
+    _, meta = _latest_gen(agg_root)
+    delete_col = meta["delete_col"]
+    if tag is not None and meta["max_tag"] is not None:
+        try:
+            if int(tag) <= int(meta["max_tag"]):
+                return False  # replay of a batch already folded into a gen
+        except (TypeError, ValueError):
+            pass  # non-integer tags: only the pending-delta dedup applies
+
+    snapshot_cols = list(snapshot_before.columns)
+    pairs = change_pairs(snapshot_before, changes, keys, order)
+    contrib = _contributions(pairs, snapshot_cols, spec, delete_col).persist()
+    try:
+        if contrib.isEmpty():
+            return False
+
+        # 1. support deltas FIRST (replay after a crash here no-ops them by
+        # tag, then recomputes identical extremes from the committed state)
+        for c in spec.support_cols():
+            sd = (
+                contrib.filter(F.col(c).isNotNull())
+                .groupBy(
+                    F.struct(F.col(GKEY).alias("g"), F.col(c).alias("v")).alias(SKEY)
+                )
+                .agg(F.sum("__mult").alias("__cnt"))
+            )
+            append_delta(spark, _sup_root(root, c), sd, tag=tag)
+
+        # 2. extremes for the touched groups, from the COMMITTED support
+        # state (base slice pruned to the touched partition directories +
+        # the pending deltas, this batch's included)
+        touched = contrib.select(GKEY).distinct()
+        tbuckets = [
+            r[0]
+            for r in touched.select(F.expr(meta["bucket_expr"]).alias("b"))
+            .distinct()
+            .collect()
+        ]
+
+        def hint(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if broadcast_patches else df
+
+        ext: DataFrame | None = None
+        for c in spec.support_cols():
+            sup = _fold(
+                spark,
+                _sup_root(root, c),
+                SKEY,
+                ["__cnt"],
+                [],
+                base_filter=F.col(BUCKET).isin(tbuckets),
+            )
+            probe = hint(touched)
+            slice_c = sup.join(
+                probe, on=sup[SKEY].getField("g") == probe[GKEY], how="left_semi"
+            )
+            part = slice_c.groupBy(
+                F.col(SKEY).getField("g").alias(GKEY)
+            ).agg(*_ext_aggs(spec, c, F.col(SKEY).getField("v")))
+            ext = part if ext is None else ext.join(part, on=[GKEY], how="full_outer")
+
+        # 3. the aggregate delta: signed counters per touched group, plus
+        # the absolute recomputed extremes riding on the same row
+        delta_aggs: list[Column] = [F.sum("__mult").alias("__cnt")]
+        for c in spec.delta_cols():
+            delta_aggs.append(F.sum(F.col("__mult") * _sum0(c)).alias(f"__sum_{c}"))
+            delta_aggs.append(
+                F.sum(
+                    F.when(F.col(c).isNotNull(), F.col("__mult")).otherwise(F.lit(0))
+                ).alias(f"__nn_{c}")
+            )
+        agg_delta = contrib.groupBy(GKEY).agg(*delta_aggs)
+        if ext is not None:
+            a, e = agg_delta.alias("__a"), hint(ext).alias("__e")
+            sel: list[Column] = [a[GKEY]] + [
+                a[c].alias(c) for c in _counter_cols(spec)
+            ]
+            for c in spec.support_cols():
+                for x in spec.ext_cols(c):
+                    col = F.coalesce(e[x], F.lit(0)) if x.startswith("__cd_") else e[x]
+                    sel.append(col.alias(x))
+            agg_delta = a.join(e, on=[GKEY], how="left").select(*sel)
+        return append_delta(spark, agg_root, agg_delta, tag=tag) is not None
+    finally:
+        contrib.unpersist(False)
+
+
+def ivm_log_read(spark: SparkSession, root: str, spec: AggViewSpec) -> DataFrame:
+    """The continuously-maintained view: fold the aggregate table's latest
+    generation with its pending deltas and project the user-facing columns
+    (same output contract as ``ivm.read_view``)."""
+    folded = _fold(
+        spark, _agg_root(root), GKEY, _counter_cols(spec), _ext_state_cols(spec)
+    )
+    final: list[Column] = [F.col(GKEY).getField(g).alias(g) for g in spec.group_cols]
+    if spec.count_star:
+        final.append(F.col("__cnt").alias(spec.count_star))
+    for out_name, c in spec.sums.items():
+        final.append(
+            F.when(F.col(f"__nn_{c}") > 0, F.col(f"__sum_{c}")).alias(out_name)
+        )
+    for out_name, c in spec.avgs.items():
+        final.append(
+            F.when(
+                F.col(f"__nn_{c}") > 0, F.col(f"__sum_{c}") / F.col(f"__nn_{c}")
+            ).alias(out_name)
+        )
+    for out_name, c in spec.mins.items():
+        final.append(F.col(f"__min_{c}").alias(out_name))
+    for out_name, c in spec.maxs.items():
+        final.append(F.col(f"__max_{c}").alias(out_name))
+    for out_name, c in spec.count_distincts.items():
+        final.append(F.coalesce(F.col(f"__cd_{c}"), F.lit(0)).alias(out_name))
+    return folded.select(*final).select(*spec.outputs())
+
+
+def ivm_log_compact(
+    spark: SparkSession,
+    root: str,
+    spec: AggViewSpec,
+    keep_gens: int = 2,
+    vacuum_horizon_seconds: float = 600.0,
+) -> dict:
+    """Fold each state table's pending deltas into a new generation, then
+    reclaim folded deltas and old generations past the retention horizon.
+    The one amortized O(|state|) step; appends stay O(|batch|). Takes the
+    view's compaction lock (raises ``CompactionLockHeld`` if another
+    process is compacting — callers skip the cycle, never stall a batch).
+
+    Crash-safety by ordering: the new generation (data + watermark meta)
+    commits atomically FIRST; vacuum runs after. A crash in between leaves
+    deltas every reader skips by watermark — re-folding (the counter
+    double-count hazard) is impossible. The highest-sequence delta is kept
+    as the sequence floor (see module docstring)."""
+    agg_root = _agg_root(root)
+    tables = [(agg_root, GKEY, _counter_cols(spec), _ext_state_cols(spec))] + [
+        (_sup_root(root, c), SKEY, ["__cnt"], []) for c in spec.support_cols()
+    ]
+    out: dict = {"tables": {}, "vacuumed": []}
+    with _compaction_lock(agg_root + ".__deltas__"):
+        for table_root, key, counters, exts in tables:
+            _, tmeta = _latest_gen(table_root)
+            pend = _pending(table_root, tmeta["watermark"])
+            if pend:
+                max_seq = max(s for s, _ in pend)
+                tags = []
+                for _, p in pend:
+                    parts = os.path.basename(p).split("-", 2)
+                    if len(parts) == 3:
+                        try:
+                            tags.append(int(parts[2]))
+                        except ValueError:
+                            pass
+                new_tag = max(
+                    [t for t in [tmeta["max_tag"], *tags] if t is not None],
+                    default=None,
+                )
+                folded = _fold(spark, table_root, key, counters, exts)
+                gen = _publish_gen(
+                    _with_bucket(folded, tmeta, key),
+                    table_root,
+                    {**tmeta, "watermark": max_seq, "max_tag": new_tag},
+                )
+                out["tables"][os.path.basename(table_root)] = gen
+                watermark = max_seq
+            else:
+                out["tables"][os.path.basename(table_root)] = None
+                watermark = tmeta["watermark"]
+            # reclaim — runs even when nothing was folded, so leftovers from
+            # a crash between a previous publish and its vacuum are swept:
+            # folded deltas older than the horizon (never the overall
+            # max-sequence one — the sequence floor) and generations beyond
+            # keep_gens (same horizon)
+            now = time.time()
+            all_deltas = list_deltas(table_root)
+            floor = max(all_deltas, key=_delta_seq, default=None)
+            for p in all_deltas:
+                if (
+                    p != floor
+                    and _delta_seq(p) <= watermark
+                    and now - os.path.getmtime(p) > vacuum_horizon_seconds
+                ):
+                    shutil.rmtree(p, ignore_errors=True)
+                    out["vacuumed"].append(p)
+            gens = list_versions(table_root)
+            for g in gens[:-keep_gens] if keep_gens > 0 else []:
+                gdir = _vdir(table_root, g)
+                try:
+                    if now - os.path.getmtime(gdir) > vacuum_horizon_seconds:
+                        shutil.rmtree(gdir, ignore_errors=True)
+                        out["vacuumed"].append(gdir)
+                except OSError:
+                    pass
+    return out

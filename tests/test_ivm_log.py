@@ -1,0 +1,244 @@
+"""Merge-on-read IVM (operators/ivm_log.py).
+
+Ground truth stays the full recompute over the merged snapshot; the
+append-only path must match it after every batch, across compactions, and
+through the crash/replay windows the module's docstring enumerates — in
+particular the counter double-count hazard: deltas already folded into a
+generation must be SKIPPED by readers (watermark) even while they still
+exist on disk, and replayed batches must land at most once (tags, at both
+the pending-delta and the compacted-generation level)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from dbt_decodable_spark.operators import ivm_log as il
+from dbt_decodable_spark.operators.ivm import compute_agg_view
+from dbt_decodable_spark.streaming.changelog import (
+    list_deltas,
+    merge_changes_ordered,
+)
+from tests.test_ivm import KEYS, ORDER, SPEC, _df, _rows, _snap0
+
+
+def _check(spark, root, snapshot):
+    want = _rows(compute_agg_view(snapshot, SPEC, delete_col="deleted"))
+    got = _rows(il.ivm_log_read(spark, root, SPEC))
+    assert got == want
+
+
+def _append(spark, root, snapshot, batch_rows, tag):
+    batch = _df(spark, batch_rows)
+    assert il.ivm_log_append(
+        spark, root, snapshot, batch, KEYS, ORDER, SPEC, tag=tag
+    )
+    return merge_changes_ordered(snapshot, batch, KEYS, ORDER).localCheckpoint(
+        eager=True
+    )
+
+
+BATCH1 = [
+    (1, "a", 10, 5, 1, False),
+    (2, "a", 20, 7, 2, False),
+    (3, "b", 3, 1, 3, False),
+    (4, None, None, 2, 4, False),
+]
+# deletes the max-val row of 'a', tombstones all of 'b', moves pk=4 to 'a'
+BATCH2 = [
+    (2, "a", 20, 7, 10, True),
+    (3, "b", 3, 1, 11, True),
+    (4, "a", 8, 9, 12, False),
+]
+# resurrects pk=3 in a new group, stale row for pk=1 (no-op)
+BATCH3 = [
+    (3, "c", 7, 7, 20, False),
+    (1, "zzz", 99, 99, 0, False),
+]
+
+
+class TestIvmLogLifecycle:
+    def test_append_read_matches_recompute(self, spark, tmp_path):
+        root = str(tmp_path / "view")
+        snap = _snap0(spark)
+        il.ivm_log_init(spark, root, snap, SPEC, delete_col="deleted", n_buckets=8)
+        _check(spark, root, snap)
+        for i, rows in enumerate([BATCH1, BATCH2, BATCH3]):
+            snap = _append(spark, root, snap, rows, tag=str(i))
+            _check(spark, root, snap)
+        # the view at this point: group a = {pk1 v10, pk4 v8}, group c = {pk3}
+        got = {r["grp"]: r.asDict() for r in il.ivm_log_read(spark, root, SPEC).collect()}
+        assert set(got) == {"a", "c"}
+        assert got["a"]["n"] == 2 and got["a"]["max_price"] == 9
+        assert got["a"]["min_val"] == 8 and got["a"]["nd_val"] == 2
+
+    def test_init_from_nonempty_snapshot(self, spark, tmp_path):
+        root = str(tmp_path / "view")
+        snap = _df(spark, BATCH1).localCheckpoint(eager=True)
+        il.ivm_log_init(spark, root, snap, SPEC, delete_col="deleted", n_buckets=8)
+        _check(spark, root, snap)
+        snap = _append(spark, root, snap, BATCH2, tag="0")
+        _check(spark, root, snap)
+
+    def test_replayed_tag_is_noop(self, spark, tmp_path):
+        root = str(tmp_path / "view")
+        snap = _snap0(spark)
+        il.ivm_log_init(spark, root, snap, SPEC, delete_col="deleted", n_buckets=8)
+        batch = _df(spark, BATCH1)
+        assert il.ivm_log_append(spark, root, snap, batch, KEYS, ORDER, SPEC, tag="7")
+        before = _rows(il.ivm_log_read(spark, root, SPEC))
+        # replay against the SAME snapshot_before (the contract's crash case)
+        assert not il.ivm_log_append(
+            spark, root, snap, batch, KEYS, ORDER, SPEC, tag="7"
+        )
+        assert _rows(il.ivm_log_read(spark, root, SPEC)) == before
+
+    def test_empty_contribution_batch_appends_nothing(self, spark, tmp_path):
+        root = str(tmp_path / "view")
+        snap = _snap0(spark)
+        il.ivm_log_init(spark, root, snap, SPEC, delete_col="deleted", n_buckets=8)
+        snap = _append(spark, root, snap, BATCH1, tag="0")
+        n_before = len(list_deltas(il._agg_root(root)))
+        stale = _df(spark, [(1, "zzz", 99, 99, 0, False)])  # older than pk1
+        assert not il.ivm_log_append(
+            spark, root, snap, stale, KEYS, ORDER, SPEC, tag="1"
+        )
+        assert len(list_deltas(il._agg_root(root))) == n_before
+        _check(spark, root, snap)
+
+
+class TestIvmLogCompaction:
+    def _seed(self, spark, tmp_path):
+        root = str(tmp_path / "view")
+        snap = _snap0(spark)
+        il.ivm_log_init(spark, root, snap, SPEC, delete_col="deleted", n_buckets=8)
+        snap = _append(spark, root, snap, BATCH1, tag="0")
+        snap = _append(spark, root, snap, BATCH2, tag="1")
+        return root, snap
+
+    def test_compact_preserves_view_and_advances_watermark(self, spark, tmp_path):
+        root, snap = self._seed(spark, tmp_path)
+        before = _rows(il.ivm_log_read(spark, root, SPEC))
+        out = il.ivm_log_compact(spark, root, SPEC, vacuum_horizon_seconds=0.0)
+        assert out["tables"]["agg"] == 1  # a new generation landed
+        _, meta = il._latest_gen(il._agg_root(root))
+        assert meta["watermark"] >= 1 and meta["max_tag"] == 1
+        assert _rows(il.ivm_log_read(spark, root, SPEC)) == before
+        # the sequence floor: exactly one delta (the max-seq one) survives
+        assert len(list_deltas(il._agg_root(root))) == 1
+        # appends continue monotonically after compaction
+        snap = _append(spark, root, snap, BATCH3, tag="2")
+        _check(spark, root, snap)
+
+    def test_unvacuumed_folded_deltas_are_skipped_not_double_counted(
+        self, spark, tmp_path
+    ):
+        """The crash window between generation publish and vacuum: folded
+        deltas still on disk must not double-count (the hazard last-image
+        logs don't have)."""
+        root, snap = self._seed(spark, tmp_path)
+        before = _rows(il.ivm_log_read(spark, root, SPEC))
+        n_deltas = len(list_deltas(il._agg_root(root)))
+        # huge horizon = vacuum does nothing = the crash-window state
+        il.ivm_log_compact(spark, root, SPEC, vacuum_horizon_seconds=1e9)
+        assert len(list_deltas(il._agg_root(root))) == n_deltas  # all remain
+        assert _rows(il.ivm_log_read(spark, root, SPEC)) == before
+        # a later compaction with a zero horizon reclaims them
+        il.ivm_log_compact(spark, root, SPEC, vacuum_horizon_seconds=0.0)
+        assert len(list_deltas(il._agg_root(root))) == 1
+        assert _rows(il.ivm_log_read(spark, root, SPEC)) == before
+
+    def test_replay_of_compacted_tag_is_rejected_by_generation_meta(
+        self, spark, tmp_path
+    ):
+        root, snap = self._seed(spark, tmp_path)
+        il.ivm_log_compact(spark, root, SPEC, vacuum_horizon_seconds=0.0)
+        before = _rows(il.ivm_log_read(spark, root, SPEC))
+        # tag "1" was folded into the generation and its delta vacuumed —
+        # only meta.max_tag can catch this replay now
+        replay = _df(spark, BATCH2)
+        assert not il.ivm_log_append(
+            spark, root, snap, replay, KEYS, ORDER, SPEC, tag="1"
+        )
+        assert _rows(il.ivm_log_read(spark, root, SPEC)) == before
+
+    def test_crash_between_support_and_agg_append_replays_clean(
+        self, spark, tmp_path
+    ):
+        """Support deltas committed, agg delta not (the mid-append crash):
+        the replay must no-op the support appends by tag, recompute the
+        same extremes from committed state, and land the agg delta once."""
+        root, snap = self._seed(spark, tmp_path)
+        batch = _df(spark, BATCH3)
+        orig = il.append_delta
+        calls = {"n": 0}
+
+        def dying_append(spark_, base_path, df, tag=None, **kw):
+            p = orig(spark_, base_path, df, tag=tag, **kw)
+            calls["n"] += 1
+            if calls["n"] == len(SPEC.support_cols()):
+                raise RuntimeError("simulated crash before the agg append")
+            return p
+
+        il.append_delta = dying_append
+        try:
+            try:
+                il.ivm_log_append(
+                    spark, root, snap, batch, KEYS, ORDER, SPEC, tag="2"
+                )
+                raise AssertionError("crash did not fire")
+            except RuntimeError as e:
+                assert "simulated crash" in str(e)
+        finally:
+            il.append_delta = orig
+        # replay with the same snapshot_before and tag
+        assert il.ivm_log_append(spark, root, snap, batch, KEYS, ORDER, SPEC, tag="2")
+        merged = merge_changes_ordered(snap, batch, KEYS, ORDER)
+        _check(spark, root, merged)
+
+
+class TestIvmLogPlan:
+    def test_generation_read_prunes_partition_directories(self, spark, tmp_path):
+        """The append-time support-slice read must prune untouched
+        __gbucket directories (PartitionFilters, not a data filter) —
+        that is the term that keeps appends independent of |state|."""
+        root = str(tmp_path / "view")
+        snap = _df(
+            spark,
+            [(i, "g%d" % (i % 50), i % 7, i % 5, 1, False) for i in range(400)],
+        ).localCheckpoint(eager=True)
+        il.ivm_log_init(spark, root, snap, SPEC, delete_col="deleted", n_buckets=8)
+        folded = il._fold(
+            spark,
+            il._sup_root(root, "val"),
+            il.SKEY,
+            ["__cnt"],
+            [],
+            base_filter=F.col(il.BUCKET).isin([3]),
+        )
+        plan = folded._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert il.BUCKET in plan.split("PartitionFilters")[1][:200]
+        pushed = (
+            plan.split("PushedFilters")[1][:200] if "PushedFilters" in plan else ""
+        )
+        assert il.BUCKET not in pushed
+
+    def test_state_files_are_untouched_by_appends(self, spark, tmp_path):
+        """Append-only means append-only: a maintenance batch must not
+        rewrite a single byte of any state generation (inode pin)."""
+        root, snap = TestIvmLogCompaction()._seed(spark, tmp_path)
+
+        def inodes():
+            out = {}
+            for base, _, files in os.walk(root):
+                if ".__deltas__" in base:
+                    continue
+                for f in files:
+                    p = os.path.join(base, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_ino, st.st_mtime_ns)
+            return out
+
+        before = inodes()
+        _append(spark, root, snap, BATCH3, tag="2")
+        assert inodes() == before
