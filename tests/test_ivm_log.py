@@ -196,6 +196,96 @@ class TestIvmLogCompaction:
         _check(spark, root, merged)
 
 
+class TestIvmLogStreaming:
+    def test_stream_maintains_view_end_to_end(self, spark, tmp_path):
+        """The full front door: a real bounded Structured-Streaming run
+        (maxFilesPerTrigger=1 → one micro-batch per file) through
+        stream_maintain_view; afterwards the view equals the recompute
+        over the snapshot's merged state, and both logs compacted."""
+        from dbt_decodable_spark.streaming.changelog import (
+            read_merged,
+            write_hash_partitioned,
+        )
+
+        root = str(tmp_path / "view")
+        snap_path = str(tmp_path / "snap")
+        init = _df(spark, [(i, "g%d" % (i % 5), i % 7, i % 3, 0, False) for i in range(40)])
+        write_hash_partitioned(init, snap_path, ["pk"], 4)
+        il.ivm_log_init(
+            spark, root,
+            spark.read.parquet(snap_path).drop("__bucket"),
+            SPEC, delete_col="deleted", n_buckets=8,
+        )
+        src = str(tmp_path / "src")
+        all_rows = []
+        for j in range(5):
+            rows = [
+                (8 * j + i, "g%d" % ((i + j) % 6), i + 10 * j, j, j + 1, i == 3)
+                for i in range(8)
+            ]
+            all_rows.extend(rows)
+            _df(spark, rows).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(init.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            il.stream_maintain_view(
+                stream, root, snap_path, KEYS, ORDER, SPEC,
+                compact_every=3, vacuum_horizon_seconds=0.0,
+                snapshot_n_buckets=4,
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        final_snap = read_merged(
+            spark, snap_path, KEYS, ORDER, include_tombstones=True,
+            delete_col="deleted",
+        )
+        want = _rows(compute_agg_view(final_snap, SPEC, delete_col="deleted"))
+        assert _rows(il.ivm_log_read(spark, root, SPEC)) == want
+        # compaction fired on the view log (fewer pending than micro-batches)
+        assert len(list_deltas(il._agg_root(root))) < 5
+        # and the view generation advanced past gen 0
+        _, meta = il._latest_gen(il._agg_root(root))
+        assert meta["watermark"] >= 0 and meta["max_tag"] is not None
+
+
+class TestIvmLogProperty:
+    def test_random_batches_with_compactions_match_recompute(self, spark, tmp_path):
+        """Randomized-by-construction sweep (deterministic seed): 12 rounds
+        of generated upsert/delete/move batches, compacting every 3rd
+        round, checking the folded view against the recompute each time."""
+        import random
+
+        rng = random.Random(1009)
+        root = str(tmp_path / "view")
+        snap = _snap0(spark)
+        il.ivm_log_init(spark, root, snap, SPEC, delete_col="deleted", n_buckets=8)
+        ts = 0
+        for rnd in range(12):
+            rows = []
+            for _ in range(rng.randint(1, 6)):
+                ts += 1
+                rows.append(
+                    (
+                        rng.randint(0, 6),
+                        rng.choice([None, "a", "b", "c"]),
+                        rng.choice([None, 0, 1, 2, 3]),
+                        rng.choice([None, 0, 1]),
+                        ts,
+                        rng.random() < 0.25,
+                    )
+                )
+            snap = _append(spark, root, snap, rows, tag=str(rnd))
+            if rnd % 3 == 2:
+                il.ivm_log_compact(spark, root, SPEC, vacuum_horizon_seconds=0.0)
+            _check(spark, root, snap)
+
+
 class TestIvmLogPlan:
     def test_generation_read_prunes_partition_directories(self, spark, tmp_path):
         """The append-time support-slice read must prune untouched
