@@ -43,7 +43,7 @@ import shutil
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dbt_decodable_spark.dialect import normalize
 from dbt_decodable_spark.schema import StreamSchema
@@ -443,6 +443,113 @@ class Engine:
                 sdef = self.streams[src]
                 if sdef.path:
                     self.spark.read.parquet(sdef.path).createOrReplaceTempView(src)
+
+    def activate_pipeline_incremental(
+        self,
+        name: str,
+        order: list[str] | None = None,
+        delete_col: str | None = None,
+        bucket_expr: str | None = None,
+        compact_every: int = 4,
+    ):
+        """Run the pipeline as a CONTINUOUSLY-MAINTAINED materialization —
+        the reference platform's actual execution model for an aggregate
+        model over a change stream (``handler.py:89-94`` last-after-image
+        fold on a ``primary_key``-constrained stream, ``schema.py:109-111``;
+        the behavior behind the dbt adapter's rejected ``incremental``
+        materialization, ``dbt/include/decodable/macros/materializations/
+        unsupported/incremental.sql``). Requirements: the pipeline SQL is
+        the provable GROUP BY shape (``ivm.agg_spec_from_sql``), its single
+        source declares a primary key, and ``order`` names the change-order
+        columns (default: the source's watermark column, with the primary
+        key appended as the tie-breaker).
+
+        Bounded run (availableNow): new source appends flow through
+        ``operators/ivm_log.stream_maintain_view`` — the view advances at
+        O(|batch|) append cost, never a recompute — and the sink stream is
+        re-materialized from the maintained view afterwards so catalog
+        readers see the reference-shaped result. Repeated activations
+        resume from the stream checkpoint; a full-source replay (fresh
+        checkpoint) converges because replayed images tie with the
+        snapshot and contribute nothing (the fold's replay tolerance).
+        """
+        from dbt_decodable_spark.operators import ivm_log
+        from dbt_decodable_spark.operators.ivm import agg_spec_from_sql
+        from dbt_decodable_spark.streaming.changelog import (
+            write_hash_partitioned,
+        )
+
+        if not self.warehouse_dir:
+            raise CatalogError("incremental activation needs a warehouse_dir engine")
+        p = self.pipelines[self.qualify(name)]
+        spec, tbl = agg_spec_from_sql(p.sql)
+        if tbl not in p.sources:
+            raise CatalogError(
+                f"view source {tbl!r} is not a registered source of {p.name!r}"
+            )
+        sdef = self.streams[tbl]
+        keys = list(sdef.schema.primary_key)
+        if not keys:
+            raise CatalogError(
+                f"{tbl!r} declares no primary_key — not a change stream "
+                "(schema.py:109-111); incremental maintenance needs keyed "
+                "upserts"
+            )
+        if order is None:
+            if not sdef.schema.watermarks:
+                raise CatalogError(
+                    "pass order= (change-order columns): the source has no "
+                    "watermark column to default to"
+                )
+            order = [w.name for w in sdef.schema.watermarks]
+        order = list(order) + [k for k in keys if k not in order]
+        if not sdef.path:
+            raise CatalogError(f"source stream {tbl!r} is not parquet-backed")
+
+        root = os.path.join(self.warehouse_dir, f"_ivm_{p.name}")
+        snap_path = os.path.join(root, "snapshot")
+        if not os.path.isdir(root):
+            # one-time setup: snapshot := current source state, view := its
+            # aggregate. The stream below replays the full source against
+            # this (fresh checkpoint) and converges by fold tolerance.
+            src_now = self.spark.read.parquet(sdef.path)
+            from dbt_decodable_spark.streaming.changelog import fold_last_image
+
+            snap0 = fold_last_image(src_now, keys, [F.col(c) for c in order])
+            write_hash_partitioned(snap0, snap_path, keys, n_buckets=32)
+            ivm_log.ivm_log_init(
+                self.spark, root,
+                self.spark.read.parquet(snap_path).drop("__bucket"),
+                spec, delete_col=delete_col, bucket_expr=bucket_expr,
+            )
+        stream_df = (
+            self.spark.readStream.schema(
+                self.spark.read.parquet(sdef.path).schema
+            ).parquet(sdef.path)
+        )
+        q = (
+            ivm_log.stream_maintain_view(
+                stream_df, root, snap_path,
+                keys, [F.col(c) for c in order], spec,
+                compact_every=compact_every, snapshot_n_buckets=32,
+            )
+            .option(
+                "checkpointLocation",
+                os.path.join(self.warehouse_dir, f"_ckpt_ivm_{p.name}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # reference-shaped sink: re-materialize the sink stream from the
+        # maintained view (a projection of the view log — O(|view|), the
+        # one reference-contract step that scales with the view, not the
+        # data)
+        self._materialize(
+            self.streams[p.sink], ivm_log.ivm_log_read(self.spark, root, spec)
+        )
+        p.active = True
+        return q
 
     def deactivate_pipeline(self, name: str) -> None:
         p = self.pipelines[self.qualify(name)]
