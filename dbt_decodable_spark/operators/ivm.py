@@ -83,6 +83,13 @@ class AggViewSpec:
     maxs: dict[str, str] = field(default_factory=dict)
     count_distincts: dict[str, str] = field(default_factory=dict)
     output_order: tuple[str, ...] = ()
+    # derived group columns (time-bucketed continuous aggregates etc.):
+    # group name → SQL expression over the snapshot image's columns. The
+    # name must also appear in group_cols. The expression MUST be a pure
+    # deterministic function of the image (retraction recomputes the OLD
+    # image's group — a nondeterministic expression silently corrupts the
+    # view; the obvious offenders are rejected in _apply_group_exprs).
+    group_exprs: dict[str, str] = field(default_factory=dict)
 
     def support_cols(self) -> list[str]:
         """Source columns that need a (group, value, multiplicity) support
@@ -150,7 +157,7 @@ def compute_agg_view(
 ) -> DataFrame:
     """Full recompute of the view from a snapshot — initialization and the
     ground truth the incremental path is tested against."""
-    live = _live(snapshot, delete_col)
+    live = _apply_group_exprs(_live(snapshot, delete_col), spec)
     aggs: list[Column] = []
     if spec.count_star:
         aggs.append(F.count(F.lit(1)).alias(spec.count_star))
@@ -181,6 +188,37 @@ def _gkey(spec: AggViewSpec) -> Column:
     return F.struct(*spec.group_cols).alias(GKEY)
 
 
+_NONDETERMINISTIC = re.compile(
+    r"\b(rand|randn|random|uuid|now|current_timestamp|current_date|"
+    r"current_timezone|monotonically_increasing_id|spark_partition_id|"
+    r"input_file_name)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _apply_group_exprs(df: DataFrame, spec: AggViewSpec) -> DataFrame:
+    """Attach derived group columns to an image frame. Applied identically
+    to the snapshot (init/recompute) and to every old/new image in the
+    retraction path, so both sides of an update land in the same group."""
+    for name, expr in spec.group_exprs.items():
+        if name not in spec.group_cols:
+            raise ValueError(
+                f"derived group {name!r} missing from group_cols {spec.group_cols}"
+            )
+        if name in df.columns:
+            raise ValueError(
+                f"derived group {name!r} collides with a snapshot column"
+            )
+        if _NONDETERMINISTIC.search(expr):
+            raise ValueError(
+                f"derived group expression {expr!r} is not a pure function "
+                "of the image — retraction would recompute a different "
+                "group for the old image"
+            )
+        df = df.withColumn(name, F.expr(expr))
+    return df
+
+
 def _ext_aggs(spec: AggViewSpec, c: str, val: Column) -> list[Column]:
     aggs: list[Column] = []
     if c in spec.mins.values():
@@ -196,7 +234,9 @@ def init_state(
     snapshot: DataFrame, spec: AggViewSpec, delete_col: str | None = None
 ) -> IvmState:
     """Build maintenance state by one full pass over the snapshot."""
-    live = _live(snapshot, delete_col).withColumn(GKEY, _gkey(spec))
+    live = _apply_group_exprs(_live(snapshot, delete_col), spec).withColumn(
+        GKEY, _gkey(spec)
+    )
     aggs: list[Column] = [F.count(F.lit(1)).alias("__cnt")]
     for c in spec.delta_cols():
         aggs.append(F.coalesce(F.sum(_sum0(c)), F.lit(0)).alias(f"__sum_{c}"))
@@ -295,7 +335,9 @@ def _contributions(
         .select([F.col("__new").getField(c).alias(c) for c in snapshot_cols])
         .withColumn("__mult", F.lit(1))
     )
-    return rem.unionByName(add).withColumn(GKEY, _gkey(spec))
+    return _apply_group_exprs(rem.unionByName(add), spec).withColumn(
+        GKEY, _gkey(spec)
+    )
 
 
 def _merge_counted(
@@ -482,14 +524,51 @@ _AGG_ITEM = re.compile(
 )
 
 
+def _split_items(items: str) -> list[str]:
+    """Split a SELECT list on top-level commas (parens and single-quoted
+    strings respected), so ``date_trunc('day', ts) AS day`` stays one item."""
+    out, depth, quote, cur = [], 0, False, []
+    for ch in items:
+        if quote:
+            cur.append(ch)
+            if ch == "'":
+                quote = False
+            continue
+        if ch == "'":
+            quote = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+            continue
+        cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [s for s in out if s]
+
+
+_AGG_FN_IN_EXPR = re.compile(
+    r"\b(sum|avg|min|max|count)\s*\(", re.IGNORECASE
+)
+_EXPR_ALIAS = re.compile(
+    r"^(?P<expr>.+?)\s+as\s+(?P<alias>[A-Za-z_][A-Za-z_0-9]*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
 def agg_spec_from_sql(sql: str) -> tuple[AggViewSpec, str]:
     """Parse the supported view shape — ``SELECT <items> FROM <table> GROUP
-    BY <cols>`` with items drawn from plain group columns, ``count(*)``,
+    BY <cols>`` with items drawn from plain group columns, DERIVED group
+    expressions (``date_trunc('day', ts) AS day`` — any deterministic
+    scalar expression aliased to a GROUP BY name), ``count(*)``,
     ``sum/avg/min/max(col)`` and ``count(distinct col)``, each optionally
     aliased — into an :class:`AggViewSpec` plus the source table name.
-    Anything outside the shape (expressions, WHERE, HAVING, joins) raises:
-    this is the reference-idiom SQL front door for pipelines whose
-    maintenance we can prove, not a general SQL parser."""
+    Anything outside the shape (WHERE, HAVING, joins, aggregate
+    expressions) raises: this is the reference-idiom SQL front door for
+    pipelines whose maintenance we can prove, not a general SQL parser."""
     m = re.match(
         r"^\s*select\s+(?P<items>.*?)\s+from\s+(?P<tbl>[A-Za-z_][\w.]*)\s+"
         r"group\s+by\s+(?P<groups>[\w\s,]+?)\s*;?\s*$",
@@ -507,11 +586,23 @@ def agg_spec_from_sql(sql: str) -> tuple[AggViewSpec, str]:
     mins: dict[str, str] = {}
     maxs: dict[str, str] = {}
     cds: dict[str, str] = {}
+    group_exprs: dict[str, str] = {}
     order: list[str] = []
-    for raw in m.group("items").split(","):
-        item = raw.strip()
+    for item in _split_items(m.group("items")):
         im = _AGG_ITEM.match(item)
         if not im:
+            em = _EXPR_ALIAS.match(item)
+            if em and em.group("alias") in groups:
+                expr = em.group("expr").strip()
+                if _AGG_FN_IN_EXPR.search(expr):
+                    raise ValueError(
+                        f"unsupported aggregate expression: {item!r} — only "
+                        "bare sum/avg/min/max/count(distinct) over a column "
+                        "are maintainable"
+                    )
+                group_exprs[em.group("alias")] = expr
+                order.append(em.group("alias"))
+                continue
             raise ValueError(f"unsupported select item: {item!r}")
         alias = im.group("alias")
         if im.group("plain"):
@@ -543,6 +634,7 @@ def agg_spec_from_sql(sql: str) -> tuple[AggViewSpec, str]:
         maxs=maxs,
         count_distincts=cds,
         output_order=tuple(order),
+        group_exprs=group_exprs,
     )
     for g in groups:
         if g not in order:

@@ -235,6 +235,60 @@ class TestIvmProperty:
         assert not check_invariants(state, SPEC)
 
 
+DERIVED_SPEC = AggViewSpec(
+    group_cols=("vbucket",),
+    count_star="n",
+    sums={"sum_price": "price"},
+    mins={"min_val": "val"},
+    group_exprs={"vbucket": "val div 20"},
+)
+
+
+class TestIvmDerivedGroups:
+    def test_derived_group_retraction_moves_rows(self, spark):
+        """A value update changes the DERIVED group (val div 20): the old
+        image must retract from its old bucket and the new image land in
+        the new one — the case that breaks if group expressions are not
+        applied identically to both images."""
+        snap = _snap0(spark)
+        state = init_state(snap, DERIVED_SPEC, "deleted")
+        batch = _df(
+            spark, [(1, "a", 10, 5, 1, False), (2, "a", 30, 7, 2, False)]
+        )
+        state = maintain(state, snap, batch, KEYS, ORDER, DERIVED_SPEC, "deleted")
+        snap = merge_changes_ordered(snap, batch, KEYS, ORDER).localCheckpoint(True)
+        want = _rows(compute_agg_view(snap, DERIVED_SPEC, "deleted"))
+        assert _rows(read_view(state, DERIVED_SPEC)) == want
+        assert want == [(0, 1, 5, 10), (1, 1, 7, 30)]
+        # move pk=1 from bucket 0 to bucket 1; delete pk=2
+        batch2 = _df(
+            spark, [(1, "a", 25, 6, 10, False), (2, "a", 30, 7, 11, True)]
+        )
+        state = maintain(state, snap, batch2, KEYS, ORDER, DERIVED_SPEC, "deleted")
+        snap = merge_changes_ordered(snap, batch2, KEYS, ORDER).localCheckpoint(True)
+        want = _rows(compute_agg_view(snap, DERIVED_SPEC, "deleted"))
+        assert _rows(read_view(state, DERIVED_SPEC)) == want
+        assert want == [(1, 1, 6, 25)]  # bucket 0 emptied, bucket 1 replaced
+
+    def test_nondeterministic_group_expr_rejected(self, spark):
+        bad = AggViewSpec(
+            group_cols=("r",), count_star="n", group_exprs={"r": "rand()"}
+        )
+        import pytest
+
+        with pytest.raises(ValueError, match="pure function"):
+            init_state(_snap0(spark), bad, "deleted")
+
+    def test_colliding_group_expr_rejected(self, spark):
+        bad = AggViewSpec(
+            group_cols=("grp",), count_star="n", group_exprs={"grp": "upper(grp)"}
+        )
+        import pytest
+
+        with pytest.raises(ValueError, match="collides"):
+            init_state(_snap0(spark), bad, "deleted")
+
+
 class TestIvmSqlFrontDoor:
     def test_parse_supported_shape(self):
         spec, tbl = agg_spec_from_sql(
@@ -264,7 +318,7 @@ class TestIvmSqlFrontDoor:
         "bad",
         [
             "SELECT grp, sum(val) FROM t",  # no GROUP BY
-            "SELECT grp, sum(val + 1) AS s FROM t GROUP BY grp",  # expression
+            "SELECT grp, sum(val + 1) AS s FROM t GROUP BY grp",  # agg expression
             "SELECT grp, other, sum(val) AS s FROM t GROUP BY grp",  # stray col
             "SELECT sum(val) AS s FROM t GROUP BY grp",  # group col not selected
             "SELECT grp, median(val) AS m FROM t GROUP BY grp",  # unsupported fn
@@ -273,6 +327,29 @@ class TestIvmSqlFrontDoor:
     def test_rejects_unsupported_shapes(self, bad):
         with pytest.raises(ValueError):
             agg_spec_from_sql(bad)
+
+    def test_parses_derived_group_expression(self):
+        spec, tbl = agg_spec_from_sql(
+            "SELECT date_trunc('day', ts2) AS day, count(*) AS n, "
+            "sum(val) AS sum_val FROM events GROUP BY day"
+        )
+        assert tbl == "events"
+        assert spec.group_cols == ("day",)
+        assert spec.group_exprs == {"day": "date_trunc('day', ts2)"}
+        assert spec.outputs() == ("day", "n", "sum_val")
+
+    def test_derived_group_spec_runs_end_to_end(self, spark):
+        spec, _ = agg_spec_from_sql(
+            "select val div 20 as vbucket, count(*) as n, "
+            "sum(price) as sum_price from t group by vbucket"
+        )
+        snap = _df(
+            spark, [(1, "a", 10, 5, 1, False), (2, "a", 30, 7, 2, False)]
+        )
+        state = init_state(snap, spec, "deleted")
+        got = _rows(read_view(state, spec))
+        assert got == _rows(compute_agg_view(snap, spec, "deleted"))
+        assert got == [(0, 1, 5), (1, 1, 7)]
 
 
 class TestIvmPlan:
