@@ -94,6 +94,12 @@ def scan_shuffle_free(df: DataFrame, scan_marker: str) -> bool:
         if cls == "AdaptiveSparkPlanExec":
             return walk(node.executedPlan(), shuffled_above)
         found = False
+        # materialized AQE stages (Shuffle/Broadcast/ResultQueryStageExec)
+        # hide their subtree behind .plan() — children() is EMPTY once the
+        # frame has executed, so an already-collected DataFrame would never
+        # reach its scans and the contract would vacuously fail
+        if cls.endswith("QueryStageExec"):
+            found = walk(node.plan(), shuffled_above)
         children = node.children()
         for i in range(children.size()):
             found = found or walk(children.apply(i), shuffled_above)

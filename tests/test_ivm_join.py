@@ -1,0 +1,408 @@
+"""Incremental join-view maintenance (operators/ivm_join.py).
+
+Ground truth is always a full recompute (`compute_join_view`) over the
+merged snapshots; the incremental path must match it exactly after every
+micro-batch — fact inserts/updates/deletes, dim payload updates fanning out
+to many facts, dim deletes (null-extension under left, row removal under
+inner), fk retargeting, NULL fks, stale out-of-order rows, tombstone
+resurrection. A hypothesis sweep drives randomized op sequences on both
+sides through random micro-batch splits. A plan pin asserts the state-side
+scans of a bucketed maintenance round run shuffle-free (the 100 TB cost
+model: per-batch shuffle is O(|batch| + dim-update fan-out), never
+O(|fact| + |view|))."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F, types as T
+
+from dbt_decodable_spark.operators.bucketing import (
+    materialize_bucketed,
+    scan_shuffle_free,
+)
+from dbt_decodable_spark.operators.ivm_join import (
+    JoinViewSpec,
+    JoinViewState,
+    compute_join_view,
+    init_join_state,
+    maintain_join,
+)
+from dbt_decodable_spark.streaming.changelog import merge_changes_ordered
+
+FACT_SCHEMA = T.StructType(
+    [
+        T.StructField("pk", T.LongType(), False),
+        T.StructField("fk", T.LongType(), True),
+        T.StructField("qty", T.LongType(), True),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("deleted", T.BooleanType(), True),
+    ]
+)
+DIM_SCHEMA = T.StructType(
+    [
+        T.StructField("dk", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("tier", T.LongType(), True),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("deleted", T.BooleanType(), True),
+    ]
+)
+
+SPEC = JoinViewSpec(
+    fact_keys=("pk",),
+    fk_cols=("fk",),
+    dim_keys=("dk",),
+    dim_payload={"dim_name": "name", "dim_tier": "tier"},
+)
+INNER_SPEC = JoinViewSpec(
+    fact_keys=("pk",),
+    fk_cols=("fk",),
+    dim_keys=("dk",),
+    dim_payload={"dim_name": "name"},
+    how="inner",
+)
+
+FKEYS, DKEYS, ORDER = ["pk"], ["dk"], ["ts"]
+
+
+def _fact(spark, rows):
+    return spark.createDataFrame([tuple(r) for r in rows], FACT_SCHEMA)
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame([tuple(r) for r in rows], DIM_SCHEMA)
+
+
+def _rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+
+
+def _ckpt(state):
+    return JoinViewState(
+        fact=state.fact.localCheckpoint(eager=True),
+        dim=state.dim.localCheckpoint(eager=True),
+        view=state.view.localCheckpoint(eager=True),
+    )
+
+
+def _assert_view_matches(state, spec=SPEC):
+    want = _rows(
+        compute_join_view(
+            state.fact, state.dim, spec, fact_delete_col="deleted",
+            dim_delete_col="deleted",
+        )
+    )
+    assert _rows(state.view) == want
+    return want
+
+
+def _step(state, spark, fact_rows, dim_rows, spec=SPEC):
+    state = maintain_join(
+        state,
+        _fact(spark, fact_rows),
+        _dim(spark, dim_rows),
+        ORDER,
+        ORDER,
+        spec,
+        fact_delete_col="deleted",
+        dim_delete_col="deleted",
+    )
+    return _ckpt(state)
+
+
+class TestJoinViewBasics:
+    def test_init_and_left_semantics(self, spark):
+        fact = _fact(
+            spark,
+            [
+                (1, 10, 5, 1, False),
+                (2, 20, 7, 1, False),
+                (3, None, 9, 1, False),   # NULL fk → null-extended
+                (4, 99, 2, 1, False),     # dangling fk → null-extended
+                (5, 10, 1, 1, True),      # tombstone → absent
+            ],
+        )
+        dim = _dim(spark, [(10, "a", 1, 1, False), (20, "b", 2, 1, False)])
+        st0 = init_join_state(fact, dim, SPEC, "deleted", "deleted")
+        assert _rows(st0.view) == [
+            (1, 10, 5, 1, "a", 1),
+            (2, 20, 7, 1, "b", 2),
+            (3, None, 9, 1, None, None),
+            (4, 99, 2, 1, None, None),
+        ]
+
+    def test_fact_insert_update_delete(self, spark):
+        st0 = _ckpt(
+            init_join_state(
+                _fact(spark, [(1, 10, 5, 1, False)]),
+                _dim(spark, [(10, "a", 1, 1, False)]),
+                SPEC, "deleted", "deleted",
+            )
+        )
+        # insert pk=2, update pk=1's qty, then delete pk=1
+        st1 = _step(st0, spark, [(2, 10, 7, 2, False), (1, 10, 6, 2, False)], [])
+        want = _assert_view_matches(st1)
+        assert want == [(1, 10, 6, 2, "a", 1), (2, 10, 7, 2, "a", 1)]
+        st2 = _step(st1, spark, [(1, 10, 6, 3, True)], [])
+        want = _assert_view_matches(st2)
+        assert want == [(2, 10, 7, 2, "a", 1)]
+
+    def test_dim_update_fans_out(self, spark):
+        """One dim row rename must rewrite every referencing view row —
+        and ONLY those (pk=3 references dk=20 and must keep its image)."""
+        st0 = _ckpt(
+            init_join_state(
+                _fact(
+                    spark,
+                    [(1, 10, 5, 1, False), (2, 10, 7, 1, False), (3, 20, 9, 1, False)],
+                ),
+                _dim(spark, [(10, "a", 1, 1, False), (20, "b", 2, 1, False)]),
+                SPEC, "deleted", "deleted",
+            )
+        )
+        st1 = _step(st0, spark, [], [(10, "A2", 8, 2, False)])
+        want = _assert_view_matches(st1)
+        assert want == [
+            (1, 10, 5, 1, "A2", 8),
+            (2, 10, 7, 1, "A2", 8),
+            (3, 20, 9, 1, "b", 2),
+        ]
+
+    def test_dim_delete_null_extends_left(self, spark):
+        st0 = _ckpt(
+            init_join_state(
+                _fact(spark, [(1, 10, 5, 1, False), (2, 20, 7, 1, False)]),
+                _dim(spark, [(10, "a", 1, 1, False), (20, "b", 2, 1, False)]),
+                SPEC, "deleted", "deleted",
+            )
+        )
+        st1 = _step(st0, spark, [], [(10, "a", 1, 2, True)])
+        want = _assert_view_matches(st1)
+        assert want == [(1, 10, 5, 1, None, None), (2, 20, 7, 1, "b", 2)]
+
+    def test_dim_delete_removes_rows_inner(self, spark):
+        st0 = _ckpt(
+            init_join_state(
+                _fact(spark, [(1, 10, 5, 1, False), (2, 20, 7, 1, False)]),
+                _dim(spark, [(10, "a", 1, 1, False), (20, "b", 2, 1, False)]),
+                INNER_SPEC, "deleted", "deleted",
+            )
+        )
+        st1 = _step(st0, spark, [], [(10, "a", 1, 2, True)], spec=INNER_SPEC)
+        want = _rows(
+            compute_join_view(
+                st1.fact, st1.dim, INNER_SPEC, "deleted", "deleted"
+            )
+        )
+        assert _rows(st1.view) == want == [(2, 20, 7, 1, "b")]
+        # dim resurrection brings the row back
+        st2 = _step(st1, spark, [], [(10, "a9", 3, 3, False)], spec=INNER_SPEC)
+        want = _rows(
+            compute_join_view(
+                st2.fact, st2.dim, INNER_SPEC, "deleted", "deleted"
+            )
+        )
+        assert _rows(st2.view) == want == [(1, 10, 5, 1, "a9"), (2, 20, 7, 1, "b")]
+
+    def test_fk_retarget_moves_enrichment(self, spark):
+        st0 = _ckpt(
+            init_join_state(
+                _fact(spark, [(1, 10, 5, 1, False)]),
+                _dim(spark, [(10, "a", 1, 1, False), (20, "b", 2, 1, False)]),
+                SPEC, "deleted", "deleted",
+            )
+        )
+        st1 = _step(st0, spark, [(1, 20, 5, 2, False)], [])
+        want = _assert_view_matches(st1)
+        assert want == [(1, 20, 5, 2, "b", 2)]
+
+    def test_stale_rows_are_noops(self, spark):
+        """Out-of-order batch rows older than the snapshot image must not
+        perturb the view (the MERGE winner rule carried into the touched
+        set: __changed is false, nothing is recomputed)."""
+        st0 = _ckpt(
+            init_join_state(
+                _fact(spark, [(1, 10, 5, 5, False)]),
+                _dim(spark, [(10, "a", 1, 5, False)]),
+                SPEC, "deleted", "deleted",
+            )
+        )
+        st1 = _step(st0, spark, [(1, 20, 99, 3, False)], [(10, "old", 9, 2, False)])
+        want = _assert_view_matches(st1)
+        assert want == [(1, 10, 5, 5, "a", 1)]
+
+    def test_both_sides_change_in_one_batch(self, spark):
+        st0 = _ckpt(
+            init_join_state(
+                _fact(spark, [(1, 10, 5, 1, False), (2, 20, 7, 1, False)]),
+                _dim(spark, [(10, "a", 1, 1, False), (20, "b", 2, 1, False)]),
+                SPEC, "deleted", "deleted",
+            )
+        )
+        # new fact referencing a dim key updated IN THE SAME batch: the
+        # patch must join against the post-merge dim image
+        st1 = _step(
+            st0, spark, [(3, 30, 1, 2, False)],
+            [(30, "c", 3, 2, False), (10, "a2", 4, 2, False)],
+        )
+        want = _assert_view_matches(st1)
+        assert want == [
+            (1, 10, 5, 1, "a2", 4),
+            (2, 20, 7, 1, "b", 2),
+            (3, 30, 1, 2, "c", 3),
+        ]
+
+    def test_spec_validation(self):
+        with pytest.raises(ValueError, match="left|inner"):
+            JoinViewSpec(("pk",), ("fk",), ("dk",), {"n": "name"}, how="full")
+        with pytest.raises(ValueError, match="pair up"):
+            JoinViewSpec(("pk",), ("fk", "fk2"), ("dk",), {"n": "name"})
+        with pytest.raises(ValueError, match="empty"):
+            JoinViewSpec(("pk",), ("fk",), ("dk",), {})
+
+    def test_payload_collision_rejected(self, spark):
+        bad = JoinViewSpec(("pk",), ("fk",), ("dk",), {"qty": "name"})
+        with pytest.raises(ValueError, match="collides"):
+            compute_join_view(
+                _fact(spark, []), _dim(spark, []), bad, "deleted", "deleted"
+            )
+
+
+class TestJoinViewProperty:
+    """Random op sequences on both sides through random micro-batch splits
+    must leave the maintained view identical to a recompute after EVERY
+    batch, and the converged snapshots identical to the global ordered
+    fold."""
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.data_too_large,
+        ],
+    )
+    @given(data=st.data())
+    def test_random_ops_random_splits(self, spark, data):
+        n_ops = data.draw(st.integers(4, 14), label="n_ops")
+        fact_ops, dim_ops = [], []
+        for ts in range(1, n_ops + 1):
+            if data.draw(st.booleans(), label=f"side{ts}"):
+                fact_ops.append(
+                    (
+                        data.draw(st.integers(1, 5), label=f"fpk{ts}"),
+                        data.draw(
+                            st.one_of(st.none(), st.integers(10, 13)),
+                            label=f"ffk{ts}",
+                        ),
+                        data.draw(st.integers(0, 9), label=f"fq{ts}"),
+                        ts,
+                        data.draw(st.booleans(), label=f"fdel{ts}"),
+                    )
+                )
+            else:
+                dim_ops.append(
+                    (
+                        data.draw(st.integers(10, 13), label=f"ddk{ts}"),
+                        data.draw(st.text("xy", min_size=1, max_size=2), label=f"dn{ts}"),
+                        data.draw(st.integers(0, 3), label=f"dt{ts}"),
+                        ts,
+                        data.draw(st.booleans(), label=f"ddel{ts}"),
+                    )
+                )
+
+        state = _ckpt(
+            init_join_state(
+                _fact(spark, []), _dim(spark, []), SPEC, "deleted", "deleted"
+            )
+        )
+        # split each side's op list into contiguous batches; pad the
+        # shorter side with empty batches so both advance together
+        def split(ops, seed_label):
+            if not ops:
+                return []
+            cuts = data.draw(
+                st.sets(st.integers(1, len(ops) - 1), max_size=3)
+                if len(ops) > 1
+                else st.just(set()),
+                label=seed_label,
+            )
+            out, prev = [], 0
+            for c in sorted(cuts) + [len(ops)]:
+                out.append(ops[prev:c])
+                prev = c
+            return out
+
+        fb, db = split(fact_ops, "fcuts"), split(dim_ops, "dcuts")
+        n_batches = max(len(fb), len(db), 1)
+        fb += [[]] * (n_batches - len(fb))
+        db += [[]] * (n_batches - len(db))
+
+        for fops, dops in zip(fb, db):
+            state = _step(state, spark, fops, dops)
+            _assert_view_matches(state)
+
+        # converged snapshots equal the global ordered fold
+        if fact_ops:
+            want_fact = _rows(
+                merge_changes_ordered(
+                    _fact(spark, []), _fact(spark, fact_ops), FKEYS, ORDER
+                )
+            )
+            assert _rows(state.fact) == want_fact
+        if dim_ops:
+            want_dim = _rows(
+                merge_changes_ordered(
+                    _dim(spark, []), _dim(spark, dim_ops), DKEYS, ORDER
+                )
+            )
+            assert _rows(state.dim) == want_dim
+
+
+class TestJoinViewPlan:
+    def test_state_sides_shuffle_free_when_bucketed(self, spark, tmp_path):
+        """The 100 TB cost-model pin: with fact snapshot and view bucketed
+        on the fact PK, one maintenance round's view plan (a) never
+        shuffles the bucketed view scan (anti-join state side) and (b)
+        never shuffles the bucketed fact scan (touched-slice semi-join
+        probe + dim-fanout locate are broadcast-driven)."""
+        fact = _fact(
+            spark,
+            [(i, 10 + (i % 3), i, 1, False) for i in range(1, 101)],
+        )
+        dim = _dim(spark, [(10 + i, f"d{i}", i, 1, False) for i in range(3)])
+        st0 = init_join_state(fact, dim, SPEC, "deleted", "deleted")
+        materialize_bucketed(
+            st0.fact, "ivmj_fact", ["pk"], 4, path=str(tmp_path / "fact")
+        )
+        materialize_bucketed(
+            st0.view, "ivmj_view", ["pk"], 4, path=str(tmp_path / "view")
+        )
+        try:
+            bstate = JoinViewState(
+                fact=spark.table("ivmj_fact"),
+                dim=st0.dim,
+                view=spark.table("ivmj_view"),
+            )
+            out = maintain_join(
+                bstate,
+                _fact(spark, [(1, 11, 99, 2, False)]),
+                _dim(spark, [(12, "renamed", 9, 2, False)]),
+                ORDER,
+                ORDER,
+                SPEC,
+                fact_delete_col="deleted",
+                dim_delete_col="deleted",
+            )
+            # correctness first, then the plan contract
+            want = _rows(
+                compute_join_view(out.fact, out.dim, SPEC, "deleted", "deleted")
+            )
+            assert _rows(out.view) == want
+            assert scan_shuffle_free(out.view, "ivmj_view")
+            assert scan_shuffle_free(out.view, "ivmj_fact")
+        finally:
+            spark.sql("DROP TABLE IF EXISTS ivmj_fact")
+            spark.sql("DROP TABLE IF EXISTS ivmj_view")
