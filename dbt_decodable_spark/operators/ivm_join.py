@@ -51,6 +51,13 @@ machinery): a tombstoned fact row leaves the view; a tombstoned dim row
 null-extends its facts under ``how="left"`` and removes them under
 ``how="inner"`` — both fall out of the recompute-touched-keys rule, no
 special cases.
+
+Pipelines stack: :func:`maintain_join_with_changes` additionally emits the
+view's OWN change stream (upserts + tombstones with a batch sequence
+order), so a downstream maintained operator — an aggregate view via
+:func:`operators.ivm.maintain`, another join, an SCD2 build — composes on
+the enriched stream without reading the base tables, exactly how the
+reference platform chains pipelines.
 """
 
 from __future__ import annotations
@@ -180,6 +187,95 @@ def init_join_state(
     )
 
 
+def _round(
+    state: JoinViewState,
+    fact_changes: DataFrame,
+    dim_changes: DataFrame,
+    fact_order: list,
+    dim_order: list,
+    spec: JoinViewSpec,
+    fact_delete_col: str | None,
+    dim_delete_col: str | None,
+    broadcast_dim: bool,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """One maintenance round's shared plan set: (fact_new, dim_new,
+    touched_keys, patch, view_new).
+
+    The core scale decision lives here: the MERGED fact is never re-probed.
+    ``merge_changes_keyed``'s winner projection extracts fields out of a
+    CASE-of-structs, which destroys output-partitioning propagation — any
+    key-join against the merged frame re-shuffles O(|fact|). Instead the
+    touched slice is assembled from the two places it already exists:
+
+    - ΔF-touched keys take their post-merge image straight from
+      ``change_pairs`` (``__new`` of the changed rows — batch-sized, no
+      fact scan beyond the pairs probe);
+    - dim-fanout keys (referencing a changed dim key but NOT in ΔF) take
+      their image from the OLD bucketed snapshot, which this batch does
+      not change for those keys — a broadcast semi-join locate plus a
+      broadcast anti-join against the batch-sized ΔF key set, so the
+      bucketed fact scan planes with NO Exchange above it (plan-pinned).
+
+    The two slices are disjoint by construction (the anti-join), so the
+    patch has exactly one row per touched live fact and needs no distinct.
+    """
+    fkeys = list(spec.fact_keys)
+    dkeys = list(spec.dim_keys)
+    fact_cols = list(state.fact.columns)
+    out_fact = _fact_out_cols(fact_cols, fact_delete_col)
+
+    fact_new = merge_changes_keyed(state.fact, fact_changes, fkeys, fact_order)
+    dim_new = merge_changes_keyed(state.dim, dim_changes, dkeys, dim_order)
+
+    # ΔF-touched: keys whose image actually changed (stale rows touch
+    # nothing), with the winning post-merge image carried along
+    pairs = change_pairs(state.fact, fact_changes, fkeys, fact_order)
+    changed = pairs.filter(F.col("__changed"))
+    touched_f = changed.select(*fkeys)
+    new_alive = F.col("__new").isNotNull()
+    if fact_delete_col is not None:
+        new_alive = new_alive & ~F.coalesce(
+            F.col("__new").getField(fact_delete_col), F.lit(False)
+        )
+    new_images = changed.filter(new_alive).select(
+        *[F.col("__new").getField(c).alias(c) for c in fact_cols]
+    )
+
+    # dim-fanout: OLD-snapshot live facts referencing a changed dim key,
+    # minus the ΔF-touched keys (whose image the snapshot no longer owns).
+    # Both build sides are batch-sized → explicit broadcasts, so the
+    # bucketed snapshot scan stays Exchange-free deterministically.
+    dp = change_pairs(state.dim, dim_changes, dkeys, dim_order)
+    changed_d = F.broadcast(
+        dp.filter(F.col("__changed")).select(
+            *[F.col(k).alias(f"__dk{i}") for i, k in enumerate(dkeys)]
+        )
+    )
+    live_old = _live(state.fact, fact_delete_col)
+    referencing = live_old.join(
+        changed_d, _fk_cond(live_old, changed_d, spec), "left_semi"
+    )
+    fanout_rows = referencing.join(
+        F.broadcast(touched_f), on=fkeys, how="left_anti"
+    )
+
+    touched = touched_f.unionByName(referencing.select(*fkeys))
+
+    # recompute exactly the touched live slice against the new dim image
+    patch_src = new_images.unionByName(fanout_rows)
+    d_side = _dim_side(dim_new, spec, dim_delete_col)
+    if broadcast_dim:
+        d_side = F.broadcast(d_side)
+    patch = _joined(patch_src, d_side, spec, out_fact)
+
+    # splice: drop every touched key from the old view (dead facts simply
+    # contribute no patch row), append the recomputed rows. State-side
+    # shuffle-free on a fact_keys-bucketed view; duplicate keys in
+    # ``touched`` are harmless to the anti-join (no distinct shuffle).
+    view_new = state.view.join(touched, on=fkeys, how="left_anti").unionByName(patch)
+    return fact_new, dim_new, touched, patch, view_new
+
+
 def maintain_join(
     state: JoinViewState,
     fact_changes: DataFrame,
@@ -205,40 +301,73 @@ def maintain_join(
     shape — dims are small relative to facts); disable for a dim too big
     to broadcast and co-bucket fact and dim on the fk instead.
     """
-    fkeys = list(spec.fact_keys)
-    dkeys = list(spec.dim_keys)
-    out_fact = _fact_out_cols(state.fact.columns, fact_delete_col)
-
-    fact_new = merge_changes_keyed(state.fact, fact_changes, fkeys, fact_order)
-    dim_new = merge_changes_keyed(state.dim, dim_changes, dkeys, dim_order)
-
-    # touched (a): fact keys whose image actually changed
-    fp = change_pairs(state.fact, fact_changes, fkeys, fact_order)
-    touched_f = fp.filter(F.col("__changed")).select(*fkeys)
-
-    # touched (b): live facts referencing a changed dim key. The changed-key
-    # set is batch-sized → broadcast; the fact side never shuffles here.
-    dp = change_pairs(state.dim, dim_changes, dkeys, dim_order)
-    changed_d = dp.filter(F.col("__changed")).select(
-        *[F.col(k).alias(f"__dk{i}") for i, k in enumerate(dkeys)]
+    fact_new, dim_new, _touched, _patch, view_new = _round(
+        state, fact_changes, dim_changes, fact_order, dim_order, spec,
+        fact_delete_col, dim_delete_col, broadcast_dim,
     )
-    live_f = _live(fact_new, fact_delete_col)
-    changed_d = F.broadcast(changed_d)
-    referencing = live_f.join(
-        changed_d, _fk_cond(live_f, changed_d, spec), "left_semi"
-    ).select(*fkeys)
-
-    touched = touched_f.unionByName(referencing).distinct()
-
-    # recompute exactly the touched slice against the new dim image
-    touched_facts = live_f.join(touched, on=fkeys, how="left_semi")
-    d_side = _dim_side(dim_new, spec, dim_delete_col)
-    if broadcast_dim:
-        d_side = F.broadcast(d_side)
-    patch = _joined(touched_facts, d_side, spec, out_fact)
-
-    # splice: drop every touched key from the old view (dead facts simply
-    # contribute no patch row), append the recomputed rows. State-side
-    # shuffle-free on a fact_keys-bucketed view.
-    view_new = state.view.join(touched, on=fkeys, how="left_anti").unionByName(patch)
     return JoinViewState(fact=fact_new, dim=dim_new, view=view_new)
+
+
+def maintain_join_with_changes(
+    state: JoinViewState,
+    fact_changes: DataFrame,
+    dim_changes: DataFrame,
+    fact_order: list,
+    dim_order: list,
+    spec: JoinViewSpec,
+    seq: int,
+    fact_delete_col: str | None = None,
+    dim_delete_col: str | None = None,
+    broadcast_dim: bool = True,
+    seq_col: str = "__seq",
+    deleted_col: str = "__deleted",
+) -> tuple[JoinViewState, DataFrame]:
+    """:func:`maintain_join` plus DELTA PROPAGATION: also returns the view's
+    own change stream for this batch, in the standard changelog shape
+    (view columns + ``seq_col`` order column + ``deleted_col`` tombstone
+    flag), so a downstream incrementally-maintained operator — an aggregate
+    view over the enriched facts (:func:`operators.ivm.maintain`), another
+    join, an SCD2 build — can stack on top without ever seeing the base
+    tables. This is the multi-operator pipeline the reference platform
+    runs: each pipeline's output stream is the next pipeline's input
+    (``decodable/client/schema.py:109-111`` change streams compose).
+
+    ``seq`` is the caller's monotonically increasing batch sequence number
+    (the micro-batch id in a ``foreachBatch`` driver) — it becomes the
+    downstream MERGE's order column, so downstream convergence inherits
+    this stream's batch order.
+
+    Emitted rows: one upsert per touched key that survives in the view
+    (its recomputed image — the splice's own patch frame, not a re-probe),
+    one tombstone per touched key that does not. A key that was absent
+    before AND after (e.g. a stale tombstone arriving for an unknown fact)
+    emits a redundant tombstone — harmless downstream (no old image to
+    retract, nothing to add), and cheaper than re-probing the old view to
+    suppress it.
+    """
+    fkeys = list(spec.fact_keys)
+    fact_new, dim_new, touched, patch, view_new = _round(
+        state, fact_changes, dim_changes, fact_order, dim_order, spec,
+        fact_delete_col, dim_delete_col, broadcast_dim,
+    )
+    for c in (seq_col, deleted_col):
+        if c in patch.columns:
+            raise ValueError(f"{c!r} collides with a view column")
+    ups = patch.withColumn(seq_col, F.lit(seq).cast("long")).withColumn(
+        deleted_col, F.lit(False)
+    )
+    dead = touched.join(patch.select(*fkeys), on=fkeys, how="left_anti").distinct()
+    null_fill = [
+        F.lit(None).cast(f.dataType).alias(f.name)
+        for f in patch.schema
+        if f.name not in fkeys
+    ]
+    tombs = (
+        dead.select(*fkeys, *null_fill)
+        .withColumn(seq_col, F.lit(seq).cast("long"))
+        .withColumn(deleted_col, F.lit(True))
+    )
+    return (
+        JoinViewState(fact=fact_new, dim=dim_new, view=view_new),
+        ups.unionByName(tombs),
+    )

@@ -396,13 +396,178 @@ class TestJoinViewPlan:
                 fact_delete_col="deleted",
                 dim_delete_col="deleted",
             )
-            # correctness first, then the plan contract
+            # correctness first, then the plan contract — pinned on the
+            # UN-executed plan (house convention: the AQE initial plan is
+            # deterministic; post-execution final plans vary with stage
+            # reuse across a test session)
             want = _rows(
                 compute_join_view(out.fact, out.dim, SPEC, "deleted", "deleted")
             )
             assert _rows(out.view) == want
-            assert scan_shuffle_free(out.view, "ivmj_view")
-            assert scan_shuffle_free(out.view, "ivmj_fact")
+            fresh = maintain_join(
+                bstate,
+                _fact(spark, [(1, 11, 99, 2, False)]),
+                _dim(spark, [(12, "renamed", 9, 2, False)]),
+                ORDER,
+                ORDER,
+                SPEC,
+                fact_delete_col="deleted",
+                dim_delete_col="deleted",
+            )
+            assert scan_shuffle_free(fresh.view, "ivmj_view")
+            assert scan_shuffle_free(fresh.view, "ivmj_fact")
         finally:
             spark.sql("DROP TABLE IF EXISTS ivmj_fact")
             spark.sql("DROP TABLE IF EXISTS ivmj_view")
+
+
+class TestDeltaPropagation:
+    """maintain_join_with_changes emits the view's own change stream, so a
+    downstream incrementally-maintained operator can stack on the enriched
+    facts without seeing the base tables (reference idiom: one pipeline's
+    change stream is the next pipeline's input, schema.py:109-111)."""
+
+    def test_upsert_tombstone_and_stale_emission(self, spark):
+        from dbt_decodable_spark.operators.ivm_join import (
+            maintain_join_with_changes,
+        )
+
+        st0 = _ckpt(
+            init_join_state(
+                _fact(spark, [(1, 10, 5, 1, False), (2, 10, 7, 1, False)]),
+                _dim(spark, [(10, "a", 1, 1, False)]),
+                SPEC, "deleted", "deleted",
+            )
+        )
+        # pk=3 insert (upsert), pk=1 tombstone (tombstone), plus a stale
+        # older image for pk=2 (no emission at all)
+        st1, ch = maintain_join_with_changes(
+            st0,
+            _fact(
+                spark,
+                [(3, 10, 9, 2, False), (1, 10, 5, 2, True), (2, 10, 99, 0, False)],
+            ),
+            _dim(spark, []),
+            ORDER, ORDER, SPEC, seq=7,
+            fact_delete_col="deleted", dim_delete_col="deleted",
+        )
+        got = _rows(ch)
+        assert got == [
+            (1, None, None, None, None, None, 7, True),
+            (3, 10, 9, 2, "a", 1, 7, False),
+        ]
+        _assert_view_matches(_ckpt(st1))
+
+    def test_dim_update_propagates_fanout(self, spark):
+        from dbt_decodable_spark.operators.ivm_join import (
+            maintain_join_with_changes,
+        )
+
+        st0 = _ckpt(
+            init_join_state(
+                _fact(spark, [(1, 10, 5, 1, False), (2, 10, 7, 1, False), (3, 20, 1, 1, False)]),
+                _dim(spark, [(10, "a", 1, 1, False), (20, "b", 2, 1, False)]),
+                SPEC, "deleted", "deleted",
+            )
+        )
+        st1, ch = maintain_join_with_changes(
+            st0, _fact(spark, []), _dim(spark, [(10, "a2", 9, 2, False)]),
+            ORDER, ORDER, SPEC, seq=1,
+            fact_delete_col="deleted", dim_delete_col="deleted",
+        )
+        # both referencing facts re-emitted with the new payload; pk=3 silent
+        assert _rows(ch) == [
+            (1, 10, 5, 1, "a2", 9, 1, False),
+            (2, 10, 7, 1, "a2", 9, 1, False),
+        ]
+
+    def test_stacked_enrich_then_aggregate(self, spark):
+        """Full two-stage incremental pipeline: change streams on fact and
+        dim maintain the join view; the view's emitted change stream
+        maintains a GROUP BY dim_tier aggregate — after every batch the
+        aggregate equals a from-scratch recompute off the BASE tables,
+        including a dim-tier change that moves whole groups."""
+        from pyspark.sql import functions as F, types as T
+
+        from dbt_decodable_spark.operators.ivm import (
+            AggViewSpec,
+            init_state,
+            maintain,
+            read_view,
+        )
+        from dbt_decodable_spark.operators.ivm_join import (
+            maintain_join_with_changes,
+        )
+        from dbt_decodable_spark.streaming.changelog import merge_changes_keyed
+
+        AGG = AggViewSpec(
+            group_cols=("dim_tier",),
+            count_star="n",
+            sums={"sum_qty": "qty"},
+        )
+        down_schema = T.StructType(
+            [
+                T.StructField("pk", T.LongType(), False),
+                T.StructField("fk", T.LongType(), True),
+                T.StructField("qty", T.LongType(), True),
+                T.StructField("ts", T.LongType(), False),
+                T.StructField("dim_name", T.StringType(), True),
+                T.StructField("dim_tier", T.LongType(), True),
+                T.StructField("__seq", T.LongType(), True),
+                T.StructField("__deleted", T.BooleanType(), True),
+            ]
+        )
+        down_snap = spark.createDataFrame([], down_schema)
+        astate = init_state(down_snap, AGG, "__deleted")
+        jstate = _ckpt(
+            init_join_state(
+                _fact(spark, []), _dim(spark, []), SPEC, "deleted", "deleted"
+            )
+        )
+
+        batches = [
+            # seed: two dims, three facts (one dangling fk → NULL group)
+            (
+                [(1, 10, 5, 1, False), (2, 10, 7, 1, False), (3, 99, 2, 1, False)],
+                [(10, "a", 1, 1, False), (20, "b", 2, 1, False)],
+            ),
+            # dim 10 moves tier 1→2: facts 1,2 change aggregate group
+            ([], [(10, "a", 2, 2, False)]),
+            # fact 2 deleted; fact 4 lands on dim 20; fact 3 retargets 99→20
+            ([(2, 10, 7, 3, True), (4, 20, 3, 3, False), (3, 20, 2, 3, False)], []),
+        ]
+        for seq, (fops, dops) in enumerate(batches, start=1):
+            jstate, ch = maintain_join_with_changes(
+                jstate, _fact(spark, fops), _dim(spark, dops),
+                ORDER, ORDER, SPEC, seq=seq,
+                fact_delete_col="deleted", dim_delete_col="deleted",
+            )
+            ch = ch.localCheckpoint(eager=True)
+            astate_new = maintain(
+                astate, down_snap, ch, ["pk"], ["__seq"], AGG, "__deleted"
+            )
+            from dbt_decodable_spark.operators.ivm import IvmState
+
+            astate = IvmState(
+                agg=astate_new.agg.localCheckpoint(eager=True),
+                supports={
+                    k: v.localCheckpoint(eager=True)
+                    for k, v in astate_new.supports.items()
+                },
+            )
+            down_snap = merge_changes_keyed(
+                down_snap, ch, ["pk"], ["__seq"]
+            ).localCheckpoint(eager=True)
+            jstate = _ckpt(jstate)
+
+            want = _rows(
+                compute_join_view(jstate.fact, jstate.dim, SPEC, "deleted", "deleted")
+                .groupBy("dim_tier")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("qty").alias("sum_qty"),
+                )
+            )
+            assert _rows(read_view(astate, AGG)) == want
+        # the final view has tier-2 facts only (1 on dim10, 3 and 4 on dim20)
+        assert want == [(2, 3, 10)]
