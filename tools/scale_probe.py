@@ -457,10 +457,128 @@ def probes_sim(spark, path: str) -> dict[str, float]:
     return out
 
 
+def probe_ivmjoin(spark) -> dict:
+    """Join-view maintenance slope probe (``python tools/scale_probe.py
+    ivmjoin``): fixed 5k-row fact batch against 100k and 2.5M-row fact
+    snapshots (25x state growth), fact/view bucketed on the PK.
+
+    Two arms pin the cost model O(|batch| + dim-update fan-out):
+
+    - ``fact_only``  — no dim changes: wall should stay ~flat across 25x
+      state (per-batch work is batch-sized; the bucketed state sides plan
+      shuffle-free);
+    - ``with_fanout`` — 5 of 1000 dim keys change: adds the irreducible
+      fan-out term (N/200 facts re-enriched), so wall grows with the
+      fan-out row count, NOT with |fact| wholesale.
+
+    A full-recompute control shows the wall the incremental path avoids.
+    """
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dbt_decodable_spark.operators.bucketing import materialize_bucketed
+    from dbt_decodable_spark.operators.ivm_join import (
+        JoinViewSpec,
+        JoinViewState,
+        compute_join_view,
+        init_join_state,
+        maintain_join,
+    )
+
+    spec = JoinViewSpec(
+        fact_keys=("pk",), fk_cols=("fk",), dim_keys=("dk",),
+        dim_payload={"dim_name": "name", "dim_tier": "tier"},
+    )
+    dim = (
+        spark.range(1000)
+        .select(
+            F.col("id").alias("dk"),
+            F.concat(F.lit("d"), F.col("id")).alias("name"),
+            (F.col("id") % 7).alias("tier"),
+            F.lit(1).cast("long").alias("ts"),
+            F.lit(False).alias("deleted"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    batch_fact = (
+        spark.range(5000)
+        .select(
+            F.col("id").alias("pk"),
+            (F.col("id") % 1000).alias("fk"),
+            (F.col("id") * 3).alias("qty"),
+            F.lit(2).cast("long").alias("ts"),
+            (F.col("id") % 700 == 0).alias("deleted"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    batch_dim = (
+        spark.range(5)
+        .select(
+            (F.col("id") * 200).alias("dk"),
+            F.concat(F.lit("d2_"), F.col("id")).alias("name"),
+            F.lit(9).cast("long").alias("tier"),
+            F.lit(2).cast("long").alias("ts"),
+            F.lit(False).alias("deleted"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    empty_fact = batch_fact.filter("pk < 0").localCheckpoint(eager=True)
+    empty_dim = batch_dim.filter("dk < 0").localCheckpoint(eager=True)
+
+    out: dict = {}
+    for label, n in (("100k", 100_000), ("2.5M", 2_500_000)):
+        fact = spark.range(n).select(
+            F.col("id").alias("pk"),
+            (F.col("id") % 1000).alias("fk"),
+            F.col("id").alias("qty"),
+            F.lit(1).cast("long").alias("ts"),
+            F.lit(False).alias("deleted"),
+        )
+        tmp = tempfile.mkdtemp(prefix=f"probe_ivmjoin_{label}_")
+        st = init_join_state(fact, dim, spec, "deleted", "deleted")
+        materialize_bucketed(st.fact, f"pij_fact_{label[0]}", ["pk"], 32,
+                             path=f"{tmp}/fact")
+        materialize_bucketed(st.view, f"pij_view_{label[0]}", ["pk"], 32,
+                             path=f"{tmp}/view")
+        bstate = JoinViewState(
+            fact=spark.table(f"pij_fact_{label[0]}"),
+            dim=st.dim,
+            view=spark.table(f"pij_view_{label[0]}"),
+        )
+        jobs = {
+            "fact_only": lambda: maintain_join(
+                bstate, batch_fact, empty_dim, ["ts"], ["ts"], spec,
+                "deleted", "deleted").view.count(),
+            "with_fanout": lambda: maintain_join(
+                bstate, batch_fact, batch_dim, ["ts"], ["ts"], spec,
+                "deleted", "deleted").view.count(),
+            "recompute": lambda: compute_join_view(
+                bstate.fact, bstate.dim, spec, "deleted", "deleted"
+            ).count(),
+        }
+        res = {}
+        for k, job in jobs.items():
+            job()  # warm
+            t = time.time()
+            job()
+            res[k] = round(time.time() - t, 2)
+        out[label] = res
+        spark.sql(f"DROP TABLE IF EXISTS pij_fact_{label[0]}")
+        spark.sql(f"DROP TABLE IF EXISTS pij_view_{label[0]}")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main() -> None:
-    rep = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     from dbt_decodable_spark.session import get_spark
 
+    if len(sys.argv) > 1 and sys.argv[1] == "ivmjoin":
+        spark = get_spark(app_name="scale_probe_ivmjoin")
+        print(json.dumps({"ivmjoin": probe_ivmjoin(spark)}))
+        return
+    rep = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     spark = get_spark(app_name="scale_probe")
     scaled_dir = build_scaled(spark, rep)
     emb_scaled = build_scaled_embeddings(spark, rep)
