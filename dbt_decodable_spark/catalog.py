@@ -551,6 +551,215 @@ class Engine:
         p.active = True
         return q
 
+    def activate_pipeline_join_incremental(
+        self,
+        name: str,
+        fact_order: list[str] | None = None,
+        dim_order: list[str] | None = None,
+        delete_col: str | None = None,
+        n_buckets: int = 32,
+        compact: bool = True,
+    ):
+        """Run a TWO-SOURCE join pipeline as a continuously-maintained
+        materialization — the enrichment twin of
+        :meth:`activate_pipeline_incremental`. The pipeline SQL must be the
+        provable lookup-join shape (``ivm_join.join_spec_from_sql``:
+        ``SELECT f.*, d.col ... FROM fact f [LEFT] JOIN dim d ON f.fk =
+        d.pk``), both sources must declare a ``primary_key`` (change
+        streams, ``schema.py:109-111``), and the ON clause's dim columns
+        must be exactly the dim's primary key.
+
+        Persistence is three merge-on-read delta logs under the warehouse
+        (fact state, dim state, view) — every micro-batch APPENDS: the raw
+        batch to its side's state log, and the view's recomputed
+        touched-key change stream (``maintain_join_with_changes``) to the
+        view log. Appends are O(|batch| + dim-fanout); nothing rewrites
+        with the state.
+
+        Crash story (the ordering matters): the VIEW delta commits before
+        the side's state delta. A crash between the two replays cleanly —
+        the state still excludes the batch, so the recomputed view changes
+        are identical and the view append dedupes by batch tag; committing
+        state-first would instead make the replay see ``__changed=false``
+        and permanently skip the view patch. Replays after both commits
+        dedupe by tag on both logs; a fresh-checkpoint full replay
+        re-lands under a new activation epoch and converges by fold
+        idempotence (re-applied images tie and produce identical rows).
+        View-delta seqs are ``(epoch, side, batch_id)``-ordered so later
+        activations win and dim batches (run second) win over the same
+        activation's fact batches — matching application order.
+
+        Bounded run (availableNow), one stream per source, sequential;
+        repeated activations resume from the checkpoints and stream only
+        new appends. With ``compact`` the logs fold into their partitioned
+        snapshots afterwards (``compact_and_vacuum`` — the LSM minor
+        compaction), and the sink stream is re-materialized from the view.
+        """
+        import dataclasses
+
+        from dbt_decodable_spark.operators import ivm_join as ij
+        from dbt_decodable_spark.streaming.changelog import (
+            append_delta,
+            compact_and_vacuum,
+            fold_last_image,
+            read_merged,
+            write_hash_partitioned,
+        )
+
+        if not self.warehouse_dir:
+            raise CatalogError("incremental activation needs a warehouse_dir engine")
+        p = self.pipelines[self.qualify(name)]
+        spec0, ftbl, dtbl = ij.join_spec_from_sql(p.sql, ())
+        for t in (ftbl, dtbl):
+            if t not in p.sources:
+                raise CatalogError(
+                    f"view source {t!r} is not a registered source of {p.name!r}"
+                )
+        fdef, ddef = self.streams[ftbl], self.streams[dtbl]
+        fkeys = list(fdef.schema.primary_key)
+        dkeys = list(ddef.schema.primary_key)
+        if not fkeys or not dkeys:
+            raise CatalogError(
+                "both join sides must declare primary_key — incremental "
+                "maintenance needs keyed change streams (schema.py:109-111)"
+            )
+        if tuple(dkeys) != spec0.dim_keys:
+            raise CatalogError(
+                f"ON-clause dim columns {spec0.dim_keys} must be exactly "
+                f"{dtbl!r}'s primary_key {tuple(dkeys)} — the dim snapshot "
+                "is keyed by it"
+            )
+        spec = dataclasses.replace(spec0, fact_keys=tuple(fkeys))
+
+        def _ordered(given, sdef, keys, side):
+            if given is None:
+                if not sdef.schema.watermarks:
+                    raise CatalogError(
+                        f"pass {side}_order= (change-order columns): the "
+                        "source has no watermark column to default to"
+                    )
+                given = [w.name for w in sdef.schema.watermarks]
+            return list(given) + [k for k in keys if k not in given]
+
+        forder = _ordered(fact_order, fdef, fkeys, "fact")
+        dorder = _ordered(dim_order, ddef, dkeys, "dim")
+        for sdef, t in ((fdef, ftbl), (ddef, dtbl)):
+            if not sdef.path:
+                raise CatalogError(f"source stream {t!r} is not parquet-backed")
+
+        root = os.path.join(self.warehouse_dir, f"_ivmj_{p.name}")
+        fact_log = os.path.join(root, "fact")
+        dim_log = os.path.join(root, "dim")
+        view_log = os.path.join(root, "view")
+        fordc = lambda: [F.col(c) for c in forder]  # noqa: E731
+        dordc = lambda: [F.col(c) for c in dorder]  # noqa: E731
+        if not os.path.isdir(root):
+            os.makedirs(root, exist_ok=True)
+            fsnap = fold_last_image(
+                self.spark.read.parquet(fdef.path), fkeys, fordc()
+            )
+            dsnap = fold_last_image(
+                self.spark.read.parquet(ddef.path), dkeys, dordc()
+            )
+            write_hash_partitioned(fsnap, fact_log, fkeys, n_buckets)
+            write_hash_partitioned(dsnap, dim_log, dkeys, n_buckets)
+            v0 = (
+                ij.compute_join_view(
+                    self.spark.read.parquet(fact_log).drop("__bucket"),
+                    self.spark.read.parquet(dim_log).drop("__bucket"),
+                    spec, delete_col, delete_col,
+                )
+                .withColumn("__seq", F.lit(0).cast("long"))
+                .withColumn("__deleted", F.lit(False))
+            )
+            write_hash_partitioned(v0, view_log, fkeys, n_buckets)
+        epoch_file = os.path.join(root, "_epoch")
+        epoch = 0
+        if os.path.exists(epoch_file):
+            with open(epoch_file) as fh:
+                epoch = int(fh.read().strip() or 0)
+        epoch += 1
+        with open(epoch_file + ".tmp", "w") as fh:
+            fh.write(str(epoch))
+        os.replace(epoch_file + ".tmp", epoch_file)
+
+        fschema = self.spark.read.parquet(fdef.path).schema
+        dschema = self.spark.read.parquet(ddef.path).schema
+
+        def _state():
+            return ij.JoinViewState(
+                fact=read_merged(
+                    self.spark, fact_log, fkeys, fordc(),
+                    include_tombstones=True,
+                ),
+                dim=read_merged(
+                    self.spark, dim_log, dkeys, dordc(),
+                    include_tombstones=True,
+                ),
+                # the view frame only shapes the (discarded) splice plan
+                view=read_merged(
+                    self.spark, view_log, fkeys, [F.col("__seq")],
+                    delete_col="__deleted",
+                ).drop("__seq", "__deleted"),
+            )
+
+        def _run_side(side, sdef, side_log):
+            sbit = 0 if side == "fact" else 1
+
+            def handle(batch_df, batch_id):
+                seq = ((epoch * 2 + sbit) << 33) + batch_id
+                tag = f"{side}-{epoch}-{batch_id}"
+                fb = batch_df if side == "fact" else self.spark.createDataFrame(
+                    [], fschema
+                )
+                db = batch_df if side == "dim" else self.spark.createDataFrame(
+                    [], dschema
+                )
+                _st, changes = ij.maintain_join_with_changes(
+                    _state(), fb, db, fordc(), dordc(), spec, seq=seq,
+                    fact_delete_col=delete_col, dim_delete_col=delete_col,
+                )
+                changes = changes.localCheckpoint(eager=True)
+                # VIEW delta first (see crash story in the docstring)
+                if changes.count() > 0:
+                    append_delta(
+                        self.spark, view_log, changes, tag=f"view-{tag}"
+                    )
+                append_delta(self.spark, side_log, batch_df, tag=tag)
+
+            q = (
+                self.spark.readStream.schema(
+                    self.spark.read.parquet(sdef.path).schema
+                )
+                .parquet(sdef.path)
+                .writeStream.foreachBatch(handle)
+                .option(
+                    "checkpointLocation",
+                    os.path.join(root, f"_ckpt_{side}"),
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        _run_side("fact", fdef, fact_log)
+        _run_side("dim", ddef, dim_log)
+
+        if compact:
+            compact_and_vacuum(
+                self.spark, fact_log, fkeys, fordc(), n_buckets
+            )
+            compact_and_vacuum(self.spark, dim_log, dkeys, dordc(), n_buckets)
+            compact_and_vacuum(
+                self.spark, view_log, fkeys, [F.col("__seq")], n_buckets
+            )
+        live = read_merged(
+            self.spark, view_log, fkeys, [F.col("__seq")],
+            delete_col="__deleted",
+        ).drop("__seq", "__deleted")
+        self._materialize(self.streams[p.sink], live)
+        p.active = True
+
     def deactivate_pipeline(self, name: str) -> None:
         p = self.pipelines[self.qualify(name)]
         p.active = False

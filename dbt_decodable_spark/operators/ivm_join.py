@@ -62,6 +62,8 @@ reference platform chains pipelines.
 
 from __future__ import annotations
 
+import re
+from collections.abc import Sequence
 from dataclasses import dataclass, field
 from functools import reduce
 
@@ -371,3 +373,91 @@ def maintain_join_with_changes(
         JoinViewState(fact=fact_new, dim=dim_new, view=view_new),
         ups.unionByName(tombs),
     )
+
+
+_JOIN_SQL = re.compile(
+    r"^\s*select\s+(?P<items>.*?)\s+from\s+(?P<ft>[A-Za-z_][\w.]*)"
+    r"(?:\s+(?:as\s+)?(?P<fa>[A-Za-z_]\w*))?\s+"
+    r"(?P<how>left\s+(?:outer\s+)?join|inner\s+join|join)\s+"
+    r"(?P<dt>[A-Za-z_][\w.]*)(?:\s+(?:as\s+)?(?P<da>[A-Za-z_]\w*))?\s+"
+    r"on\s+(?P<cond>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_EQ = re.compile(
+    r"^\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$"
+)
+_PAYLOAD = re.compile(
+    r"^([A-Za-z_]\w*)\.([A-Za-z_]\w*)(?:\s+as\s+([A-Za-z_]\w*))?$",
+    re.IGNORECASE,
+)
+
+
+def join_spec_from_sql(sql: str, fact_keys: Sequence[str]) -> tuple[JoinViewSpec, str, str]:
+    """Parse the supported join-view shape — ``SELECT f.*, d.<col> [AS
+    name], ... FROM fact f [LEFT] JOIN dim d ON f.<fk> = d.<pk> [AND ...]``
+    — into a :class:`JoinViewSpec` plus the (fact, dim) table names. The
+    SQL front door for continuously-maintained enrichment pipelines, the
+    twin of :func:`operators.ivm.agg_spec_from_sql`: anything outside the
+    provable shape (WHERE, expressions, more than two tables, non-equi ON)
+    raises — this parses the pipelines whose maintenance we can prove, not
+    general SQL. ``fact_keys`` come from the fact stream's declared
+    ``primary_key`` (the view's key is the fact's, never inferable from
+    the SQL)."""
+    m = _JOIN_SQL.match(sql)
+    if not m:
+        raise ValueError(f"unsupported join-view SQL shape: {sql!r}")
+    ft, dt = m.group("ft"), m.group("dt")
+    fa = m.group("fa") or ft
+    da = m.group("da") or dt
+    how = "left" if m.group("how").lower().startswith("left") else "inner"
+    fks: list[str] = []
+    dks: list[str] = []
+    for clause in re.split(r"\s+and\s+", m.group("cond"), flags=re.IGNORECASE):
+        em = _EQ.match(clause)
+        if not em:
+            raise ValueError(f"unsupported ON clause (equi-conjunction only): {clause!r}")
+        a_tbl, a_col, b_tbl, b_col = em.groups()
+        if a_tbl == fa and b_tbl == da:
+            fks.append(a_col)
+            dks.append(b_col)
+        elif a_tbl == da and b_tbl == fa:
+            fks.append(b_col)
+            dks.append(a_col)
+        else:
+            raise ValueError(
+                f"ON clause references unknown alias: {clause!r} "
+                f"(fact={fa!r}, dim={da!r})"
+            )
+    star_seen = False
+    payload: dict[str, str] = {}
+    for item in _split_select_items(m.group("items")):
+        if item == f"{fa}.*":
+            star_seen = True
+            continue
+        pm = _PAYLOAD.match(item)
+        if pm and pm.group(1) == da:
+            payload[pm.group(3) or pm.group(2)] = pm.group(2)
+            continue
+        raise ValueError(
+            f"unsupported select item: {item!r} — the maintainable shape is "
+            f"{fa}.* plus {da}.<col> [AS name] items"
+        )
+    if not star_seen:
+        raise ValueError(
+            f"select list must carry {fa}.* — the view is keyed by the "
+            "fact's primary key and carries its full image"
+        )
+    spec = JoinViewSpec(
+        fact_keys=tuple(fact_keys),
+        fk_cols=tuple(fks),
+        dim_keys=tuple(dks),
+        dim_payload=payload,
+        how=how,
+    )
+    return spec, ft, dt
+
+
+def _split_select_items(items: str) -> list[str]:
+    from dbt_decodable_spark.operators.ivm import _split_items
+
+    return _split_items(items)

@@ -571,3 +571,163 @@ class TestDeltaPropagation:
             assert _rows(read_view(astate, AGG)) == want
         # the final view has tier-2 facts only (1 on dim10, 3 and 4 on dim20)
         assert want == [(2, 3, 10)]
+
+
+class TestJoinSpecFromSql:
+    def test_parses_left_and_inner(self):
+        from dbt_decodable_spark.operators.ivm_join import join_spec_from_sql
+
+        s, ft, dt = join_spec_from_sql(
+            "SELECT o.*, c.name AS cust_name, c.mkt FROM orders o "
+            "LEFT JOIN customer c ON o.custkey = c.ckey",
+            ["okey"],
+        )
+        assert (ft, dt, s.how) == ("orders", "customer", "left")
+        assert s.fact_keys == ("okey",)
+        assert s.fk_cols == ("custkey",) and s.dim_keys == ("ckey",)
+        assert s.dim_payload == {"cust_name": "name", "mkt": "mkt"}
+        # flipped ON sides, compound key, bare JOIN = inner
+        s2, _, _ = join_spec_from_sql(
+            "select f.*, d.x from fact f join dim d "
+            "on d.k = f.fk and f.fk2 = d.k2",
+            ["pk"],
+        )
+        assert s2.how == "inner"
+        assert s2.fk_cols == ("fk", "fk2") and s2.dim_keys == ("k", "k2")
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            "select f.qty, d.x from fact f join dim d on f.fk = d.k",  # no f.*
+            "select f.*, d.x from fact f join dim d on f.fk < d.k",  # non-equi
+            "select f.*, d.x from fact f join dim d on f.fk = x.k",  # alias
+            "select f.*, sum(d.x) as s from fact f join dim d on f.fk = d.k",
+            "select f.* from fact f join dim d on f.fk = d.k",  # no payload
+            "select grp, count(*) n from t group by grp",  # not a join
+        ],
+    )
+    def test_rejects_outside_shape(self, bad):
+        from dbt_decodable_spark.operators.ivm_join import join_spec_from_sql
+
+        with pytest.raises(ValueError):
+            join_spec_from_sql(bad, ["pk"])
+
+
+class TestEngineJoinIncremental:
+    def test_join_pipeline_activates_incrementally(self, spark, tmp_path):
+        """The reference idiom for the two-source pipeline: a dbt-style
+        lookup-join model over two primary-key change streams runs as a
+        continuously-maintained materialization — repeated activations
+        stream only new appends through the join-view maintenance, and
+        the sink always equals the join of the folded change streams."""
+        import os
+
+        from dbt_decodable_spark.catalog import Engine
+        from dbt_decodable_spark.operators.ivm_join import (
+            JoinViewSpec,
+            compute_join_view,
+        )
+        from dbt_decodable_spark.schema import StreamSchema
+        from dbt_decodable_spark.streaming.changelog import fold_last_image
+
+        eng = Engine(spark, namespace="jv", warehouse_dir=str(tmp_path / "wh"))
+        os.makedirs(eng.warehouse_dir, exist_ok=True)
+        fact_ddl = "pk long, fk long, qty long, ts long, deleted boolean"
+        dim_ddl = "dk long, name string, tier long, ts long, deleted boolean"
+        f1 = [(1, 10, 5, 1, False), (2, 10, 7, 1, False), (3, 20, 9, 1, False),
+              (4, 99, 2, 1, False)]
+        d1 = [(10, "a", 1, 1, False), (20, "b", 2, 1, False)]
+        eng.create_stream(
+            "fact",
+            schema=StreamSchema.from_spark(
+                spark.createDataFrame(f1, fact_ddl).schema, primary_key=["pk"]
+            ),
+            data=spark.createDataFrame(f1, fact_ddl),
+        )
+        eng.create_stream(
+            "dim",
+            schema=StreamSchema.from_spark(
+                spark.createDataFrame(d1, dim_ddl).schema, primary_key=["dk"]
+            ),
+            data=spark.createDataFrame(d1, dim_ddl),
+        )
+        sql = (
+            "select f.*, d.name as dim_name, d.tier as dim_tier "
+            "from jv__fact f left join jv__dim d on f.fk = d.dk"
+        )
+        eng.create_pipeline("enriched", sql, activate=False)
+        eng.activate_pipeline_join_incremental(
+            "enriched", fact_order=["ts"], dim_order=["ts"],
+            delete_col="deleted", n_buckets=4,
+        )
+
+        SPEC_E = JoinViewSpec(
+            fact_keys=("pk",), fk_cols=("fk",), dim_keys=("dk",),
+            dim_payload={"dim_name": "name", "dim_tier": "tier"},
+        )
+
+        def want(f_rows, d_rows):
+            ff = fold_last_image(
+                spark.createDataFrame(f_rows, fact_ddl), ["pk"],
+                [F.col("ts"), F.col("pk")],
+            )
+            dd = fold_last_image(
+                spark.createDataFrame(d_rows, dim_ddl), ["dk"],
+                [F.col("ts"), F.col("dk")],
+            )
+            return _rows(compute_join_view(ff, dd, SPEC_E, "deleted", "deleted"))
+
+        got = _rows(eng.read_stream("enriched"))
+        assert got == want(f1, d1)
+
+        # appends on BOTH sides: dim payload change fans out, a fact
+        # tombstone, a new fact, an fk retarget
+        f2 = [(2, 10, 7, 2, True), (5, 20, 1, 2, False), (4, 20, 2, 2, False)]
+        d2 = [(10, "a2", 8, 2, False)]
+        spark.createDataFrame(f2, fact_ddl).write.mode("append").parquet(
+            eng.streams["jv__fact"].path
+        )
+        spark.createDataFrame(d2, dim_ddl).write.mode("append").parquet(
+            eng.streams["jv__dim"].path
+        )
+        eng.refresh_stream("fact")
+        eng.refresh_stream("dim")
+        eng.activate_pipeline_join_incremental(
+            "enriched", fact_order=["ts"], dim_order=["ts"],
+            delete_col="deleted", n_buckets=4,
+        )
+        got = _rows(eng.read_stream("enriched"))
+        assert got == want(f1 + f2, d1 + d2)
+        eng.cleanup()
+
+    def test_rejects_wrong_dim_key(self, spark, tmp_path):
+        import os
+
+        from dbt_decodable_spark.catalog import CatalogError, Engine
+        from dbt_decodable_spark.schema import StreamSchema
+
+        eng = Engine(spark, namespace="jv2", warehouse_dir=str(tmp_path / "wh"))
+        os.makedirs(eng.warehouse_dir, exist_ok=True)
+        fact = spark.createDataFrame([(1, 10, 1)], "pk long, fk long, ts long")
+        dim = spark.createDataFrame([(10, "a", 1)], "dk long, name string, ts long")
+        eng.create_stream(
+            "fact",
+            schema=StreamSchema.from_spark(fact.schema, primary_key=["pk"]),
+            data=fact,
+        )
+        eng.create_stream(
+            "dim",
+            schema=StreamSchema.from_spark(dim.schema, primary_key=["dk"]),
+            data=dim,
+        )
+        eng.create_pipeline(
+            "bad",
+            "select f.*, d.name as n from jv2__fact f "
+            "left join jv2__dim d on f.fk = d.name",
+            activate=False,
+        )
+        with pytest.raises(CatalogError, match="primary_key"):
+            eng.activate_pipeline_join_incremental(
+                "bad", fact_order=["ts"], dim_order=["ts"]
+            )
+        eng.cleanup()
