@@ -375,11 +375,15 @@ def maintain_join_with_changes(
     )
 
 
+# the alias groups need keyword lookaheads: without one, an alias-less
+# "FROM orders LEFT JOIN ..." lets the optional fact alias swallow LEFT and
+# the join parses as INNER — a silent semantics flip, not a parse error
 _JOIN_SQL = re.compile(
     r"^\s*select\s+(?P<items>.*?)\s+from\s+(?P<ft>[A-Za-z_][\w.]*)"
-    r"(?:\s+(?:as\s+)?(?P<fa>[A-Za-z_]\w*))?\s+"
+    r"(?:\s+(?:as\s+)?(?!left\b|inner\b|join\b|on\b)(?P<fa>[A-Za-z_]\w*))?\s+"
     r"(?P<how>left\s+(?:outer\s+)?join|inner\s+join|join)\s+"
-    r"(?P<dt>[A-Za-z_][\w.]*)(?:\s+(?:as\s+)?(?P<da>[A-Za-z_]\w*))?\s+"
+    r"(?P<dt>[A-Za-z_][\w.]*)"
+    r"(?:\s+(?:as\s+)?(?!on\b)(?P<da>[A-Za-z_]\w*))?\s+"
     r"on\s+(?P<cond>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )

@@ -595,6 +595,26 @@ class TestJoinSpecFromSql:
         assert s2.how == "inner"
         assert s2.fk_cols == ("fk", "fk2") and s2.dim_keys == ("k", "k2")
 
+
+    def test_aliasless_left_join_stays_left(self):
+        """Regression: without the keyword lookahead, the optional fact
+        alias swallowed LEFT in alias-less SQL and the join silently parsed
+        as INNER."""
+        from dbt_decodable_spark.operators.ivm_join import join_spec_from_sql
+
+        s, ft, dt = join_spec_from_sql(
+            "select orders.*, customer.name as n "
+            "from orders left join customer on orders.ck = customer.ckey",
+            ["okey"],
+        )
+        assert s.how == "left" and (ft, dt) == ("orders", "customer")
+        s2, _, _ = join_spec_from_sql(
+            "select orders.*, customer.name as n "
+            "from orders inner join customer on orders.ck = customer.ckey",
+            ["okey"],
+        )
+        assert s2.how == "inner"
+
     @pytest.mark.parametrize(
         "bad",
         [
