@@ -573,6 +573,139 @@ class TestDeltaPropagation:
         assert want == [(2, 3, 10)]
 
 
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.data_too_large,
+        ],
+    )
+    @given(data=st.data())
+    def test_stacked_pipeline_random_ops(self, spark, data):
+        """Randomized flagship: random op sequences on fact AND dim through
+        random micro-batch splits drive the two-stage pipeline (join view →
+        delta propagation → downstream aggregate IVM); after EVERY batch
+        the downstream aggregate must equal the GROUP BY over a
+        from-base-tables join recompute."""
+        from pyspark.sql import types as T
+
+        from dbt_decodable_spark.operators.ivm import (
+            AggViewSpec,
+            IvmState,
+            init_state,
+            maintain,
+            read_view,
+        )
+        from dbt_decodable_spark.operators.ivm_join import (
+            maintain_join_with_changes,
+        )
+        from dbt_decodable_spark.streaming.changelog import merge_changes_keyed
+
+        n_ops = data.draw(st.integers(4, 12), label="n_ops")
+        fact_ops, dim_ops = [], []
+        for ts in range(1, n_ops + 1):
+            if data.draw(st.booleans(), label=f"side{ts}"):
+                fact_ops.append(
+                    (
+                        data.draw(st.integers(1, 4), label=f"fpk{ts}"),
+                        data.draw(
+                            st.one_of(st.none(), st.integers(10, 12)),
+                            label=f"ffk{ts}",
+                        ),
+                        data.draw(st.integers(0, 9), label=f"fq{ts}"),
+                        ts,
+                        data.draw(st.booleans(), label=f"fdel{ts}"),
+                    )
+                )
+            else:
+                dim_ops.append(
+                    (
+                        data.draw(st.integers(10, 12), label=f"ddk{ts}"),
+                        "n",
+                        data.draw(st.integers(0, 2), label=f"dt{ts}"),
+                        ts,
+                        data.draw(st.booleans(), label=f"ddel{ts}"),
+                    )
+                )
+
+        def split(ops, label):
+            if not ops:
+                return []
+            cuts = data.draw(
+                st.sets(st.integers(1, len(ops) - 1), max_size=2)
+                if len(ops) > 1
+                else st.just(set()),
+                label=label,
+            )
+            out, prev = [], 0
+            for c in sorted(cuts) + [len(ops)]:
+                out.append(ops[prev:c])
+                prev = c
+            return out
+
+        fb, db = split(fact_ops, "fcuts"), split(dim_ops, "dcuts")
+        n_batches = max(len(fb), len(db), 1)
+        fb += [[]] * (n_batches - len(fb))
+        db += [[]] * (n_batches - len(db))
+
+        AGG = AggViewSpec(
+            group_cols=("dim_tier",), count_star="n", sums={"sum_qty": "qty"}
+        )
+        down_schema = T.StructType(
+            list(
+                T.StructType(
+                    [f for f in FACT_SCHEMA.fields if f.name != "deleted"]
+                ).fields
+            )
+            + [
+                T.StructField("dim_name", T.StringType(), True),
+                T.StructField("dim_tier", T.LongType(), True),
+                T.StructField("__seq", T.LongType(), True),
+                T.StructField("__deleted", T.BooleanType(), True),
+            ]
+        )
+        down_snap = spark.createDataFrame([], down_schema)
+        astate = init_state(down_snap, AGG, "__deleted")
+        jstate = _ckpt(
+            init_join_state(
+                _fact(spark, []), _dim(spark, []), SPEC, "deleted", "deleted"
+            )
+        )
+        for seq, (fops, dops) in enumerate(zip(fb, db), start=1):
+            jstate, ch = maintain_join_with_changes(
+                jstate, _fact(spark, fops), _dim(spark, dops),
+                ORDER, ORDER, SPEC, seq=seq,
+                fact_delete_col="deleted", dim_delete_col="deleted",
+            )
+            ch = ch.localCheckpoint(eager=True)
+            astate_new = maintain(
+                astate, down_snap, ch, ["pk"], ["__seq"], AGG, "__deleted"
+            )
+            astate = IvmState(
+                agg=astate_new.agg.localCheckpoint(eager=True),
+                supports={
+                    k: v.localCheckpoint(eager=True)
+                    for k, v in astate_new.supports.items()
+                },
+            )
+            down_snap = merge_changes_keyed(
+                down_snap, ch, ["pk"], ["__seq"]
+            ).localCheckpoint(eager=True)
+            jstate = _ckpt(jstate)
+            want = _rows(
+                compute_join_view(
+                    jstate.fact, jstate.dim, SPEC, "deleted", "deleted"
+                )
+                .groupBy("dim_tier")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("qty").alias("sum_qty"),
+                )
+            )
+            assert _rows(read_view(astate, AGG)) == want
+
+
 class TestJoinSpecFromSql:
     def test_parses_left_and_inner(self):
         from dbt_decodable_spark.operators.ivm_join import join_spec_from_sql
