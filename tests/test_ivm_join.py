@@ -706,6 +706,61 @@ class TestDeltaPropagation:
             assert _rows(read_view(astate, AGG)) == want
 
 
+    def test_scd2_stacks_on_view_changes(self, spark):
+        """The other stacking claim in the module docstring: an SCD2
+        dimension build consumes the view's change stream. Batch seqs are
+        order-monotone per key (the emitted __seq strictly increases per
+        batch and each key appears once per batch), which is exactly
+        scd2_merge_batch's CDC ordering contract — folding the emitted
+        batches through it must equal the full rebuild over the
+        concatenated change log."""
+        from dbt_decodable_spark.operators.ivm_join import (
+            maintain_join_with_changes,
+        )
+        from dbt_decodable_spark.streaming.changelog import (
+            scd2_from_changelog,
+            scd2_merge_batch,
+        )
+
+        jstate = _ckpt(
+            init_join_state(
+                _fact(spark, []), _dim(spark, []), SPEC, "deleted", "deleted"
+            )
+        )
+        batches = [
+            ([(1, 10, 5, 1, False), (2, 10, 7, 1, False)],
+             [(10, "a", 1, 1, False)]),
+            ([], [(10, "a2", 8, 2, False)]),          # fanout re-versions 1,2
+            ([(1, 10, 5, 3, True), (3, 10, 2, 3, False)], []),
+        ]
+        scd2 = None
+        all_changes = None
+        for seq, (fops, dops) in enumerate(batches, start=1):
+            jstate, ch = maintain_join_with_changes(
+                jstate, _fact(spark, fops), _dim(spark, dops),
+                ORDER, ORDER, SPEC, seq=seq,
+                fact_delete_col="deleted", dim_delete_col="deleted",
+            )
+            ch = ch.localCheckpoint(eager=True)
+            jstate = _ckpt(jstate)
+            all_changes = ch if all_changes is None else all_changes.unionByName(ch)
+            if scd2 is None:
+                scd2 = scd2_from_changelog(ch, ["pk"], "__seq")
+            else:
+                scd2 = scd2_merge_batch(scd2, ch, ["pk"], "__seq")
+            scd2 = scd2.localCheckpoint(eager=True)
+        want = _rows(scd2_from_changelog(all_changes, ["pk"], "__seq"))
+        assert _rows(scd2) == want
+        # the dim rename produced a second OPEN-then-CLOSED version for
+        # pk=1 and pk=2; pk=1's final version is the tombstone row
+        cur = {
+            r["pk"]: (r["dim_name"], r["__deleted"])
+            for r in scd2.filter("is_current").collect()
+        }
+        assert cur[1] == (None, True) and cur[2] == ("a2", False)
+        assert cur[3] == ("a2", False)
+
+
 class TestJoinSpecFromSql:
     def test_parses_left_and_inner(self):
         from dbt_decodable_spark.operators.ivm_join import join_spec_from_sql
