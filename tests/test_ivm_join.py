@@ -908,6 +908,114 @@ class TestEngineJoinIncremental:
         assert got == want(f1 + f2, d1 + d2)
         eng.cleanup()
 
+    def test_crash_between_view_and_state_append_replays_clean(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The docstring's crash story, injected: die AFTER the view delta
+        commits but BEFORE the side's state delta does. The re-activation
+        replays the batch against unchanged state, recomputes identical
+        view changes (deduped by tag), lands the state delta, and the sink
+        converges — the ordering that breaks if state committed first."""
+        import os
+
+        from dbt_decodable_spark import catalog as cat_mod
+        from dbt_decodable_spark.catalog import Engine
+        from dbt_decodable_spark.operators.ivm_join import (
+            JoinViewSpec,
+            compute_join_view,
+        )
+        from dbt_decodable_spark.schema import StreamSchema
+        from dbt_decodable_spark.streaming import changelog as cl
+        from dbt_decodable_spark.streaming.changelog import fold_last_image
+
+        eng = Engine(spark, namespace="jv3", warehouse_dir=str(tmp_path / "wh"))
+        os.makedirs(eng.warehouse_dir, exist_ok=True)
+        fact_ddl = "pk long, fk long, qty long, ts long, deleted boolean"
+        dim_ddl = "dk long, name string, ts long, deleted boolean"
+        f1 = [(1, 10, 5, 1, False), (2, 10, 7, 1, False)]
+        d1 = [(10, "a", 1, False)]
+        eng.create_stream(
+            "fact",
+            schema=StreamSchema.from_spark(
+                spark.createDataFrame(f1, fact_ddl).schema, primary_key=["pk"]
+            ),
+            data=spark.createDataFrame(f1, fact_ddl),
+        )
+        eng.create_stream(
+            "dim",
+            schema=StreamSchema.from_spark(
+                spark.createDataFrame(d1, dim_ddl).schema, primary_key=["dk"]
+            ),
+            data=spark.createDataFrame(d1, dim_ddl),
+        )
+        eng.create_pipeline(
+            "enr",
+            "select f.*, d.name as dim_name "
+            "from jv3__fact f left join jv3__dim d on f.fk = d.dk",
+            activate=False,
+        )
+        eng.activate_pipeline_join_incremental(
+            "enr", fact_order=["ts"], dim_order=["ts"],
+            delete_col="deleted", n_buckets=2,
+        )
+
+        # append a fact update, then crash the SECOND (state) append of
+        # the batch that carries it
+        f2 = [(1, 10, 99, 2, False)]
+        spark.createDataFrame(f2, fact_ddl).write.mode("append").parquet(
+            eng.streams["jv3__fact"].path
+        )
+        eng.refresh_stream("fact")
+
+        real_append = cl.append_delta
+        state = {"calls": 0}
+
+        def crashing_append(spark_, base_path, batch, tag=None, **kw):
+            out = real_append(spark_, base_path, batch, tag=tag, **kw)
+            state["calls"] += 1
+            if state["calls"] == 1:
+                # the first call of the crashed activation is the VIEW
+                # delta (commit order contract) — die right after it lands
+                raise RuntimeError("injected crash after view append")
+            return out
+
+        # the engine method resolves append_delta at call time from the
+        # changelog module via its local import, so patch the module attr
+        monkeypatch.setattr(cl, "append_delta", crashing_append)
+        import pyspark.errors
+
+        with pytest.raises(
+            (RuntimeError, pyspark.errors.exceptions.base.PySparkException)
+        ):
+            eng.activate_pipeline_join_incremental(
+                "enr", fact_order=["ts"], dim_order=["ts"],
+                delete_col="deleted", n_buckets=2,
+            )
+        monkeypatch.setattr(cl, "append_delta", real_append)
+
+        # view delta landed, state delta did not, checkpoint uncommitted:
+        # the replayed activation must converge
+        eng.activate_pipeline_join_incremental(
+            "enr", fact_order=["ts"], dim_order=["ts"],
+            delete_col="deleted", n_buckets=2,
+        )
+        SPEC_E = JoinViewSpec(
+            fact_keys=("pk",), fk_cols=("fk",), dim_keys=("dk",),
+            dim_payload={"dim_name": "name"},
+        )
+        ff = fold_last_image(
+            spark.createDataFrame(f1 + f2, fact_ddl), ["pk"],
+            [F.col("ts"), F.col("pk")],
+        )
+        dd = fold_last_image(
+            spark.createDataFrame(d1, dim_ddl), ["dk"],
+            [F.col("ts"), F.col("dk")],
+        )
+        want = _rows(compute_join_view(ff, dd, SPEC_E, "deleted", "deleted"))
+        assert _rows(eng.read_stream("enr")) == want
+        assert [r for r in want if r[0] == 1][0][2] == 99  # the update took
+        eng.cleanup()
+
     def test_rejects_wrong_dim_key(self, spark, tmp_path):
         import os
 
