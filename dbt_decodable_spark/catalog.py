@@ -559,6 +559,7 @@ class Engine:
         delete_col: str | None = None,
         n_buckets: int = 32,
         compact: bool = True,
+        compact_min_deltas: int = 4,
     ):
         """Run a TWO-SOURCE join pipeline as a continuously-maintained
         materialization — the enrichment twin of
@@ -746,13 +747,21 @@ class Engine:
         _run_side("dim", ddef, dim_log)
 
         if compact:
-            compact_and_vacuum(
-                self.spark, fact_log, fkeys, fordc(), n_buckets
-            )
-            compact_and_vacuum(self.spark, dim_log, dkeys, dordc(), n_buckets)
-            compact_and_vacuum(
-                self.spark, view_log, fkeys, [F.col("__seq")], n_buckets
-            )
+            # LSM trigger, not every activation: folding deltas into the
+            # snapshot is the amortized O(|state|) step — running it while
+            # only a handful of batch-sized deltas are pending pays the
+            # full-state rewrite for nothing (reads fold pending deltas
+            # anyway). Same cadence lever as the aggregate arm's
+            # compact_every.
+            from dbt_decodable_spark.streaming.changelog import list_deltas
+
+            for log, keys_, ord_ in (
+                (fact_log, fkeys, fordc()),
+                (dim_log, dkeys, dordc()),
+                (view_log, fkeys, [F.col("__seq")]),
+            ):
+                if len(list_deltas(log)) >= compact_min_deltas:
+                    compact_and_vacuum(self.spark, log, keys_, ord_, n_buckets)
         live = read_merged(
             self.spark, view_log, fkeys, [F.col("__seq")],
             delete_col="__deleted",

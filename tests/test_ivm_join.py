@@ -908,6 +908,70 @@ class TestEngineJoinIncremental:
         assert got == want(f1 + f2, d1 + d2)
         eng.cleanup()
 
+    def test_compaction_gates_on_delta_count(self, spark, tmp_path):
+        """Compaction is an LSM trigger, not an every-activation rewrite:
+        below compact_min_deltas the logs keep their pending deltas (reads
+        fold them anyway); at the threshold they fold into the snapshot."""
+        import os
+
+        from dbt_decodable_spark.catalog import Engine
+        from dbt_decodable_spark.schema import StreamSchema
+        from dbt_decodable_spark.streaming.changelog import list_deltas
+
+        eng = Engine(spark, namespace="jv4", warehouse_dir=str(tmp_path / "wh"))
+        os.makedirs(eng.warehouse_dir, exist_ok=True)
+        fact_ddl = "pk long, fk long, ts long"
+        dim_ddl = "dk long, name string, ts long"
+        eng.create_stream(
+            "fact",
+            schema=StreamSchema.from_spark(
+                spark.createDataFrame([(1, 10, 1)], fact_ddl).schema,
+                primary_key=["pk"],
+            ),
+            data=spark.createDataFrame([(1, 10, 1)], fact_ddl),
+        )
+        eng.create_stream(
+            "dim",
+            schema=StreamSchema.from_spark(
+                spark.createDataFrame([(10, "a", 1)], dim_ddl).schema,
+                primary_key=["dk"],
+            ),
+            data=spark.createDataFrame([(10, "a", 1)], dim_ddl),
+        )
+        eng.create_pipeline(
+            "enr",
+            "select f.*, d.name as dim_name "
+            "from jv4__fact f left join jv4__dim d on f.fk = d.dk",
+            activate=False,
+        )
+        root = os.path.join(eng.warehouse_dir, "_ivmj_jv4__enr")
+
+        def activate(threshold):
+            eng.activate_pipeline_join_incremental(
+                "enr", fact_order=["ts"], dim_order=["ts"],
+                n_buckets=2, compact_min_deltas=threshold,
+            )
+
+        def pending():
+            return len(list_deltas(os.path.join(root, "fact")))
+
+        activate(100)  # first activation replays the seed → 1 fact delta
+        assert pending() == 1
+        for ts in (2, 3):
+            spark.createDataFrame([(ts, 10, ts)], fact_ddl).write.mode(
+                "append"
+            ).parquet(eng.streams["jv4__fact"].path)
+            eng.refresh_stream("fact")
+            activate(100)
+        assert pending() == 3  # below threshold: deltas retained
+        got = sorted(r["pk"] for r in eng.read_stream("enr").collect())
+        assert got == [1, 2, 3]  # reads fold pending deltas regardless
+        activate(3)  # at threshold: logs fold into the snapshot
+        assert pending() == 0
+        got = sorted(r["pk"] for r in eng.read_stream("enr").collect())
+        assert got == [1, 2, 3]
+        eng.cleanup()
+
     def test_crash_between_view_and_state_append_replays_clean(
         self, spark, tmp_path, monkeypatch
     ):
