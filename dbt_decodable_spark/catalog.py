@@ -592,9 +592,12 @@ class Engine:
 
         Bounded run (availableNow), one stream per source, sequential;
         repeated activations resume from the checkpoints and stream only
-        new appends. With ``compact`` the logs fold into their partitioned
-        snapshots afterwards (``compact_and_vacuum`` — the LSM minor
-        compaction), and the sink stream is re-materialized from the view.
+        new appends. With ``compact`` a log folds into its partitioned
+        snapshot afterwards once it holds at least ``compact_min_deltas``
+        pending deltas (``compact_and_vacuum`` — the LSM minor compaction
+        on its size trigger; below the threshold reads fold the pending
+        deltas anyway), and the sink stream is re-materialized from the
+        view.
         """
         import dataclasses
 
