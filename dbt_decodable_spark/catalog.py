@@ -556,7 +556,8 @@ class Engine:
         name: str,
         fact_order: list[str] | None = None,
         dim_order: list[str] | None = None,
-        delete_col: str | None = None,
+        fact_delete_col: str | None = None,
+        dim_delete_col: str | None = None,
         n_buckets: int = 32,
         compact: bool = True,
         compact_min_deltas: int = 4,
@@ -577,22 +578,38 @@ class Engine:
         view log. Appends are O(|batch| + dim-fanout); nothing rewrites
         with the state.
 
-        Crash story (the ordering matters): the VIEW delta commits before
-        the side's state delta. A crash between the two replays cleanly —
-        the state still excludes the batch, so the recomputed view changes
-        are identical and the view append dedupes by batch tag; committing
-        state-first would instead make the replay see ``__changed=false``
-        and permanently skip the view patch. Replays after both commits
-        dedupe by tag on both logs; a fresh-checkpoint full replay
-        re-lands under a new activation epoch and converges by fold
-        idempotence (re-applied images tie and produce identical rows).
-        View-delta seqs are ``(epoch, side, batch_id)``-ordered so later
-        activations win and dim batches (run second) win over the same
-        activation's fact batches — matching application order.
+        Crash story: the VIEW delta commits before the side's state
+        delta, so a crash between the two replays the batch against state
+        that still EXCLUDES it — the recomputation is bit-identical, and
+        within the same activation the batch tag dedupes the re-append. A
+        replay under a RESTARTED activation carries a new epoch, so its
+        tags differ and duplicate deltas can land on either log — that is
+        convergent, not exactly-once: every delta is a last-image fold
+        ordered by ``__seq`` (view) or the source order columns (state),
+        and re-folding identical or older images picks the same winners.
+        (Even a state-first commit order would converge the same way —
+        a replayed batch TIES with its own state row and ties go to the
+        batch, re-emitting identical view changes; view-first is kept
+        because it recomputes from exactly the pre-batch state instead of
+        leaning on tie semantics.) View-delta seqs are ``(epoch, side,
+        batch_id)``-ordered so later activations win and dim batches (run
+        second) win over the same activation's fact batches — matching
+        application order.
 
         Bounded run (availableNow), one stream per source, sequential;
         repeated activations resume from the checkpoints and stream only
-        new appends. With ``compact`` a log folds into its partitioned
+        new appends. First activation folds the sources into the state
+        snapshots and the initial view, then advances both stream
+        checkpoints over the already-folded files WITHOUT re-applying
+        them (a no-op bounded pass) — otherwise the fresh checkpoints
+        would replay the whole source through maintenance and append
+        full-view-sized deltas for data the snapshots already carry. A
+        crash between the init writes and the offset advance falls back
+        to exactly that full replay, which converges by the fold
+        tolerance above — a one-time write-amplification cost, never a
+        wrong answer. Init completion is gated on the view log (the LAST
+        init artifact) and every init write is mode-overwrite, so a crash
+        mid-init simply redoes it. With ``compact`` a log folds into its partitioned
         snapshot afterwards once it holds at least ``compact_min_deltas``
         pending deltas (``compact_and_vacuum`` — the LSM minor compaction
         on its size trigger; below the threshold reads fold the pending
@@ -657,7 +674,48 @@ class Engine:
         view_log = os.path.join(root, "view")
         fordc = lambda: [F.col(c) for c in forder]  # noqa: E731
         dordc = lambda: [F.col(c) for c in dorder]  # noqa: E731
-        if not os.path.isdir(root):
+        fschema = self.spark.read.parquet(fdef.path).schema
+        dschema = self.spark.read.parquet(ddef.path).schema
+        # every shape error must fire BEFORE the first filesystem write —
+        # a mid-init failure after partial writes would otherwise leave a
+        # root that later activations mistake for completed state
+        for out in spec.dim_payload:
+            if out in fschema.fieldNames():
+                raise CatalogError(
+                    f"payload name {out!r} collides with a fact column"
+                )
+        for side_name, col_, sch in (
+            ("fact", fact_delete_col, fschema),
+            ("dim", dim_delete_col, dschema),
+        ):
+            if col_ is not None and col_ not in sch.fieldNames():
+                raise CatalogError(
+                    f"{side_name}_delete_col {col_!r} is not a column of "
+                    f"the {side_name} stream"
+                )
+
+        def _advance_only(side, sdef):
+            # commit stream offsets over files the init snapshots already
+            # fold — the bounded no-op pass the docstring describes
+            q = (
+                self.spark.readStream.schema(
+                    self.spark.read.parquet(sdef.path).schema
+                )
+                .parquet(sdef.path)
+                .writeStream.foreachBatch(lambda df, bid: None)
+                .option(
+                    "checkpointLocation",
+                    os.path.join(root, f"_ckpt_{side}"),
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        # init completion is gated on the LAST artifact (the view log),
+        # not the root dir: a crash mid-init redoes everything (all init
+        # writes are mode-overwrite)
+        if not os.path.isdir(view_log):
             os.makedirs(root, exist_ok=True)
             fsnap = fold_last_image(
                 self.spark.read.parquet(fdef.path), fkeys, fordc()
@@ -671,12 +729,14 @@ class Engine:
                 ij.compute_join_view(
                     self.spark.read.parquet(fact_log).drop("__bucket"),
                     self.spark.read.parquet(dim_log).drop("__bucket"),
-                    spec, delete_col, delete_col,
+                    spec, fact_delete_col, dim_delete_col,
                 )
                 .withColumn("__seq", F.lit(0).cast("long"))
                 .withColumn("__deleted", F.lit(False))
             )
             write_hash_partitioned(v0, view_log, fkeys, n_buckets)
+            _advance_only("fact", fdef)
+            _advance_only("dim", ddef)
         epoch_file = os.path.join(root, "_epoch")
         epoch = 0
         if os.path.exists(epoch_file):
@@ -686,9 +746,6 @@ class Engine:
         with open(epoch_file + ".tmp", "w") as fh:
             fh.write(str(epoch))
         os.replace(epoch_file + ".tmp", epoch_file)
-
-        fschema = self.spark.read.parquet(fdef.path).schema
-        dschema = self.spark.read.parquet(ddef.path).schema
 
         def _state():
             return ij.JoinViewState(
@@ -721,7 +778,8 @@ class Engine:
                 )
                 _st, changes = ij.maintain_join_with_changes(
                     _state(), fb, db, fordc(), dordc(), spec, seq=seq,
-                    fact_delete_col=delete_col, dim_delete_col=delete_col,
+                    fact_delete_col=fact_delete_col,
+                    dim_delete_col=dim_delete_col,
                 )
                 changes = changes.localCheckpoint(eager=True)
                 # VIEW delta first (see crash story in the docstring)

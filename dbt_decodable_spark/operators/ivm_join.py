@@ -455,7 +455,14 @@ def join_spec_from_sql(sql: str, fact_keys: Sequence[str]) -> tuple[JoinViewSpec
             continue
         pm = _PAYLOAD.match(item)
         if pm and pm.group(1) == da:
-            payload[pm.group(3) or pm.group(2)] = pm.group(2)
+            out_name = pm.group(3) or pm.group(2)
+            if out_name in payload:
+                # silently keeping the last writer would drop the user's
+                # other enrichment — outside-the-shape inputs must raise
+                raise ValueError(
+                    f"duplicate output name {out_name!r} in select list"
+                )
+            payload[out_name] = pm.group(2)
             continue
         raise ValueError(
             f"unsupported select item: {item!r} — the maintainable shape is "

@@ -287,29 +287,37 @@ class TestJoinViewProperty:
     @given(data=st.data())
     def test_random_ops_random_splits(self, spark, data):
         n_ops = data.draw(st.integers(4, 14), label="n_ops")
+        # timestamps are a DRAWN PERMUTATION of 1..n_ops, not the creation
+        # index: contiguous batch cuts then contain genuinely out-of-order
+        # rows (within and across batches), exercising the stale/winner
+        # paths the docstring's 'arbitrary splits/reorders' claim covers
+        perm = data.draw(
+            st.permutations(list(range(1, n_ops + 1))), label="ts_perm"
+        )
         fact_ops, dim_ops = [], []
-        for ts in range(1, n_ops + 1):
-            if data.draw(st.booleans(), label=f"side{ts}"):
+        for step in range(1, n_ops + 1):
+            ts = perm[step - 1]
+            if data.draw(st.booleans(), label=f"side{step}"):
                 fact_ops.append(
                     (
-                        data.draw(st.integers(1, 5), label=f"fpk{ts}"),
+                        data.draw(st.integers(1, 5), label=f"fpk{step}"),
                         data.draw(
                             st.one_of(st.none(), st.integers(10, 13)),
-                            label=f"ffk{ts}",
+                            label=f"ffk{step}",
                         ),
-                        data.draw(st.integers(0, 9), label=f"fq{ts}"),
+                        data.draw(st.integers(0, 9), label=f"fq{step}"),
                         ts,
-                        data.draw(st.booleans(), label=f"fdel{ts}"),
+                        data.draw(st.booleans(), label=f"fdel{step}"),
                     )
                 )
             else:
                 dim_ops.append(
                     (
-                        data.draw(st.integers(10, 13), label=f"ddk{ts}"),
-                        data.draw(st.text("xy", min_size=1, max_size=2), label=f"dn{ts}"),
-                        data.draw(st.integers(0, 3), label=f"dt{ts}"),
+                        data.draw(st.integers(10, 13), label=f"ddk{step}"),
+                        data.draw(st.text("xy", min_size=1, max_size=2), label=f"dn{step}"),
+                        data.draw(st.integers(0, 3), label=f"dt{step}"),
                         ts,
-                        data.draw(st.booleans(), label=f"ddel{ts}"),
+                        data.draw(st.booleans(), label=f"ddel{step}"),
                     )
                 )
 
@@ -603,29 +611,33 @@ class TestDeltaPropagation:
         from dbt_decodable_spark.streaming.changelog import merge_changes_keyed
 
         n_ops = data.draw(st.integers(4, 12), label="n_ops")
+        perm = data.draw(
+            st.permutations(list(range(1, n_ops + 1))), label="ts_perm"
+        )
         fact_ops, dim_ops = [], []
-        for ts in range(1, n_ops + 1):
-            if data.draw(st.booleans(), label=f"side{ts}"):
+        for step in range(1, n_ops + 1):
+            ts = perm[step - 1]
+            if data.draw(st.booleans(), label=f"side{step}"):
                 fact_ops.append(
                     (
-                        data.draw(st.integers(1, 4), label=f"fpk{ts}"),
+                        data.draw(st.integers(1, 4), label=f"fpk{step}"),
                         data.draw(
                             st.one_of(st.none(), st.integers(10, 12)),
-                            label=f"ffk{ts}",
+                            label=f"ffk{step}",
                         ),
-                        data.draw(st.integers(0, 9), label=f"fq{ts}"),
+                        data.draw(st.integers(0, 9), label=f"fq{step}"),
                         ts,
-                        data.draw(st.booleans(), label=f"fdel{ts}"),
+                        data.draw(st.booleans(), label=f"fdel{step}"),
                     )
                 )
             else:
                 dim_ops.append(
                     (
-                        data.draw(st.integers(10, 12), label=f"ddk{ts}"),
+                        data.draw(st.integers(10, 12), label=f"ddk{step}"),
                         "n",
-                        data.draw(st.integers(0, 2), label=f"dt{ts}"),
+                        data.draw(st.integers(0, 2), label=f"dt{step}"),
                         ts,
-                        data.draw(st.booleans(), label=f"ddel{ts}"),
+                        data.draw(st.booleans(), label=f"ddel{step}"),
                     )
                 )
 
@@ -811,6 +823,8 @@ class TestJoinSpecFromSql:
             "select f.*, d.x from fact f join dim d on f.fk = x.k",  # alias
             "select f.*, sum(d.x) as s from fact f join dim d on f.fk = d.k",
             "select f.* from fact f join dim d on f.fk = d.k",  # no payload
+            # duplicate output name would silently drop an enrichment
+            "select f.*, d.a as x, d.b as x from fact f join dim d on f.fk = d.k",
             "select grp, count(*) n from t group by grp",  # not a join
         ],
     )
@@ -866,7 +880,8 @@ class TestEngineJoinIncremental:
         eng.create_pipeline("enriched", sql, activate=False)
         eng.activate_pipeline_join_incremental(
             "enriched", fact_order=["ts"], dim_order=["ts"],
-            delete_col="deleted", n_buckets=4,
+            fact_delete_col="deleted", dim_delete_col="deleted",
+            n_buckets=4,
         )
 
         SPEC_E = JoinViewSpec(
@@ -902,7 +917,8 @@ class TestEngineJoinIncremental:
         eng.refresh_stream("dim")
         eng.activate_pipeline_join_incremental(
             "enriched", fact_order=["ts"], dim_order=["ts"],
-            delete_col="deleted", n_buckets=4,
+            fact_delete_col="deleted", dim_delete_col="deleted",
+            n_buckets=4,
         )
         got = _rows(eng.read_stream("enriched"))
         assert got == want(f1 + f2, d1 + d2)
@@ -955,9 +971,11 @@ class TestEngineJoinIncremental:
         def pending():
             return len(list_deltas(os.path.join(root, "fact")))
 
-        activate(100)  # first activation replays the seed → 1 fact delta
-        assert pending() == 1
-        for ts in (2, 3):
+        activate(100)
+        # first activation folds the seed into the snapshot and ADVANCES
+        # the checkpoints without re-applying — zero replay deltas
+        assert pending() == 0
+        for ts in (2, 3, 4):
             spark.createDataFrame([(ts, 10, ts)], fact_ddl).write.mode(
                 "append"
             ).parquet(eng.streams["jv4__fact"].path)
@@ -965,11 +983,66 @@ class TestEngineJoinIncremental:
             activate(100)
         assert pending() == 3  # below threshold: deltas retained
         got = sorted(r["pk"] for r in eng.read_stream("enr").collect())
-        assert got == [1, 2, 3]  # reads fold pending deltas regardless
+        assert got == [1, 2, 3, 4]  # reads fold pending deltas regardless
         activate(3)  # at threshold: logs fold into the snapshot
         assert pending() == 0
         got = sorted(r["pk"] for r in eng.read_stream("enr").collect())
-        assert got == [1, 2, 3]
+        assert got == [1, 2, 3, 4]
+        eng.cleanup()
+
+    def test_shape_errors_fire_before_any_write(self, spark, tmp_path):
+        """Activation-level shape errors must fire BEFORE the first
+        filesystem write — a mid-init failure after partial writes used to
+        leave a root that later activations mistook for completed state
+        (wedged pipeline). Payload/fact column collisions are caught even
+        earlier (create_pipeline's SQL analysis rejects the duplicate
+        output column), so the reachable activation-level case is a
+        delete column the stream doesn't carry; a good activation of the
+        same pipeline must then still succeed."""
+        import os
+
+        from dbt_decodable_spark.catalog import CatalogError, Engine
+        from dbt_decodable_spark.schema import StreamSchema
+
+        eng = Engine(spark, namespace="jv5", warehouse_dir=str(tmp_path / "wh"))
+        os.makedirs(eng.warehouse_dir, exist_ok=True)
+        fact = spark.createDataFrame([(1, 10, 1)], "pk long, fk long, ts long")
+        dim = spark.createDataFrame([(10, "a", 1)], "dk long, name string, ts long")
+        eng.create_stream(
+            "fact",
+            schema=StreamSchema.from_spark(fact.schema, primary_key=["pk"]),
+            data=fact,
+        )
+        eng.create_stream(
+            "dim",
+            schema=StreamSchema.from_spark(dim.schema, primary_key=["dk"]),
+            data=dim,
+        )
+        eng.create_pipeline(
+            "enr5",
+            "select f.*, d.name as dim_name from jv5__fact f "
+            "left join jv5__dim d on f.fk = d.dk",
+            activate=False,
+        )
+        root = os.path.join(eng.warehouse_dir, "_ivmj_jv5__enr5")
+        with pytest.raises(CatalogError, match="fact_delete_col"):
+            eng.activate_pipeline_join_incremental(
+                "enr5", fact_order=["ts"], dim_order=["ts"],
+                fact_delete_col="nope",
+            )
+        assert not os.path.isdir(root)  # nothing written
+        with pytest.raises(CatalogError, match="dim_delete_col"):
+            eng.activate_pipeline_join_incremental(
+                "enr5", fact_order=["ts"], dim_order=["ts"],
+                dim_delete_col="nope",
+            )
+        assert not os.path.isdir(root)
+        # not wedged: the same pipeline activates fine afterwards
+        eng.activate_pipeline_join_incremental(
+            "enr5", fact_order=["ts"], dim_order=["ts"], n_buckets=2
+        )
+        got = sorted(r["pk"] for r in eng.read_stream("enr5").collect())
+        assert got == [1]
         eng.cleanup()
 
     def test_crash_between_view_and_state_append_replays_clean(
@@ -977,9 +1050,12 @@ class TestEngineJoinIncremental:
     ):
         """The docstring's crash story, injected: die AFTER the view delta
         commits but BEFORE the side's state delta does. The re-activation
-        replays the batch against unchanged state, recomputes identical
-        view changes (deduped by tag), lands the state delta, and the sink
-        converges — the ordering that breaks if state committed first."""
+        replays the batch against state that still excludes it, recomputes
+        the view changes, lands the state delta, and the sink converges.
+        (The replay runs under a NEW epoch, so its view-delta tag differs
+        and a duplicate delta may land — convergence rests on the __seq
+        last-image fold, not on tag dedupe; tags only dedupe re-delivery
+        within one activation.)"""
         import os
 
         from dbt_decodable_spark import catalog as cat_mod
@@ -1020,7 +1096,8 @@ class TestEngineJoinIncremental:
         )
         eng.activate_pipeline_join_incremental(
             "enr", fact_order=["ts"], dim_order=["ts"],
-            delete_col="deleted", n_buckets=2,
+            fact_delete_col="deleted", dim_delete_col="deleted",
+            n_buckets=2,
         )
 
         # append a fact update, then crash the SECOND (state) append of
@@ -1053,7 +1130,8 @@ class TestEngineJoinIncremental:
         ):
             eng.activate_pipeline_join_incremental(
                 "enr", fact_order=["ts"], dim_order=["ts"],
-                delete_col="deleted", n_buckets=2,
+                fact_delete_col="deleted", dim_delete_col="deleted",
+            n_buckets=2,
             )
         monkeypatch.setattr(cl, "append_delta", real_append)
 
@@ -1061,7 +1139,8 @@ class TestEngineJoinIncremental:
         # the replayed activation must converge
         eng.activate_pipeline_join_incremental(
             "enr", fact_order=["ts"], dim_order=["ts"],
-            delete_col="deleted", n_buckets=2,
+            fact_delete_col="deleted", dim_delete_col="deleted",
+            n_buckets=2,
         )
         SPEC_E = JoinViewSpec(
             fact_keys=("pk",), fk_cols=("fk",), dim_keys=("dk",),
