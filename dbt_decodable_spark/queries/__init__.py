@@ -47,40 +47,39 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 # The driver's correctness gate measures the FIRST 50 registry entries per
-# round. Round-9 rotation (VERDICT r8 items 1-2): the 45 rows whose latest
-# driver evidence is round 5 hit the MAX_AGE_ROUNDS=4 staleness bound and
-# MUST refresh. The registry is feature-complete (VERDICT r8 "What's
-# missing" is all env-gated), so the 5 free slots are spent EARLY-REFRESHING
-# the 5 oldest round-6 rows instead of registering new queries — this turns
-# the 4-round zero-slack cycle into a sustainable 45-mandatory/5-free
-# cadence (window_audit forecast would otherwise read 95 mandatory at r10).
-# Everything NOT in the window stays verified by tools/oracle_check.py
-# (driver-faithful local replica) and pytest; tools/window_audit.py
-# mechanically checks the staleness invariant.
+# round. Round-10 rotation (steady-state cadence established in r9): the 45
+# rows whose latest driver evidence is round 6 hit the MAX_AGE_ROUNDS=4
+# staleness bound and MUST refresh. The registry is feature-complete
+# (VERDICT r8 "What's missing" is all env-gated), so the 5 free slots are
+# spent EARLY-REFRESHING the 5 alphabetically-first round-7 rows — keeping
+# the sustainable 45-mandatory/5-free cadence (r11 then owes the remaining
+# 45 r7 rows). Everything NOT in the window stays verified by
+# tools/oracle_check.py (driver-faithful local replica) and pytest;
+# tools/window_audit.py mechanically checks the staleness invariant.
 _DRIVER_WINDOW_PRIORITY = (
-    # (a) the full round-5 cohort (45 rows at the staleness bound):
-    "agg_approx_distinct", "agg_bool_string", "agg_groupby_q1",
-    "corpus_stats_by_source", "decontaminate_against_benchmark",
-    "dedup_connected_components", "dedup_embedding_cosine", "dedup_exact",
-    "dedup_incremental_minhash", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "embedding_normalize", "events_count", "func_timestamp_ltz",
-    "join_asof_merge", "join_interval", "mix_token_budget",
-    "multimodal_metadata", "pack_token_shards", "sample_stratified",
-    "sample_uniform", "similarity_bruteforce_topk", "similarity_ivf_topk",
-    "similarity_threshold_join", "source_csv_roundtrip",
-    "stream_interval_join", "stream_scd2_versions", "stream_session_window",
-    "stream_temporal_join", "text_chunk_windows", "text_quality",
-    "text_quality_quantile_gate", "text_redact_pii",
-    "text_repetition_filter", "text_token_count", "text_token_histogram",
-    "text_vocab_topk", "tpch_q11_important_part_value",
-    "tpch_q12_late_shipment_priority", "tpch_q16_supplier_part_count",
-    "tpch_q20_excess_shipments", "tpch_q21_suppliers_kept_waiting",
-    "tpch_q2_min_cost_supplier", "tpch_q9_product_type_profit",
-    "unpivot_stack",
-    # (b) 5 early-refreshed round-6 rows (free slots; keeps r10 at
+    # (a) the full round-6 cohort (45 rows at the staleness bound):
+    "dedup_cluster_keep_best", "dedup_cross_source_matrix",
+    "dedup_minhash_verified", "dedup_paragraph_exact",
+    "dedup_semantic_clusters", "dedup_span_ngram", "dedup_span_removal",
+    "dedup_url_canonical", "embedding_quantize_int8", "events_funnel_stages",
+    "events_rolling_active_7d", "func_unicode_nfc", "func_url",
+    "graph_khop_neighbors", "mix_epochs_upsample", "mix_temperature_quota",
+    "multimodal_features", "pack_length_buckets", "pipeline_curation_end2end",
+    "sample_importance_weighted", "sample_reservoir_per_source",
+    "sample_split_assign", "similarity_ivf_kmeans_topk",
+    "similarity_ivf_quantized_topk", "source_json_roundtrip",
+    "source_orc_roundtrip", "source_parquet_zstd_roundtrip",
+    "source_partitioned_pruned", "source_text_roundtrip",
+    "stream_bloom_index", "stream_dedup_watermark",
+    "stream_interval_join_outer", "stream_kmeans_assign",
+    "stream_minhash_index", "stream_window_topk", "stream_window_topk_run",
+    "text_bigram_commonness", "text_bpe_segment", "text_bpe_train",
+    "text_gopher_quality", "text_novelty_score", "text_oov_rate",
+    "text_salient_terms", "text_strip_markup", "text_winnowing",
+    # (b) 5 early-refreshed round-7 rows (free slots; keeps r11 at
     # 45-mandatory/5-free instead of 50/0):
-    "agg_kmv_distinct", "cluster_kmeans_lloyd", "corpus_length_quantiles",
-    "dedup_bloom_filter", "dedup_cc_star_edges",
+    "agg_cube", "agg_distinct", "agg_global", "agg_groupby_expression",
+    "agg_grouping_sets",
 )
 
 
