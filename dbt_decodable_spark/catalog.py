@@ -598,18 +598,30 @@ class Engine:
 
         Bounded run (availableNow), one stream per source, sequential;
         repeated activations resume from the checkpoints and stream only
-        new appends. First activation folds the sources into the state
-        snapshots and the initial view, then advances both stream
-        checkpoints over the already-folded files WITHOUT re-applying
-        them (a no-op bounded pass) — otherwise the fresh checkpoints
-        would replay the whole source through maintenance and append
-        full-view-sized deltas for data the snapshots already carry. A
-        crash between the init writes and the offset advance falls back
-        to exactly that full replay, which converges by the fold
-        tolerance above — a one-time write-amplification cost, never a
-        wrong answer. Init completion is gated on the view log (the LAST
+        new appends. First activation advances both stream checkpoints
+        over the current source files WITHOUT applying them (a no-op
+        bounded pass), THEN folds the sources into the state snapshots
+        and the initial view — otherwise the fresh checkpoints would
+        replay the whole source through maintenance and append
+        full-view-sized deltas for data the snapshots already carry.
+        Offsets-before-snapshots is load-bearing for concurrent appends:
+        every file the no-op pass commits as consumed is listed before
+        the snapshot fold reads the source, so the fold includes it, and
+        a file landing between the offset capture and the fold is both
+        folded and later replayed through maintenance — convergent by
+        the fold tolerance above (re-folding identical images picks the
+        same winners), never a lost or wrong answer. (The reverse order
+        would commit gap files as consumed without ever folding them —
+        silent loss.) Init completion is gated on the view log (the LAST
         init artifact) and every init write is mode-overwrite, so a crash
-        mid-init simply redoes it. With ``compact`` a log folds into its partitioned
+        mid-init simply redoes it: the re-run advances only files added
+        since, and the fold reads the full source regardless. The bucket
+        count is persisted in the root on first activation and a
+        re-activation with a different ``n_buckets`` raises — every merge
+        and compaction must hash with the layout the writer used, and a
+        mismatched expression would strand a key's old row in its old
+        bucket directory alongside the new one. With ``compact`` a log
+        folds into its partitioned
         snapshot afterwards once it holds at least ``compact_min_deltas``
         pending deltas (``compact_and_vacuum`` — the LSM minor compaction
         on its size trigger; below the threshold reads fold the pending
@@ -715,8 +727,25 @@ class Engine:
         # init completion is gated on the LAST artifact (the view log),
         # not the root dir: a crash mid-init redoes everything (all init
         # writes are mode-overwrite)
+        nb_file = os.path.join(root, "_n_buckets")
         if not os.path.isdir(view_log):
             os.makedirs(root, exist_ok=True)
+            # persist the bucket layout FIRST: every later merge/compaction
+            # must hash with the writer's bucket expression (the
+            # write_hash_partitioned contract), so re-activations are
+            # validated against this file below
+            with open(nb_file + ".tmp", "w") as fh:
+                fh.write(str(n_buckets))
+            os.replace(nb_file + ".tmp", nb_file)
+            # offsets BEFORE snapshots: every file the no-op pass commits
+            # as consumed is listed before the snapshot fold reads the
+            # source, so the fold includes it; a file landing between the
+            # offset capture and the fold is folded AND replayed by a
+            # later batch, which converges by the fold tolerance (the old
+            # snapshot-then-advance order silently dropped files landing
+            # in that gap: committed as consumed, never folded)
+            _advance_only("fact", fdef)
+            _advance_only("dim", ddef)
             fsnap = fold_last_image(
                 self.spark.read.parquet(fdef.path), fkeys, fordc()
             )
@@ -735,8 +764,22 @@ class Engine:
                 .withColumn("__deleted", F.lit(False))
             )
             write_hash_partitioned(v0, view_log, fkeys, n_buckets)
-            _advance_only("fact", fdef)
-            _advance_only("dim", ddef)
+        if not os.path.exists(nb_file):
+            raise CatalogError(
+                f"{root!r} has a completed view log but no _n_buckets "
+                "record — the layout's bucket count is unknown; delete the "
+                "root to re-initialize"
+            )
+        with open(nb_file) as fh:
+            persisted_nb = int(fh.read().strip())
+        if persisted_nb != n_buckets:
+            raise CatalogError(
+                f"n_buckets={n_buckets} does not match the bucket layout "
+                f"this view was created with ({persisted_nb}) — merges and "
+                "compaction must hash with the writer's bucket expression; "
+                f"re-activate with n_buckets={persisted_nb} or delete "
+                f"{root!r} to re-initialize"
+            )
         epoch_file = os.path.join(root, "_epoch")
         epoch = 0
         if os.path.exists(epoch_file):

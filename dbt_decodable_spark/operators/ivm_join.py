@@ -72,6 +72,13 @@ from pyspark.sql import Column, DataFrame, functions as F
 from dbt_decodable_spark.operators.ivm import change_pairs
 from dbt_decodable_spark.streaming.changelog import merge_changes_keyed
 
+# internal sentinel columns a maintenance round stacks onto the fact slice
+# (liveness flag, dim-match flag, tombstone flag) — a fact column or payload
+# output with one of these names would duplicate-select or be silently
+# overwritten, so _round rejects them up front (the ``__dk`` aliases are
+# collision-proof by construction in _dim_side)
+_RESERVED = frozenset({"__alive", "__dead", "__dmatch"})
+
 
 @dataclass(frozen=True)
 class JoinViewSpec:
@@ -102,6 +109,12 @@ class JoinViewSpec:
             )
         if not self.dim_payload:
             raise ValueError("dim_payload is empty — nothing to enrich with")
+        for out in self.dim_payload:
+            if out in _RESERVED:
+                raise ValueError(
+                    f"payload name {out!r} collides with a maintenance "
+                    f"sentinel column (reserved: {sorted(_RESERVED)})"
+                )
 
 
 @dataclass(frozen=True)
@@ -231,8 +244,24 @@ def _round(
     a 10M-row fact, where the map-side scans are the whole cost.
     """
     fkeys = list(spec.fact_keys)
+    if not fkeys:
+        raise ValueError(
+            "spec.fact_keys is empty — maintenance joins on the fact's "
+            "primary key (join_spec_from_sql deliberately builds a keyless "
+            "placeholder; fill fact_keys via dataclasses.replace before "
+            "maintaining)"
+        )
     dkeys = list(spec.dim_keys)
     fact_cols = list(state.fact.columns)
+    bad = sorted(
+        {c for c in fact_cols if c in _RESERVED}
+        | {o for o in spec.dim_payload if o in _RESERVED}
+    )
+    if bad:
+        raise ValueError(
+            f"column name(s) {bad} collide with maintenance sentinel "
+            f"columns (reserved: {sorted(_RESERVED)})"
+        )
     out_fact = _fact_out_cols(fact_cols, fact_delete_col)
 
     fact_new = merge_changes_keyed(state.fact, fact_changes, fkeys, fact_order)

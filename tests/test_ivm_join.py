@@ -1190,3 +1190,141 @@ class TestEngineJoinIncremental:
                 "bad", fact_order=["ts"], dim_order=["ts"]
             )
         eng.cleanup()
+
+
+class TestAdviceRound9:
+    """Regression pins for the round-9 review findings (ADVICE.md): the
+    init offset-advance ordering, the persisted bucket layout, and the
+    sentinel/key validation guards."""
+
+    def test_round_rejects_reserved_sentinel_columns(self, spark):
+        """A fact column named __alive (or a payload output named __dmatch)
+        would duplicate-select / silently overwrite the maintenance
+        sentinels — must raise, not corrupt (ADVICE ivm_join.py:252)."""
+        fact = spark.createDataFrame(
+            [(1, 10, 1, True)], "pk long, fk long, ts long, __alive boolean"
+        )
+        dim = spark.createDataFrame([(10, "a", 1)], "dk long, name string, ts long")
+        spec = JoinViewSpec(("pk",), ("fk",), ("dk",), {"dim_name": "name"})
+        state = init_join_state(fact, dim, spec)
+        with pytest.raises(ValueError, match="__alive"):
+            maintain_join(
+                state, fact.limit(0), dim.limit(0), ["ts"], ["ts"], spec
+            )
+        # payload outputs hit the same guard at spec construction
+        with pytest.raises(ValueError, match="__dmatch"):
+            JoinViewSpec(("pk",), ("fk",), ("dk",), {"__dmatch": "name"})
+        with pytest.raises(ValueError, match="__dead"):
+            JoinViewSpec(("pk",), ("fk",), ("dk",), {"__dead": "name"})
+
+    def test_empty_fact_keys_rejected_at_maintenance(self, spark):
+        """join_spec_from_sql builds a keyless placeholder on purpose (the
+        engine fills it from the stream's primary_key); a public caller
+        maintaining with it must get a clear error, not a cross-join-shaped
+        splice (ADVICE ivm_join.py:89)."""
+        from dbt_decodable_spark.operators.ivm_join import join_spec_from_sql
+
+        spec, _, _ = join_spec_from_sql(
+            "select f.*, d.name as dim_name from f f join d d on f.fk = d.dk",
+            (),
+        )
+        fact = spark.createDataFrame([(1, 10, 1)], "pk long, fk long, ts long")
+        dim = spark.createDataFrame([(10, "a", 1)], "dk long, name string, ts long")
+        state = init_join_state(fact, dim, spec)
+        with pytest.raises(ValueError, match="fact_keys"):
+            maintain_join(
+                state, fact.limit(0), dim.limit(0), ["ts"], ["ts"], spec
+            )
+
+    def _mk_engine(self, spark, tmp_path, ns):
+        import os
+
+        from dbt_decodable_spark.catalog import Engine
+        from dbt_decodable_spark.schema import StreamSchema
+
+        eng = Engine(spark, namespace=ns, warehouse_dir=str(tmp_path / "wh"))
+        os.makedirs(eng.warehouse_dir, exist_ok=True)
+        fact = spark.createDataFrame([(1, 10, 1)], "pk long, fk long, ts long")
+        dim = spark.createDataFrame([(10, "a", 1)], "dk long, name string, ts long")
+        eng.create_stream(
+            "fact",
+            schema=StreamSchema.from_spark(fact.schema, primary_key=["pk"]),
+            data=fact,
+        )
+        eng.create_stream(
+            "dim",
+            schema=StreamSchema.from_spark(dim.schema, primary_key=["dk"]),
+            data=dim,
+        )
+        eng.create_pipeline(
+            "enr",
+            f"select f.*, d.name as dim_name from {ns}__fact f "
+            f"left join {ns}__dim d on f.fk = d.dk",
+            activate=False,
+        )
+        return eng
+
+    def test_reactivation_rejects_mismatched_n_buckets(self, spark, tmp_path):
+        """n_buckets is part of the on-disk layout: a re-activation hashing
+        with a different bucket expression would strand a key's old row in
+        its old bucket dir next to the new one (ADVICE catalog.py:825)."""
+        from dbt_decodable_spark.catalog import CatalogError
+
+        eng = self._mk_engine(spark, tmp_path, "jv6")
+        eng.activate_pipeline_join_incremental(
+            "enr", fact_order=["ts"], dim_order=["ts"], n_buckets=4
+        )
+        with pytest.raises(CatalogError, match="n_buckets=2 does not match"):
+            eng.activate_pipeline_join_incremental(
+                "enr", fact_order=["ts"], dim_order=["ts"], n_buckets=2
+            )
+        # the matching layout still activates (and the failed attempt
+        # corrupted nothing)
+        eng.activate_pipeline_join_incremental(
+            "enr", fact_order=["ts"], dim_order=["ts"], n_buckets=4
+        )
+        assert sorted(r["pk"] for r in eng.read_stream("enr").collect()) == [1]
+        eng.cleanup()
+
+    def test_init_advances_offsets_before_snapshot_fold(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Offsets-before-snapshots is the init-race fix (ADVICE
+        catalog.py:738): a file committed as consumed by the no-op pass
+        must have been listed before the snapshot fold reads the source —
+        the reverse order silently dropped files landing in the gap. Pin
+        the ordering: when the init folds run, both stream checkpoints
+        already hold their committed batch-0 offsets."""
+        import os
+
+        from dbt_decodable_spark.streaming import changelog as cl
+
+        eng = self._mk_engine(spark, tmp_path, "jv7")
+        root = os.path.join(eng.warehouse_dir, "_ivmj_jv7__enr")
+        view_log = os.path.join(root, "view")
+
+        real_fold = cl.fold_last_image
+        seen: list[bool] = []
+
+        def spy_fold(df, keys, order, *a, **kw):
+            if not os.path.isdir(view_log):  # init-phase folds only
+                seen.append(
+                    os.path.exists(
+                        os.path.join(root, "_ckpt_fact", "commits", "0")
+                    )
+                    and os.path.exists(
+                        os.path.join(root, "_ckpt_dim", "commits", "0")
+                    )
+                )
+            return real_fold(df, keys, order, *a, **kw)
+
+        monkeypatch.setattr(cl, "fold_last_image", spy_fold)
+        eng.activate_pipeline_join_incremental(
+            "enr", fact_order=["ts"], dim_order=["ts"], n_buckets=2
+        )
+        assert seen and all(seen), (
+            "init snapshot fold ran before the offset advance — the "
+            "concurrent-append loss window is back"
+        )
+        assert sorted(r["pk"] for r in eng.read_stream("enr").collect()) == [1]
+        eng.cleanup()
