@@ -705,6 +705,31 @@ class Engine:
                     f"{side_name}_delete_col {col_!r} is not a column of "
                     f"the {side_name} stream"
                 )
+        # names this arm stacks onto the data, which a user column or
+        # payload output would be silently destroyed by (__bucket by
+        # write_hash_partitioned, __seq/__deleted by the view log) or
+        # duplicate-select (the _round sentinels) — rejecting them only in
+        # the maintenance round would fire AFTER init wrote the root,
+        # wedging the pipeline against this function's fire-before-write
+        # invariant
+        log_cols = {"__bucket", "__seq", "__deleted"}
+        bad_fact = sorted(set(fschema.fieldNames()) & (set(ij._RESERVED) | log_cols))
+        if bad_fact:
+            raise CatalogError(
+                f"fact column(s) {bad_fact} collide with reserved "
+                "maintenance names"
+            )
+        if "__bucket" in dschema.fieldNames():
+            raise CatalogError(
+                "dim column '__bucket' collides with the bucketed snapshot "
+                "layout column"
+            )
+        bad_payload = sorted(set(spec.dim_payload) & log_cols)
+        if bad_payload:
+            raise CatalogError(
+                f"payload output name(s) {bad_payload} collide with "
+                "reserved view-log columns"
+            )
 
         def _advance_only(side, sdef):
             # commit stream offsets over files the init snapshots already
@@ -771,7 +796,14 @@ class Engine:
                 "root to re-initialize"
             )
         with open(nb_file) as fh:
-            persisted_nb = int(fh.read().strip())
+            raw_nb = fh.read().strip()
+        try:
+            persisted_nb = int(raw_nb)
+        except ValueError:
+            raise CatalogError(
+                f"corrupt _n_buckets record {raw_nb!r} in {root!r} — "
+                "delete the root to re-initialize"
+            ) from None
         if persisted_nb != n_buckets:
             raise CatalogError(
                 f"n_buckets={n_buckets} does not match the bucket layout "

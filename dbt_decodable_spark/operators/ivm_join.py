@@ -253,13 +253,12 @@ def _round(
         )
     dkeys = list(spec.dim_keys)
     fact_cols = list(state.fact.columns)
-    bad = sorted(
-        {c for c in fact_cols if c in _RESERVED}
-        | {o for o in spec.dim_payload if o in _RESERVED}
-    )
+    # payload outputs are already rejected at spec construction
+    # (__post_init__); only the fact frame's columns can smuggle one in
+    bad = sorted(c for c in fact_cols if c in _RESERVED)
     if bad:
         raise ValueError(
-            f"column name(s) {bad} collide with maintenance sentinel "
+            f"fact column name(s) {bad} collide with maintenance sentinel "
             f"columns (reserved: {sorted(_RESERVED)})"
         )
     out_fact = _fact_out_cols(fact_cols, fact_delete_col)

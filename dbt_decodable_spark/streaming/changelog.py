@@ -36,8 +36,12 @@ def fold_last_image(
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order]
     w = W.partitionBy(*keys).orderBy(*[c.desc() for c in cols])
-    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
-    return out
+    # pick a rank-column name the input can't carry: withColumn on a fixed
+    # "__rn" would silently REPLACE (then drop) a user column of that name
+    rn = "__rn"
+    while rn in df.columns:
+        rn = "_" + rn
+    return df.withColumn(rn, F.row_number().over(w)).filter(F.col(rn) == 1).drop(rn)
 
 
 def apply_changes_batch(

@@ -1328,3 +1328,117 @@ class TestAdviceRound9:
         )
         assert sorted(r["pk"] for r in eng.read_stream("enr").collect()) == [1]
         eng.cleanup()
+
+    def test_engine_rejects_reserved_columns_before_write(
+        self, spark, tmp_path
+    ):
+        """The engine twin of the _round sentinel guard must fire BEFORE
+        init writes (the fire-before-write invariant): a reserved fact
+        column caught only per-batch would wedge an already-initialized
+        root. __bucket/__seq/__deleted are engine-log names the module
+        guard doesn't know about."""
+        import os
+
+        from dbt_decodable_spark.catalog import CatalogError, Engine
+        from dbt_decodable_spark.schema import StreamSchema
+
+        dim = spark.createDataFrame([(10, "a", 1)], "dk long, name string, ts long")
+        for ns, fact_ddl, last, pat in (
+            ("jv8", "pk long, fk long, ts long, __alive boolean", True, "__alive"),
+            ("jv9", "pk long, fk long, ts long, __bucket long", 0, "__bucket"),
+        ):
+            eng = Engine(spark, namespace=ns, warehouse_dir=str(tmp_path / ns))
+            os.makedirs(eng.warehouse_dir, exist_ok=True)
+            fact = spark.createDataFrame([(1, 10, 1, last)], fact_ddl)
+            eng.create_stream(
+                "fact",
+                schema=StreamSchema.from_spark(fact.schema, primary_key=["pk"]),
+                data=fact,
+            )
+            eng.create_stream(
+                "dim",
+                schema=StreamSchema.from_spark(dim.schema, primary_key=["dk"]),
+                data=dim,
+            )
+            eng.create_pipeline(
+                "enr",
+                f"select f.*, d.name as dim_name from {ns}__fact f "
+                f"left join {ns}__dim d on f.fk = d.dk",
+                activate=False,
+            )
+            root = os.path.join(eng.warehouse_dir, f"_ivmj_{ns}__enr")
+            with pytest.raises(CatalogError, match=pat):
+                eng.activate_pipeline_join_incremental(
+                    "enr", fact_order=["ts"], dim_order=["ts"]
+                )
+            assert not os.path.isdir(root)  # nothing written
+            eng.cleanup()
+
+    def test_engine_rejects_reserved_payload_output_before_write(
+        self, spark, tmp_path
+    ):
+        """A payload output named __seq would be silently overwritten by
+        the view log's order column at init — reject pre-write."""
+        import os
+
+        from dbt_decodable_spark.catalog import CatalogError, Engine
+        from dbt_decodable_spark.schema import StreamSchema
+
+        eng = Engine(spark, namespace="jva", warehouse_dir=str(tmp_path / "wh"))
+        os.makedirs(eng.warehouse_dir, exist_ok=True)
+        fact = spark.createDataFrame([(1, 10, 1)], "pk long, fk long, ts long")
+        dim = spark.createDataFrame([(10, "a", 1)], "dk long, name string, ts long")
+        eng.create_stream(
+            "fact",
+            schema=StreamSchema.from_spark(fact.schema, primary_key=["pk"]),
+            data=fact,
+        )
+        eng.create_stream(
+            "dim",
+            schema=StreamSchema.from_spark(dim.schema, primary_key=["dk"]),
+            data=dim,
+        )
+        eng.create_pipeline(
+            "enr",
+            "select f.*, d.name as __seq from jva__fact f "
+            "left join jva__dim d on f.fk = d.dk",
+            activate=False,
+        )
+        root = os.path.join(eng.warehouse_dir, "_ivmj_jva__enr")
+        with pytest.raises(CatalogError, match="__seq"):
+            eng.activate_pipeline_join_incremental(
+                "enr", fact_order=["ts"], dim_order=["ts"]
+            )
+        assert not os.path.isdir(root)
+        eng.cleanup()
+
+    def test_corrupt_n_buckets_record_raises_catalog_error(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from dbt_decodable_spark.catalog import CatalogError
+
+        eng = self._mk_engine(spark, tmp_path, "jvb")
+        eng.activate_pipeline_join_incremental(
+            "enr", fact_order=["ts"], dim_order=["ts"], n_buckets=2
+        )
+        root = os.path.join(eng.warehouse_dir, "_ivmj_jvb__enr")
+        with open(os.path.join(root, "_n_buckets"), "w") as fh:
+            fh.write("junk")
+        with pytest.raises(CatalogError, match="corrupt _n_buckets"):
+            eng.activate_pipeline_join_incremental(
+                "enr", fact_order=["ts"], dim_order=["ts"], n_buckets=2
+            )
+        eng.cleanup()
+
+    def test_fold_last_image_preserves_user_rn_column(self, spark):
+        """fold_last_image's rank column must not silently replace (and
+        then drop) a user column named __rn."""
+        from dbt_decodable_spark.streaming.changelog import fold_last_image
+
+        df = spark.createDataFrame(
+            [(1, 1, 7), (1, 2, 8)], "pk long, ts long, __rn long"
+        )
+        got = fold_last_image(df, ["pk"], [F.col("ts")]).collect()
+        assert [r.asDict() for r in got] == [{"pk": 1, "ts": 2, "__rn": 8}]
