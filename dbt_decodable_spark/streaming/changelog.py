@@ -296,6 +296,7 @@ def write_hash_partitioned(
       rewritten). The expression must be a pure function of the key
       columns; both the writer and every merge must use the same one.
     """
+    _reject_bucket_column(df, "snapshot")
     part = partition_expr if partition_expr is not None else hash_bucket(keys, n_buckets)
     (
         df.withColumn("__bucket", part)
@@ -304,6 +305,18 @@ def write_hash_partitioned(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def _reject_bucket_column(df: DataFrame, what: str) -> None:
+    # withColumn would silently REPLACE a user column named __bucket with
+    # the layout id, and every reader drops "__bucket" by name — the
+    # column's data would vanish without an error
+    if "__bucket" in df.columns:
+        raise ValueError(
+            f"{what} input already has a '__bucket' column — that name is "
+            "the partition-layout column this writer derives from the "
+            "keys; rename the column"
+        )
 
 
 def merge_into_hash_partitioned(
@@ -381,6 +394,7 @@ def merge_into_hash_partitioned(
                     os.rename(os.path.join(stage, entry), dst)
     shutil.rmtree(stage, ignore_errors=True)
 
+    _reject_bucket_column(changes, "changes")
     part = partition_expr if partition_expr is not None else hash_bucket(keys, n_buckets)
     batch = changes.withColumn("__bucket", part)
     touched = sorted(

@@ -1187,3 +1187,27 @@ class TestWidenSnapshotSchema:
         )
         with _pytest.raises(RuntimeError, match="already exists"):
             widen_snapshot_schema(spark, base, {"v": "long"}, ["k"], 2)
+
+
+class TestBucketColumnGuard:
+    """A user column named __bucket must be rejected, not silently replaced
+    by the layout id (readers drop '__bucket' on every scan — the column's
+    data would vanish without an error)."""
+
+    def test_writer_rejects_user_bucket_column(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from dbt_decodable_spark.streaming.changelog import (
+            merge_into_hash_partitioned,
+            write_hash_partitioned,
+        )
+
+        bad = spark.createDataFrame([(1, 5)], "k long, __bucket long")
+        with _pytest.raises(ValueError, match="__bucket"):
+            write_hash_partitioned(bad, str(tmp_path / "t"), ["k"], 2)
+        good = spark.createDataFrame([(1, 5)], "k long, v long")
+        write_hash_partitioned(good, str(tmp_path / "t"), ["k"], 2)
+        with _pytest.raises(ValueError, match="__bucket"):
+            merge_into_hash_partitioned(
+                spark, str(tmp_path / "t"), bad, ["k"], ["k"], 2
+            )
