@@ -468,10 +468,17 @@ class Engine:
         ``operators/ivm_log.stream_maintain_view`` — the view advances at
         O(|batch|) append cost, never a recompute — and the sink stream is
         re-materialized from the maintained view afterwards so catalog
-        readers see the reference-shaped result. Repeated activations
-        resume from the stream checkpoint; a full-source replay (fresh
-        checkpoint) converges because replayed images tie with the
-        snapshot and contribute nothing (the fold's replay tolerance).
+        readers see the reference-shaped result. First activation advances
+        the stream checkpoint over the current source files with a no-op
+        bounded pass BEFORE folding them into the snapshot (same init
+        protocol as the join arm: files the pass commits are listed by the
+        later fold, gap files are folded AND replayed — convergent, never
+        lost — and the real stream runs only post-init appends instead of
+        replaying the whole source through maintenance). Init completion
+        is gated on a marker written last; a crash mid-init redoes it.
+        Repeated activations resume from the stream checkpoint; any replay
+        converges because replayed images tie with the snapshot and
+        contribute nothing (the fold's replay tolerance).
         """
         from dbt_decodable_spark.operators import ivm_log
         from dbt_decodable_spark.operators.ivm import agg_spec_from_sql
@@ -508,10 +515,38 @@ class Engine:
 
         root = os.path.join(self.warehouse_dir, f"_ivm_{p.name}")
         snap_path = os.path.join(root, "snapshot")
-        if not os.path.isdir(root):
-            # one-time setup: snapshot := current source state, view := its
-            # aggregate. The stream below replays the full source against
-            # this (fresh checkpoint) and converges by fold tolerance.
+        ckpt = os.path.join(self.warehouse_dir, f"_ckpt_ivm_{p.name}")
+        # init completion is gated on a marker written LAST (r10, mirroring
+        # the join arm): gating on the root dir would let a crash between
+        # the snapshot write and ivm_log_init leave a root that later
+        # activations mistake for completed state. Every init write below
+        # is redo-safe (snapshot is mode-overwrite; ivm_log_init publishes
+        # a fresh _SUCCESS-gated generation that supersedes a partial one).
+        init_marker = os.path.join(root, "_init_done")
+        if not os.path.exists(init_marker):
+            os.makedirs(root, exist_ok=True)
+            # one-time setup: commit the stream offsets over the current
+            # source files FIRST (bounded no-op pass), THEN fold the
+            # snapshot and initialize the view from it. Offsets-before-
+            # snapshot means every file the pass committed is listed by
+            # the fold (read after the capture) — a file landing in the
+            # gap is folded AND replayed, converging by fold tolerance —
+            # and the real stream below then runs only post-init appends
+            # instead of replaying the whole source through maintenance
+            # (the pre-r10 behavior: one-time O(|source|) maintenance +
+            # source-sized snapshot deltas for data the snapshot already
+            # carried).
+            q0 = (
+                self.spark.readStream.schema(
+                    self.spark.read.parquet(sdef.path).schema
+                )
+                .parquet(sdef.path)
+                .writeStream.foreachBatch(lambda df, bid: None)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q0.awaitTermination()
             src_now = self.spark.read.parquet(sdef.path)
             from dbt_decodable_spark.streaming.changelog import fold_last_image
 
@@ -522,6 +557,9 @@ class Engine:
                 self.spark.read.parquet(snap_path).drop("__bucket"),
                 spec, delete_col=delete_col, bucket_expr=bucket_expr,
             )
+            with open(init_marker + ".tmp", "w") as fh:
+                fh.write("1")
+            os.replace(init_marker + ".tmp", init_marker)
         stream_df = (
             self.spark.readStream.schema(
                 self.spark.read.parquet(sdef.path).schema
@@ -533,10 +571,7 @@ class Engine:
                 keys, [F.col(c) for c in order], spec,
                 compact_every=compact_every, snapshot_n_buckets=32,
             )
-            .option(
-                "checkpointLocation",
-                os.path.join(self.warehouse_dir, f"_ckpt_ivm_{p.name}"),
-            )
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )

@@ -344,6 +344,103 @@ class TestEngineIncremental:
         assert got == want(rows1 + rows2)
         eng.cleanup()
 
+    def test_first_activation_skips_full_replay(self, spark, tmp_path):
+        """First activation advances the offsets over the seed files with
+        a no-op pass instead of replaying the whole source through
+        maintenance (r10, join-arm init protocol): zero snapshot deltas
+        afterwards, and the init fold runs only after both offsets are
+        committed (the race-free ordering)."""
+        from dbt_decodable_spark.catalog import Engine
+        from dbt_decodable_spark.schema import StreamSchema
+        from dbt_decodable_spark.streaming import changelog as cl
+        from dbt_decodable_spark.streaming.changelog import list_deltas
+
+        eng = Engine(spark, namespace="iv3", warehouse_dir=str(tmp_path / "wh"))
+        os.makedirs(eng.warehouse_dir, exist_ok=True)
+        ddl = "pk long, grp string, val long, ts long"
+        src = spark.createDataFrame([(i, "g", i, 1) for i in range(5)], ddl)
+        eng.create_stream(
+            "src",
+            schema=StreamSchema.from_spark(src.schema, primary_key=["pk"]),
+            data=src,
+        )
+        eng.create_pipeline(
+            "agg", "select grp, count(*) as n from iv3__src group by grp",
+            activate=False,
+        )
+        root = os.path.join(eng.warehouse_dir, "_ivm_iv3__agg")
+        ckpt = os.path.join(eng.warehouse_dir, "_ckpt_ivm_iv3__agg")
+        marker = os.path.join(root, "_init_done")
+
+        real_fold = cl.fold_last_image
+        seen: list[bool] = []
+
+        def spy_fold(df, keys, order, *a, **kw):
+            if not os.path.exists(marker):  # init-phase folds only
+                seen.append(
+                    os.path.exists(os.path.join(ckpt, "commits", "0"))
+                )
+            return real_fold(df, keys, order, *a, **kw)
+
+        import pytest as _pytest
+
+        mp = _pytest.MonkeyPatch()
+        mp.setattr(cl, "fold_last_image", spy_fold)
+        try:
+            eng.activate_pipeline_incremental("agg", order=["ts"])
+        finally:
+            mp.undo()
+        assert seen and all(seen), "init fold ran before the offset advance"
+        # no replay: the seed never flows through maintenance again
+        assert list_deltas(os.path.join(root, "snapshot")) == []
+        got = {(r["grp"], r["n"]) for r in eng.read_stream("agg").collect()}
+        assert got == {("g", 5)}
+        eng.cleanup()
+
+    def test_crash_mid_init_redoes_cleanly(self, spark, tmp_path, monkeypatch):
+        """Init completion is gated on the marker written LAST: a crash
+        between the snapshot write and ivm_log_init leaves a root the next
+        activation re-initializes instead of mistaking it for completed
+        state (the join-arm wedge, r9 review)."""
+        import pytest as _pytest
+
+        from dbt_decodable_spark.catalog import Engine
+        from dbt_decodable_spark.operators import ivm_log as il_mod
+        from dbt_decodable_spark.schema import StreamSchema
+
+        eng = Engine(spark, namespace="iv4", warehouse_dir=str(tmp_path / "wh"))
+        os.makedirs(eng.warehouse_dir, exist_ok=True)
+        ddl = "pk long, grp string, val long, ts long"
+        src = spark.createDataFrame([(1, "g", 7, 1)], ddl)
+        eng.create_stream(
+            "src",
+            schema=StreamSchema.from_spark(src.schema, primary_key=["pk"]),
+            data=src,
+        )
+        eng.create_pipeline(
+            "agg", "select grp, count(*) as n from iv4__src group by grp",
+            activate=False,
+        )
+        root = os.path.join(eng.warehouse_dir, "_ivm_iv4__agg")
+
+        real_init = il_mod.ivm_log_init
+
+        def crashing_init(*a, **kw):
+            raise RuntimeError("injected crash before view init")
+
+        monkeypatch.setattr(il_mod, "ivm_log_init", crashing_init)
+        with _pytest.raises(RuntimeError, match="injected"):
+            eng.activate_pipeline_incremental("agg", order=["ts"])
+        # snapshot landed, view log didn't, marker absent — NOT wedged:
+        assert os.path.isdir(root) and not os.path.exists(
+            os.path.join(root, "_init_done")
+        )
+        monkeypatch.setattr(il_mod, "ivm_log_init", real_init)
+        eng.activate_pipeline_incremental("agg", order=["ts"])
+        got = {(r["grp"], r["n"]) for r in eng.read_stream("agg").collect()}
+        assert got == {("g", 1)}
+        eng.cleanup()
+
     def test_incremental_rejects_non_change_stream(self, spark, tmp_path):
         import pytest
 
