@@ -441,6 +441,72 @@ class TestEngineIncremental:
         assert got == {("g", 1)}
         eng.cleanup()
 
+    def test_many_activations_random_appends_converge(self, spark, tmp_path):
+        """Engine-level endurance: five activation rounds over random keyed
+        upserts/deletes (seeded), sink == recompute over the folded change
+        log after every round — the init-protocol change must not disturb
+        steady-state maintenance."""
+        import random
+
+        from dbt_decodable_spark.catalog import Engine
+        from dbt_decodable_spark.schema import StreamSchema
+        from dbt_decodable_spark.streaming.changelog import fold_last_image
+
+        rng = random.Random(1009)
+        eng = Engine(spark, namespace="iv5", warehouse_dir=str(tmp_path / "wh"))
+        os.makedirs(eng.warehouse_dir, exist_ok=True)
+        ddl = "pk long, grp string, val long, ts long"
+        hist = [
+            (pk, "g%d" % rng.randint(0, 4), rng.randint(0, 99), 1)
+            for pk in range(20)
+        ]
+        src = spark.createDataFrame(hist, ddl)
+        eng.create_stream(
+            "src",
+            schema=StreamSchema.from_spark(src.schema, primary_key=["pk"]),
+            data=src,
+        )
+        eng.create_pipeline(
+            "agg",
+            "select grp, count(*) as n, sum(val) as sum_val "
+            "from iv5__src group by grp",
+            activate=False,
+        )
+
+        def want():
+            folded = fold_last_image(
+                spark.createDataFrame(hist, ddl), ["pk"],
+                [F.col("ts"), F.col("pk")],
+            )
+            return sorted(
+                tuple(r)
+                for r in folded.groupBy("grp")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("sum_val"))
+                .collect()
+            )
+
+        for ts in range(2, 7):
+            eng.activate_pipeline_incremental("agg", order=["ts"])
+            got = sorted(
+                tuple(r) for r in eng.read_stream("agg").collect()
+            )
+            assert got == want(), f"diverged at round ts={ts - 1}"
+            batch = [
+                (rng.randint(0, 29), "g%d" % rng.randint(0, 4),
+                 rng.randint(0, 99), ts)
+                for _ in range(rng.randint(1, 6))
+            ]
+            hist += batch
+            spark.createDataFrame(batch, ddl).write.mode("append").parquet(
+                eng.streams["iv5__src"].path
+            )
+            eng.refresh_stream("src")
+        eng.activate_pipeline_incremental("agg", order=["ts"])
+        assert sorted(
+            tuple(r) for r in eng.read_stream("agg").collect()
+        ) == want()
+        eng.cleanup()
+
     def test_incremental_rejects_non_change_stream(self, spark, tmp_path):
         import pytest
 
