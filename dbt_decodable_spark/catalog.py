@@ -35,6 +35,7 @@ Lifecycle semantics mirrored file:line by file:line:
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import json
 import os
@@ -51,6 +52,33 @@ from dbt_decodable_spark.schema import StreamSchema
 
 class CatalogError(ValueError):
     pass
+
+
+def _advance_stream_offsets(spark, src_path: str, schema, ckpt: str) -> None:
+    """Commit stream offsets over ``src_path``'s current files WITHOUT
+    applying them — the bounded no-op pass both incremental arms run as the
+    FIRST init step. The caller must list/fold the source only AFTER this
+    returns: every file this pass commits as consumed is then included in
+    the fold's listing, and a file landing in the gap is folded AND later
+    replayed, converging by the fold tolerance (the reverse order silently
+    dropped gap files: committed as consumed, never folded)."""
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(src_path)
+        .writeStream.foreachBatch(lambda df, bid: None)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _write_atomic(path: str, content: str) -> None:
+    """tmp-write + rename: markers and tiny metadata records are either
+    fully present or absent, never truncated."""
+    with open(path + ".tmp", "w") as fh:
+        fh.write(content)
+    os.replace(path + ".tmp", path)
 
 
 @dataclass
@@ -513,6 +541,16 @@ class Engine:
         if not sdef.path:
             raise CatalogError(f"source stream {tbl!r} is not parquet-backed")
 
+        src_schema = self.spark.read.parquet(sdef.path).schema
+        # fire-before-write (join-arm invariant): a reserved source column
+        # rejected only inside the snapshot writer would fire AFTER the
+        # root dir and checkpoint offsets were created for a pipeline that
+        # can never activate
+        if "__bucket" in src_schema.fieldNames():
+            raise CatalogError(
+                "source column '__bucket' collides with the bucketed "
+                "snapshot layout column"
+            )
         root = os.path.join(self.warehouse_dir, f"_ivm_{p.name}")
         snap_path = os.path.join(root, "snapshot")
         ckpt = os.path.join(self.warehouse_dir, f"_ckpt_ivm_{p.name}")
@@ -523,30 +561,32 @@ class Engine:
         # is redo-safe (snapshot is mode-overwrite; ivm_log_init publishes
         # a fresh _SUCCESS-gated generation that supersedes a partial one).
         init_marker = os.path.join(root, "_init_done")
+        if not os.path.exists(init_marker) and glob.glob(
+            os.path.join(root, "agg", "v=*", "_SUCCESS")
+        ):
+            # pre-marker root completed under the old isdir(root) gate —
+            # ADOPT it rather than re-initialize: a fresh watermark=-1
+            # generation would re-apply the log's still-present counter
+            # deltas (folded-but-unvacuumed ones included) on top of a
+            # snapshot fold that already carries their effects —
+            # double-counted aggregates. A root without a published agg
+            # generation is an old-code mid-init wedge: nothing could have
+            # appended to it (appends need a generation), so re-init below
+            # is safe there.
+            _write_atomic(init_marker, "1")
         if not os.path.exists(init_marker):
             os.makedirs(root, exist_ok=True)
             # one-time setup: commit the stream offsets over the current
             # source files FIRST (bounded no-op pass), THEN fold the
-            # snapshot and initialize the view from it. Offsets-before-
-            # snapshot means every file the pass committed is listed by
-            # the fold (read after the capture) — a file landing in the
-            # gap is folded AND replayed, converging by fold tolerance —
-            # and the real stream below then runs only post-init appends
-            # instead of replaying the whole source through maintenance
-            # (the pre-r10 behavior: one-time O(|source|) maintenance +
-            # source-sized snapshot deltas for data the snapshot already
-            # carried).
-            q0 = (
-                self.spark.readStream.schema(
-                    self.spark.read.parquet(sdef.path).schema
-                )
-                .parquet(sdef.path)
-                .writeStream.foreachBatch(lambda df, bid: None)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q0.awaitTermination()
+            # snapshot and initialize the view from it — the real stream
+            # below then runs only post-init appends instead of replaying
+            # the whole source through maintenance (the pre-r10 behavior:
+            # one-time O(|source|) maintenance + source-sized snapshot
+            # deltas for data the snapshot already carried). See
+            # _advance_stream_offsets for the race-free ordering argument.
+            _advance_stream_offsets(self.spark, sdef.path, src_schema, ckpt)
+            # the fold's listing must happen AFTER the offset capture —
+            # do not hoist this read above the advance
             src_now = self.spark.read.parquet(sdef.path)
             from dbt_decodable_spark.streaming.changelog import fold_last_image
 
@@ -557,14 +597,8 @@ class Engine:
                 self.spark.read.parquet(snap_path).drop("__bucket"),
                 spec, delete_col=delete_col, bucket_expr=bucket_expr,
             )
-            with open(init_marker + ".tmp", "w") as fh:
-                fh.write("1")
-            os.replace(init_marker + ".tmp", init_marker)
-        stream_df = (
-            self.spark.readStream.schema(
-                self.spark.read.parquet(sdef.path).schema
-            ).parquet(sdef.path)
-        )
+            _write_atomic(init_marker, "1")
+        stream_df = self.spark.readStream.schema(src_schema).parquet(sdef.path)
         q = (
             ivm_log.stream_maintain_view(
                 stream_df, root, snap_path,
@@ -766,24 +800,6 @@ class Engine:
                 "reserved view-log columns"
             )
 
-        def _advance_only(side, sdef):
-            # commit stream offsets over files the init snapshots already
-            # fold — the bounded no-op pass the docstring describes
-            q = (
-                self.spark.readStream.schema(
-                    self.spark.read.parquet(sdef.path).schema
-                )
-                .parquet(sdef.path)
-                .writeStream.foreachBatch(lambda df, bid: None)
-                .option(
-                    "checkpointLocation",
-                    os.path.join(root, f"_ckpt_{side}"),
-                )
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-
         # init completion is gated on the LAST artifact (the view log),
         # not the root dir: a crash mid-init redoes everything (all init
         # writes are mode-overwrite)
@@ -794,18 +810,20 @@ class Engine:
             # must hash with the writer's bucket expression (the
             # write_hash_partitioned contract), so re-activations are
             # validated against this file below
-            with open(nb_file + ".tmp", "w") as fh:
-                fh.write(str(n_buckets))
-            os.replace(nb_file + ".tmp", nb_file)
-            # offsets BEFORE snapshots: every file the no-op pass commits
-            # as consumed is listed before the snapshot fold reads the
-            # source, so the fold includes it; a file landing between the
-            # offset capture and the fold is folded AND replayed by a
-            # later batch, which converges by the fold tolerance (the old
-            # snapshot-then-advance order silently dropped files landing
-            # in that gap: committed as consumed, never folded)
-            _advance_only("fact", fdef)
-            _advance_only("dim", ddef)
+            _write_atomic(nb_file, str(n_buckets))
+            # offsets BEFORE snapshots (see _advance_stream_offsets: the
+            # old snapshot-then-advance order silently dropped files
+            # landing in the gap — committed as consumed, never folded)
+            _advance_stream_offsets(
+                self.spark, fdef.path, fschema,
+                os.path.join(root, "_ckpt_fact"),
+            )
+            _advance_stream_offsets(
+                self.spark, ddef.path, dschema,
+                os.path.join(root, "_ckpt_dim"),
+            )
+            # the folds' listings must happen AFTER the offset captures —
+            # do not hoist these reads above the advances
             fsnap = fold_last_image(
                 self.spark.read.parquet(fdef.path), fkeys, fordc()
             )
@@ -853,9 +871,7 @@ class Engine:
             with open(epoch_file) as fh:
                 epoch = int(fh.read().strip() or 0)
         epoch += 1
-        with open(epoch_file + ".tmp", "w") as fh:
-            fh.write(str(epoch))
-        os.replace(epoch_file + ".tmp", epoch_file)
+        _write_atomic(epoch_file, str(epoch))
 
         def _state():
             return ij.JoinViewState(
@@ -901,7 +917,7 @@ class Engine:
 
             q = (
                 self.spark.readStream.schema(
-                    self.spark.read.parquet(sdef.path).schema
+                    fschema if side == "fact" else dschema
                 )
                 .parquet(sdef.path)
                 .writeStream.foreachBatch(handle)

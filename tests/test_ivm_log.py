@@ -491,10 +491,13 @@ class TestEngineIncremental:
                 tuple(r) for r in eng.read_stream("agg").collect()
             )
             assert got == want(), f"diverged at round ts={ts - 1}"
+            # unique pks within a batch: two same-pk ops at one ts would
+            # tie on the full (ts, pk) order tuple and make fold winners
+            # nondeterministic (the module contract requires a unique
+            # tie-breaker) — the test would be seed-flaky, not wrong
             batch = [
-                (rng.randint(0, 29), "g%d" % rng.randint(0, 4),
-                 rng.randint(0, 99), ts)
-                for _ in range(rng.randint(1, 6))
+                (pk, "g%d" % rng.randint(0, 4), rng.randint(0, 99), ts)
+                for pk in rng.sample(range(30), rng.randint(1, 6))
             ]
             hist += batch
             spark.createDataFrame(batch, ddl).write.mode("append").parquet(
@@ -505,6 +508,101 @@ class TestEngineIncremental:
         assert sorted(
             tuple(r) for r in eng.read_stream("agg").collect()
         ) == want()
+        eng.cleanup()
+
+    def test_premarker_root_adopted_not_reinitialized(self, spark, tmp_path):
+        """A root initialized before the _init_done marker existed (old
+        gate: isdir(root)) must be ADOPTED, not re-initialized: a fresh
+        watermark=-1 generation would re-apply the log's still-present
+        counter deltas on top of a snapshot fold that already carries
+        their effects — double-counted aggregates (r10 review)."""
+        import glob as _glob
+
+        from dbt_decodable_spark.catalog import Engine
+        from dbt_decodable_spark.schema import StreamSchema
+        from dbt_decodable_spark.streaming.changelog import fold_last_image
+
+        eng = Engine(spark, namespace="iv6", warehouse_dir=str(tmp_path / "wh"))
+        os.makedirs(eng.warehouse_dir, exist_ok=True)
+        ddl = "pk long, grp string, val long, ts long"
+        hist = [(i, "g", 10, 1) for i in range(4)]
+        src = spark.createDataFrame(hist, ddl)
+        eng.create_stream(
+            "src",
+            schema=StreamSchema.from_spark(src.schema, primary_key=["pk"]),
+            data=src,
+        )
+        eng.create_pipeline(
+            "agg",
+            "select grp, count(*) as n, sum(val) as sum_val "
+            "from iv6__src group by grp",
+            activate=False,
+        )
+        root = os.path.join(eng.warehouse_dir, "_ivm_iv6__agg")
+        marker = os.path.join(root, "_init_done")
+        # high threshold: deltas stay PENDING (the double-count fuel)
+        eng.activate_pipeline_incremental("agg", order=["ts"], compact_every=99)
+        batch1 = [(10, "g", 7, 2)]
+        hist += batch1
+        spark.createDataFrame(batch1, ddl).write.mode("append").parquet(
+            eng.streams["iv6__src"].path
+        )
+        eng.refresh_stream("src")
+        eng.activate_pipeline_incremental("agg", order=["ts"], compact_every=99)
+        gens_before = sorted(_glob.glob(os.path.join(root, "agg", "v=*")))
+        # simulate a pre-marker warehouse: the root is complete, the
+        # marker never existed
+        os.remove(marker)
+        batch2 = [(11, "g", 5, 3)]
+        hist += batch2
+        spark.createDataFrame(batch2, ddl).write.mode("append").parquet(
+            eng.streams["iv6__src"].path
+        )
+        eng.refresh_stream("src")
+        eng.activate_pipeline_incremental("agg", order=["ts"], compact_every=99)
+        assert os.path.exists(marker)  # adopted
+        # no re-init: generation inventory unchanged (a re-init would have
+        # published a fresh v= with watermark=-1)
+        assert sorted(_glob.glob(os.path.join(root, "agg", "v=*"))) == gens_before
+        folded = fold_last_image(
+            spark.createDataFrame(hist, ddl), ["pk"], [F.col("ts"), F.col("pk")]
+        )
+        want = sorted(
+            tuple(r)
+            for r in folded.groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("sum_val"))
+            .collect()
+        )
+        got = sorted(tuple(r) for r in eng.read_stream("agg").collect())
+        assert got == want  # no double count
+        eng.cleanup()
+
+    def test_incremental_rejects_bucket_column_before_write(
+        self, spark, tmp_path
+    ):
+        import pytest as _pytest
+
+        from dbt_decodable_spark.catalog import CatalogError, Engine
+        from dbt_decodable_spark.schema import StreamSchema
+
+        eng = Engine(spark, namespace="iv7", warehouse_dir=str(tmp_path / "wh"))
+        os.makedirs(eng.warehouse_dir, exist_ok=True)
+        src = spark.createDataFrame(
+            [(1, "g", 2, 1, 0)], "pk long, grp string, val long, ts long, __bucket long"
+        )
+        eng.create_stream(
+            "src",
+            schema=StreamSchema.from_spark(src.schema, primary_key=["pk"]),
+            data=src,
+        )
+        eng.create_pipeline(
+            "agg", "select grp, count(*) as n from iv7__src group by grp",
+            activate=False,
+        )
+        root = os.path.join(eng.warehouse_dir, "_ivm_iv7__agg")
+        with _pytest.raises(CatalogError, match="__bucket"):
+            eng.activate_pipeline_incremental("agg", order=["ts"])
+        assert not os.path.isdir(root)  # nothing written, no offsets moved
         eng.cleanup()
 
     def test_incremental_rejects_non_change_stream(self, spark, tmp_path):
