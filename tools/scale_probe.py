@@ -571,12 +571,74 @@ def probe_ivmjoin(spark) -> dict:
     return out
 
 
+def probe_ivminit(spark, n: int = 1_000_000) -> dict:
+    """Aggregate-arm first-activation probe (``python tools/scale_probe.py
+    ivminit [n]``): measures (a) first activation under the r10 init
+    protocol (no-op offset advance + snapshot fold, NO maintenance replay)
+    and (b) a source-sized maintenance pass — the term the old init paid a
+    second time by leaving the checkpoint fresh. The old first activation
+    cost ≈ (a) + (b); the eliminated term scales with |source|."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dbt_decodable_spark.catalog import Engine
+    from dbt_decodable_spark.schema import StreamSchema
+
+    tmp = tempfile.mkdtemp(prefix="probe_ivminit_")
+    eng = Engine(spark, namespace="pri", warehouse_dir=f"{tmp}/wh")
+    os.makedirs(eng.warehouse_dir, exist_ok=True)
+
+    def rows(ts):
+        return spark.range(n).select(
+            F.col("id").alias("pk"),
+            (F.col("id") % 1000).cast("string").alias("grp"),
+            ((F.col("id") + ts) % 97).alias("val"),
+            F.lit(ts).cast("long").alias("ts"),
+        )
+
+    src = rows(1)
+    eng.create_stream(
+        "src",
+        schema=StreamSchema.from_spark(src.schema, primary_key=["pk"]),
+        data=src,
+    )
+    eng.create_pipeline(
+        "agg",
+        "select grp, count(*) as n, sum(val) as sum_val "
+        "from pri__src group by grp",
+        activate=False,
+    )
+    t0 = time.time()
+    eng.activate_pipeline_incremental("agg", order=["ts"])
+    t_init = time.time() - t0
+    rows(2).write.mode("append").parquet(eng.streams["pri__src"].path)
+    eng.refresh_stream("src")
+    t0 = time.time()
+    eng.activate_pipeline_incremental("agg", order=["ts"])
+    t_pass = time.time() - t0
+    eng.cleanup()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "n_rows": n,
+        "first_activation_s": round(t_init, 2),
+        "source_sized_maintenance_pass_s": round(t_pass, 2),
+        "old_first_activation_est_s": round(t_init + t_pass, 2),
+    }
+
+
 def main() -> None:
     from dbt_decodable_spark.session import get_spark
 
     if len(sys.argv) > 1 and sys.argv[1] == "ivmjoin":
         spark = get_spark(app_name="scale_probe_ivmjoin")
         print(json.dumps({"ivmjoin": probe_ivmjoin(spark)}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "ivminit":
+        spark = get_spark(app_name="scale_probe_ivminit")
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+        print(json.dumps({"ivminit": probe_ivminit(spark, n)}))
         return
     rep = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     spark = get_spark(app_name="scale_probe")
