@@ -461,10 +461,12 @@ def maintain(
     return IvmState(agg=new_agg, supports=new_supports)
 
 
-def read_view(state: IvmState, spec: AggViewSpec) -> DataFrame:
-    """User-facing view from the maintenance state: a pure projection of the
-    aggregate table (extremes are materialized at maintenance time), so a
-    100 TB view reads at scan speed with no joins."""
+def project_view(agg: DataFrame, spec: AggViewSpec) -> DataFrame:
+    """The ONE user-facing output contract over an aggregate-state frame
+    (grouping fields out of the GKEY struct; __nn-gated sum/avg NULL
+    semantics; count_distinct coalesced to 0) — shared by the batch arm
+    (:func:`read_view`) and the log arm (``ivm_log.ivm_log_read``) so the
+    two can never silently diverge."""
     final: list[Column] = [
         F.col(GKEY).getField(g).alias(g) for g in spec.group_cols
     ]
@@ -486,7 +488,14 @@ def read_view(state: IvmState, spec: AggViewSpec) -> DataFrame:
         final.append(F.col(f"__max_{c}").alias(out_name))
     for out_name, c in spec.count_distincts.items():
         final.append(F.coalesce(F.col(f"__cd_{c}"), F.lit(0)).alias(out_name))
-    return state.agg.select(*final).select(*spec.outputs())
+    return agg.select(*final).select(*spec.outputs())
+
+
+def read_view(state: IvmState, spec: AggViewSpec) -> DataFrame:
+    """User-facing view from the maintenance state: a pure projection of the
+    aggregate table (extremes are materialized at maintenance time), so a
+    100 TB view reads at scan speed with no joins."""
+    return project_view(state.agg, spec)
 
 
 def check_invariants(state: IvmState, spec: AggViewSpec) -> list[str]:

@@ -264,7 +264,18 @@ def ivm_log_init(
     """One full pass over the snapshot → generation 0 of every state table.
     ``bucket_expr`` picks the state-partitioning layout (see
     :func:`_with_bucket`); the default is a uniform hash over ``n_buckets``
-    directories."""
+    directories. Refuses a root that already holds committed generations:
+    re-initializing would publish a fresh ``watermark=-1`` generation whose
+    state already includes the retained deltas' effects, and readers would
+    then re-apply those deltas on top — double-counted counters (callers
+    that mean to adopt an existing root must gate on the generation's
+    presence, as ``catalog.activate_pipeline_incremental`` does)."""
+    if list_versions(_agg_root(root)):
+        raise RuntimeError(
+            f"{root!r} already has committed generations — re-initializing "
+            "would reset the watermark and re-apply retained deltas "
+            "(double-counted counters); remove the root to rebuild"
+        )
     state = init_state(snapshot, spec, delete_col)
     meta = {
         "watermark": -1,
@@ -312,8 +323,27 @@ def ivm_log_append(
             return False
 
         # 1. support deltas FIRST (replay after a crash here no-ops them by
-        # tag, then recomputes identical extremes from the committed state)
+        # tag, then recomputes identical extremes from the committed state).
+        # Each table checks its OWN generation's max_tag: after a crash
+        # between the support and agg appends, an external compaction may
+        # fold the support deltas away (their pending-tag dedup with them) —
+        # the agg-level check at the top still passes, so without this
+        # per-table guard the replay would re-land the folded support rows
+        # and double-count multiplicities.
+        def _tag_folded(table_root: str) -> bool:
+            if tag is None:
+                return False
+            _, tmeta = _latest_gen(table_root)
+            if tmeta["max_tag"] is None:
+                return False
+            try:
+                return int(tag) <= int(tmeta["max_tag"])
+            except (TypeError, ValueError):
+                return False
+
         for c in spec.support_cols():
+            if _tag_folded(_sup_root(root, c)):
+                continue
             sd = (
                 contrib.filter(F.col(c).isNotNull())
                 .groupBy(
@@ -323,21 +353,32 @@ def ivm_log_append(
             )
             append_delta(spark, _sup_root(root, c), sd, tag=tag)
 
-        # 2. extremes for the touched groups, from the COMMITTED support
-        # state (base slice pruned to the touched partition directories +
-        # the pending deltas, this batch's included)
-        touched = contrib.select(GKEY).distinct()
-        tbuckets = [
-            r[0]
-            for r in touched.select(F.expr(meta["bucket_expr"]).alias("b"))
-            .distinct()
-            .collect()
-        ]
-
         def hint(df: DataFrame) -> DataFrame:
             return F.broadcast(df) if broadcast_patches else df
 
+        # 2. extremes for the touched groups, from the COMMITTED support
+        # state (base slice pruned to the touched partition directories +
+        # the pending deltas, this batch's included). Counter-only specs
+        # skip the touched/bucket collection entirely — nothing consumes it.
         ext: DataFrame | None = None
+        if spec.support_cols():
+            touched = contrib.select(GKEY).distinct()
+            tbuckets = [
+                r[0]
+                for r in touched.select(F.expr(meta["bucket_expr"]).alias("b"))
+                .distinct()
+                .collect()
+            ]
+            # a custom bucket_expr over a nullable group field buckets the
+            # NULL group into a NULL partition value — plain isin() never
+            # matches NULL (SQL IN semantics), which would silently drop
+            # the group's compacted base rows from the extreme recompute
+            non_null = [b for b in tbuckets if b is not None]
+            bf = (
+                F.col(BUCKET).isin(non_null) if non_null else F.lit(False)
+            )
+            if len(non_null) < len(tbuckets):
+                bf = bf | F.col(BUCKET).isNull()
         for c in spec.support_cols():
             sup = _fold(
                 spark,
@@ -345,7 +386,7 @@ def ivm_log_append(
                 SKEY,
                 ["__cnt"],
                 [],
-                base_filter=F.col(BUCKET).isin(tbuckets),
+                base_filter=bf,
             )
             probe = hint(touched)
             slice_c = sup.join(
@@ -389,26 +430,9 @@ def ivm_log_read(spark: SparkSession, root: str, spec: AggViewSpec) -> DataFrame
     folded = _fold(
         spark, _agg_root(root), GKEY, _counter_cols(spec), _ext_state_cols(spec)
     )
-    final: list[Column] = [F.col(GKEY).getField(g).alias(g) for g in spec.group_cols]
-    if spec.count_star:
-        final.append(F.col("__cnt").alias(spec.count_star))
-    for out_name, c in spec.sums.items():
-        final.append(
-            F.when(F.col(f"__nn_{c}") > 0, F.col(f"__sum_{c}")).alias(out_name)
-        )
-    for out_name, c in spec.avgs.items():
-        final.append(
-            F.when(
-                F.col(f"__nn_{c}") > 0, F.col(f"__sum_{c}") / F.col(f"__nn_{c}")
-            ).alias(out_name)
-        )
-    for out_name, c in spec.mins.items():
-        final.append(F.col(f"__min_{c}").alias(out_name))
-    for out_name, c in spec.maxs.items():
-        final.append(F.col(f"__max_{c}").alias(out_name))
-    for out_name, c in spec.count_distincts.items():
-        final.append(F.coalesce(F.col(f"__cd_{c}"), F.lit(0)).alias(out_name))
-    return folded.select(*final).select(*spec.outputs())
+    from dbt_decodable_spark.operators.ivm import project_view
+
+    return project_view(folded, spec)
 
 
 def stream_maintain_view(
@@ -465,7 +489,13 @@ def stream_maintain_view(
             tag=str(batch_id),
         )
         append_delta(sp, snapshot_path, batch_df, tag=str(batch_id))
-        if len(list_deltas(_agg_root(root))) >= compact_every:
+        # count PENDING (seq > watermark) deltas, not every committed file:
+        # folded deltas are retained for vacuum_horizon_seconds plus the
+        # permanent sequence-floor delta, so a list_deltas() threshold
+        # stays crossed after the first compaction and every subsequent
+        # batch would pay the full O(|state|) generation publish
+        _, ameta = _latest_gen(_agg_root(root))
+        if len(_pending(_agg_root(root), ameta["watermark"])) >= compact_every:
             try:
                 ivm_log_compact(
                     sp, root, spec,

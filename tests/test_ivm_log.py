@@ -668,3 +668,155 @@ class TestIvmLogPlan:
         before = inodes()
         _append(spark, root, snap, BATCH3, tag="2")
         assert inodes() == before
+
+
+class TestReviewRound10:
+    """Pins for the r10 review of this module: init refusal, the per-table
+    replay guard, NULL-bucket pruning, and the pending-based compaction
+    trigger."""
+
+    def test_init_refuses_initialized_root(self, spark, tmp_path):
+        import pytest as _pytest
+
+        root = str(tmp_path / "view")
+        snap = _df(spark, BATCH1).localCheckpoint(eager=True)
+        il.ivm_log_init(spark, root, snap, SPEC, delete_col="deleted", n_buckets=8)
+        with _pytest.raises(RuntimeError, match="committed generations"):
+            il.ivm_log_init(
+                spark, root, snap, SPEC, delete_col="deleted", n_buckets=8
+            )
+
+    def test_replay_after_external_compaction_no_double_count(
+        self, spark, tmp_path
+    ):
+        """Crash between the support and agg appends, then an EXTERNAL
+        compaction folds the orphaned support delta (its tag with it),
+        then the batch replays: the agg-level tag check passes, so only
+        the per-table guard keeps the replay from re-landing the folded
+        support rows — doubled multiplicities would survive extremes
+        checks until a later delete decrements 2→1 instead of 1→0 and the
+        value never leaves min/max/count_distinct."""
+        root = str(tmp_path / "view")
+        snap = _df(spark, BATCH1).localCheckpoint(eager=True)
+        il.ivm_log_init(spark, root, snap, SPEC, delete_col="deleted", n_buckets=8)
+        batch = _df(spark, BATCH2)
+        orig = il.append_delta
+        calls = {"n": 0}
+
+        def dying_append(spark_, base_path, df, tag=None, **kw):
+            p = orig(spark_, base_path, df, tag=tag, **kw)
+            calls["n"] += 1
+            if calls["n"] == len(SPEC.support_cols()):
+                raise RuntimeError("simulated crash before the agg append")
+            return p
+
+        il.append_delta = dying_append
+        try:
+            try:
+                il.ivm_log_append(
+                    spark, root, snap, batch, KEYS, ORDER, SPEC, tag="1"
+                )
+                raise AssertionError("crash did not fire")
+            except RuntimeError as e:
+                assert "simulated crash" in str(e)
+        finally:
+            il.append_delta = orig
+        # external compaction folds the orphaned support deltas away
+        il.ivm_log_compact(spark, root, SPEC, vacuum_horizon_seconds=0.0)
+        # replay: must converge, not double the support multiplicities
+        assert il.ivm_log_append(
+            spark, root, snap, batch, KEYS, ORDER, SPEC, tag="1"
+        )
+        snap = merge_changes_ordered(snap, batch, KEYS, ORDER).localCheckpoint(
+            eager=True
+        )
+        _check(spark, root, snap)
+        # the doubled-count symptom: delete pk=4's row; its val must leave
+        # the distinct count (a doubled multiplicity would keep it at 1)
+        batch3 = _df(spark, [(4, "a", 8, 9, 20, True)])
+        assert il.ivm_log_append(
+            spark, root, snap, batch3, KEYS, ORDER, SPEC, tag="2"
+        )
+        snap = merge_changes_ordered(snap, batch3, KEYS, ORDER).localCheckpoint(
+            eager=True
+        )
+        _check(spark, root, snap)
+
+    def test_null_group_bucket_expr_extremes(self, spark, tmp_path):
+        """A custom bucket_expr over a nullable group field sends the NULL
+        group to a NULL partition value; the append path's base prune must
+        match it null-safely — plain isin() never matches NULL and would
+        recompute the group's extremes from post-watermark deltas only."""
+        root = str(tmp_path / "view")
+        # NULL-group rows with distinct vals: min_val must come from the
+        # COMPACTED base after a later touch of the group
+        init_rows = [
+            (1, None, 5, 1, 1, False),
+            (2, None, 9, 2, 1, False),
+            (3, "a", 7, 3, 1, False),
+        ]
+        snap = _df(spark, init_rows).localCheckpoint(eager=True)
+        il.ivm_log_init(
+            spark, root, snap, SPEC, delete_col="deleted",
+            bucket_expr="__g.grp",
+        )
+        # touch the NULL group (new row, val larger than the base min)
+        batch = _df(spark, [(4, None, 30, 4, 2, False)])
+        assert il.ivm_log_append(spark, root, snap, batch, KEYS, ORDER, SPEC, tag="0")
+        snap = merge_changes_ordered(snap, batch, KEYS, ORDER).localCheckpoint(
+            eager=True
+        )
+        _check(spark, root, snap)  # min_val of the NULL group must stay 5
+
+    def test_stream_compaction_counts_pending_not_retained(
+        self, spark, tmp_path
+    ):
+        """Folded deltas are retained for vacuum_horizon_seconds plus the
+        permanent sequence floor; the streaming compaction trigger must
+        count PENDING deltas or every post-first-compaction batch pays a
+        full O(|state|) generation publish."""
+        from dbt_decodable_spark.streaming.changelog import (
+            write_hash_partitioned,
+        )
+        from dbt_decodable_spark.operators.versions import list_versions
+
+        root = str(tmp_path / "view")
+        snap_path = str(tmp_path / "snap")
+        init = _df(spark, [(i, "g%d" % (i % 3), i, i % 3, 0, False) for i in range(6)])
+        write_hash_partitioned(init, snap_path, ["pk"], 4)
+        il.ivm_log_init(
+            spark, root,
+            spark.read.parquet(snap_path).drop("__bucket"),
+            SPEC, delete_col="deleted", n_buckets=8,
+        )
+        src = str(tmp_path / "src")
+        for j in range(4):
+            _df(
+                spark, [(100 + j, "g%d" % (j % 3), 50 + j, j, j + 1, False)]
+            ).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(init.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        # default vacuum horizon (600 s): folded deltas stay on disk
+        q = (
+            il.stream_maintain_view(
+                stream, root, snap_path, KEYS, ORDER, SPEC, compact_every=2
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # 4 batches, threshold 2 → compactions after batches 1 and 3 only:
+        # v=0 (init) + 2 compaction generations. A retained-delta-counting
+        # trigger would compact after batches 2 and 3 as well.
+        gens = list_versions(il._agg_root(root))
+        assert len(gens) == 3, f"expected init + 2 compactions, got v={gens}"
+        merged = merge_changes_ordered(
+            spark.read.parquet(snap_path).drop("__bucket"),
+            spark.read.parquet(src),
+            KEYS, ORDER,
+        )
+        _check(spark, root, merged)
