@@ -956,6 +956,178 @@ class Engine:
         self._materialize(self.streams[p.sink], live)
         p.active = True
 
+    def activate_pipeline_dag_incremental(
+        self,
+        name: str,
+        upstream: str,
+        fact_order: list[str] | None = None,
+        dim_order: list[str] | None = None,
+        fact_delete_col: str | None = None,
+        dim_delete_col: str | None = None,
+        n_buckets: int = 32,
+        compact: bool = True,
+        compact_min_deltas: int = 4,
+        agg_compact_every: int = 4,
+        agg_bucket_expr: str | None = None,
+    ):
+        """Run a TWO-STAGE model DAG as continuously-maintained
+        materializations: ``upstream`` is a lookup-join pipeline (the
+        :meth:`activate_pipeline_join_incremental` shape) and ``name`` is
+        an aggregate pipeline (the :meth:`activate_pipeline_incremental`
+        GROUP BY shape) whose FROM table is the upstream's sink stream —
+        the dbt ``sources → enriched → rollup`` chain the reference
+        platform runs as a pipeline-per-model graph over shared streams
+        (each model's sink stream is the next model's source;
+        ``impl.py:419-447`` creates exactly that stream+pipeline pair).
+
+        The downstream aggregate consumes the join view's CHANGE LOG —
+        never a recompute of the view: every activation first advances the
+        join stage (micro-batches append view deltas carrying
+        ``__seq``/``__deleted``), then folds the pending slice of that log
+        into the downstream aggregate state via one
+        ``ivm_log_append`` ordered by ``__seq`` (see
+        :mod:`.operators.ivm_dag` for the watermark protocol and why
+        batching telescopes correctly). Join-log compaction runs AFTER the
+        downstream step — the one cross-stage ordering invariant
+        (compacting the view log past an unconsumed watermark would make
+        the as-of state unreconstructible; ``maintain_downstream`` guards
+        it with a base ``max(__seq)`` probe and raises
+        ``DownstreamLagError``). Several aggregate pipelines may hang off
+        one upstream: each keeps its own watermark root; activate them all
+        before the view log accumulates ``compact_min_deltas`` deltas, or
+        rebuild a lagging one (``ivm_dag.rebuild_downstream`` — O(|view|),
+        nothing upstream re-runs).
+
+        Downstream init is gated on a marker written LAST and the root is
+        CLEARED before a (re)init — no downstream delta can exist before
+        the marker, so a crash mid-init redoes it without double-counting
+        (simpler than the aggregate arm's adoption path, which exists only
+        for pre-marker legacy roots)."""
+        from dbt_decodable_spark.operators import ivm_dag
+        from dbt_decodable_spark.operators.ivm import agg_spec_from_sql
+        from dbt_decodable_spark.operators.ivm_log import ivm_log_read
+
+        if not self.warehouse_dir:
+            raise CatalogError("incremental activation needs a warehouse_dir engine")
+        p_agg = self.pipelines[self.qualify(name)]
+        p_join = self.pipelines[self.qualify(upstream)]
+        agg_spec, src_tbl = agg_spec_from_sql(p_agg.sql)
+        if src_tbl != p_join.sink:
+            raise CatalogError(
+                f"DAG shape: {p_agg.name!r} must aggregate the upstream's "
+                f"sink stream {p_join.sink!r}, not {src_tbl!r}"
+            )
+        # fire-before-write: the downstream stacks __g/__k/__gbucket onto
+        # the view image and keys its state by the fact primary key, so a
+        # view column with one of those names would be silently destroyed
+        fkeys = list(self.streams[
+            # the join arm validated these exist; resolve the fact stream
+            # through the join SQL to key the downstream by its PK
+            self._dag_fact_stream(p_join)
+        ].schema.primary_key)
+        view_reserved = {"__g", "__k", "__gbucket"}
+        sink_cols = set(
+            f.name for f in self.streams[p_join.sink].schema.fields
+        )
+        bad = sorted(sink_cols & view_reserved)
+        if bad:
+            raise CatalogError(
+                f"view column(s) {bad} collide with reserved downstream "
+                "aggregate state names"
+            )
+        # stage 1: advance the join view (compaction DEFERRED — the
+        # downstream must consume the new view deltas first)
+        self.activate_pipeline_join_incremental(
+            upstream,
+            fact_order=fact_order,
+            dim_order=dim_order,
+            fact_delete_col=fact_delete_col,
+            dim_delete_col=dim_delete_col,
+            n_buckets=n_buckets,
+            compact=False,
+        )
+        jroot = os.path.join(self.warehouse_dir, f"_ivmj_{p_join.name}")
+        view_log = os.path.join(jroot, "view")
+
+        # stage 2: fold the pending view changes into the downstream state
+        droot = os.path.join(self.warehouse_dir, f"_ivmd_{p_agg.name}")
+        marker = os.path.join(droot, "_init_done")
+        if not os.path.exists(marker):
+            # clear-then-init is redo-safe: appends are gated on the
+            # marker, so a partial root holds no consumed delta to lose
+            import shutil as _sh
+
+            _sh.rmtree(droot, ignore_errors=True)
+            ivm_dag.init_downstream(
+                self.spark, droot, view_log, fkeys, agg_spec,
+                bucket_expr=agg_bucket_expr,
+            )
+            _write_atomic(marker, "1")
+        ivm_dag.maintain_downstream(
+            self.spark, droot, view_log, fkeys, agg_spec,
+            compact_every=agg_compact_every,
+        )
+
+        # stage 3: NOW the join logs may compact (downstream watermark has
+        # caught up to every committed view delta)
+        if compact:
+            self._compact_join_pipeline_logs(
+                p_join, n_buckets=n_buckets,
+                compact_min_deltas=compact_min_deltas,
+                fact_order=fact_order, dim_order=dim_order,
+            )
+        self._materialize(
+            self.streams[p_agg.sink],
+            ivm_log_read(self.spark, droot, agg_spec),
+        )
+        p_agg.active = True
+
+    def _dag_fact_stream(self, p_join) -> str:
+        """The fact-side stream of a join pipeline (the side whose primary
+        key keys the view log)."""
+        from dbt_decodable_spark.operators import ivm_join as ij
+
+        _, ftbl, _ = ij.join_spec_from_sql(p_join.sql, ())
+        return ftbl
+
+    def _compact_join_pipeline_logs(
+        self,
+        p_join,
+        n_buckets: int,
+        compact_min_deltas: int,
+        fact_order: list[str] | None,
+        dim_order: list[str] | None,
+    ) -> None:
+        """The join arm's deferred LSM compaction step (same trigger as the
+        inline block in :meth:`activate_pipeline_join_incremental`), run
+        after every downstream of the view log has consumed its deltas."""
+        from dbt_decodable_spark.operators import ivm_join as ij
+        from dbt_decodable_spark.streaming.changelog import (
+            compact_and_vacuum,
+            list_deltas,
+        )
+
+        _, ftbl, dtbl = ij.join_spec_from_sql(p_join.sql, ())
+        fdef, ddef = self.streams[ftbl], self.streams[dtbl]
+        fkeys = list(fdef.schema.primary_key)
+        dkeys = list(ddef.schema.primary_key)
+
+        def _ordered(given, sdef, keys):
+            if given is None:
+                given = [w.name for w in sdef.schema.watermarks]
+            return list(given) + [k for k in keys if k not in given]
+
+        forder = _ordered(fact_order, fdef, fkeys)
+        dorder = _ordered(dim_order, ddef, dkeys)
+        root = os.path.join(self.warehouse_dir, f"_ivmj_{p_join.name}")
+        for log, keys_, ord_ in (
+            (os.path.join(root, "fact"), fkeys, [F.col(c) for c in forder]),
+            (os.path.join(root, "dim"), dkeys, [F.col(c) for c in dorder]),
+            (os.path.join(root, "view"), fkeys, [F.col("__seq")]),
+        ):
+            if len(list_deltas(log)) >= compact_min_deltas:
+                compact_and_vacuum(self.spark, log, keys_, ord_, n_buckets)
+
     def deactivate_pipeline(self, name: str) -> None:
         p = self.pipelines[self.qualify(name)]
         p.active = False

@@ -1,0 +1,261 @@
+"""Cascaded incremental view maintenance — an aggregate view maintained
+over a JOIN view's change log (the two-stage dbt model DAG ``sources →
+enriched join → grouped rollup``, run the way the reference platform's
+managed Flink service runs a model chain: every stage is a continuously
+maintained materialization and downstream stages consume the upstream
+stage's CHANGE STREAM, never a recompute; see
+``/root/reference/dbt/include/decodable/macros/adapters.sql`` — each model
+is a pipeline over streams, and a model's source may be another model's
+sink — and ``/root/reference/decodable/apply/handler.py:89-94`` for the
+keyed change-stream contract the stages hand each other).
+
+Why this composes without new state math: the join arm's view log
+(``catalog.activate_pipeline_join_incremental``) is itself a keyed change
+stream — one row per fact key carrying ``__seq`` (the total application
+order) and ``__deleted`` (tombstones) — which is exactly the input shape
+the aggregate arm (:mod:`.ivm_log`) maintains over. The downstream
+aggregate therefore consumes view-log deltas with
+:func:`.ivm_log.ivm_log_append`, keyed by the fact keys and ordered by
+``__seq``; batching is free because aggregate maintenance only needs the
+(old image, FINAL new image) pair per key — intermediate images telescope
+away, so folding any suffix of the log to last-images and applying it once
+equals applying every micro-batch sequentially.
+
+Consumption protocol (the watermark dance):
+
+- The downstream root records a consumed watermark ``W`` = the highest
+  view ``__seq`` folded into its state. It is not a separate ledger: ``W``
+  is recoverable from the downstream delta log itself (every downstream
+  append is tagged with the max ``__seq`` it consumed, and compaction
+  carries the max folded tag in the generation meta) plus the init floor
+  file — so there is no second piece of state to keep transactional.
+- One maintenance step reads the pending view rows (``__seq > W``) from
+  the view log's delta files, reconstructs the upstream state AS OF ``W``
+  (base ∪ delta rows with ``__seq ≤ W``, folded), and lands a single
+  :func:`.ivm_log.ivm_log_append` tagged ``max __seq`` consumed.
+- Replay converges: a crash after the downstream append and before
+  anything else re-runs the step with the same pending set → the same
+  integer tag → the append no-ops (pending-tag dedup, then ``max_tag``
+  after a fold). A crash BEFORE the append re-runs it against unchanged
+  state. Counter deltas are never applied twice.
+
+Compaction coupling (the one cross-stage invariant): reconstructing
+"as of ``W``" requires that the view log's BASE snapshot contain no row
+with ``__seq > W`` — i.e. the view log must not be compacted past the
+downstream watermark. ``catalog.activate_pipeline_dag_incremental``
+enforces the ordering (downstream step BEFORE view-log compaction in the
+same activation); :func:`maintain_downstream` independently verifies it
+with a cheap ``max(__seq)`` probe of the base and raises
+:class:`DownstreamLagError` instead of silently double- or under-counting
+— the honest recovery is a downstream rebuild (drop the root; init folds
+the current view). At 100 TB the probe is a parquet column-stats max on
+the snapshot, and the reconstruction cost is bounded by the snapshot plus
+the retained delta horizon — the same LSM read amplification every
+merge-on-read consumer of the log already pays.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dbt_decodable_spark.operators.ivm import AggViewSpec
+from dbt_decodable_spark.operators.ivm_log import (
+    _agg_root,
+    _latest_gen,
+    ivm_log_append,
+    ivm_log_compact,
+    ivm_log_init,
+)
+from dbt_decodable_spark.operators.versions import list_versions
+from dbt_decodable_spark.streaming.changelog import fold_last_image, list_deltas
+
+SEQ = "__seq"
+DEL = "__deleted"
+_FLOOR_FILE = "_dag_floor"
+
+
+class DownstreamLagError(RuntimeError):
+    """The upstream view log was compacted past the downstream watermark:
+    rows this downstream never consumed were folded into the base snapshot,
+    so the as-of-watermark upstream state is no longer reconstructible.
+    Rebuild the downstream root (drop it and re-init from the current
+    view)."""
+
+
+def _delta_tag(path: str) -> int | None:
+    """Integer tag of a ``delta-<seq>-<tag>`` directory, else None."""
+    parts = os.path.basename(path).split("-", 2)
+    if len(parts) == 3:
+        try:
+            return int(parts[2])
+        except ValueError:
+            return None
+    return None
+
+
+def downstream_watermark(root: str) -> int:
+    """Highest view ``__seq`` folded into the downstream state: the max of
+    the init floor, the committed downstream delta tags, and the latest
+    generation's ``max_tag``. Purely filesystem metadata — no data read."""
+    floor = 0
+    ffile = os.path.join(root, _FLOOR_FILE)
+    if os.path.exists(ffile):
+        with open(ffile) as fh:
+            floor = int(fh.read().strip() or 0)
+    agg_root = _agg_root(root)
+    cands = [floor]
+    if list_versions(agg_root):
+        _, meta = _latest_gen(agg_root)
+        if meta.get("max_tag") is not None:
+            try:
+                cands.append(int(meta["max_tag"]))
+            except (TypeError, ValueError):
+                pass
+    for p in list_deltas(agg_root):
+        t = _delta_tag(p)
+        if t is not None:
+            cands.append(t)
+    return max(cands)
+
+
+def _view_rows(spark: SparkSession, view_log: str) -> tuple[DataFrame, DataFrame]:
+    """(base rows, committed delta rows) of the join arm's view log, both
+    carrying ``__seq``/``__deleted``; the internal ``__bucket`` layout
+    column is stripped."""
+    base = spark.read.parquet(view_log)
+    if "__bucket" in base.columns:
+        base = base.drop("__bucket")
+    deltas = list_deltas(view_log)
+    if deltas:
+        drows = spark.read.parquet(*deltas).select(*base.columns)
+    else:
+        drows = spark.createDataFrame([], base.schema)
+    return base, drows
+
+
+def view_as_of(
+    spark: SparkSession,
+    view_log: str,
+    keys: Sequence[str],
+    watermark: int,
+) -> DataFrame:
+    """The join view's state as of ``watermark``: fold of the base snapshot
+    plus every delta row with ``__seq ≤ watermark``, TOMBSTONES INCLUDED —
+    the maintenance old-image lookup must see a key's tombstone so a stale
+    replayed image older than the delete cannot win (``change_pairs``
+    treats a missing key as "batch wins"). Callers must have verified the
+    base holds no row past the watermark (:func:`maintain_downstream`
+    raises :class:`DownstreamLagError` otherwise)."""
+    base, drows = _view_rows(spark, view_log)
+    rows = base.unionByName(drows.filter(F.col(SEQ) <= F.lit(watermark)))
+    return fold_last_image(rows, list(keys), [F.col(SEQ)])
+
+
+def init_downstream(
+    spark: SparkSession,
+    root: str,
+    view_log: str,
+    keys: Sequence[str],
+    spec: AggViewSpec,
+    bucket_expr: str | None = None,
+    n_buckets: int = 64,
+) -> int:
+    """Generation 0 of the downstream state: one fold of the CURRENT view
+    (base ∪ all committed deltas — tombstones included so the floor state
+    matches what :func:`view_as_of` reconstructs), with the consumed floor
+    pinned to the max ``__seq`` present. Floor-before-read ordering makes a
+    concurrent view append safe: a delta landing after the floor capture is
+    excluded by the ``__seq`` filter and consumed by the next maintenance
+    step. Fully redo-safe — the caller gates on a marker written last and
+    clears the root before re-running (no downstream delta can exist before
+    the marker, so a re-init can never double-count)."""
+    base, drows = _view_rows(spark, view_log)
+    floor_row = (
+        base.select(F.max(SEQ).alias("m"))
+        .unionByName(drows.select(F.max(SEQ).alias("m")))
+        .agg(F.max("m").alias("m"))
+        .collect()[0]
+    )
+    floor = int(floor_row["m"]) if floor_row["m"] is not None else 0
+    snap = view_as_of(spark, view_log, keys, floor)
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, _FLOOR_FILE), "w") as fh:
+        fh.write(str(floor))
+    ivm_log_init(
+        spark, root, snap, spec,
+        delete_col=DEL, bucket_expr=bucket_expr, n_buckets=n_buckets,
+    )
+    return floor
+
+
+def rebuild_downstream(
+    spark: SparkSession,
+    root: str,
+    view_log: str,
+    keys: Sequence[str],
+    spec: AggViewSpec,
+    bucket_expr: str | None = None,
+) -> int:
+    """The :class:`DownstreamLagError` recovery: drop the downstream root
+    and re-initialize from the current view. O(|view|), not O(history) —
+    the view log IS the upstream state, so nothing upstream re-runs."""
+    shutil.rmtree(root, ignore_errors=True)
+    return init_downstream(spark, root, view_log, keys, spec, bucket_expr)
+
+
+def maintain_downstream(
+    spark: SparkSession,
+    root: str,
+    view_log: str,
+    keys: Sequence[str],
+    spec: AggViewSpec,
+    compact_every: int = 4,
+) -> int:
+    """One downstream maintenance step: consume every pending view change
+    (``__seq`` past the consumed watermark) into the downstream aggregate
+    state, as ONE :func:`ivm_log_append` — correct for any batching because
+    the fold-to-last-image inside ``change_pairs`` telescopes intermediate
+    images away, and the signed old/new contributions equal the sequential
+    per-batch sum. Returns the new watermark (unchanged when nothing is
+    pending). Compaction of the DOWNSTREAM log runs on the aggregate arm's
+    pending-delta trigger (``compact_every``)."""
+    w = downstream_watermark(root)
+    base, drows = _view_rows(spark, view_log)
+    base_max = base.agg(F.max(SEQ).alias("m")).collect()[0]["m"]
+    if base_max is not None and int(base_max) > w:
+        raise DownstreamLagError(
+            f"view log {view_log!r} base snapshot holds __seq={base_max} > "
+            f"downstream watermark {w} — it was compacted past this "
+            f"downstream; rebuild the root {root!r} "
+            "(operators.ivm_dag.rebuild_downstream)"
+        )
+    pending = drows.filter(F.col(SEQ) > F.lit(w))
+    new_w_row = pending.agg(F.max(SEQ).alias("m")).collect()[0]
+    if new_w_row["m"] is None:
+        return w
+    new_w = int(new_w_row["m"])
+    snap_before = view_as_of(spark, view_log, keys, w)
+    ivm_log_append(
+        spark, root, snap_before, pending,
+        list(keys), [F.col(SEQ)], spec, tag=str(new_w),
+    )
+    agg_root = _agg_root(root)
+    _, meta = _latest_gen(agg_root)
+    pending_cnt = sum(
+        1
+        for p in list_deltas(agg_root)
+        if _seq_of(p) > meta["watermark"]
+    )
+    if compact_every and pending_cnt >= compact_every:
+        ivm_log_compact(spark, root, spec)
+    return new_w
+
+
+def _seq_of(path: str) -> int:
+    from dbt_decodable_spark.operators.ivm_log import _delta_seq
+
+    return _delta_seq(path)

@@ -1,0 +1,496 @@
+"""Cascaded IVM (operators/ivm_dag.py + Engine.activate_pipeline_dag_incremental).
+
+Ground truth is always the declarative recompute — fold both source change
+streams to last images, join, aggregate — and the maintained two-stage DAG
+must match it exactly after every activation: fact churn, dim payload
+updates that MIGRATE facts between downstream groups (the retraction case a
+naive rollup gets wrong), tombstones and resurrections, min/max/count
+(distinct) support-table maintenance, multi-delta telescoping in one
+downstream step, crash replay between the downstream append and the join
+compaction, mid-init redo, and the compacted-past-watermark lag guard with
+its rebuild recovery. A hypothesis sweep drives random keyed change logs
+through random consumption points directly against the watermark protocol.
+"""
+
+import os
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F, types as T
+
+from dbt_decodable_spark.operators import ivm_dag
+from dbt_decodable_spark.operators.ivm import AggViewSpec
+from dbt_decodable_spark.operators.ivm_log import ivm_log_read
+from dbt_decodable_spark.streaming.changelog import (
+    append_delta,
+    compact_and_vacuum,
+    fold_last_image,
+    write_hash_partitioned,
+)
+
+VIEW_SCHEMA = T.StructType(
+    [
+        T.StructField("pk", T.LongType(), False),
+        T.StructField("grp", T.StringType(), True),
+        T.StructField("val", T.LongType(), True),
+        T.StructField("__seq", T.LongType(), False),
+        T.StructField("__deleted", T.BooleanType(), False),
+    ]
+)
+
+SPEC = AggViewSpec(
+    group_cols=("grp",),
+    count_star="n_rows",
+    sums={"sum_val": "val"},
+    mins={"min_val": "val"},
+    maxs={"max_val": "val"},
+    count_distincts={"n_vals": "val"},
+)
+
+
+def _rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+
+
+def _vdf(spark, rows):
+    return spark.createDataFrame(rows, VIEW_SCHEMA)
+
+
+def _expected(spark, rows):
+    """Declarative recompute: last image per pk by __seq, drop tombstones,
+    aggregate."""
+    live = fold_last_image(_vdf(spark, rows), ["pk"], [F.col("__seq")]).filter(
+        ~F.col("__deleted")
+    )
+    return live.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("val").alias("sum_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+        F.countDistinct("val").alias("n_vals"),
+    )
+
+
+class TestWatermarkProtocol:
+    """Direct tests of the consumption protocol over a hand-built view log
+    (the downstream does not care the log came from a join)."""
+
+    def _mklog(self, spark, tmp_path, base_rows):
+        view_log = str(tmp_path / "view")
+        write_hash_partitioned(_vdf(spark, base_rows), view_log, ["pk"], 4)
+        return view_log
+
+    def test_init_floor_and_single_step(self, spark, tmp_path):
+        base = [(1, "a", 10, 0, False), (2, "a", 20, 0, False),
+                (3, "b", 30, 0, False)]
+        view_log = self._mklog(spark, tmp_path, base)
+        root = str(tmp_path / "down")
+        floor = ivm_dag.init_downstream(spark, root, view_log, ["pk"], SPEC)
+        assert floor == 0
+        assert ivm_dag.downstream_watermark(root) == 0
+        assert _rows(ivm_log_read(spark, root, SPEC)) == _rows(
+            _expected(spark, base)
+        )
+        # nothing pending → watermark unchanged, state unchanged
+        assert ivm_dag.maintain_downstream(spark, root, view_log, ["pk"], SPEC) == 0
+
+        d1 = [(1, "a", 11, 5, False), (4, "b", 40, 5, False),
+              (2, "a", 20, 5, True)]
+        append_delta(spark, view_log, _vdf(spark, d1), tag="5")
+        w = ivm_dag.maintain_downstream(spark, root, view_log, ["pk"], SPEC)
+        assert w == 5
+        assert _rows(ivm_log_read(spark, root, SPEC)) == _rows(
+            _expected(spark, base + d1)
+        )
+
+    def test_telescoping_multi_delta_one_step(self, spark, tmp_path):
+        """Several deltas touching the SAME key — update, tombstone,
+        resurrection, group migration — consumed in one step must equal the
+        sequential fold (intermediate images telescope away)."""
+        base = [(1, "a", 10, 0, False), (2, "b", 5, 0, False)]
+        view_log = self._mklog(spark, tmp_path, base)
+        root = str(tmp_path / "down")
+        ivm_dag.init_downstream(spark, root, view_log, ["pk"], SPEC)
+        d1 = [(1, "a", 99, 10, False)]          # value spike (max support)
+        d2 = [(1, "a", 99, 20, True)]           # tombstone
+        d3 = [(1, "b", 7, 30, False),           # resurrect INTO group b
+              (2, "b", 5, 30, True)]            # and tombstone the b row
+        for i, d in enumerate((d1, d2, d3)):
+            append_delta(spark, view_log, _vdf(spark, d), tag=str((i + 1) * 10))
+        w = ivm_dag.maintain_downstream(spark, root, view_log, ["pk"], SPEC)
+        assert w == 30
+        got = _rows(ivm_log_read(spark, root, SPEC))
+        assert got == _rows(_expected(spark, base + d1 + d2 + d3))
+        # group "a" must be GONE (count 0 prunes the row) and b's max must
+        # have retracted from 99 back down — the support-table path
+        assert [g for g in got if g[0] == "a"] == []
+
+    def test_replay_same_tag_noops(self, spark, tmp_path):
+        """A crash after the downstream append replays the same pending
+        slice with the same tag — counters must not double-count."""
+        base = [(1, "a", 10, 0, False)]
+        view_log = self._mklog(spark, tmp_path, base)
+        root = str(tmp_path / "down")
+        ivm_dag.init_downstream(spark, root, view_log, ["pk"], SPEC)
+        append_delta(spark, view_log, _vdf(spark, [(2, "a", 5, 7, False)]), tag="7")
+        assert ivm_dag.maintain_downstream(spark, root, view_log, ["pk"], SPEC) == 7
+        # simulate the replay: watermark recomputation sees the landed tag,
+        # so a second step finds nothing pending; even a FORCED re-append
+        # with the same tag is a no-op inside ivm_log_append
+        assert ivm_dag.maintain_downstream(spark, root, view_log, ["pk"], SPEC) == 7
+        assert _rows(ivm_log_read(spark, root, SPEC)) == _rows(
+            _expected(spark, base + [(2, "a", 5, 7, False)])
+        )
+
+    def test_lag_guard_and_rebuild(self, spark, tmp_path):
+        """Compacting the view log past the downstream watermark must raise
+        (silent wrong answers are the alternative), and the rebuild path
+        recovers from the current view without upstream re-runs."""
+        base = [(1, "a", 10, 0, False)]
+        view_log = self._mklog(spark, tmp_path, base)
+        root = str(tmp_path / "down")
+        ivm_dag.init_downstream(spark, root, view_log, ["pk"], SPEC)
+        d1 = [(2, "b", 20, 9, False)]
+        append_delta(spark, view_log, _vdf(spark, d1), tag="9")
+        # upstream compaction folds the unconsumed delta into the base
+        compact_and_vacuum(spark, view_log, ["pk"], [F.col("__seq")], 4)
+        with pytest.raises(ivm_dag.DownstreamLagError):
+            ivm_dag.maintain_downstream(spark, root, view_log, ["pk"], SPEC)
+        floor = ivm_dag.rebuild_downstream(spark, root, view_log, ["pk"], SPEC)
+        assert floor == 9
+        assert _rows(ivm_log_read(spark, root, SPEC)) == _rows(
+            _expected(spark, base + d1)
+        )
+        # and the rebuilt root keeps consuming
+        d2 = [(1, "a", 10, 12, True)]
+        append_delta(spark, view_log, _vdf(spark, d2), tag="12")
+        assert ivm_dag.maintain_downstream(spark, root, view_log, ["pk"], SPEC) == 12
+        assert _rows(ivm_log_read(spark, root, SPEC)) == _rows(
+            _expected(spark, base + d1 + d2)
+        )
+
+    def test_downstream_compaction_trigger(self, spark, tmp_path):
+        """compact_every folds the downstream log and the watermark
+        survives compaction via the generation's max_tag."""
+        base = [(1, "a", 10, 0, False)]
+        view_log = self._mklog(spark, tmp_path, base)
+        root = str(tmp_path / "down")
+        ivm_dag.init_downstream(spark, root, view_log, ["pk"], SPEC)
+        seq = 0
+        rows = list(base)
+        for i in range(4):
+            seq += 10
+            d = [(100 + i, "a", i, seq, False)]
+            rows += d
+            append_delta(spark, view_log, _vdf(spark, d), tag=str(seq))
+            ivm_dag.maintain_downstream(
+                spark, root, view_log, ["pk"], SPEC, compact_every=2
+            )
+        assert ivm_dag.downstream_watermark(root) == seq
+        assert _rows(ivm_log_read(spark, root, SPEC)) == _rows(
+            _expected(spark, rows)
+        )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(data=st.data())
+    def test_random_logs_random_consumption(self, spark, tmp_path_factory, data):
+        """Random keyed change log, random init point, random consumption
+        boundaries: the maintained aggregate equals the recompute at every
+        step."""
+        tmp = tmp_path_factory.mktemp("dag")
+        n_ops = data.draw(st.integers(3, 18))
+        ops = []
+        for i in range(n_ops):
+            ops.append(
+                (
+                    data.draw(st.integers(1, 5)),                      # pk
+                    data.draw(st.sampled_from(["a", "b", None])),      # grp
+                    data.draw(st.one_of(st.none(), st.integers(0, 4))),  # val
+                    (i + 1) * 10,                                      # __seq
+                    data.draw(st.booleans()),                          # deleted
+                )
+            )
+        # the join arm always writes a non-empty v0 (or none at all), so an
+        # empty base snapshot is out of contract — draw at least one row
+        n_base = data.draw(st.integers(1, min(3, n_ops)))
+        base = [(pk, g, v, 0, dl) for (pk, g, v, _, dl) in ops[:n_base]]
+        rest = ops[n_base:]
+        view_log = str(tmp / "view")
+        write_hash_partitioned(_vdf(spark, base), view_log, ["pk"], 4)
+        root = str(tmp / "down")
+        ivm_dag.init_downstream(spark, root, view_log, ["pk"], SPEC)
+        seen = list(base)
+        while rest:
+            k = data.draw(st.integers(1, len(rest)))
+            batch, rest = rest[:k], rest[k:]
+            append_delta(
+                spark, view_log, _vdf(spark, batch), tag=str(batch[-1][3])
+            )
+            seen += batch
+            # consumption may lag by a delta or catch up — either way the
+            # next step must land the full pending slice
+            if data.draw(st.booleans()) or not rest:
+                ivm_dag.maintain_downstream(
+                    spark, root, view_log, ["pk"], SPEC, compact_every=3
+                )
+                assert _rows(ivm_log_read(spark, root, SPEC)) == _rows(
+                    _expected(spark, seen)
+                )
+
+
+FACT_DDL = "pk long, fk long, qty long, ts long, deleted boolean"
+DIM_DDL = "dk long, name string, tier long, ts long, deleted boolean"
+
+
+class TestEngineDag:
+    """The two-stage dbt model DAG through the engine front door."""
+
+    def _setup(self, spark, tmp_path, f1, d1, ns="dg"):
+        from dbt_decodable_spark.catalog import Engine
+        from dbt_decodable_spark.schema import StreamSchema
+
+        eng = Engine(spark, namespace=ns, warehouse_dir=str(tmp_path / "wh"))
+        os.makedirs(eng.warehouse_dir, exist_ok=True)
+        eng.create_stream(
+            "fact",
+            schema=StreamSchema.from_spark(
+                spark.createDataFrame(f1, FACT_DDL).schema, primary_key=["pk"]
+            ),
+            data=spark.createDataFrame(f1, FACT_DDL),
+        )
+        eng.create_stream(
+            "dim",
+            schema=StreamSchema.from_spark(
+                spark.createDataFrame(d1, DIM_DDL).schema, primary_key=["dk"]
+            ),
+            data=spark.createDataFrame(d1, DIM_DDL),
+        )
+        eng.create_pipeline(
+            "enriched",
+            f"select f.*, d.name as dim_name, d.tier as dim_tier "
+            f"from {ns}__fact f left join {ns}__dim d on f.fk = d.dk",
+            activate=False,
+        )
+        eng.create_pipeline(
+            "rollup",
+            f"select dim_tier, count(*) as n_rows, sum(qty) as sum_qty, "
+            f"min(qty) as min_qty, max(qty) as max_qty "
+            f"from {ns}__enriched group by dim_tier",
+            activate=False,
+        )
+        return eng
+
+    @staticmethod
+    def _want(spark, f_rows, d_rows):
+        from dbt_decodable_spark.operators.ivm_join import (
+            JoinViewSpec,
+            compute_join_view,
+        )
+
+        spec = JoinViewSpec(
+            fact_keys=("pk",), fk_cols=("fk",), dim_keys=("dk",),
+            dim_payload={"dim_name": "name", "dim_tier": "tier"},
+        )
+        ff = fold_last_image(
+            spark.createDataFrame(f_rows, FACT_DDL), ["pk"],
+            [F.col("ts"), F.col("pk")],
+        )
+        dd = fold_last_image(
+            spark.createDataFrame(d_rows, DIM_DDL), ["dk"],
+            [F.col("ts"), F.col("dk")],
+        )
+        view = compute_join_view(ff, dd, spec, "deleted", "deleted")
+        return _rows(
+            view.groupBy("dim_tier").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("qty").alias("sum_qty"),
+                F.min("qty").alias("min_qty"),
+                F.max("qty").alias("max_qty"),
+            )
+        )
+
+    def _append(self, spark, eng, stream, rows, ddl):
+        spark.createDataFrame(rows, ddl).write.mode("append").parquet(
+            eng.streams[eng.qualify(stream)].path
+        )
+        eng.refresh_stream(stream)
+
+    def _activate(self, eng, **kw):
+        eng.activate_pipeline_dag_incremental(
+            "rollup", "enriched",
+            fact_order=["ts"], dim_order=["ts"],
+            fact_delete_col="deleted", dim_delete_col="deleted",
+            n_buckets=4, **kw,
+        )
+
+    def test_dag_rounds_match_recompute(self, spark, tmp_path):
+        """Three activation rounds: init, fact churn + dim payload change
+        migrating facts between downstream groups (retraction), tombstone +
+        resurrection. Every round equals the declarative recompute."""
+        f1 = [(1, 10, 5, 1, False), (2, 10, 7, 1, False),
+              (3, 20, 9, 1, False), (4, 99, 2, 1, False)]
+        d1 = [(10, "a", 1, 1, False), (20, "b", 2, 1, False)]
+        eng = self._setup(spark, tmp_path, f1, d1)
+        try:
+            self._activate(eng)
+            assert _rows(eng.read_stream("rollup")) == self._want(spark, f1, d1)
+
+            # dim 10 moves tier 1 → 3: facts 1,2 must MIGRATE groups via
+            # retraction; fact 2 tombstoned; new fact; fk retarget of 4
+            f2 = [(2, 10, 7, 2, True), (5, 20, 1, 2, False),
+                  (4, 20, 2, 2, False)]
+            d2 = [(10, "a2", 3, 2, False)]
+            self._append(spark, eng, "fact", f2, FACT_DDL)
+            self._append(spark, eng, "dim", d2, DIM_DDL)
+            self._activate(eng)
+            assert _rows(eng.read_stream("rollup")) == self._want(
+                spark, f1 + f2, d1 + d2
+            )
+
+            # resurrection of fact 2 into a different group + dim delete
+            # (left-join null extension → NULL downstream group)
+            f3 = [(2, 20, 8, 3, False)]
+            d3 = [(20, "b", 2, 3, True)]
+            self._append(spark, eng, "fact", f3, FACT_DDL)
+            self._append(spark, eng, "dim", d3, DIM_DDL)
+            self._activate(eng)
+            assert _rows(eng.read_stream("rollup")) == self._want(
+                spark, f1 + f2 + f3, d1 + d2 + d3
+            )
+        finally:
+            eng.cleanup()
+
+    def test_crash_between_downstream_and_compaction_replays(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Crash AFTER the downstream append, BEFORE join-log compaction:
+        the re-run replays the join batches (view appends dedupe by tag)
+        and the downstream step no-ops on its own tag — converged, never
+        double-counted."""
+        from dbt_decodable_spark.catalog import Engine
+
+        f1 = [(1, 10, 5, 1, False)]
+        d1 = [(10, "a", 1, 1, False)]
+        eng = self._setup(spark, tmp_path, f1, d1, ns="dgc")
+        try:
+            self._activate(eng)
+            f2 = [(2, 10, 3, 2, False)]
+            self._append(spark, eng, "fact", f2, FACT_DDL)
+
+            boom = RuntimeError("crash before join compaction")
+
+            def _crash(*a, **kw):
+                raise boom
+
+            monkeypatch.setattr(
+                Engine, "_compact_join_pipeline_logs", _crash
+            )
+            with pytest.raises(RuntimeError, match="crash before join"):
+                self._activate(eng, compact_min_deltas=1)
+            monkeypatch.undo()
+            self._activate(eng, compact_min_deltas=1)
+            assert _rows(eng.read_stream("rollup")) == self._want(
+                spark, f1 + f2, d1
+            )
+        finally:
+            eng.cleanup()
+
+    def test_mid_init_crash_redoes(self, spark, tmp_path):
+        """A downstream root without the init marker (crash between
+        ivm_log_init's publishes and the marker write) is cleared and
+        re-initialized — never adopted half-built, never double-counted."""
+        f1 = [(1, 10, 5, 1, False), (3, 20, 9, 1, False)]
+        d1 = [(10, "a", 1, 1, False), (20, "b", 2, 1, False)]
+        eng = self._setup(spark, tmp_path, f1, d1, ns="dgi")
+        try:
+            # simulate the crash: run ONLY the join stage + a partial init
+            eng.activate_pipeline_join_incremental(
+                "enriched", fact_order=["ts"], dim_order=["ts"],
+                fact_delete_col="deleted", dim_delete_col="deleted",
+                n_buckets=4, compact=False,
+            )
+            jroot = os.path.join(eng.warehouse_dir, "_ivmj_dgi__enriched")
+            droot = os.path.join(eng.warehouse_dir, "_ivmd_dgi__rollup")
+            ivm_dag.init_downstream(
+                spark, droot, os.path.join(jroot, "view"), ["pk"],
+                AggViewSpec(group_cols=("dim_tier",), count_star="n_rows",
+                            sums={"sum_qty": "qty"}, mins={"min_qty": "qty"},
+                            maxs={"max_qty": "qty"}),
+            )  # marker NOT written — the activation must redo, not adopt
+            self._activate(eng)
+            assert _rows(eng.read_stream("rollup")) == self._want(spark, f1, d1)
+        finally:
+            eng.cleanup()
+
+    def test_two_downstreams_one_upstream(self, spark, tmp_path):
+        """Two aggregate models over one maintained join: each keeps its own
+        watermark; activating both per round stays consistent as long as
+        view compaction does not outrun the laggard (deferred here via the
+        delta threshold)."""
+        f1 = [(1, 10, 5, 1, False), (2, 20, 7, 1, False)]
+        d1 = [(10, "a", 1, 1, False), (20, "b", 2, 1, False)]
+        eng = self._setup(spark, tmp_path, f1, d1, ns="dg2")
+        try:
+            eng.create_pipeline(
+                "byname",
+                "select dim_name, count(*) as n_rows, sum(qty) as sum_qty "
+                "from dg2__enriched group by dim_name",
+                activate=False,
+            )
+            self._activate(eng, compact_min_deltas=100)
+            eng.activate_pipeline_dag_incremental(
+                "byname", "enriched",
+                fact_order=["ts"], dim_order=["ts"],
+                fact_delete_col="deleted", dim_delete_col="deleted",
+                n_buckets=4, compact_min_deltas=100,
+            )
+            f2 = [(1, 20, 6, 2, False), (3, 10, 4, 2, False)]
+            self._append(spark, eng, "fact", f2, FACT_DDL)
+            self._activate(eng, compact_min_deltas=100)
+            eng.activate_pipeline_dag_incremental(
+                "byname", "enriched",
+                fact_order=["ts"], dim_order=["ts"],
+                fact_delete_col="deleted", dim_delete_col="deleted",
+                n_buckets=4, compact_min_deltas=100,
+            )
+            assert _rows(eng.read_stream("rollup")) == self._want(
+                spark, f1 + f2, d1
+            )
+            want_byname = _rows(
+                spark.createDataFrame(
+                    [("a", 1, 4), ("b", 2, 13)],
+                    "dim_name string, n_rows long, sum_qty long",
+                )
+            )
+            assert _rows(eng.read_stream("byname")) == want_byname
+        finally:
+            eng.cleanup()
+
+    def test_dag_shape_validation(self, spark, tmp_path):
+        """The downstream must aggregate the upstream's sink — anything
+        else is a mis-wired DAG and raises before any write."""
+        from dbt_decodable_spark.catalog import CatalogError
+
+        f1 = [(1, 10, 5, 1, False)]
+        d1 = [(10, "a", 1, 1, False)]
+        eng = self._setup(spark, tmp_path, f1, d1, ns="dgv")
+        try:
+            eng.create_pipeline(
+                "wrong",
+                "select tier, count(*) as n from dgv__dim group by tier",
+                activate=False,
+            )
+            with pytest.raises(CatalogError, match="sink stream"):
+                eng.activate_pipeline_dag_incremental(
+                    "wrong", "enriched",
+                    fact_order=["ts"], dim_order=["ts"],
+                )
+        finally:
+            eng.cleanup()
