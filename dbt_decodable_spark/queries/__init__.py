@@ -76,10 +76,12 @@ _DRIVER_WINDOW_PRIORITY = (
     "text_bigram_commonness", "text_bpe_segment", "text_bpe_train",
     "text_gopher_quality", "text_novelty_score", "text_oov_rate",
     "text_salient_terms", "text_strip_markup", "text_winnowing",
-    # (b) 5 early-refreshed round-7 rows (free slots; keeps r11 at
-    # 45-mandatory/5-free instead of 50/0):
-    "agg_cube", "agg_distinct", "agg_global", "agg_groupby_expression",
-    "agg_grouping_sets",
+    # (b) the 2 NEW round-10 queries (never measured — rule 1 places them
+    # here; they give the r9-r10 IVM layer its first driver-row evidence):
+    "ivm_agg_maintained", "ivm_join_agg_dag",
+    # (c) 3 early-refreshed round-7 rows (remaining free slots; r11 then
+    # owes the other 47 r7 rows — still within the 50-slot window):
+    "agg_global", "agg_groupby_expression", "agg_grouping_sets",
 )
 
 
@@ -92,6 +94,7 @@ def load_all() -> dict[str, QueryDef]:
         extensions,
         extensions2,
         extensions3,
+        ivm_q,
         joins,
         relational,
         relational2,
