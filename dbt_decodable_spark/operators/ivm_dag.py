@@ -207,6 +207,51 @@ def rebuild_downstream(
     return init_downstream(spark, root, view_log, keys, spec, bucket_expr)
 
 
+def snapshot_slice(
+    base: DataFrame,
+    older: DataFrame,
+    keys: Sequence[str],
+    pending: DataFrame,
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """The as-of-watermark upstream state RESTRICTED to the pending keys —
+    all ``change_pairs`` ever reads from the snapshot side (it left-joins
+    the batch against it; rows for untouched keys are dead weight). The
+    restriction is a broadcast LEFT SEMI join probing the base scan
+    map-side, so the per-step cost is one SCAN of the view base with NO
+    shuffle of it (plan-pinned in ``tests/test_ivm_dag.py``); the last-image
+    fold then runs on the batch-sized slice only. Without this, every
+    downstream step would pay a full key-shuffle of the view to
+    reconstruct as-of state it immediately discards — the difference
+    between O(|changes|) and O(|view|) shuffle per step at 100 TB.
+
+    ``broadcast_keys=False`` drops the broadcast hint for a backlog too
+    large to ship to every executor (the semi join then shuffles both
+    sides — still bounded by |view| + |backlog|, the general fallback)."""
+    return fold_last_image(
+        _slice_rows(base, older, keys, pending, broadcast_keys),
+        list(keys),
+        [F.col(SEQ)],
+    )
+
+
+def _slice_rows(
+    base: DataFrame,
+    older: DataFrame,
+    keys: Sequence[str],
+    pending: DataFrame,
+    broadcast_keys: bool,
+) -> DataFrame:
+    """Pre-fold stage of :func:`snapshot_slice` — split out so the no-shuffle
+    contract on the base scan is plan-pinnable on the real code path (the
+    fold above it shuffles the batch-sized slice, which is expected)."""
+    kdf = pending.select(*keys).distinct()
+    probe = F.broadcast(kdf) if broadcast_keys else kdf
+    return base.join(probe, on=list(keys), how="left_semi").unionByName(
+        older.join(probe, on=list(keys), how="left_semi")
+    )
+
+
 def maintain_downstream(
     spark: SparkSession,
     root: str,
@@ -214,15 +259,18 @@ def maintain_downstream(
     keys: Sequence[str],
     spec: AggViewSpec,
     compact_every: int = 4,
+    broadcast_keys: bool = True,
 ) -> int:
     """One downstream maintenance step: consume every pending view change
     (``__seq`` past the consumed watermark) into the downstream aggregate
     state, as ONE :func:`ivm_log_append` — correct for any batching because
     the fold-to-last-image inside ``change_pairs`` telescopes intermediate
     images away, and the signed old/new contributions equal the sequential
-    per-batch sum. Returns the new watermark (unchanged when nothing is
-    pending). Compaction of the DOWNSTREAM log runs on the aggregate arm's
-    pending-delta trigger (``compact_every``)."""
+    per-batch sum. The old-image lookup reads a pending-keys SLICE of the
+    as-of state (:func:`snapshot_slice`), never the whole view. Returns the
+    new watermark (unchanged when nothing is pending). Compaction of the
+    DOWNSTREAM log runs on the aggregate arm's pending-delta trigger
+    (``compact_every``)."""
     w = downstream_watermark(root)
     base, drows = _view_rows(spark, view_log)
     base_max = base.agg(F.max(SEQ).alias("m")).collect()[0]["m"]
@@ -238,7 +286,10 @@ def maintain_downstream(
     if new_w_row["m"] is None:
         return w
     new_w = int(new_w_row["m"])
-    snap_before = view_as_of(spark, view_log, keys, w)
+    snap_before = snapshot_slice(
+        base, drows.filter(F.col(SEQ) <= F.lit(w)), keys, pending,
+        broadcast_keys=broadcast_keys,
+    )
     ivm_log_append(
         spark, root, snap_before, pending,
         list(keys), [F.col(SEQ)], spec, tag=str(new_w),

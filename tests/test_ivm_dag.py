@@ -194,6 +194,52 @@ class TestWatermarkProtocol:
             _expected(spark, rows)
         )
 
+    def test_snapshot_slice_base_scan_shuffle_free(self, spark, tmp_path):
+        """The 100 TB cost pin: the old-image lookup restricts the view base
+        to the pending keys via a broadcast semi join — the base SCANS but
+        never shuffles (the fold above operates on the batch-sized slice
+        only). Without this every downstream step would key-shuffle the
+        whole view."""
+        from dbt_decodable_spark.operators.bucketing import scan_shuffle_free
+        from dbt_decodable_spark.operators.ivm_dag import _slice_rows
+
+        base_rows = [(i, "a", i, 0, False) for i in range(1, 200)]
+        view_log = self._mklog(spark, tmp_path, base_rows)
+        root = str(tmp_path / "down")
+        ivm_dag.init_downstream(spark, root, view_log, ["pk"], SPEC)
+        pend = [(5, "b", 1, 10, False), (999, "a", 2, 10, False)]
+        append_delta(spark, view_log, _vdf(spark, pend), tag="10")
+        base, drows = ivm_dag._view_rows(spark, view_log)
+        sliced = _slice_rows(
+            base, drows.filter(F.col("__seq") <= 0), ["pk"],
+            drows.filter(F.col("__seq") > 0), True,
+        )
+        sliced.collect()  # materialize so AQE's executed plan is final
+        assert scan_shuffle_free(sliced, "view"), (
+            "view base must reach the semi join without an Exchange"
+        )
+        # and the sliced state still maintains correctly
+        assert ivm_dag.maintain_downstream(spark, root, view_log, ["pk"], SPEC) == 10
+        assert _rows(ivm_log_read(spark, root, SPEC)) == _rows(
+            _expected(spark, base_rows + pend)
+        )
+
+    def test_no_broadcast_fallback_matches(self, spark, tmp_path):
+        """broadcast_keys=False (oversized backlog) must produce the same
+        maintained state through the shuffled semi join."""
+        base_rows = [(1, "a", 10, 0, False), (2, "b", 20, 0, False)]
+        view_log = self._mklog(spark, tmp_path, base_rows)
+        root = str(tmp_path / "down")
+        ivm_dag.init_downstream(spark, root, view_log, ["pk"], SPEC)
+        d1 = [(1, "b", 11, 4, False), (3, "a", 9, 4, False)]
+        append_delta(spark, view_log, _vdf(spark, d1), tag="4")
+        ivm_dag.maintain_downstream(
+            spark, root, view_log, ["pk"], SPEC, broadcast_keys=False
+        )
+        assert _rows(ivm_log_read(spark, root, SPEC)) == _rows(
+            _expected(spark, base_rows + d1)
+        )
+
     @settings(
         max_examples=6,
         deadline=None,

@@ -571,6 +571,81 @@ def probe_ivmjoin(spark) -> dict:
     return out
 
 
+def probe_ivmdag(spark) -> dict:
+    """Cascade downstream-step slope probe (``python tools/scale_probe.py
+    ivmdag``): a fixed 5k-key pending view-change slice consumed into a
+    downstream aggregate against 100k- and 2.5M-key view bases (25x state
+    growth). Pins the cost model of ``ivm_dag.maintain_downstream``:
+
+    - ``step``      — the real downstream step (broadcast-semi-join slice of
+      the base, fold of the slice, one ivm_log_append): wall should stay
+      ~flat across 25x — the base SCANS but never shuffles;
+    - ``full_fold`` — the control: reconstructing the full as-of view state
+      (fold of the whole base) as a pre-slice design would — the
+      O(|view|)-shuffle-per-step cost the slice avoids;
+    - ``recompute`` — aggregating the whole view from scratch (what the
+      maintained view never has to do).
+    """
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dbt_decodable_spark.operators import ivm_dag
+    from dbt_decodable_spark.operators.ivm import AggViewSpec
+    from dbt_decodable_spark.streaming.changelog import (
+        append_delta,
+        fold_last_image,
+        write_hash_partitioned,
+    )
+
+    spec = AggViewSpec(
+        group_cols=("grp",),
+        count_star="n_rows",
+        sums={"sum_val": "val"},
+        mins={"min_val": "val"},
+        maxs={"max_val": "val"},
+    )
+    out: dict = {}
+    for label, n in (("100k", 100_000), ("2.5M", 2_500_000)):
+        tmp = tempfile.mkdtemp(prefix=f"probe_ivmdag_{label}_")
+        view_log = f"{tmp}/view"
+        droot = f"{tmp}/down"
+        base = spark.range(n).select(
+            F.col("id").alias("pk"),
+            (F.col("id") % 97).cast("string").alias("grp"),
+            (F.col("id") % 1000).alias("val"),
+            F.lit(0).cast("long").alias("__seq"),
+            F.lit(False).alias("__deleted"),
+        )
+        write_hash_partitioned(base, view_log, ["pk"], 32)
+        ivm_dag.init_downstream(spark, droot, view_log, ["pk"], spec)
+        changes = spark.range(5000).select(
+            (F.col("id") * (n // 5000)).alias("pk"),  # spread over the base
+            (F.col("id") % 91).cast("string").alias("grp"),
+            (F.col("id") % 777).alias("val"),
+            F.lit(10).cast("long").alias("__seq"),
+            (F.col("id") % 700 == 0).alias("__deleted"),
+        )
+        append_delta(spark, view_log, changes, tag="10")
+        res = {}
+        bdf, _ = ivm_dag._view_rows(spark, view_log)
+        t = time.time()
+        fold_last_image(bdf, ["pk"], [F.col("__seq")]).count()
+        res["full_fold"] = round(time.time() - t, 2)
+        t = time.time()
+        bdf.filter(~F.col("__deleted")).groupBy("grp").agg(
+            F.count(F.lit(1)), F.sum("val"), F.min("val"), F.max("val")
+        ).count()
+        res["recompute"] = round(time.time() - t, 2)
+        t = time.time()
+        ivm_dag.maintain_downstream(spark, droot, view_log, ["pk"], spec)
+        res["step"] = round(time.time() - t, 2)
+        out[label] = res
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def probe_ivminit(spark, n: int = 1_000_000) -> dict:
     """Aggregate-arm first-activation probe (``python tools/scale_probe.py
     ivminit [n]``): measures (a) first activation under the r10 init
@@ -634,6 +709,10 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "ivmjoin":
         spark = get_spark(app_name="scale_probe_ivmjoin")
         print(json.dumps({"ivmjoin": probe_ivmjoin(spark)}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "ivmdag":
+        spark = get_spark(app_name="scale_probe_ivmdag")
+        print(json.dumps({"ivmdag": probe_ivmdag(spark)}))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "ivminit":
         spark = get_spark(app_name="scale_probe_ivminit")
