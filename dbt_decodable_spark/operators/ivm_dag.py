@@ -122,6 +122,36 @@ def downstream_watermark(root: str) -> int:
     return max(cands)
 
 
+def _base_max_seq(view_log: str) -> int | None:
+    """Max ``__seq`` in the view base from parquet FOOTER statistics —
+    O(#files) metadata reads, no data scan, so the per-step lag guard does
+    not pay a column scan of the view (at 100 TB the footers are the only
+    thing touched). Returns None when any file lacks ``__seq`` stats (the
+    caller falls back to a Spark scan). Every writer of this layout
+    (``write_hash_partitioned`` / ``merge_into_hash_partitioned``) emits
+    Spark-written parquet, which always carries min/max column stats."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked into the env
+        return None
+    mx: int | None = None
+    for dirpath, _dirs, files in os.walk(view_log):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(dirpath, fn)).metadata
+            try:
+                ci = md.schema.names.index(SEQ)
+            except ValueError:
+                return None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mx = st.max if mx is None else max(mx, st.max)
+    return mx
+
+
 def _view_rows(spark: SparkSession, view_log: str) -> tuple[DataFrame, DataFrame]:
     """(base rows, committed delta rows) of the join arm's view log, both
     carrying ``__seq``/``__deleted``; the internal ``__bucket`` layout
@@ -273,7 +303,11 @@ def maintain_downstream(
     (``compact_every``)."""
     w = downstream_watermark(root)
     base, drows = _view_rows(spark, view_log)
-    base_max = base.agg(F.max(SEQ).alias("m")).collect()[0]["m"]
+    base_max = _base_max_seq(view_log)
+    if base_max is None:
+        # footer stats unavailable (exotic writer) — fall back to the
+        # column scan; correctness first, the fast path is an optimization
+        base_max = base.agg(F.max(SEQ).alias("m")).collect()[0]["m"]
     if base_max is not None and int(base_max) > w:
         raise DownstreamLagError(
             f"view log {view_log!r} base snapshot holds __seq={base_max} > "

@@ -224,6 +224,22 @@ class TestWatermarkProtocol:
             _expected(spark, base_rows + pend)
         )
 
+    def test_footer_stats_guard_matches_scan(self, spark, tmp_path):
+        """The lag guard's footer-statistics max(__seq) must equal the
+        column scan on every layout this module writes (fresh base and a
+        compacted one), and the guard must still fire through it."""
+        from dbt_decodable_spark.operators.ivm_dag import _base_max_seq
+
+        base = [(1, "a", 10, 0, False), (2, "b", 20, 0, False)]
+        view_log = self._mklog(spark, tmp_path, base)
+        assert _base_max_seq(view_log) == 0
+        append_delta(spark, view_log, _vdf(spark, [(3, "a", 5, 8, False)]), tag="8")
+        compact_and_vacuum(spark, view_log, ["pk"], [F.col("__seq")], 4)
+        scan_max = (
+            spark.read.parquet(view_log).agg(F.max("__seq")).collect()[0][0]
+        )
+        assert _base_max_seq(view_log) == scan_max == 8
+
     def test_no_broadcast_fallback_matches(self, spark, tmp_path):
         """broadcast_keys=False (oversized backlog) must produce the same
         maintained state through the shuffled semi join."""
