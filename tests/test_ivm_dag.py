@@ -535,6 +535,52 @@ class TestEngineDag:
         finally:
             eng.cleanup()
 
+    def test_endurance_random_two_sided_churn(self, spark, tmp_path):
+        """Engine-level endurance: six DAG activation rounds over seeded
+        random churn on BOTH sides (fact upserts/tombstones, dim payload
+        updates/deletes) with aggressive compaction on every log
+        (compact_min_deltas=2, agg_compact_every=2), so view compaction,
+        downstream generation publishes, epoch bumps and the watermark
+        protocol interleave across activations. Sink == the declarative
+        recompute after every round."""
+        import random
+
+        rng = random.Random(20260815)
+        f1 = [(pk, rng.choice([10, 20, 30]), rng.randint(0, 99), 1, False)
+              for pk in range(12)]
+        d1 = [(dk, "n%d" % dk, dk // 10, 1, False) for dk in (10, 20, 30)]
+        eng = self._setup(spark, tmp_path, f1, d1, ns="dge")
+        f_hist, d_hist = list(f1), list(d1)
+        try:
+            kw = {"compact_min_deltas": 2, "agg_compact_every": 2}
+            self._activate(eng, **kw)
+            assert _rows(eng.read_stream("rollup")) == self._want(
+                spark, f_hist, d_hist
+            )
+            for ts in range(2, 8):
+                # unique pks per batch (the order tuple needs a unique
+                # tie-breaker within one ts, same as the aggregate arm's
+                # endurance test)
+                fb = [
+                    (pk, rng.choice([10, 20, 30, 99]), rng.randint(0, 99),
+                     ts, rng.random() < 0.25)
+                    for pk in rng.sample(range(18), rng.randint(1, 5))
+                ]
+                self._append(spark, eng, "fact", fb, FACT_DDL)
+                f_hist += fb
+                if rng.random() < 0.6:
+                    dk = rng.choice([10, 20, 30])
+                    db = [(dk, "n%d_%d" % (dk, ts), rng.randint(0, 9), ts,
+                           rng.random() < 0.2)]
+                    self._append(spark, eng, "dim", db, DIM_DDL)
+                    d_hist += db
+                self._activate(eng, **kw)
+                assert _rows(eng.read_stream("rollup")) == self._want(
+                    spark, f_hist, d_hist
+                ), f"diverged at activation ts={ts}"
+        finally:
+            eng.cleanup()
+
     def test_dag_shape_validation(self, spark, tmp_path):
         """The downstream must aggregate the upstream's sink — anything
         else is a mis-wired DAG and raises before any write."""
