@@ -290,6 +290,7 @@ def maintain_downstream(
     spec: AggViewSpec,
     compact_every: int = 4,
     broadcast_keys: bool = True,
+    emit_log: str | None = None,
 ) -> int:
     """One downstream maintenance step: consume every pending view change
     (``__seq`` past the consumed watermark) into the downstream aggregate
@@ -324,6 +325,22 @@ def maintain_downstream(
         base, drows.filter(F.col(SEQ) <= F.lit(w)), keys, pending,
         broadcast_keys=broadcast_keys,
     )
+    if emit_log is not None:
+        # the downstream aggregate's OWN change stream (group-keyed
+        # upserts/tombstones) so the DAG composes one level further —
+        # emitted BEFORE the state append, from committed state + local
+        # delta, so a crash in between replays to bit-identical changes
+        # and the out-log append dedupes on the tag (the join arm's
+        # view-delta-before-state-delta order, one stage down). Costs a
+        # second batch-sized maintenance-shaped pass.
+        from dbt_decodable_spark.operators.ivm_log import ivm_log_batch_changes
+        from dbt_decodable_spark.streaming.changelog import append_delta
+
+        out = ivm_log_batch_changes(
+            spark, root, snap_before, pending,
+            list(keys), [F.col(SEQ)], spec, seq=new_w,
+        )
+        append_delta(spark, emit_log, out, tag=str(new_w))
     ivm_log_append(
         spark, root, snap_before, pending,
         list(keys), [F.col(SEQ)], spec, tag=str(new_w),

@@ -423,6 +423,170 @@ def ivm_log_append(
         contrib.unpersist(False)
 
 
+def ivm_log_batch_changes(
+    spark: SparkSession,
+    root: str,
+    snapshot_before: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[Column | str],
+    spec: AggViewSpec,
+    seq: int,
+    broadcast_patches: bool = True,
+) -> DataFrame:
+    """The GROUP-LEVEL change stream one source micro-batch induces on the
+    maintained aggregate view — the view's own keyed upsert/tombstone
+    stream (user-facing view columns + ``__seq`` + ``__deleted``), so
+    maintained aggregates COMPOSE downstream exactly like the join arm's
+    views do (``maintain_join_with_changes``): a further MERGE, an SCD2
+    history, an alerting sink. This is the retraction-bearing output the
+    reference platform's change streams carry for aggregating pipelines
+    (``decodable/client/schema.py:109-111`` — a GROUP BY pipeline's sink
+    is itself a change stream keyed by the group).
+
+    PURE — writes nothing. The crash-safe composition is emit-THEN-append,
+    mirroring the join arm's view-delta-before-state-delta order::
+
+        out = ivm_log_batch_changes(spark, root, snap, batch, k, o, spec, seq)
+        append_delta(spark, out_log, out, tag=str(seq))   # dedupes replays
+        ivm_log_append(spark, root, snap, batch, k, o, spec, tag=str(seq))
+
+    A crash between the two replays the batch against UNCHANGED committed
+    state — this function recomputes bit-identical changes, the out-log
+    append no-ops on its tag, and the state append proceeds. (Computing
+    the post-image from committed-state + local delta instead of from a
+    post-append read is what makes the pre-append emission possible.)
+
+    Emitted per touched group: the post-batch view row (``__deleted``
+    false), or a tombstone with NULL aggregate outputs when the group's
+    live count reaches zero. Cost: one extra batch-sized maintenance-shaped
+    pass (change pairs + contributions + touched-bucket pruned folds) on
+    top of the append that follows — O(|batch| + touched support slices),
+    never O(|state|)."""
+    from dbt_decodable_spark.operators.ivm import project_view
+
+    agg_root = _agg_root(root)
+    _, meta = _latest_gen(agg_root)
+    delete_col = meta["delete_col"]
+    snapshot_cols = list(snapshot_before.columns)
+    pairs = change_pairs(snapshot_before, changes, keys, order)
+    contrib = _contributions(pairs, snapshot_cols, spec, delete_col).persist()
+    try:
+        counter_cols = _counter_cols(spec)
+        ext_state = _ext_state_cols(spec)
+        out_schema_cols = list(spec.outputs())
+
+        def _empty() -> DataFrame:
+            probe = _fold(spark, agg_root, GKEY, counter_cols, ext_state,
+                          base_filter=F.lit(False))
+            img = project_view(probe, spec)
+            return (
+                img.withColumn("__seq", F.lit(seq).cast("long"))
+                .withColumn("__deleted", F.lit(False))
+                .limit(0)
+            )
+
+        if contrib.isEmpty():
+            return _empty()
+        touched = contrib.select(GKEY).distinct()
+        tbuckets = [
+            r[0]
+            for r in touched.select(F.expr(meta["bucket_expr"]).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        non_null = [b for b in tbuckets if b is not None]
+        bf = F.col(BUCKET).isin(non_null) if non_null else F.lit(False)
+        if len(non_null) < len(tbuckets):
+            bf = bf | F.col(BUCKET).isNull()
+
+        def hint(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if broadcast_patches else df
+
+        # absolute extremes for the touched groups — the same recompute
+        # ivm_log_append rides on its delta rows, from COMMITTED support
+        # state plus this batch's (unwritten) support contributions
+        ext: DataFrame | None = None
+        for c in spec.support_cols():
+            sd = (
+                contrib.filter(F.col(c).isNotNull())
+                .groupBy(
+                    F.struct(F.col(GKEY).alias("g"), F.col(c).alias("v")).alias(SKEY)
+                )
+                .agg(F.sum("__mult").alias("__cnt"))
+            )
+            sup = (
+                _fold(spark, _sup_root(root, c), SKEY, ["__cnt"], [],
+                      base_filter=bf)
+                .unionByName(sd)
+                .groupBy(SKEY)
+                .agg(F.sum("__cnt").alias("__cnt"))
+                .filter(F.col("__cnt") > 0)
+            )
+            probe = hint(touched)
+            slice_c = sup.join(
+                probe, on=sup[SKEY].getField("g") == probe[GKEY], how="left_semi"
+            )
+            part = slice_c.groupBy(
+                F.col(SKEY).getField("g").alias(GKEY)
+            ).agg(*_ext_aggs(spec, c, F.col(SKEY).getField("v")))
+            ext = part if ext is None else ext.join(part, on=[GKEY], how="full_outer")
+
+        # signed counter deltas per touched group (identical arithmetic to
+        # the append path)
+        delta_aggs: list[Column] = [F.sum("__mult").alias("__cnt")]
+        for c in spec.delta_cols():
+            delta_aggs.append(F.sum(F.col("__mult") * _sum0(c)).alias(f"__sum_{c}"))
+            delta_aggs.append(
+                F.sum(
+                    F.when(F.col(c).isNotNull(), F.col("__mult")).otherwise(F.lit(0))
+                ).alias(f"__nn_{c}")
+            )
+        agg_delta = contrib.groupBy(GKEY).agg(*delta_aggs)
+
+        # committed pre-images of the touched groups (pruned fold)
+        pre = _fold(spark, agg_root, GKEY, counter_cols, ext_state,
+                    base_filter=bf).join(
+            hint(touched), on=[GKEY], how="left_semi"
+        )
+        d, p = agg_delta.alias("__d"), hint(pre).alias("__p")
+        post_cols: list[Column] = [d[GKEY]] + [
+            (F.coalesce(p[c], F.lit(0)) + d[c]).alias(c) for c in counter_cols
+        ]
+        if ext is not None:
+            e = hint(ext).alias("__e")
+            joined = d.join(p, on=[GKEY], how="left").join(e, on=[GKEY], how="left")
+            for c in spec.support_cols():
+                for x in spec.ext_cols(c):
+                    col = (
+                        F.coalesce(e[x], F.lit(0)) if x.startswith("__cd_") else e[x]
+                    )
+                    post_cols.append(col.alias(x))
+            post = joined.select(*post_cols)
+        else:
+            post = d.join(p, on=[GKEY], how="left").select(*post_cols)
+
+        alive = post.filter(F.col("__cnt") > 0)
+        img = project_view(alive, spec).withColumn("__deleted", F.lit(False))
+        img_types = {f.name: f.dataType for f in img.schema.fields}
+        gone = post.filter(F.col("__cnt") <= 0).select(
+            *[F.col(GKEY).getField(g).alias(g) for g in spec.group_cols],
+            *[
+                F.lit(None).cast(img_types[c]).alias(c)
+                for c in out_schema_cols
+                if c not in spec.group_cols
+            ],
+        ).select(*out_schema_cols).withColumn("__deleted", F.lit(True))
+        return (
+            img.unionByName(gone)
+            .withColumn("__seq", F.lit(seq).cast("long"))
+            .select(*out_schema_cols, "__seq", "__deleted")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        contrib.unpersist(False)
+
+
 def ivm_log_read(spark: SparkSession, root: str, spec: AggViewSpec) -> DataFrame:
     """The continuously-maintained view: fold the aggregate table's latest
     generation with its pending deltas and project the user-facing columns

@@ -307,6 +307,116 @@ class TestWatermarkProtocol:
                 )
 
 
+class TestAggChangeStream:
+    """The maintained aggregate's OWN change stream
+    (ivm_log.ivm_log_batch_changes + maintain_downstream(emit_log=...)):
+    group-keyed upserts/tombstones that compose one level further — the
+    depth-3 DAG (join view → rollup → rollup consumers). The folded
+    emission must equal the maintained view after every batch, tombstones
+    must appear exactly when a group empties, and the pre-append emission
+    must be replay-stable (the crash-ordering contract)."""
+
+    def _fold_emitted(self, spark, emitted_rows, schema):
+        df = spark.createDataFrame(emitted_rows, schema)
+        return fold_last_image(df, ["grp"], [F.col("__seq")]).filter(
+            ~F.col("__deleted")
+        ).drop("__seq", "__deleted")
+
+    def test_emission_folds_to_view_and_tombstones(self, spark, tmp_path):
+        from dbt_decodable_spark.operators.ivm_log import (
+            ivm_log_append,
+            ivm_log_batch_changes,
+            ivm_log_init,
+        )
+
+        keys, order = ["pk"], [F.col("__seq")]
+        base = [(1, "a", 10, 0, False), (2, "b", 5, 0, False),
+                (3, None, 7, 0, False)]
+        root = str(tmp_path / "state")
+        ivm_log_init(
+            spark, root, _vdf(spark, base), SPEC, delete_col="__deleted"
+        )
+        batches = [
+            # group migration a→b + new NULL-group row
+            [(1, "b", 99, 10, False), (4, None, None, 10, False)],
+            # empty group b entirely (both members tombstoned)
+            [(1, "b", 99, 20, True), (2, "b", 5, 20, True)],
+            # resurrect into a fresh group
+            [(2, "c", 1, 30, False)],
+        ]
+        seen = list(base)
+        emitted: list = []
+        out_schema = None
+        for k, rows in enumerate(batches, start=1):
+            b = _vdf(spark, rows)
+            snap_before = fold_last_image(_vdf(spark, seen), keys, order)
+            out = ivm_log_batch_changes(
+                spark, root, snap_before, b, keys, order, SPEC, seq=k * 10
+            )
+            # replay stability: recomputing BEFORE the append is identical
+            out2 = ivm_log_batch_changes(
+                spark, root, snap_before, b, keys, order, SPEC, seq=k * 10
+            )
+            assert _rows(out) == _rows(out2)
+            ivm_log_append(
+                spark, root, snap_before, b, keys, order, SPEC, tag=str(k)
+            )
+            out_schema = out.schema
+            emitted += [tuple(r) for r in out.collect()]
+            seen += rows
+            got = _rows(self._fold_emitted(spark, emitted, out_schema))
+            want = _rows(_expected(spark, seen))
+            assert got == want, f"emission diverged from view at batch {k}"
+        # the b-emptying batch must have emitted a NULL-agg tombstone
+        tombs = [r for r in emitted if r[-1] is True]
+        assert any(r[0] == "b" and r[1] is None for r in tombs)
+
+    def test_depth3_dag_emit_log(self, spark, tmp_path):
+        """join-view change log → downstream rollup → the rollup's own
+        emitted change log: folding the emitted stream equals the rollup
+        view after every consumption step, and a same-tag replay of the
+        emission dedupes in the out log."""
+        from dbt_decodable_spark.streaming.changelog import (
+            list_deltas,
+            write_hash_partitioned,
+        )
+
+        view_log = str(tmp_path / "view")
+        root = str(tmp_path / "down")
+        out_log = str(tmp_path / "out")
+        os.makedirs(out_log, exist_ok=True)
+        base = [(1, "a", 10, 0, False), (2, "a", 20, 0, False)]
+        write_hash_partitioned(_vdf(spark, base), view_log, ["pk"], 4)
+        ivm_dag.init_downstream(spark, root, view_log, ["pk"], SPEC)
+        seen = list(base)
+        d1 = [(1, "b", 11, 5, False), (3, "a", 2, 5, False)]
+        d2 = [(2, "a", 20, 9, True), (3, "a", 2, 9, True),
+              (1, "b", 12, 9, False)]
+        emitted: list = []
+        out_schema = None
+        for rows, tag in ((d1, "5"), (d2, "9")):
+            append_delta(spark, view_log, _vdf(spark, rows), tag=tag)
+            seen += rows
+            ivm_dag.maintain_downstream(
+                spark, root, view_log, ["pk"], SPEC, emit_log=out_log
+            )
+            got_out = spark.read.parquet(*list_deltas(out_log))
+            out_schema = got_out.schema
+            emitted = [tuple(r) for r in got_out.collect()]
+            folded = self._fold_emitted(spark, emitted, out_schema)
+            assert _rows(folded) == _rows(
+                _expected(spark, seen)
+            ), f"depth-3 emission diverged at seq {tag}"
+        # group "a" emptied in the second step → its tombstone is in the log
+        assert any(r[0] == "a" and r[-1] is True for r in emitted)
+        # replay: same pending slice, same tag — the out log must not grow
+        n_before = len(list_deltas(out_log))
+        ivm_dag.maintain_downstream(
+            spark, root, view_log, ["pk"], SPEC, emit_log=out_log
+        )
+        assert len(list_deltas(out_log)) == n_before
+
+
 FACT_DDL = "pk long, fk long, qty long, ts long, deleted boolean"
 DIM_DDL = "dk long, name string, tier long, ts long, deleted boolean"
 
