@@ -969,6 +969,7 @@ class Engine:
         compact_min_deltas: int = 4,
         agg_compact_every: int = 4,
         agg_bucket_expr: str | None = None,
+        emit_changes: bool = False,
     ):
         """Run a TWO-STAGE model DAG as continuously-maintained
         materializations: ``upstream`` is a lookup-join pipeline (the
@@ -1002,7 +1003,16 @@ class Engine:
         CLEARED before a (re)init — no downstream delta can exist before
         the marker, so a crash mid-init redoes it without double-counting
         (simpler than the aggregate arm's adoption path, which exists only
-        for pre-marker legacy roots)."""
+        for pre-marker legacy roots).
+
+        ``emit_changes`` maintains the ROLLUP'S OWN change log under the
+        downstream root (``out/``) — the depth-3 composition surface: the
+        init image lands as a floor-seq batch and every consumption step
+        appends its group-keyed upserts/tombstones
+        (``ivm_log_batch_changes``, emitted BEFORE the state append so
+        crash replays converge by tag), making ``fold(out log)`` equal the
+        rollup view at every point. Read it with
+        :meth:`read_pipeline_changes`."""
         from dbt_decodable_spark.operators import ivm_dag
         from dbt_decodable_spark.operators.ivm import agg_spec_from_sql
         from dbt_decodable_spark.operators.ivm_log import ivm_log_read
@@ -1051,21 +1061,47 @@ class Engine:
 
         # stage 2: fold the pending view changes into the downstream state
         droot = os.path.join(self.warehouse_dir, f"_ivmd_{p_agg.name}")
+        out_log = os.path.join(droot, "out")
         marker = os.path.join(droot, "_init_done")
+        if (
+            emit_changes
+            and os.path.exists(marker)
+            and not os.path.isdir(out_log + ".__deltas__")
+        ):
+            raise CatalogError(
+                "change emission must be enabled from the FIRST activation "
+                "(the out log's init image is unrecoverable later) — delete "
+                f"{droot!r} to rebuild the downstream with emit_changes"
+            )
         if not os.path.exists(marker):
             # clear-then-init is redo-safe: appends are gated on the
             # marker, so a partial root holds no consumed delta to lose
+            # (the out log lives under the root and is cleared with it)
             import shutil as _sh
 
             _sh.rmtree(droot, ignore_errors=True)
-            ivm_dag.init_downstream(
+            floor = ivm_dag.init_downstream(
                 self.spark, droot, view_log, fkeys, agg_spec,
                 bucket_expr=agg_bucket_expr,
             )
+            if emit_changes:
+                # the change log must be self-contained: the init image is
+                # its first batch, so fold(out log) == the view from the
+                # floor onward
+                from dbt_decodable_spark.operators.ivm_log import ivm_log_read
+                from dbt_decodable_spark.streaming.changelog import append_delta
+
+                init_img = (
+                    ivm_log_read(self.spark, droot, agg_spec)
+                    .withColumn("__seq", F.lit(floor).cast("long"))
+                    .withColumn("__deleted", F.lit(False))
+                )
+                append_delta(self.spark, out_log, init_img, tag=str(floor))
             _write_atomic(marker, "1")
         ivm_dag.maintain_downstream(
             self.spark, droot, view_log, fkeys, agg_spec,
             compact_every=agg_compact_every,
+            emit_log=out_log if emit_changes else None,
         )
 
         # stage 3: NOW the join logs may compact (downstream watermark has
@@ -1081,6 +1117,27 @@ class Engine:
             ivm_log_read(self.spark, droot, agg_spec),
         )
         p_agg.active = True
+
+    def read_pipeline_changes(self, name: str) -> DataFrame:
+        """The change stream a DAG-activated aggregate pipeline emitted
+        (``activate_pipeline_dag_incremental(..., emit_changes=True)``):
+        raw group-keyed upserts/tombstones with ``__seq``/``__deleted``,
+        in log order. A consumer folds it (``fold_last_image`` by the
+        group columns over ``__seq``) or stacks on it (SCD2, MERGE) — the
+        fold equals the rollup view at every point (pytest-pinned)."""
+        from dbt_decodable_spark.streaming.changelog import list_deltas
+
+        p = self.pipelines[self.qualify(name)]
+        out_log = os.path.join(
+            self.warehouse_dir, f"_ivmd_{p.name}", "out"
+        )
+        deltas = list_deltas(out_log)
+        if not deltas:
+            raise CatalogError(
+                f"pipeline {name!r} has no emitted change log — activate "
+                "with emit_changes=True"
+            )
+        return self.spark.read.parquet(*deltas)
 
     def _dag_fact_stream(self, p_join) -> str:
         """The fact-side stream of a join pipeline (the side whose primary

@@ -691,6 +691,53 @@ class TestEngineDag:
         finally:
             eng.cleanup()
 
+    def test_emit_changes_depth3_front_door(self, spark, tmp_path):
+        """emit_changes=True maintains the rollup's own change log through
+        the engine: fold(emitted) == the rollup sink after every
+        activation, a group that empties gets its tombstone, and enabling
+        emission on an already-initialized root raises (the init image is
+        unrecoverable later)."""
+        from dbt_decodable_spark.catalog import CatalogError
+
+        f1 = [(1, 10, 5, 1, False), (2, 20, 7, 1, False),
+              (3, 20, 9, 1, False)]
+        d1 = [(10, "a", 1, 1, False), (20, "b", 2, 1, False)]
+        eng = self._setup(spark, tmp_path, f1, d1, ns="dg3")
+        try:
+            self._activate(eng, emit_changes=True)
+
+            def fold_out():
+                ch = eng.read_pipeline_changes("rollup")
+                return (
+                    fold_last_image(ch, ["dim_tier"], [F.col("__seq")])
+                    .filter(~F.col("__deleted"))
+                    .drop("__seq", "__deleted")
+                )
+
+            assert _rows(fold_out()) == _rows(eng.read_stream("rollup"))
+
+            # empty tier 2 entirely (both facts tombstoned) + new tier-1 fact
+            f2 = [(2, 20, 7, 2, True), (3, 20, 9, 2, True),
+                  (4, 10, 1, 2, False)]
+            self._append(spark, eng, "fact", f2, FACT_DDL)
+            self._activate(eng, emit_changes=True)
+            assert _rows(fold_out()) == _rows(eng.read_stream("rollup"))
+            emitted = [tuple(r) for r in eng.read_pipeline_changes("rollup").collect()]
+            assert any(r[0] == 2 and r[-1] is True for r in emitted), (
+                "tier-2 emptied — its tombstone must be in the change log"
+            )
+        finally:
+            eng.cleanup()
+
+        # late enablement on an emission-less root must raise
+        eng2 = self._setup(spark, tmp_path / "late", f1, d1, ns="dg3b")
+        try:
+            self._activate(eng2)
+            with pytest.raises(CatalogError, match="FIRST activation"):
+                self._activate(eng2, emit_changes=True)
+        finally:
+            eng2.cleanup()
+
     def test_dag_shape_validation(self, spark, tmp_path):
         """The downstream must aggregate the upstream's sink — anything
         else is a mis-wired DAG and raises before any write."""
