@@ -282,7 +282,11 @@ class TestWatermarkProtocol:
         # the join arm always writes a non-empty v0 (or none at all), so an
         # empty base snapshot is out of contract — draw at least one row
         n_base = data.draw(st.integers(1, min(3, n_ops)))
-        base = [(pk, g, v, 0, dl) for (pk, g, v, _, dl) in ops[:n_base]]
+        # the base snapshot is a FOLD in every real init path (one image
+        # per key) — keep the last image per pk, or duplicate-key seq-0
+        # rows would violate the keyed-snapshot contract
+        base_by_pk = {op[0]: op for op in ops[:n_base]}
+        base = [(pk, g, v, 0, dl) for (pk, g, v, _, dl) in base_by_pk.values()]
         rest = ops[n_base:]
         view_log = str(tmp / "view")
         write_hash_partitioned(_vdf(spark, base), view_log, ["pk"], 4)
@@ -370,6 +374,78 @@ class TestAggChangeStream:
         # the b-emptying batch must have emitted a NULL-agg tombstone
         tombs = [r for r in emitted if r[-1] is True]
         assert any(r[0] == "b" and r[1] is None for r in tombs)
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(data=st.data())
+    def test_emission_random_sweep(self, spark, tmp_path_factory, data):
+        """Random keyed change batches: after every batch the FOLD of the
+        cumulative emitted stream equals the maintained view (and the
+        declarative recompute) — tombstone timing, NULL groups/values,
+        resurrections and stale no-ops included."""
+        from dbt_decodable_spark.operators.ivm_log import (
+            ivm_log_append,
+            ivm_log_batch_changes,
+            ivm_log_init,
+        )
+
+        tmp = tmp_path_factory.mktemp("emit")
+        keys, order = ["pk"], [F.col("__seq")]
+        n_ops = data.draw(st.integers(3, 14))
+        ops = [
+            (
+                data.draw(st.integers(1, 4)),
+                data.draw(st.sampled_from(["a", "b", None])),
+                data.draw(st.one_of(st.none(), st.integers(0, 3))),
+                (i + 1) * 10,
+                data.draw(st.booleans()),
+            )
+            for i in range(n_ops)
+        ]
+        n_base = data.draw(st.integers(1, min(3, n_ops)))
+        # one image per key: the init snapshot is a fold in every real
+        # path — duplicate-key seq-0 rows would violate its contract
+        base_by_pk = {op[0]: op for op in ops[:n_base]}
+        base = [(pk, g, v, 0, dl) for (pk, g, v, _, dl) in base_by_pk.values()]
+        rest = ops[n_base:]
+        root = str(tmp / "state")
+        ivm_log_init(
+            spark, root, _vdf(spark, base), SPEC, delete_col="__deleted"
+        )
+        seen = list(base)
+        # the change log is self-contained only when seeded with the INIT
+        # image (the engine arm lands it as the floor-seq batch) — emitted
+        # batches carry touched groups only
+        init_img = ivm_log_read(spark, root, SPEC).withColumn(
+            "__seq", F.lit(0).cast("long")
+        ).withColumn("__deleted", F.lit(False))
+        emitted: list = [tuple(r) for r in init_img.collect()]
+        # tombstone emissions carry NULL aggregate outputs — reconstruct
+        # through an all-nullable copy of the schema
+        out_schema = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in init_img.schema]
+        )
+        k = 0
+        while rest:
+            k += 1
+            n = data.draw(st.integers(1, len(rest)))
+            batch, rest = rest[:n], rest[n:]
+            snap_before = fold_last_image(_vdf(spark, seen), keys, order)
+            out = ivm_log_batch_changes(
+                spark, root, snap_before, _vdf(spark, batch), keys, order,
+                SPEC, seq=batch[-1][3],
+            )
+            ivm_log_append(
+                spark, root, snap_before, _vdf(spark, batch), keys, order,
+                SPEC, tag=str(k),
+            )
+            emitted += [tuple(r) for r in out.collect()]
+            seen += batch
+            got = _rows(self._fold_emitted(spark, emitted, out_schema))
+            assert got == _rows(_expected(spark, seen))
 
     def test_depth3_dag_emit_log(self, spark, tmp_path):
         """join-view change log → downstream rollup → the rollup's own
