@@ -447,6 +447,46 @@ class TestAggChangeStream:
             got = _rows(self._fold_emitted(spark, emitted, out_schema))
             assert got == _rows(_expected(spark, seen))
 
+    def test_emission_null_bucket_layout(self, spark, tmp_path):
+        """Custom bucket_expr over a nullable group field buckets the NULL
+        group to a NULL partition value — the emission's touched-bucket
+        prune must stay null-safe (parity with the append path's r10 fix),
+        or the NULL group's pre-image/support base would silently vanish
+        from the post-image recompute."""
+        from dbt_decodable_spark.operators.ivm_log import (
+            ivm_log_append,
+            ivm_log_batch_changes,
+            ivm_log_init,
+        )
+
+        keys, order = ["pk"], [F.col("__seq")]
+        base = [(1, None, 3, 0, False), (2, None, 7, 0, False),
+                (3, "a", 1, 0, False)]
+        root = str(tmp_path / "state")
+        ivm_log_init(
+            spark, root, _vdf(spark, base), SPEC, delete_col="__deleted",
+            bucket_expr="pmod(xxhash64(__g.grp), 4)",
+        )
+        # touch the NULL group: tombstone one member — the post image must
+        # retract from the NULL-bucketed base, not from nothing
+        b = [(1, None, 3, 10, True)]
+        snap_before = fold_last_image(_vdf(spark, base), keys, order)
+        out = ivm_log_batch_changes(
+            spark, root, snap_before, _vdf(spark, b), keys, order, SPEC,
+            seq=10,
+        )
+        got = _rows(out.drop("__seq", "__deleted"))
+        assert got == _rows(
+            _expected(spark, base + b).filter(F.col("grp").isNull())
+        )
+        ivm_log_append(
+            spark, root, snap_before, _vdf(spark, b), keys, order, SPEC,
+            tag="1",
+        )
+        assert _rows(ivm_log_read(spark, root, SPEC)) == _rows(
+            _expected(spark, base + b)
+        )
+
     def test_depth3_dag_emit_log(self, spark, tmp_path):
         """join-view change log → downstream rollup → the rollup's own
         emitted change log: folding the emitted stream equals the rollup
