@@ -340,6 +340,36 @@ def _contributions(
     )
 
 
+def _counter_delta(contrib: DataFrame, spec: AggViewSpec) -> DataFrame:
+    """Signed counter deltas per touched group — the one place the
+    count/sum/non-null arithmetic lives. The in-memory maintain path and
+    both log paths (``ivm_log_append`` state append, ``ivm_log_batch_changes``
+    emission) MUST aggregate identically or state and emitted changes
+    silently diverge; they all call this."""
+    delta_aggs: list[Column] = [F.sum("__mult").alias("__cnt")]
+    for c in spec.delta_cols():
+        delta_aggs.append(F.sum(F.col("__mult") * _sum0(c)).alias(f"__sum_{c}"))
+        delta_aggs.append(
+            F.sum(
+                F.when(F.col(c).isNotNull(), F.col("__mult")).otherwise(F.lit(0))
+            ).alias(f"__nn_{c}")
+        )
+    return contrib.groupBy(GKEY).agg(*delta_aggs)
+
+
+def _support_delta(contrib: DataFrame, c: str) -> DataFrame:
+    """One support column's count-delta for a batch: (group, value) → Σ__mult,
+    keyed by the composite ``__k`` struct. Shared by the same three callers
+    as :func:`_counter_delta`, for the same reason."""
+    return (
+        contrib.filter(F.col(c).isNotNull())
+        .groupBy(
+            F.struct(F.col(GKEY).alias("g"), F.col(c).alias("v")).alias(SKEY)
+        )
+        .agg(F.sum("__mult").alias("__cnt"))
+    )
+
+
 def _merge_counted(
     state: DataFrame,
     delta: DataFrame,
@@ -396,15 +426,7 @@ def maintain(
         return F.broadcast(df) if broadcast_patches else df
 
     # 1. counter deltas → merged aggregate (extremes carried, patched below)
-    delta_aggs: list[Column] = [F.sum("__mult").alias("__cnt")]
-    for c in spec.delta_cols():
-        delta_aggs.append(F.sum(F.col("__mult") * _sum0(c)).alias(f"__sum_{c}"))
-        delta_aggs.append(
-            F.sum(F.when(F.col(c).isNotNull(), F.col("__mult")).otherwise(F.lit(0))).alias(
-                f"__nn_{c}"
-            )
-        )
-    agg_delta = contrib.groupBy(GKEY).agg(*delta_aggs)
+    agg_delta = _counter_delta(contrib, spec)
     counter_cols = ["__cnt"]
     for c in spec.delta_cols():
         counter_cols += [f"__sum_{c}", f"__nn_{c}"]
@@ -414,14 +436,9 @@ def maintain(
     # 2. support merges (state-side shuffle-free on the composite key)
     new_supports: dict[str, DataFrame] = {}
     for c in spec.support_cols():
-        sd = (
-            contrib.filter(F.col(c).isNotNull())
-            .groupBy(
-                F.struct(F.col(GKEY).alias("g"), F.col(c).alias("v")).alias(SKEY)
-            )
-            .agg(F.sum("__mult").alias("__cnt"))
+        new_supports[c] = _merge_counted(
+            state.supports[c], _support_delta(contrib, c), [SKEY], ["__cnt"]
         )
-        new_supports[c] = _merge_counted(state.supports[c], sd, [SKEY], ["__cnt"])
 
     # 3. re-derive extremes for the touched groups only and patch them in.
     # The semi-join probe and the patch side are both bounded by the batch's

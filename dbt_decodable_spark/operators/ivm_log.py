@@ -80,8 +80,9 @@ from dbt_decodable_spark.operators.ivm import (
     SKEY,
     AggViewSpec,
     _contributions,
+    _counter_delta,
     _ext_aggs,
-    _sum0,
+    _support_delta,
     change_pairs,
     init_state,
 )
@@ -249,6 +250,66 @@ def _fold(
     return folded
 
 
+def _touched_bucket_filter(touched: DataFrame, meta: dict) -> Column:
+    """Partition-directory prune for the touched groups' state slice —
+    shared by the state-append and emission paths (the same fix must land
+    on both). NULL-safe: a custom ``bucket_expr`` over a nullable group
+    field buckets the NULL group into a NULL partition value, and plain
+    ``isin()`` never matches NULL (SQL IN semantics) — without the isNull
+    arm the group's compacted base rows would silently drop out of the
+    extreme recompute."""
+    tbuckets = [
+        r[0]
+        for r in touched.select(F.expr(meta["bucket_expr"]).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    non_null = [b for b in tbuckets if b is not None]
+    bf = F.col(BUCKET).isin(non_null) if non_null else F.lit(False)
+    if len(non_null) < len(tbuckets):
+        bf = bf | F.col(BUCKET).isNull()
+    return bf
+
+
+def _ext_recompute(
+    spark: SparkSession,
+    root: str,
+    spec: AggViewSpec,
+    touched: DataFrame,
+    bf: Column,
+    hint,
+    pending_delta=None,
+) -> DataFrame | None:
+    """Absolute extremes for the touched groups, recomputed from the support
+    state (committed fold, touched-bucket pruned). The append path calls this
+    AFTER landing the batch's support deltas (the fold reads them as pending);
+    the emission path writes nothing, so it passes ``pending_delta`` (a
+    ``col -> DataFrame`` of the batch's unwritten support delta) to splice
+    them in — unioning with the committed fold is equivalent because dropped
+    zero-count rows are the additive identity."""
+    ext: DataFrame | None = None
+    for c in spec.support_cols():
+        sup = _fold(
+            spark, _sup_root(root, c), SKEY, ["__cnt"], [], base_filter=bf
+        )
+        if pending_delta is not None:
+            sup = (
+                sup.unionByName(pending_delta(c))
+                .groupBy(SKEY)
+                .agg(F.sum("__cnt").alias("__cnt"))
+                .filter(F.col("__cnt") > 0)
+            )
+        probe = hint(touched)
+        slice_c = sup.join(
+            probe, on=sup[SKEY].getField("g") == probe[GKEY], how="left_semi"
+        )
+        part = slice_c.groupBy(
+            F.col(SKEY).getField("g").alias(GKEY)
+        ).agg(*_ext_aggs(spec, c, F.col(SKEY).getField("v")))
+        ext = part if ext is None else ext.join(part, on=[GKEY], how="full_outer")
+    return ext
+
+
 # ------------------------------------------------------------- operations
 
 
@@ -344,14 +405,9 @@ def ivm_log_append(
         for c in spec.support_cols():
             if _tag_folded(_sup_root(root, c)):
                 continue
-            sd = (
-                contrib.filter(F.col(c).isNotNull())
-                .groupBy(
-                    F.struct(F.col(GKEY).alias("g"), F.col(c).alias("v")).alias(SKEY)
-                )
-                .agg(F.sum("__mult").alias("__cnt"))
+            append_delta(
+                spark, _sup_root(root, c), _support_delta(contrib, c), tag=tag
             )
-            append_delta(spark, _sup_root(root, c), sd, tag=tag)
 
         def hint(df: DataFrame) -> DataFrame:
             return F.broadcast(df) if broadcast_patches else df
@@ -363,51 +419,12 @@ def ivm_log_append(
         ext: DataFrame | None = None
         if spec.support_cols():
             touched = contrib.select(GKEY).distinct()
-            tbuckets = [
-                r[0]
-                for r in touched.select(F.expr(meta["bucket_expr"]).alias("b"))
-                .distinct()
-                .collect()
-            ]
-            # a custom bucket_expr over a nullable group field buckets the
-            # NULL group into a NULL partition value — plain isin() never
-            # matches NULL (SQL IN semantics), which would silently drop
-            # the group's compacted base rows from the extreme recompute
-            non_null = [b for b in tbuckets if b is not None]
-            bf = (
-                F.col(BUCKET).isin(non_null) if non_null else F.lit(False)
-            )
-            if len(non_null) < len(tbuckets):
-                bf = bf | F.col(BUCKET).isNull()
-        for c in spec.support_cols():
-            sup = _fold(
-                spark,
-                _sup_root(root, c),
-                SKEY,
-                ["__cnt"],
-                [],
-                base_filter=bf,
-            )
-            probe = hint(touched)
-            slice_c = sup.join(
-                probe, on=sup[SKEY].getField("g") == probe[GKEY], how="left_semi"
-            )
-            part = slice_c.groupBy(
-                F.col(SKEY).getField("g").alias(GKEY)
-            ).agg(*_ext_aggs(spec, c, F.col(SKEY).getField("v")))
-            ext = part if ext is None else ext.join(part, on=[GKEY], how="full_outer")
+            bf = _touched_bucket_filter(touched, meta)
+            ext = _ext_recompute(spark, root, spec, touched, bf, hint)
 
         # 3. the aggregate delta: signed counters per touched group, plus
         # the absolute recomputed extremes riding on the same row
-        delta_aggs: list[Column] = [F.sum("__mult").alias("__cnt")]
-        for c in spec.delta_cols():
-            delta_aggs.append(F.sum(F.col("__mult") * _sum0(c)).alias(f"__sum_{c}"))
-            delta_aggs.append(
-                F.sum(
-                    F.when(F.col(c).isNotNull(), F.col("__mult")).otherwise(F.lit(0))
-                ).alias(f"__nn_{c}")
-            )
-        agg_delta = contrib.groupBy(GKEY).agg(*delta_aggs)
+        agg_delta = _counter_delta(contrib, spec)
         if ext is not None:
             a, e = agg_delta.alias("__a"), hint(ext).alias("__e")
             sel: list[Column] = [a[GKEY]] + [
@@ -489,16 +506,7 @@ def ivm_log_batch_changes(
         if contrib.isEmpty():
             return _empty()
         touched = contrib.select(GKEY).distinct()
-        tbuckets = [
-            r[0]
-            for r in touched.select(F.expr(meta["bucket_expr"]).alias("b"))
-            .distinct()
-            .collect()
-        ]
-        non_null = [b for b in tbuckets if b is not None]
-        bf = F.col(BUCKET).isin(non_null) if non_null else F.lit(False)
-        if len(non_null) < len(tbuckets):
-            bf = bf | F.col(BUCKET).isNull()
+        bf = _touched_bucket_filter(touched, meta)
 
         def hint(df: DataFrame) -> DataFrame:
             return F.broadcast(df) if broadcast_patches else df
@@ -506,43 +514,14 @@ def ivm_log_batch_changes(
         # absolute extremes for the touched groups — the same recompute
         # ivm_log_append rides on its delta rows, from COMMITTED support
         # state plus this batch's (unwritten) support contributions
-        ext: DataFrame | None = None
-        for c in spec.support_cols():
-            sd = (
-                contrib.filter(F.col(c).isNotNull())
-                .groupBy(
-                    F.struct(F.col(GKEY).alias("g"), F.col(c).alias("v")).alias(SKEY)
-                )
-                .agg(F.sum("__mult").alias("__cnt"))
-            )
-            sup = (
-                _fold(spark, _sup_root(root, c), SKEY, ["__cnt"], [],
-                      base_filter=bf)
-                .unionByName(sd)
-                .groupBy(SKEY)
-                .agg(F.sum("__cnt").alias("__cnt"))
-                .filter(F.col("__cnt") > 0)
-            )
-            probe = hint(touched)
-            slice_c = sup.join(
-                probe, on=sup[SKEY].getField("g") == probe[GKEY], how="left_semi"
-            )
-            part = slice_c.groupBy(
-                F.col(SKEY).getField("g").alias(GKEY)
-            ).agg(*_ext_aggs(spec, c, F.col(SKEY).getField("v")))
-            ext = part if ext is None else ext.join(part, on=[GKEY], how="full_outer")
+        ext = _ext_recompute(
+            spark, root, spec, touched, bf, hint,
+            pending_delta=lambda c: _support_delta(contrib, c),
+        )
 
         # signed counter deltas per touched group (identical arithmetic to
-        # the append path)
-        delta_aggs: list[Column] = [F.sum("__mult").alias("__cnt")]
-        for c in spec.delta_cols():
-            delta_aggs.append(F.sum(F.col("__mult") * _sum0(c)).alias(f"__sum_{c}"))
-            delta_aggs.append(
-                F.sum(
-                    F.when(F.col(c).isNotNull(), F.col("__mult")).otherwise(F.lit(0))
-                ).alias(f"__nn_{c}")
-            )
-        agg_delta = contrib.groupBy(GKEY).agg(*delta_aggs)
+        # the append path — both call _counter_delta)
+        agg_delta = _counter_delta(contrib, spec)
 
         # committed pre-images of the touched groups (pruned fold)
         pre = _fold(spark, agg_root, GKEY, counter_cols, ext_state,
