@@ -543,13 +543,20 @@ class Engine:
 
         src_schema = self.spark.read.parquet(sdef.path).schema
         # fire-before-write (join-arm invariant): a reserved source column
-        # rejected only inside the snapshot writer would fire AFTER the
-        # root dir and checkpoint offsets were created for a pipeline that
-        # can never activate
-        if "__bucket" in src_schema.fieldNames():
+        # rejected only inside the snapshot writer or the first maintenance
+        # batch would fire AFTER the root dir and checkpoint offsets were
+        # created for a pipeline that can never activate. __bucket is the
+        # snapshot layout column; __g/__k/__gbucket/__mult are the names
+        # the ivm_log state machinery stacks onto source rows (the same
+        # set the DAG arm rejects on its sink columns).
+        bad_src = sorted(
+            set(src_schema.fieldNames())
+            & {"__bucket", "__g", "__k", "__gbucket", "__mult"}
+        )
+        if bad_src:
             raise CatalogError(
-                "source column '__bucket' collides with the bucketed "
-                "snapshot layout column"
+                f"source column(s) {bad_src} collide with reserved "
+                "maintenance-state names"
             )
         root = os.path.join(self.warehouse_dir, f"_ivm_{p.name}")
         snap_path = os.path.join(root, "snapshot")
@@ -564,16 +571,31 @@ class Engine:
         if not os.path.exists(init_marker) and glob.glob(
             os.path.join(root, "agg", "v=*", "_SUCCESS")
         ):
-            # pre-marker root completed under the old isdir(root) gate —
-            # ADOPT it rather than re-initialize: a fresh watermark=-1
-            # generation would re-apply the log's still-present counter
-            # deltas (folded-but-unvacuumed ones included) on top of a
-            # snapshot fold that already carries their effects —
-            # double-counted aggregates. A root without a published agg
-            # generation is an old-code mid-init wedge: nothing could have
-            # appended to it (appends need a generation), so re-init below
-            # is safe there.
-            _write_atomic(init_marker, "1")
+            # pre-marker root whose init completed under the old
+            # isdir(root) gate — ADOPT it rather than re-initialize: a
+            # fresh watermark=-1 generation would re-apply the log's
+            # still-present counter deltas (folded-but-unvacuumed ones
+            # included) on top of a snapshot fold that already carries
+            # their effects — double-counted aggregates. "Completed" means
+            # EVERY state table has a published generation, not just agg:
+            # ivm_log_init publishes agg first, then the sup_<col> tables,
+            # so a crash between the publishes leaves agg committed with a
+            # support table missing — adopting THAT root wedges every later
+            # append on _latest_gen(sup_...) with a misleading
+            # FileNotFoundError. Nothing can have consumed such a root
+            # (appends fail on the missing generation before landing the
+            # agg delta), so clearing and re-initializing is the safe
+            # recovery — and the same clear covers the marker-gated path's
+            # own crash between ivm_log_init's per-table publishes, which
+            # ivm_log_init alone cannot redo (it refuses a root with
+            # committed agg generations).
+            if all(
+                glob.glob(os.path.join(root, f"sup_{c}", "v=*", "_SUCCESS"))
+                for c in spec.support_cols()
+            ):
+                _write_atomic(init_marker, "1")
+            else:
+                shutil.rmtree(root, ignore_errors=True)
         if not os.path.exists(init_marker):
             os.makedirs(root, exist_ok=True)
             # one-time setup: commit the stream offsets over the current
@@ -681,10 +703,12 @@ class Engine:
         the fold tolerance above (re-folding identical images picks the
         same winners), never a lost or wrong answer. (The reverse order
         would commit gap files as consumed without ever folding them —
-        silent loss.) Init completion is gated on the view log (the LAST
-        init artifact) and every init write is mode-overwrite, so a crash
+        silent loss.) Init completion is gated on a marker written LAST
+        (not on the view-log directory, which Spark creates before the v0
+        write commits) and every init write is mode-overwrite, so a crash
         mid-init simply redoes it: the re-run advances only files added
-        since, and the fold reads the full source regardless. The bucket
+        since, and the fold reads the full source regardless. A pre-marker
+        root whose v0 committed (``view/_SUCCESS``) is adopted as-is. The bucket
         count is persisted in the root on first activation and a
         re-activation with a different ``n_buckets`` raises — every merge
         and compaction must hash with the layout the writer used, and a
@@ -702,8 +726,8 @@ class Engine:
         from dbt_decodable_spark.operators import ivm_join as ij
         from dbt_decodable_spark.streaming.changelog import (
             append_delta,
-            compact_and_vacuum,
             fold_last_image,
+            list_deltas,
             read_merged,
             write_hash_partitioned,
         )
@@ -733,18 +757,8 @@ class Engine:
             )
         spec = dataclasses.replace(spec0, fact_keys=tuple(fkeys))
 
-        def _ordered(given, sdef, keys, side):
-            if given is None:
-                if not sdef.schema.watermarks:
-                    raise CatalogError(
-                        f"pass {side}_order= (change-order columns): the "
-                        "source has no watermark column to default to"
-                    )
-                given = [w.name for w in sdef.schema.watermarks]
-            return list(given) + [k for k in keys if k not in given]
-
-        forder = _ordered(fact_order, fdef, fkeys, "fact")
-        dorder = _ordered(dim_order, ddef, dkeys, "dim")
+        forder = self._change_order(fact_order, fdef, fkeys, "fact")
+        dorder = self._change_order(dim_order, ddef, dkeys, "dim")
         for sdef, t in ((fdef, ftbl), (ddef, dtbl)):
             if not sdef.path:
                 raise CatalogError(f"source stream {t!r} is not parquet-backed")
@@ -800,11 +814,39 @@ class Engine:
                 "reserved view-log columns"
             )
 
-        # init completion is gated on the LAST artifact (the view log),
-        # not the root dir: a crash mid-init redoes everything (all init
-        # writes are mode-overwrite)
+        # init completion is gated on a MARKER written last, not on the
+        # view-log directory: Spark creates the directory before the v0
+        # write commits, so a crash mid-write would leave a dir that an
+        # isdir gate mistakes for completed init — with the offsets already
+        # advanced, the partial (or empty) v0 silently loses every key the
+        # crash cut off. The marker plus redo-safe init writes (all
+        # mode-overwrite) close that window, same protocol as the
+        # aggregate/DAG arms.
         nb_file = os.path.join(root, "_n_buckets")
-        if not os.path.isdir(view_log):
+        init_marker = os.path.join(root, "_init_done")
+        if not os.path.exists(init_marker) and os.path.exists(
+            os.path.join(view_log, "_SUCCESS")
+        ):
+            # pre-marker root whose v0 write COMMITTED under the old
+            # isdir(view_log) gate — adopt; re-initializing would overwrite
+            # v0 (__seq=0) under the root's still-present higher-__seq view
+            # deltas, whose stale images would then out-fold the fresher
+            # recomputed snapshot
+            _write_atomic(init_marker, "1")
+        if not os.path.exists(init_marker):
+            if any(
+                list_deltas(log) for log in (fact_log, dim_log, view_log)
+            ):
+                # deltas can only land post-init, so this root completed
+                # init WITHOUT a committed v0 — an old-code crash mid-write
+                # that later activations appended onto; the base is
+                # unrecoverable (re-init would strand the deltas' seqs over
+                # a fresh v0) but the sources still hold every row
+                raise CatalogError(
+                    f"{root!r} has appended deltas but no committed view "
+                    "base — an old-code crash mid-init; delete the root to "
+                    "rebuild from the sources"
+                )
             os.makedirs(root, exist_ok=True)
             # persist the bucket layout FIRST: every later merge/compaction
             # must hash with the writer's bucket expression (the
@@ -842,6 +884,7 @@ class Engine:
                 .withColumn("__deleted", F.lit(False))
             )
             write_hash_partitioned(v0, view_log, fkeys, n_buckets)
+            _write_atomic(init_marker, "1")
         if not os.path.exists(nb_file):
             raise CatalogError(
                 f"{root!r} has a completed view log but no _n_buckets "
@@ -934,21 +977,11 @@ class Engine:
         _run_side("dim", ddef, dim_log)
 
         if compact:
-            # LSM trigger, not every activation: folding deltas into the
-            # snapshot is the amortized O(|state|) step — running it while
-            # only a handful of batch-sized deltas are pending pays the
-            # full-state rewrite for nothing (reads fold pending deltas
-            # anyway). Same cadence lever as the aggregate arm's
-            # compact_every.
-            from dbt_decodable_spark.streaming.changelog import list_deltas
-
-            for log, keys_, ord_ in (
-                (fact_log, fkeys, fordc()),
-                (dim_log, dkeys, dordc()),
-                (view_log, fkeys, [F.col("__seq")]),
-            ):
-                if len(list_deltas(log)) >= compact_min_deltas:
-                    compact_and_vacuum(self.spark, log, keys_, ord_, n_buckets)
+            self._compact_join_pipeline_logs(
+                p, n_buckets=n_buckets,
+                compact_min_deltas=compact_min_deltas,
+                fact_order=fact_order, dim_order=dim_order,
+            )
         live = read_merged(
             self.spark, view_log, fkeys, [F.col("__seq")],
             delete_col="__deleted",
@@ -1063,16 +1096,40 @@ class Engine:
         droot = os.path.join(self.warehouse_dir, f"_ivmd_{p_agg.name}")
         out_log = os.path.join(droot, "out")
         marker = os.path.join(droot, "_init_done")
-        if (
-            emit_changes
-            and os.path.exists(marker)
-            and not os.path.isdir(out_log + ".__deltas__")
-        ):
-            raise CatalogError(
-                "change emission must be enabled from the FIRST activation "
-                "(the out log's init image is unrecoverable later) — delete "
-                f"{droot!r} to rebuild the downstream with emit_changes"
-            )
+        # the emission choice is a property of the ROOT, not of one
+        # activation — persisted at init (like the join arm's _n_buckets)
+        # and validated every re-activation. Enabling late is impossible
+        # (the out log's init image is unrecoverable), and DISABLING for
+        # one activation would be worse than an error: maintenance would
+        # consume view seqs without emitting, silently punching a
+        # permanent gap in the out log that a later emitting activation
+        # papers over — fold(out log) would return stale pre-gap images
+        # with no error ever raised.
+        emit_file = os.path.join(droot, "_emit_changes")
+        if os.path.exists(marker):
+            if os.path.exists(emit_file):
+                with open(emit_file) as fh:
+                    persisted_emit = fh.read().strip() == "1"
+            else:
+                # pre-flag root: the out-deltas dir exists iff the root was
+                # built emitting; persist the inferred answer
+                persisted_emit = os.path.isdir(out_log + ".__deltas__")
+                _write_atomic(emit_file, "1" if persisted_emit else "0")
+            if emit_changes and not persisted_emit:
+                raise CatalogError(
+                    "change emission must be enabled from the FIRST "
+                    "activation (the out log's init image is unrecoverable "
+                    f"later) — delete {droot!r} to rebuild the downstream "
+                    "with emit_changes"
+                )
+            if persisted_emit and not emit_changes:
+                raise CatalogError(
+                    "this downstream maintains an emitted change log — "
+                    "every activation must keep emitting (a non-emitting "
+                    "one would punch a permanent gap in the out log); pass "
+                    f"emit_changes=True, or delete {droot!r} to rebuild "
+                    "without emission"
+                )
         if not os.path.exists(marker):
             # clear-then-init is redo-safe: appends are gated on the
             # marker, so a partial root holds no consumed delta to lose
@@ -1097,6 +1154,7 @@ class Engine:
                     .withColumn("__deleted", F.lit(False))
                 )
                 append_delta(self.spark, out_log, init_img, tag=str(floor))
+            _write_atomic(emit_file, "1" if emit_changes else "0")
             _write_atomic(marker, "1")
         ivm_dag.maintain_downstream(
             self.spark, droot, view_log, fkeys, agg_spec,
@@ -1147,6 +1205,24 @@ class Engine:
         _, ftbl, _ = ij.join_spec_from_sql(p_join.sql, ())
         return ftbl
 
+    @staticmethod
+    def _change_order(
+        given: list[str] | None, sdef, keys: list[str], side: str
+    ) -> list[str]:
+        """Change-order columns for one side of a maintained join/aggregate:
+        the caller's list (or the side's watermark columns), with the
+        primary key appended as the deterministic tiebreak. ONE derivation
+        for the activation and compaction paths — a maintained log must be
+        compacted with the same order its merges folded by."""
+        if given is None:
+            if not sdef.schema.watermarks:
+                raise CatalogError(
+                    f"pass {side}_order= (change-order columns): the "
+                    "source has no watermark column to default to"
+                )
+            given = [w.name for w in sdef.schema.watermarks]
+        return list(given) + [k for k in keys if k not in given]
+
     def _compact_join_pipeline_logs(
         self,
         p_join,
@@ -1155,9 +1231,13 @@ class Engine:
         fact_order: list[str] | None,
         dim_order: list[str] | None,
     ) -> None:
-        """The join arm's deferred LSM compaction step (same trigger as the
-        inline block in :meth:`activate_pipeline_join_incremental`), run
-        after every downstream of the view log has consumed its deltas."""
+        """The join arm's LSM compaction step — the inline trigger in
+        :meth:`activate_pipeline_join_incremental` and the DAG's deferred
+        stage-3 call share this one implementation. LSM trigger, not every
+        activation: folding deltas into the snapshot is the amortized
+        O(|state|) step — running it while only a handful of batch-sized
+        deltas are pending pays the full-state rewrite for nothing (reads
+        fold pending deltas anyway)."""
         from dbt_decodable_spark.operators import ivm_join as ij
         from dbt_decodable_spark.streaming.changelog import (
             compact_and_vacuum,
@@ -1168,14 +1248,8 @@ class Engine:
         fdef, ddef = self.streams[ftbl], self.streams[dtbl]
         fkeys = list(fdef.schema.primary_key)
         dkeys = list(ddef.schema.primary_key)
-
-        def _ordered(given, sdef, keys):
-            if given is None:
-                given = [w.name for w in sdef.schema.watermarks]
-            return list(given) + [k for k in keys if k not in given]
-
-        forder = _ordered(fact_order, fdef, fkeys)
-        dorder = _ordered(dim_order, ddef, dkeys)
+        forder = self._change_order(fact_order, fdef, fkeys, "fact")
+        dorder = self._change_order(dim_order, ddef, dkeys, "dim")
         root = os.path.join(self.warehouse_dir, f"_ivmj_{p_join.name}")
         for log, keys_, ord_ in (
             (os.path.join(root, "fact"), fkeys, [F.col(c) for c in forder]),

@@ -1,0 +1,523 @@
+"""Round-10 review regressions on the IVM activation arms (catalog.py).
+
+Four crash/lifecycle holes found by a line-by-line review of the r10 diff,
+each pinned here against the fixed behavior:
+
+1. A DAG downstream built with ``emit_changes=True`` must keep emitting on
+   EVERY activation — a non-emitting re-activation used to consume view
+   seqs silently, punching a permanent gap into the out log that a later
+   emitting activation papered over (fold(out) returned stale images with
+   no error). The emission choice is now persisted in the root and
+   validated like the join arm's ``_n_buckets``.
+2. Join-arm init completion used to be gated on ``isdir(view_log)`` — a
+   directory Spark creates BEFORE the v0 write commits. A crash mid-write
+   was mistaken for completed init: offsets already advanced, partial or
+   empty base adopted, keys silently lost. Now a marker written last gates
+   init; committed pre-marker roots are adopted via ``view/_SUCCESS``.
+3. The aggregate arm's pre-marker adoption only required the ``agg``
+   generation — but ``ivm_log_init`` publishes agg first, then the
+   ``sup_<col>`` tables, so a crash between the publishes left a root that
+   adoption wedged permanently (every append dies on the missing support
+   generation). Adoption now requires EVERY state table's generation and
+   clears half-published roots for a clean re-init.
+4. The aggregate arm's fire-before-write guard only rejected ``__bucket``;
+   a source column named ``__g``/``__k``/``__gbucket``/``__mult`` passed
+   init and wedged on the first maintenance batch — after the root and
+   checkpoint offsets existed.
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_decodable_spark.catalog import CatalogError, Engine
+from dbt_decodable_spark.schema import StreamSchema
+from dbt_decodable_spark.streaming.changelog import fold_last_image
+
+FACT_DDL = "pk long, fk long, qty long, ts long, deleted boolean"
+DIM_DDL = "dk long, name string, tier long, ts long, deleted boolean"
+
+
+def _rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+
+
+def _mk_engine(spark, tmp_path, ns):
+    eng = Engine(spark, namespace=ns, warehouse_dir=str(tmp_path / "wh"))
+    os.makedirs(eng.warehouse_dir, exist_ok=True)
+    return eng
+
+
+def _mk_join(spark, tmp_path, ns, f1, d1, with_rollup=False):
+    eng = _mk_engine(spark, tmp_path, ns)
+    eng.create_stream(
+        "fact",
+        schema=StreamSchema.from_spark(
+            spark.createDataFrame(f1, FACT_DDL).schema, primary_key=["pk"]
+        ),
+        data=spark.createDataFrame(f1, FACT_DDL),
+    )
+    eng.create_stream(
+        "dim",
+        schema=StreamSchema.from_spark(
+            spark.createDataFrame(d1, DIM_DDL).schema, primary_key=["dk"]
+        ),
+        data=spark.createDataFrame(d1, DIM_DDL),
+    )
+    eng.create_pipeline(
+        "enriched",
+        f"select f.*, d.name as dim_name, d.tier as dim_tier "
+        f"from {ns}__fact f left join {ns}__dim d on f.fk = d.dk",
+        activate=False,
+    )
+    if with_rollup:
+        eng.create_pipeline(
+            "rollup",
+            f"select dim_tier, count(*) as n_rows, sum(qty) as sum_qty, "
+            f"min(qty) as min_qty "
+            f"from {ns}__enriched group by dim_tier",
+            activate=False,
+        )
+    return eng
+
+
+def _join_want(spark, f_rows, d_rows):
+    from dbt_decodable_spark.operators.ivm_join import (
+        JoinViewSpec,
+        compute_join_view,
+    )
+
+    spec = JoinViewSpec(
+        fact_keys=("pk",), fk_cols=("fk",), dim_keys=("dk",),
+        dim_payload={"dim_name": "name", "dim_tier": "tier"},
+    )
+    ff = fold_last_image(
+        spark.createDataFrame(f_rows, FACT_DDL), ["pk"],
+        [F.col("ts"), F.col("pk")],
+    )
+    dd = fold_last_image(
+        spark.createDataFrame(d_rows, DIM_DDL), ["dk"],
+        [F.col("ts"), F.col("dk")],
+    )
+    return _rows(compute_join_view(ff, dd, spec, "deleted", "deleted"))
+
+
+F1 = [(1, 10, 5, 1, False), (2, 20, 7, 1, False), (3, 20, 9, 1, False)]
+D1 = [(10, "a", 1, 1, False), (20, "b", 2, 1, False)]
+
+
+class TestEmitFlagPersisted:
+    def _activate(self, eng, **kw):
+        eng.activate_pipeline_dag_incremental(
+            "rollup", "enriched",
+            fact_order=["ts"], dim_order=["ts"],
+            fact_delete_col="deleted", dim_delete_col="deleted",
+            n_buckets=4, **kw,
+        )
+
+    def test_non_emitting_reactivation_raises_not_gaps(self, spark, tmp_path):
+        """An emit-enabled root must reject a non-emitting activation —
+        the old behavior silently consumed view seqs without emitting
+        (a permanent, undetectable gap in the out log)."""
+        eng = _mk_join(spark, tmp_path, "r10e", F1, D1, with_rollup=True)
+        try:
+            self._activate(eng, emit_changes=True)
+            f2 = [(4, 10, 1, 2, False)]
+            spark.createDataFrame(f2, FACT_DDL).write.mode("append").parquet(
+                eng.streams["r10e__fact"].path
+            )
+            eng.refresh_stream("fact")
+            with pytest.raises(CatalogError, match="keep emitting"):
+                self._activate(eng)  # emit_changes defaults to False
+            # the rejected activation consumed nothing: an emitting
+            # re-activation still sees the pending change, and the out log
+            # folds to the live rollup (no gap)
+            self._activate(eng, emit_changes=True)
+            folded = (
+                fold_last_image(
+                    eng.read_pipeline_changes("rollup"),
+                    ["dim_tier"], [F.col("__seq")],
+                )
+                .filter(~F.col("__deleted"))
+                .drop("__seq", "__deleted")
+            )
+            assert _rows(folded) == _rows(eng.read_stream("rollup"))
+        finally:
+            eng.cleanup()
+
+    def test_pre_flag_root_is_inferred_and_pinned(self, spark, tmp_path):
+        """A root initialized before the flag existed carries no
+        _emit_changes record — the activation infers it from the out log's
+        presence, persists the answer, and enforces it from then on."""
+        eng = _mk_join(spark, tmp_path, "r10f", F1, D1, with_rollup=True)
+        try:
+            self._activate(eng, emit_changes=True)
+            droot = os.path.join(eng.warehouse_dir, "_ivmd_r10f__rollup")
+            os.remove(os.path.join(droot, "_emit_changes"))  # legacy root
+            with pytest.raises(CatalogError, match="keep emitting"):
+                self._activate(eng)
+            with open(os.path.join(droot, "_emit_changes")) as fh:
+                assert fh.read().strip() == "1"
+        finally:
+            eng.cleanup()
+
+    def test_non_emitting_root_still_rejects_late_enable(self, spark, tmp_path):
+        eng = _mk_join(spark, tmp_path, "r10g", F1, D1, with_rollup=True)
+        try:
+            self._activate(eng)
+            with pytest.raises(CatalogError, match="FIRST activation"):
+                self._activate(eng, emit_changes=True)
+            self._activate(eng)  # staying non-emitting is fine
+        finally:
+            eng.cleanup()
+
+
+class TestJoinInitMarker:
+    def _activate(self, eng, **kw):
+        eng.activate_pipeline_join_incremental(
+            "enriched", fact_order=["ts"], dim_order=["ts"],
+            fact_delete_col="deleted", dim_delete_col="deleted",
+            n_buckets=4, **kw,
+        )
+
+    def test_crash_mid_v0_write_redoes_init(self, spark, tmp_path):
+        """A root whose v0 write never committed (view dir without
+        _SUCCESS, no marker, offsets already advanced) is re-initialized —
+        the old isdir gate adopted the broken base and silently lost every
+        key the crash cut off."""
+        eng = _mk_join(spark, tmp_path, "r10j", F1, D1)
+        try:
+            self._activate(eng)
+            root = os.path.join(eng.warehouse_dir, "_ivmj_r10j__enriched")
+            # simulate the crash state: marker absent, v0 uncommitted
+            # (partial part files), checkpoints already advanced
+            os.remove(os.path.join(root, "_init_done"))
+            view = os.path.join(root, "view")
+            os.remove(os.path.join(view, "_SUCCESS"))
+            for d in os.listdir(view):
+                if d.startswith("__bucket="):
+                    shutil.rmtree(os.path.join(view, d))
+                    break  # a PARTIAL base: some buckets written, some not
+            self._activate(eng)
+            assert _rows(eng.read_stream("enriched")) == _join_want(spark, F1, D1)
+        finally:
+            eng.cleanup()
+
+    def test_committed_pre_marker_root_is_adopted(self, spark, tmp_path):
+        """A pre-marker root whose v0 COMMITTED must be adopted, not
+        re-initialized — its deltas' __seq values outrank a fresh v0, so a
+        re-init would let stale delta images out-fold the recomputed
+        snapshot."""
+        eng = _mk_join(spark, tmp_path, "r10k", F1, D1)
+        try:
+            self._activate(eng)
+            f2 = [(2, 10, 8, 2, False)]  # an update, landing as a delta
+            spark.createDataFrame(f2, FACT_DDL).write.mode("append").parquet(
+                eng.streams["r10k__fact"].path
+            )
+            eng.refresh_stream("fact")
+            self._activate(eng)
+            root = os.path.join(eng.warehouse_dir, "_ivmj_r10k__enriched")
+            os.remove(os.path.join(root, "_init_done"))  # legacy root
+            self._activate(eng)
+            assert os.path.exists(os.path.join(root, "_init_done"))
+            assert _rows(eng.read_stream("enriched")) == _join_want(
+                spark, F1 + f2, D1
+            )
+        finally:
+            eng.cleanup()
+
+    def test_uncommitted_base_with_deltas_raises(self, spark, tmp_path):
+        """Deltas over a headless base (an old-code crash that later
+        activations appended onto) are unrecoverable in place — the
+        activation must say so instead of silently re-initializing under
+        the stranded delta seqs."""
+        eng = _mk_join(spark, tmp_path, "r10l", F1, D1)
+        try:
+            self._activate(eng)
+            f2 = [(4, 10, 1, 2, False)]
+            spark.createDataFrame(f2, FACT_DDL).write.mode("append").parquet(
+                eng.streams["r10l__fact"].path
+            )
+            eng.refresh_stream("fact")
+            self._activate(eng)  # lands a fact delta + a view delta
+            root = os.path.join(eng.warehouse_dir, "_ivmj_r10l__enriched")
+            os.remove(os.path.join(root, "_init_done"))
+            os.remove(os.path.join(root, "view", "_SUCCESS"))
+            with pytest.raises(CatalogError, match="delete the root"):
+                self._activate(eng)
+        finally:
+            eng.cleanup()
+
+
+SRC_DDL = "pk long, grp string, val long, ts long"
+
+
+def _mk_agg(spark, tmp_path, ns, rows, ddl=SRC_DDL, sql_cols=None):
+    eng = _mk_engine(spark, tmp_path, ns)
+    src = spark.createDataFrame(rows, ddl)
+    eng.create_stream(
+        "src",
+        schema=StreamSchema.from_spark(src.schema, primary_key=["pk"]),
+        data=src,
+    )
+    eng.create_pipeline(
+        "agg",
+        sql_cols
+        or (
+            f"select grp, count(*) as n, sum(val) as sum_val, "
+            f"min(val) as min_val from {ns}__src group by grp"
+        ),
+        activate=False,
+    )
+    return eng
+
+
+ROWS1 = [(i, "g%d" % (i % 3), i * 10, 1) for i in range(9)]
+
+
+def _agg_want(spark, all_rows):
+    folded = fold_last_image(
+        spark.createDataFrame(all_rows, SRC_DDL), ["pk"],
+        [F.col("ts"), F.col("pk")],
+    )
+    return _rows(
+        folded.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("val").alias("sum_val"),
+            F.min("val").alias("min_val"),
+        )
+    )
+
+
+class TestAggAdoptionRequiresAllTables:
+    def test_half_published_root_reinits_not_wedges(self, spark, tmp_path):
+        """agg generation committed, support table's missing (a crash
+        between ivm_log_init's per-table publishes): the old adoption
+        wrote the marker and every later batch died on
+        _latest_gen(sup_val) — now the root is cleared and re-initialized,
+        and the view is correct."""
+        eng = _mk_agg(spark, tmp_path, "r10m", ROWS1)
+        try:
+            eng.activate_pipeline_incremental("agg", order=["ts"])
+            root = os.path.join(eng.warehouse_dir, "_ivm_r10m__agg")
+            os.remove(os.path.join(root, "_init_done"))
+            shutil.rmtree(os.path.join(root, "sup_val"))  # the crash state
+            rows2 = [(0, "g9", 5, 2), (100, "g9", 7, 2)]
+            spark.createDataFrame(rows2, SRC_DDL).write.mode("append").parquet(
+                eng.streams["r10m__src"].path
+            )
+            eng.refresh_stream("src")
+            eng.activate_pipeline_incremental("agg", order=["ts"])
+            got = _rows(eng.read_stream("agg"))
+            assert got == _agg_want(spark, ROWS1 + rows2)
+        finally:
+            eng.cleanup()
+
+    def test_complete_pre_marker_root_still_adopted(self, spark, tmp_path):
+        """A fully-published pre-marker root keeps its adoption path: no
+        re-init (the generation set is untouched), correct maintenance."""
+        import glob as _glob
+
+        eng = _mk_agg(spark, tmp_path, "r10n", ROWS1)
+        try:
+            eng.activate_pipeline_incremental("agg", order=["ts"])
+            root = os.path.join(eng.warehouse_dir, "_ivm_r10n__agg")
+            gens_before = sorted(_glob.glob(os.path.join(root, "agg", "v=*")))
+            os.remove(os.path.join(root, "_init_done"))
+            eng.activate_pipeline_incremental("agg", order=["ts"])
+            assert os.path.exists(os.path.join(root, "_init_done"))
+            assert sorted(_glob.glob(os.path.join(root, "agg", "v=*"))) == (
+                gens_before
+            ), "adoption must not republish generation 0"
+            assert _rows(eng.read_stream("agg")) == _agg_want(spark, ROWS1)
+        finally:
+            eng.cleanup()
+
+
+class SimulatedCrash(RuntimeError):
+    pass
+
+
+class _CrashPlan:
+    """Raise at the k-th durable-write call — enumerating k sweeps every
+    between-step crash point of an init sequence."""
+
+    def __init__(self, crash_at):
+        self.crash_at = crash_at
+        self.n = 0
+
+    def tick(self):
+        self.n += 1
+        if self.crash_at is not None and self.n == self.crash_at:
+            raise SimulatedCrash(f"simulated crash at write #{self.n}")
+
+    def wrap(self, fn):
+        def wrapped(*a, **kw):
+            self.tick()
+            return fn(*a, **kw)
+
+        return wrapped
+
+
+def _inject(monkeypatch, plan):
+    """Instrument every durable-write primitive the activation arms use.
+    write_hash_partitioned/append_delta are imported at call time inside
+    the activation functions, so patching their home module reaches them;
+    _advance_stream_offsets/_write_atomic/_publish_gen are module globals
+    at their call sites."""
+    from dbt_decodable_spark import catalog as cat
+    from dbt_decodable_spark.operators import ivm_log as il
+    from dbt_decodable_spark.streaming import changelog as cl
+
+    monkeypatch.setattr(cat, "_advance_stream_offsets",
+                        plan.wrap(cat._advance_stream_offsets))
+    monkeypatch.setattr(cat, "_write_atomic", plan.wrap(cat._write_atomic))
+    monkeypatch.setattr(cl, "write_hash_partitioned",
+                        plan.wrap(cl.write_hash_partitioned))
+    monkeypatch.setattr(cl, "append_delta", plan.wrap(cl.append_delta))
+    monkeypatch.setattr(il, "_publish_gen", plan.wrap(il._publish_gen))
+
+
+class TestInitCrashSweep:
+    """Fault-injection sweep: crash the FIRST activation at every durable
+    write boundary in turn, then re-activate cleanly and require the exact
+    declarative recompute — the 'crash mid-init redoes it' contract all
+    three arms claim, proven at every point instead of the two
+    hand-picked ones."""
+
+    def test_join_arm_every_init_crash_point_recovers(
+        self, spark, tmp_path, monkeypatch
+    ):
+        k = 1
+        while True:
+            eng = _mk_join(spark, tmp_path / f"j{k}", f"cj{k}", F1, D1)
+            try:
+                plan = _CrashPlan(k)
+                with monkeypatch.context() as mp:
+                    _inject(mp, plan)
+                    try:
+                        eng.activate_pipeline_join_incremental(
+                            "enriched", fact_order=["ts"], dim_order=["ts"],
+                            fact_delete_col="deleted",
+                            dim_delete_col="deleted", n_buckets=4,
+                        )
+                        crashed = False
+                    except SimulatedCrash:
+                        crashed = True
+                # recovery: a clean re-activation must land the exact view
+                eng.activate_pipeline_join_incremental(
+                    "enriched", fact_order=["ts"], dim_order=["ts"],
+                    fact_delete_col="deleted", dim_delete_col="deleted",
+                    n_buckets=4,
+                )
+                assert _rows(eng.read_stream("enriched")) == _join_want(
+                    spark, F1, D1
+                ), f"crash point {k} did not recover"
+            finally:
+                eng.cleanup()
+            if not crashed:
+                assert k > 5, "sweep ended before reaching the init writes"
+                break
+            k += 1
+
+    def test_agg_arm_every_init_crash_point_recovers(
+        self, spark, tmp_path, monkeypatch
+    ):
+        k = 1
+        while True:
+            eng = _mk_agg(spark, tmp_path / f"a{k}", f"ca{k}", ROWS1)
+            try:
+                plan = _CrashPlan(k)
+                with monkeypatch.context() as mp:
+                    _inject(mp, plan)
+                    try:
+                        eng.activate_pipeline_incremental("agg", order=["ts"])
+                        crashed = False
+                    except SimulatedCrash:
+                        crashed = True
+                eng.activate_pipeline_incremental("agg", order=["ts"])
+                assert _rows(eng.read_stream("agg")) == _agg_want(
+                    spark, ROWS1
+                ), f"crash point {k} did not recover"
+            finally:
+                eng.cleanup()
+            if not crashed:
+                assert k > 4, "sweep ended before reaching the init writes"
+                break
+            k += 1
+
+    def test_dag_arm_every_init_crash_point_recovers(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The full two-stage DAG with emission enabled — the longest init
+        sequence (join init + downstream init + out-log init image + flag +
+        marker). Every crash point must recover to fold(out) == rollup."""
+        k = 1
+        while True:
+            eng = _mk_join(
+                spark, tmp_path / f"d{k}", f"cd{k}", F1, D1, with_rollup=True
+            )
+            try:
+                plan = _CrashPlan(k)
+
+                def activate():
+                    eng.activate_pipeline_dag_incremental(
+                        "rollup", "enriched",
+                        fact_order=["ts"], dim_order=["ts"],
+                        fact_delete_col="deleted", dim_delete_col="deleted",
+                        n_buckets=4, emit_changes=True,
+                    )
+
+                with monkeypatch.context() as mp:
+                    _inject(mp, plan)
+                    try:
+                        activate()
+                        crashed = False
+                    except SimulatedCrash:
+                        crashed = True
+                activate()
+                live = _rows(eng.read_stream("rollup"))
+                folded = (
+                    fold_last_image(
+                        eng.read_pipeline_changes("rollup"),
+                        ["dim_tier"], [F.col("__seq")],
+                    )
+                    .filter(~F.col("__deleted"))
+                    .drop("__seq", "__deleted")
+                )
+                assert _rows(folded) == live, f"crash point {k}: out-log gap"
+            finally:
+                eng.cleanup()
+            if not crashed:
+                assert k > 8, "sweep ended before reaching the init writes"
+                break
+            k += 1
+
+
+class TestAggReservedColumns:
+    @pytest.mark.parametrize("bad", ["__g", "__k", "__gbucket", "__mult"])
+    def test_state_machinery_names_rejected_before_write(
+        self, spark, tmp_path, bad
+    ):
+        """A source column the ivm_log machinery stacks over must fire at
+        activation entry — rejected only in the first maintenance batch, it
+        would fire AFTER the root and checkpoint offsets existed."""
+        ddl = f"pk long, grp string, `{bad}` long, ts long"
+        rows = [(1, "a", 1, 1)]
+        eng = _mk_agg(
+            spark, tmp_path, "r10r", rows, ddl=ddl,
+            sql_cols="select grp, count(*) as n from r10r__src group by grp",
+        )
+        try:
+            with pytest.raises(CatalogError, match="reserved"):
+                eng.activate_pipeline_incremental("agg", order=["ts"])
+            root = os.path.join(eng.warehouse_dir, "_ivm_r10r__agg")
+            assert not os.path.exists(root), "guard must fire before writes"
+        finally:
+            eng.cleanup()
