@@ -1197,6 +1197,40 @@ class Engine:
             )
         return self.spark.read.parquet(*deltas)
 
+    def compact_pipeline_changes(
+        self, name: str, upto_seq: int | None = None
+    ) -> dict:
+        """Kafka-style compaction of the change log a DAG-activated
+        aggregate pipeline emits (:meth:`read_pipeline_changes`): fold the
+        emitted history up to ``upto_seq`` (default: all of it) into one
+        live-rows-only floor image keyed by the group columns, dropping
+        tombstoned groups. Without this the out log grows with every
+        change ever emitted; compacted, its size is O(|groups| + changes
+        since the floor) and a fresh consumer bootstraps from the floor
+        image instead of replaying history. The caller owns the floor:
+        compact only past a sequence every mid-stream consumer has passed
+        (a consumer parked below it would miss the dropped tombstones) —
+        the same contract as the view-log/downstream watermark ordering.
+        ``fold(out log) == the rollup view`` holds unchanged after
+        compaction (pytest-pinned)."""
+        from dbt_decodable_spark.operators.ivm import agg_spec_from_sql
+        from dbt_decodable_spark.streaming.changelog import (
+            compact_change_log,
+            list_deltas,
+        )
+
+        p = self.pipelines[self.qualify(name)]
+        spec, _ = agg_spec_from_sql(p.sql)
+        out_log = os.path.join(self.warehouse_dir, f"_ivmd_{p.name}", "out")
+        if not list_deltas(out_log):
+            raise CatalogError(
+                f"pipeline {name!r} has no emitted change log — activate "
+                "with emit_changes=True"
+            )
+        return compact_change_log(
+            self.spark, out_log, list(spec.group_cols), upto_seq=upto_seq
+        )
+
     def _dag_fact_stream(self, p_join) -> str:
         """The fact-side stream of a join pipeline (the side whose primary
         key keys the view log)."""

@@ -869,6 +869,104 @@ def stream_append_deltas(
     return stream_df.writeStream.foreachBatch(_handle)
 
 
+def compact_change_log(
+    spark,
+    log_path: str,
+    keys: Sequence[str],
+    upto_seq: int | None = None,
+    seq_col: str = "__seq",
+    delete_col: str = "__deleted",
+    min_files: int = 2,
+) -> dict:
+    """Kafka-style log compaction for a PURE-DELTA change log (no base
+    snapshot — the shape the DAG arm's emitted change log ``out/`` has):
+    fold the delta files whose rows are all ≤ ``upto_seq`` into one
+    last-image-per-key floor batch, drop tombstoned keys from it, commit it
+    as a new delta, then delete the folded files. The log keeps its change
+    semantics — retained deltas and the floor image fold exactly like the
+    uncompacted log did, by the rows' OWN ``seq_col`` values (the floor
+    image keeps each winner's original sequence) — while the storage stops
+    growing with history and a fresh consumer bootstraps from O(|keys|)
+    rows instead of replaying every change ever emitted.
+
+    Consumer contract (the caller owns the floor, same stance as the DAG's
+    ``DownstreamLagError`` guard): compact only past a sequence every
+    mid-stream consumer has already passed — a consumer parked BELOW the
+    floor loses the tombstones the fold dropped (exactly Kafka's
+    ``delete.retention.ms`` trade). Fresh consumers are always correct:
+    a key tombstoned before the floor simply never existed for them.
+
+    Crash-safe by ordering: the floor image commits (atomic rename, tagged
+    ``compacted-<floor>`` so a retry no-ops) BEFORE any fold-set file is
+    deleted. A crash in between leaves winners duplicated across the floor
+    image and their original deltas — the last-image fold picks the same
+    winners either way (ties are identical rows), and the re-run completes
+    the deletes. Takes the log's compaction lock; raises
+    :class:`CompactionLockHeld` if another process holds it.
+
+    Returns ``{"floor": int|None, "folded": [paths], "live_rows": int}``
+    (``floor=None`` = nothing to do)."""
+    import os
+    import shutil
+
+    with _compaction_lock(_deltas_root(log_path)):
+        files = list_deltas(log_path)
+        if len(files) < min_files:
+            return {"floor": None, "folded": [], "live_rows": 0}
+        # one job: max sequence per delta directory (a delta may hold
+        # several part files — group by the parquet file's parent dir)
+        per_file = (
+            spark.read.parquet(*files)
+            .groupBy(
+                F.expr(
+                    "regexp_extract(input_file_name(), '(delta-[^/]+)/', 1)"
+                ).alias("__dir")
+            )
+            .agg(F.max(seq_col).alias("__max_seq"))
+            .collect()
+        )
+        max_by_dir = {r["__dir"]: r["__max_seq"] for r in per_file}
+        fold_set = [
+            p
+            for p in files
+            if os.path.basename(p) in max_by_dir
+            and (
+                upto_seq is None
+                or max_by_dir[os.path.basename(p)] <= upto_seq
+            )
+        ]
+        if len(fold_set) < min_files:
+            return {"floor": None, "folded": [], "live_rows": 0}
+        floor = max(max_by_dir[os.path.basename(p)] for p in fold_set)
+        live = fold_last_image(
+            spark.read.parquet(*fold_set), keys, [F.col(seq_col)]
+        ).filter(~F.col(delete_col))
+        n_live = live.count()
+        tag = f"compacted-{floor}"
+        keep = None
+        if n_live > 0:
+            keep = append_delta(spark, log_path, live, tag=tag)
+            if keep is None:
+                # crash-retry: a previous run already committed THIS floor
+                # image (same tag) and died before its deletes — it is in
+                # the fold set now; finish the deletes but never delete it
+                keep = next(
+                    (
+                        p
+                        for p in list_deltas(log_path)
+                        if os.path.basename(p).split("-", 2)[-1] == tag
+                    ),
+                    None,
+                )
+        deleted = []
+        for p in fold_set:
+            if keep is not None and os.path.abspath(p) == os.path.abspath(keep):
+                continue
+            shutil.rmtree(p, ignore_errors=True)
+            deleted.append(p)
+    return {"floor": int(floor), "folded": deleted, "live_rows": n_live}
+
+
 def compact_and_vacuum(
     spark,
     base_path: str,

@@ -807,6 +807,63 @@ class TestEngineDag:
         finally:
             eng.cleanup()
 
+    def test_endurance_emission_with_out_log_compaction(
+        self, spark, tmp_path
+    ):
+        """Six emitting DAG rounds over seeded random two-sided churn with
+        out-log compaction interleaved every other round (on top of the
+        aggressive state/view compaction): fold(out log) == rollup after
+        every round — the floor image, the post-floor deltas and fresh
+        emissions keep composing under churn, group migration and
+        tombstones."""
+        import random
+
+        rng = random.Random(20260816)
+        f1 = [(pk, rng.choice([10, 20, 30]), rng.randint(0, 99), 1, False)
+              for pk in range(12)]
+        d1 = [(dk, "n%d" % dk, dk // 10, 1, False) for dk in (10, 20, 30)]
+        eng = self._setup(spark, tmp_path, f1, d1, ns="dgo")
+        f_hist, d_hist = list(f1), list(d1)
+
+        def fold_out():
+            ch = eng.read_pipeline_changes("rollup")
+            return _rows(
+                fold_last_image(ch, ["dim_tier"], [F.col("__seq")])
+                .filter(~F.col("__deleted"))
+                .drop("__seq", "__deleted")
+            )
+
+        try:
+            kw = {"compact_min_deltas": 2, "agg_compact_every": 2,
+                  "emit_changes": True}
+            self._activate(eng, **kw)
+            assert fold_out() == _rows(eng.read_stream("rollup"))
+            for ts in range(2, 8):
+                fb = [
+                    (pk, rng.choice([10, 20, 30, 99]), rng.randint(0, 99),
+                     ts, rng.random() < 0.25)
+                    for pk in rng.sample(range(18), rng.randint(1, 5))
+                ]
+                self._append(spark, eng, "fact", fb, FACT_DDL)
+                f_hist += fb
+                if rng.random() < 0.6:
+                    dk = rng.choice([10, 20, 30])
+                    db = [(dk, "n%d_%d" % (dk, ts), rng.randint(0, 9), ts,
+                           rng.random() < 0.2)]
+                    self._append(spark, eng, "dim", db, DIM_DDL)
+                    d_hist += db
+                self._activate(eng, **kw)
+                want = self._want(spark, f_hist, d_hist)
+                assert _rows(eng.read_stream("rollup")) == want
+                assert fold_out() == want, f"out log diverged at ts={ts}"
+                if ts % 2 == 0:
+                    eng.compact_pipeline_changes("rollup")
+                    assert fold_out() == want, (
+                        f"out log diverged after compaction at ts={ts}"
+                    )
+        finally:
+            eng.cleanup()
+
     def test_emit_changes_depth3_front_door(self, spark, tmp_path):
         """emit_changes=True maintains the rollup's own change log through
         the engine: fold(emitted) == the rollup sink after every
@@ -853,6 +910,112 @@ class TestEngineDag:
                 self._activate(eng2, emit_changes=True)
         finally:
             eng2.cleanup()
+
+    def test_out_log_compaction(self, spark, tmp_path):
+        """Kafka-style compaction of the emitted change log
+        (compact_pipeline_changes): the out log stops growing with history
+        — the emitted prefix folds into one live-rows-only floor image —
+        while fold(out) == rollup holds unchanged, tombstoned groups
+        disappear from a fresh consumer's bootstrap, and emission keeps
+        appending (and folding correctly) afterwards."""
+        from dbt_decodable_spark.streaming.changelog import list_deltas
+
+        f1 = [(1, 10, 5, 1, False), (2, 20, 7, 1, False),
+              (3, 20, 9, 1, False)]
+        d1 = [(10, "a", 1, 1, False), (20, "b", 2, 1, False)]
+        eng = self._setup(spark, tmp_path, f1, d1, ns="dgc")
+        out_log = os.path.join(eng.warehouse_dir, "_ivmd_dgc__rollup", "out")
+
+        def fold_out():
+            ch = eng.read_pipeline_changes("rollup")
+            return _rows(
+                fold_last_image(ch, ["dim_tier"], [F.col("__seq")])
+                .filter(~F.col("__deleted"))
+                .drop("__seq", "__deleted")
+            )
+
+        try:
+            self._activate(eng, emit_changes=True)
+            # two change rounds: empty tier 2 entirely (tombstone), add to 1
+            f2 = [(2, 20, 7, 2, True), (3, 20, 9, 2, True),
+                  (4, 10, 1, 2, False)]
+            self._append(spark, eng, "fact", f2, FACT_DDL)
+            self._activate(eng, emit_changes=True)
+            f3 = [(5, 10, 3, 3, False)]
+            self._append(spark, eng, "fact", f3, FACT_DDL)
+            self._activate(eng, emit_changes=True)
+            assert len(list_deltas(out_log)) >= 3
+            before = fold_out()
+            assert before == _rows(eng.read_stream("rollup"))
+
+            stats = eng.compact_pipeline_changes("rollup")
+            assert stats["floor"] is not None and stats["live_rows"] > 0
+            assert len(list_deltas(out_log)) == 1
+            assert fold_out() == before, "fold(out) changed under compaction"
+            # fresh-consumer bootstrap: the tombstoned tier-2 group is GONE
+            # from the raw compacted log, not present-as-tombstone
+            raw = [tuple(r) for r in eng.read_pipeline_changes("rollup").collect()]
+            assert all(r[0] != 2 for r in raw)
+            assert all(r[-1] is False for r in raw), "floor image is live-only"
+
+            # emission continues over the compacted log
+            f4 = [(1, 10, 5, 4, True)]
+            self._append(spark, eng, "fact", f4, FACT_DDL)
+            self._activate(eng, emit_changes=True)
+            assert fold_out() == _rows(eng.read_stream("rollup"))
+        finally:
+            eng.cleanup()
+
+    def test_out_log_compaction_crash_between_commit_and_deletes(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Crash after the floor image committed but before the folded
+        files were deleted: the duplicated rows fold to the same winners,
+        and the retry completes the deletes without ever deleting the
+        committed floor image (its re-append no-ops by tag)."""
+        import shutil as _shutil
+
+        from dbt_decodable_spark.streaming.changelog import list_deltas
+
+        f1 = [(1, 10, 5, 1, False), (2, 20, 7, 1, False)]
+        d1 = [(10, "a", 1, 1, False), (20, "b", 2, 1, False)]
+        eng = self._setup(spark, tmp_path, f1, d1, ns="dgx")
+        out_log = os.path.join(eng.warehouse_dir, "_ivmd_dgx__rollup", "out")
+
+        def fold_out():
+            ch = eng.read_pipeline_changes("rollup")
+            return _rows(
+                fold_last_image(ch, ["dim_tier"], [F.col("__seq")])
+                .filter(~F.col("__deleted"))
+                .drop("__seq", "__deleted")
+            )
+
+        try:
+            self._activate(eng, emit_changes=True)
+            f2 = [(3, 20, 2, 2, False)]
+            self._append(spark, eng, "fact", f2, FACT_DDL)
+            self._activate(eng, emit_changes=True)
+            before = fold_out()
+
+            real_rmtree = _shutil.rmtree
+
+            def crashing_rmtree(path, *a, **kw):
+                if os.path.basename(str(path)).startswith("delta-"):
+                    raise RuntimeError("simulated crash before delete")
+                return real_rmtree(path, *a, **kw)
+
+            with monkeypatch.context() as mp:
+                mp.setattr(_shutil, "rmtree", crashing_rmtree)
+                with pytest.raises(RuntimeError, match="simulated crash"):
+                    eng.compact_pipeline_changes("rollup")
+            # floor image + originals coexist: fold unchanged
+            assert fold_out() == before
+            stats = eng.compact_pipeline_changes("rollup")  # the retry
+            assert stats["floor"] is not None
+            assert len(list_deltas(out_log)) == 1
+            assert fold_out() == before
+        finally:
+            eng.cleanup()
 
     def test_dag_shape_validation(self, spark, tmp_path):
         """The downstream must aggregate the upstream's sink — anything
