@@ -86,7 +86,11 @@ from dbt_decodable_spark.operators.ivm import (
     change_pairs,
     init_state,
 )
-from dbt_decodable_spark.operators.versions import _vdir, list_versions
+from dbt_decodable_spark.operators.versions import (
+    _vdir,
+    list_versions,
+    require_success_marker,
+)
 from dbt_decodable_spark.streaming.changelog import (
     _compaction_lock,
     append_delta,
@@ -169,6 +173,7 @@ def _publish_gen(
                 pass
     stage = os.path.join(table_root, f"stage-{uuid.uuid4().hex}")
     df.repartition(BUCKET).write.partitionBy(BUCKET).parquet(stage)
+    require_success_marker(stage)
     # a zero-row partitioned write leaves no part files and hence no
     # parquet schema (the empty-view init case) — persist the schema in
     # the meta document so readers can materialize the empty table

@@ -277,6 +277,7 @@ def delete_rows_partitioned(
     # partition discovery would surface half-swapped data as extra partitions
     stage = base + ".__del_stage__"
     deleted: dict = {}
+    rewritten: list[str] = []
     for row in located:
         # input_file_name returns a URI — one unquote yields the literal
         # on-disk path (a Hive-escaped value like 'a=b' → dir 'lang=a%3Db'
@@ -287,10 +288,13 @@ def delete_rows_partitioned(
         pval = urllib.parse.unquote(pname.split("=", 1)[1]) if "=" in pname else pname
         part = spark.read.format(fmt).load(pdir)
         n_before = part.count()
-        # keep NULL-id rows: isin() is NULL (dropped) on NULL input
-        kept = part.filter(
-            F.col(id_col).isNull() | ~F.col(id_col).isin(id_set)
-        )
+        # anti-join against the CAST doomed frame, not isin(raw ids): a
+        # raw isin coerces the COLUMN to the ids' Python type (a string
+        # id column vs int ids casts 'abc' → NULL → predicate NULL →
+        # row dropped), so kept would diverge from the locate join and
+        # abort the purge on every run. The anti join compares at the
+        # column's own type and keeps NULL-id rows (NULL never equals).
+        kept = part.join(F.broadcast(doomed), on=[id_col], how="left_anti")
         os.makedirs(stage, exist_ok=True)
         tmp = os.path.join(stage, pname + ".tmp")
         old = os.path.join(stage, pname + ".old")
@@ -309,7 +313,33 @@ def delete_rows_partitioned(
         os.rename(tmp, pdir)
         shutil.rmtree(old)
         deleted[pval] = n_doomed
+        rewritten.append(pdir)
     # stage dir removed last — a crash mid-loop leaves any half-swapped
     # partition recoverable under <table>.__del_stage__/<part>.old
     shutil.rmtree(stage, ignore_errors=True)
+    # zonemap contract (operators/zonemap.py): every maintenance writer
+    # refreshes the manifest it invalidated — merge does a partial
+    # refresh, compaction rewrites it, partition expiry re-inventories.
+    # The purge rewrote partition bytes, so without this the inventory
+    # drifts: default readers fall back to unpruned full listings and
+    # verify_inventory=False readers error on the vanished files.
+    from dbt_decodable_spark.operators.zonemap import MANIFEST_NAME
+
+    if rewritten and os.path.exists(os.path.join(base, MANIFEST_NAME)):
+        import json
+
+        from dbt_decodable_spark.operators.zonemap import (
+            refresh_zonemap_partial,
+            write_zonemap,
+        )
+
+        rel = [os.path.relpath(p, base) for p in rewritten]
+        if any(r in (".", "") for r in rel):
+            # unpartitioned layout: the rewrite replaced the root itself —
+            # a partial refresh has no subdir to scope to; rebuild
+            with open(os.path.join(base, MANIFEST_NAME)) as fh:
+                cols = json.load(fh)["stats_cols"]
+            write_zonemap(spark, base, cols)
+        else:
+            refresh_zonemap_partial(spark, base, rel)
     return deleted

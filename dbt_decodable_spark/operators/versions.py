@@ -51,6 +51,25 @@ def _vdir(root: str, n: int) -> str:
     return os.path.join(root.rstrip("/"), f"v={n:08d}")
 
 
+def require_success_marker(stage: str) -> None:
+    """Every commit protocol in this layer treats ``_SUCCESS`` as the
+    proof of commit: uncommitted ``v=``/``delta-`` dirs are swept as
+    crash debris and invisible to readers. On a cluster that disables
+    Spark's markers (``mapreduce.fileoutputcommitter.marksuccessfuljobs``
+    false — a common production setting) every commit would be both
+    unreadable and destroyed by the next writer's sweep; fail LOUDLY at
+    the first stage write instead."""
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        shutil.rmtree(stage, ignore_errors=True)
+        raise RuntimeError(
+            "stage write produced no _SUCCESS marker — this table's commit "
+            "protocol requires Spark's success markers (set "
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs=true); "
+            "without them committed data would be invisible to readers "
+            "and swept as crash debris by the next writer"
+        )
+
+
 def list_versions(root: str) -> list[int]:
     """Committed (``_SUCCESS``-marked) generation numbers, ascending."""
     root = root.rstrip("/")
@@ -131,6 +150,7 @@ def publish_version(
 
             out = clustered(df, cluster_by, n_files)
         out.write.format(fmt).save(stage)
+    require_success_marker(stage)
     while True:
         versions = list_versions(root)
         n = (versions[-1] + 1) if versions else 0

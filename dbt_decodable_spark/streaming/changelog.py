@@ -21,6 +21,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+from dbt_decodable_spark.operators.versions import require_success_marker
+
 
 def fold_last_image(
     df: DataFrame,
@@ -298,6 +300,18 @@ def write_hash_partitioned(
     """
     _reject_bucket_column(df, "snapshot")
     part = partition_expr if partition_expr is not None else hash_bucket(keys, n_buckets)
+    if partition_expr is not None and (
+        df.select(part.alias("__b")).where(F.col("__b").isNull()).take(1)
+    ):
+        # the default hash form is total; only a CUSTOM expression can be
+        # NULL — which would write a __HIVE_DEFAULT_PARTITION__ directory
+        # no merge or compaction can ever address (their isin() prune
+        # never matches NULL), stranding those keys' rows forever
+        raise ValueError(
+            "partition_expr produced NULL bucket ids — it must be a "
+            "non-null function of the key columns (coalesce NULL-able "
+            "inputs inside the expression)"
+        )
     (
         df.withColumn("__bucket", part)
         .repartition("__bucket")
@@ -397,9 +411,18 @@ def merge_into_hash_partitioned(
     _reject_bucket_column(changes, "changes")
     part = partition_expr if partition_expr is not None else hash_bucket(keys, n_buckets)
     batch = changes.withColumn("__bucket", part)
-    touched = sorted(
-        r[0] for r in batch.select("__bucket").distinct().collect()
-    )
+    touched = [r[0] for r in batch.select("__bucket").distinct().collect()]
+    if any(b is None for b in touched):
+        # a NULL id would land in __HIVE_DEFAULT_PARTITION__ while the
+        # swap loop renames a '__bucket=None' dir that does not exist —
+        # and the snapshot slice's isin() prune never matches NULL, so
+        # the row's old image would be stranded anyway
+        raise ValueError(
+            "partition_expr produced NULL bucket ids — it must be a "
+            "non-null function of the key columns (coalesce NULL-able "
+            "inputs inside the expression)"
+        )
+    touched = sorted(touched)
     if not touched:
         return {}
     snap = spark.read.parquet(base)
@@ -513,23 +536,45 @@ def read_with_deltas(
     NULL back-fill for sides that predate a column (the
     ``source_schema_evolution`` read pattern applied to the delta log).
     Off by default — the strict mode projects every delta to the
-    snapshot's columns and fails loudly if one is missing. Key and
-    order columns must exist everywhere in either mode (the fold needs
-    them). Note compaction is intentionally STRICTER: evolved deltas
-    make :func:`compact_deltas` raise rather than silently dropping the
-    new column from the durable snapshot — widening the snapshot schema
-    is an explicit full rewrite (:func:`write_hash_partitioned`).
+    snapshot's columns, NULL-filling a snapshot column a delta lacks at
+    the snapshot's type (the state right after ``widen_snapshot_schema``,
+    when pending deltas predate the widened column — the same alignment
+    :func:`compact_deltas` applies, so reads work between the widen and
+    the next compaction). Key and order columns must exist everywhere in
+    either mode (the fold needs them). Note compaction is intentionally
+    STRICTER about the reverse direction: a delta with columns the
+    snapshot LACKS makes :func:`compact_deltas` raise rather than
+    silently dropping the new column from the durable snapshot —
+    widening the snapshot schema is an explicit full rewrite
+    (:func:`write_hash_partitioned`).
     """
     base = spark.read.parquet(base_path.rstrip("/"))
     if "__bucket" in base.columns:
         base = base.drop("__bucket")
     view = base
+    vfields = list(base.schema.fields)
     for p in delta_paths:
         d = spark.read.parquet(p)
         if allow_schema_evolution:
             view = view.unionByName(d, allowMissingColumns=True)
         else:
-            view = view.unionByName(d.select(*view.columns))
+            missing_keys = [k for k in keys if k not in d.columns]
+            if missing_keys:
+                # NULL-fill is for widened VALUE columns only — a delta
+                # without its key would fold as one NULL-keyed row
+                raise ValueError(
+                    f"delta {p} lacks key column(s) {missing_keys}"
+                )
+            view = view.unionByName(
+                d.select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        if f.name in d.columns
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in vfields
+                    ]
+                )
+            )
     out = fold_last_image(view, keys, order)
     if not include_tombstones and delete_col in out.columns:
         out = out.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
@@ -636,6 +681,7 @@ def append_delta(
         return None  # this batch already landed
     stage = os.path.join(root, f"stage-{uuid.uuid4().hex}")
     batch.write.parquet(stage)
+    require_success_marker(stage)
     while True:
         name = f"delta-{(max(seqs) + 1 if seqs else 0):08d}"
         if tag is not None:
@@ -896,75 +942,102 @@ def compact_change_log(
     ``delete.retention.ms`` trade). Fresh consumers are always correct:
     a key tombstoned before the floor simply never existed for them.
 
-    Crash-safe by ordering: the floor image commits (atomic rename, tagged
-    ``compacted-<floor>`` so a retry no-ops) BEFORE any fold-set file is
-    deleted. A crash in between leaves winners duplicated across the floor
-    image and their original deltas — the last-image fold picks the same
-    winners either way (ties are identical rows), and the re-run completes
-    the deletes. Takes the log's compaction lock; raises
-    :class:`CompactionLockHeld` if another process holds it.
+    Crash-safe by ordering: the floor image commits (atomic rename) BEFORE
+    any fold-set file is deleted. A crash in between leaves winners
+    duplicated across the floor image and their original deltas — the
+    last-image fold picks the same winners either way (ties are identical
+    rows), and the NEXT compaction folds floor + leftovers into a newer
+    floor (every append is fresh — deliberately no tag-keyed retry
+    recognition, which would mistake a late post-compaction delta that
+    happens to recompute the same floor for a replay and delete it
+    unfolded). The floor is additionally required to PARTITION the log by
+    sequence — no retained file may hold rows at or below it — because
+    folding past a retained older-seq upsert would drop the tombstone that
+    supersedes it and resurrect the key. Takes the log's compaction lock;
+    raises :class:`CompactionLockHeld` if another process holds it.
 
     Returns ``{"floor": int|None, "folded": [paths], "live_rows": int}``
     (``floor=None`` = nothing to do)."""
     import os
     import shutil
+    import uuid
 
     with _compaction_lock(_deltas_root(log_path)):
         files = list_deltas(log_path)
         if len(files) < min_files:
             return {"floor": None, "folded": [], "live_rows": 0}
-        # one job: max sequence per delta directory (a delta may hold
-        # several part files — group by the parquet file's parent dir)
+        # one job: [min, max] sequence per delta directory (a delta may
+        # hold several part files — group by the parquet file's parent
+        # dir, anchored to the LAST path segment so an ancestor directory
+        # named 'delta-…' can't shadow the real delta dir)
         per_file = (
             spark.read.parquet(*files)
             .groupBy(
                 F.expr(
-                    "regexp_extract(input_file_name(), '(delta-[^/]+)/', 1)"
+                    "regexp_extract(input_file_name(),"
+                    " '(delta-[^/]+)/[^/]*$', 1)"
                 ).alias("__dir")
             )
-            .agg(F.max(seq_col).alias("__max_seq"))
+            .agg(
+                F.min(seq_col).alias("__min_seq"),
+                F.max(seq_col).alias("__max_seq"),
+            )
             .collect()
         )
-        max_by_dir = {r["__dir"]: r["__max_seq"] for r in per_file}
+        stats = {r["__dir"]: (r["__min_seq"], r["__max_seq"]) for r in per_file}
+        known = [p for p in files if os.path.basename(p) in stats]
+        # the floor must PARTITION the log by sequence: every file is
+        # entirely ≤ floor (folded) or entirely > floor (retained).
+        # append_delta's commute contract allows out-of-order sequences
+        # across deltas, so a retained file may hold rows BELOW a naive
+        # max-based floor — folding past them would drop a tombstone whose
+        # key still has an older-seq upsert in a retained file, silently
+        # resurrecting the key. Pick the largest valid boundary ≤ upto_seq.
+        cands = sorted(
+            {
+                stats[os.path.basename(p)][1]
+                for p in known
+                if upto_seq is None or stats[os.path.basename(p)][1] <= upto_seq
+            },
+            reverse=True,
+        )
+        floor = None
+        for s in cands:
+            if all(
+                stats[os.path.basename(p)][1] <= s
+                or stats[os.path.basename(p)][0] > s
+                for p in known
+            ):
+                floor = s
+                break
+        if floor is None:
+            return {"floor": None, "folded": [], "live_rows": 0}
         fold_set = [
-            p
-            for p in files
-            if os.path.basename(p) in max_by_dir
-            and (
-                upto_seq is None
-                or max_by_dir[os.path.basename(p)] <= upto_seq
-            )
+            p for p in known if stats[os.path.basename(p)][1] <= floor
         ]
         if len(fold_set) < min_files:
             return {"floor": None, "folded": [], "live_rows": 0}
-        floor = max(max_by_dir[os.path.basename(p)] for p in fold_set)
         live = fold_last_image(
             spark.read.parquet(*fold_set), keys, [F.col(seq_col)]
-        ).filter(~F.col(delete_col))
-        n_live = live.count()
-        tag = f"compacted-{floor}"
-        keep = None
-        if n_live > 0:
-            keep = append_delta(spark, log_path, live, tag=tag)
-            if keep is None:
-                # crash-retry: a previous run already committed THIS floor
-                # image (same tag) and died before its deletes — it is in
-                # the fold set now; finish the deletes but never delete it
-                keep = next(
-                    (
-                        p
-                        for p in list_deltas(log_path)
-                        if os.path.basename(p).split("-", 2)[-1] == tag
-                    ),
-                    None,
-                )
-        deleted = []
+        ).filter(~F.coalesce(F.col(delete_col), F.lit(False)))
+        live = live.persist()
+        try:
+            n_live = live.count()
+            if n_live > 0:
+                # ALWAYS a fresh append (no tag dedup): a crash between
+                # this commit and the deletes leaves the floor image and
+                # its sources coexisting — the fold converges (identical
+                # winners) and the NEXT run folds them all into a newer
+                # floor, so nothing depends on recognizing a retry; a
+                # tag-keyed retry would mistake a late post-compaction
+                # delta that recomputes the same floor for its own replay
+                # and delete it unfolded
+                append_delta(spark, log_path, live, tag=f"compacted-{floor}-{uuid.uuid4().hex[:8]}")
+        finally:
+            live.unpersist(False)
         for p in fold_set:
-            if keep is not None and os.path.abspath(p) == os.path.abspath(keep):
-                continue
             shutil.rmtree(p, ignore_errors=True)
-            deleted.append(p)
-    return {"floor": int(floor), "folded": deleted, "live_rows": n_live}
+    return {"floor": int(floor), "folded": fold_set, "live_rows": n_live}
 
 
 def compact_and_vacuum(

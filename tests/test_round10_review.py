@@ -500,6 +500,286 @@ class TestInitCrashSweep:
             k += 1
 
 
+class TestChangeLogCompactionSemantics:
+    """Direct unit tests of ``compact_change_log`` over hand-built logs —
+    the two holes a review found in its first cut, pinned:
+
+    1. The floor must PARTITION the log by sequence. A retained delta may
+       hold rows below a max-based floor (append_delta's commute contract
+       allows out-of-order seqs across files); folding past such a row
+       would drop the tombstone that supersedes it — resurrecting the key.
+    2. A late delta appended AFTER a compaction, whose rows sit below the
+       committed floor, must fold into the next floor — a tag-keyed retry
+       recognition deleted it unfolded when the floors coincided.
+    """
+
+    DDL = "k long, v string, __seq long, __deleted boolean"
+
+    def _log(self, spark, tmp_path, batches):
+        from dbt_decodable_spark.streaming.changelog import append_delta
+
+        log = str(tmp_path / "log")
+        os.makedirs(log, exist_ok=True)
+        spark.createDataFrame([], self.DDL).write.mode("overwrite").parquet(log)
+        for rows in batches:
+            append_delta(spark, log, spark.createDataFrame(rows, self.DDL))
+        return log
+
+    def _fold(self, spark, log):
+        from dbt_decodable_spark.streaming.changelog import list_deltas
+
+        df = spark.read.parquet(*list_deltas(log))
+        return _rows(
+            fold_last_image(df, ["k"], [F.col("__seq")])
+            .filter(~F.col("__deleted"))
+            .drop("__seq", "__deleted")
+        )
+
+    def test_straddling_delta_blocks_unsafe_floor(self, spark, tmp_path):
+        from dbt_decodable_spark.streaming.changelog import (
+            compact_change_log,
+            list_deltas,
+        )
+
+        # A: K2 tombstone at seq 5; C: K1 upsert at seq 1;
+        # B: K2 upsert at seq 2 AND K3 at seq 10 — B straddles any floor
+        # that would fold A, so upto_seq=5 must refuse (folding A would
+        # drop K2's tombstone while B still holds K2's seq-2 upsert)
+        log = self._log(
+            spark, tmp_path,
+            [
+                [(2, "dead", 5, True)],
+                [(1, "a", 1, False)],
+                [(2, "old", 2, False), (3, "c", 10, False)],
+            ],
+        )
+        before = self._fold(spark, log)
+        assert all(r[0] != 2 for r in before), "K2 is deleted pre-compaction"
+        out = compact_change_log(spark, log, ["k"], upto_seq=5)
+        assert out["floor"] is None, "no seq-partitioning floor ≤ 5 exists"
+        assert self._fold(spark, log) == before
+        # unbounded: everything folds, K2 stays gone, K1/K3 live
+        out = compact_change_log(spark, log, ["k"])
+        assert out["floor"] == 10
+        assert len(list_deltas(log)) == 1
+        assert self._fold(spark, log) == before
+
+    def test_late_low_seq_delta_survives_second_compaction(
+        self, spark, tmp_path
+    ):
+        from dbt_decodable_spark.streaming.changelog import (
+            append_delta,
+            compact_change_log,
+            list_deltas,
+        )
+
+        log = self._log(
+            spark, tmp_path,
+            [
+                [(1, "a", 5, False)],
+                [(2, "b", 3, False)],
+            ],
+        )
+        assert compact_change_log(spark, log, ["k"])["floor"] == 5
+        # a replay-window straggler lands BELOW the committed floor
+        append_delta(
+            spark, log,
+            spark.createDataFrame([(9, "late", 4, False)], self.DDL),
+        )
+        out = compact_change_log(spark, log, ["k"])
+        assert out["floor"] == 5 and out["live_rows"] == 3
+        assert len(list_deltas(log)) == 1
+        got = self._fold(spark, log)
+        assert (9, "late") in got, "the late delta must fold in, not vanish"
+        assert got == [(1, "a"), (2, "b"), (9, "late")]
+
+    def test_null_delete_flag_is_live(self, spark, tmp_path):
+        from dbt_decodable_spark.streaming.changelog import (
+            compact_change_log,
+            list_deltas,
+        )
+
+        log = self._log(
+            spark, tmp_path,
+            [
+                [(1, "a", 1, None)],  # NULL flag = not a delete (module
+                [(2, "b", 2, False)],  # convention: coalesce to False)
+            ],
+        )
+        out = compact_change_log(spark, log, ["k"])
+        assert out["live_rows"] == 2
+        got = sorted(
+            r["k"] for r in spark.read.parquet(*list_deltas(log)).collect()
+        )
+        assert got == [1, 2]
+
+
+class TestCommitProtocolHardening:
+    """Review findings in the pre-existing storage layer, pinned."""
+
+    def test_success_marker_required_loudly(self, spark, tmp_path):
+        """Every commit protocol here treats _SUCCESS as proof of commit
+        and sweeps unmarked dirs as crash debris — on a cluster with
+        success markers disabled that silently destroys committed data,
+        so the first stage write must fail loudly instead."""
+        from dbt_decodable_spark.operators.versions import (
+            require_success_marker,
+        )
+        from dbt_decodable_spark.streaming.changelog import append_delta
+
+        d = tmp_path / "stage"
+        d.mkdir()
+        with pytest.raises(RuntimeError, match="marksuccessfuljobs"):
+            require_success_marker(str(d))
+        assert not d.exists(), "the unprovable stage is cleaned up"
+        # end-to-end: disable the marker, the append refuses to commit
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+        old = hconf.get(key)
+        try:
+            hconf.set(key, "false")
+            with pytest.raises(RuntimeError, match="marksuccessfuljobs"):
+                append_delta(
+                    spark, str(tmp_path / "log"),
+                    spark.createDataFrame([(1,)], "k long"),
+                )
+        finally:
+            hconf.set(key, old if old is not None else "true")
+        from dbt_decodable_spark.streaming.changelog import list_deltas
+
+        assert list_deltas(str(tmp_path / "log")) == []
+
+    def test_strict_read_merged_survives_widen_gap(self, spark, tmp_path):
+        """Pending deltas written BEFORE widen_snapshot_schema lack the
+        new column; the default (strict) read must NULL-fill it like
+        compaction does instead of erroring until the next compaction —
+        but a delta missing a KEY column still fails loudly."""
+        from dbt_decodable_spark.streaming.changelog import (
+            append_delta,
+            read_merged,
+            widen_snapshot_schema,
+            write_hash_partitioned,
+        )
+
+        snap = str(tmp_path / "snap")
+        write_hash_partitioned(
+            spark.createDataFrame([(1, "a", 1)], "k long, v string, ts long"),
+            snap, ["k"], n_buckets=2,
+        )
+        append_delta(
+            spark, snap,
+            spark.createDataFrame([(2, "b", 2)], "k long, v string, ts long"),
+        )  # a pre-widen delta
+        widen_snapshot_schema(
+            spark, snap, {"extra": "string"}, ["k"], n_buckets=2,
+        )
+        got = _rows(
+            read_merged(spark, snap, ["k"], [F.col("ts"), F.col("k")])
+        )
+        assert got == [(1, "a", 1, None), (2, "b", 2, None)]
+        # key-less delta: never NULL-fill the fold key
+        import shutil as _sh
+
+        bad = str(tmp_path / "badlog")
+        write_hash_partitioned(
+            spark.createDataFrame([(1, "a", 1)], "k long, v string, ts long"),
+            bad, ["k"], n_buckets=2,
+        )
+        deltas_dir = bad + ".__deltas__"
+        os.makedirs(deltas_dir, exist_ok=True)
+        stage = os.path.join(deltas_dir, "delta-00000000")
+        spark.createDataFrame([("x", 9)], "v string, ts long").write.parquet(
+            stage
+        )
+        with pytest.raises(Exception, match="key column"):
+            read_merged(spark, bad, ["k"], [F.col("ts"), F.col("k")]).collect()
+        _sh.rmtree(deltas_dir)
+
+    def test_null_partition_expr_rejected(self, spark, tmp_path):
+        """A custom partition_expr that yields NULL bucket ids would write
+        __HIVE_DEFAULT_PARTITION__ directories no merge or compaction can
+        address (isin never matches NULL) — both the writer and the merge
+        must refuse up front."""
+        from dbt_decodable_spark.streaming.changelog import (
+            merge_into_hash_partitioned,
+            write_hash_partitioned,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 10, 1), (None, 20, 1)], "k long, v long, ts long"
+        )
+        with pytest.raises(ValueError, match="NULL bucket"):
+            write_hash_partitioned(
+                df, str(tmp_path / "s1"), ["k"], n_buckets=2,
+                partition_expr=F.col("k") % 2,
+            )
+        snap = str(tmp_path / "s2")
+        write_hash_partitioned(
+            df.filter(F.col("k").isNotNull()), snap, ["k"], n_buckets=2,
+            partition_expr=F.coalesce(F.col("k") % 2, F.lit(-1)),
+        )
+        with pytest.raises(ValueError, match="NULL bucket"):
+            merge_into_hash_partitioned(
+                spark, snap, df, ["k"], [F.col("ts"), F.col("k")],
+                n_buckets=2, partition_expr=F.col("k") % 2,
+            )
+
+    def test_purge_string_id_column_with_int_ids(self, spark, tmp_path):
+        """The kept-filter must compare at the COLUMN's type (anti-join
+        against the cast doomed frame): a raw isin() coerced a string id
+        column to int, turned 'abc' into NULL, dropped it from kept and
+        aborted the purge with a count mismatch on every run."""
+        from dbt_decodable_spark.operators.maintenance import (
+            delete_rows_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [("4", "en", 1), ("abc", "en", 2), ("7", "de", 3)],
+            "doc_id string, lang string, n long",
+        ).write.partitionBy("lang").parquet(path)
+        deleted = delete_rows_partitioned(spark, path, "lang", "doc_id", [4])
+        assert deleted == {"en": 1}
+        left = sorted(
+            r["doc_id"] for r in spark.read.parquet(path).collect()
+        )
+        assert left == ["7", "abc"], "non-castable ids must survive"
+
+    def test_purge_refreshes_zonemap(self, spark, tmp_path):
+        """Every maintenance writer refreshes the pruning manifest it
+        invalidated; the purge path didn't — after it, the manifest's
+        inventory pointed at vanished files (verify_inventory=False
+        readers error; default readers lose pruning forever)."""
+        from dbt_decodable_spark.operators.maintenance import (
+            delete_rows_partitioned,
+        )
+        from dbt_decodable_spark.operators.zonemap import (
+            _list_data_files,
+            read_pruned,
+            write_zonemap,
+        )
+
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(i, "en" if i % 2 else "de", i * 10) for i in range(20)],
+            "doc_id long, lang string, n long",
+        ).write.partitionBy("lang").parquet(path)
+        write_zonemap(spark, path, ["n"])
+        delete_rows_partitioned(spark, path, "lang", "doc_id", [3, 5])
+        import json as _json
+
+        with open(os.path.join(path, "_zonemap.json")) as fh:
+            manifest = _json.load(fh)
+        assert sorted(tuple(e) for e in manifest["inventory"]) == sorted(
+            (n, s) for n, s in _list_data_files(path)
+        ), "manifest inventory must match the rewritten files"
+        df, stats = read_pruned(
+            spark, path, [("n", 100, 120)], verify_inventory=False
+        )
+        got = sorted(r["doc_id"] for r in df.collect())
+        assert got == [10, 11, 12]
+
+
 class TestAggReservedColumns:
     @pytest.mark.parametrize("bad", ["__g", "__k", "__gbucket", "__mult"])
     def test_state_machinery_names_rejected_before_write(
