@@ -1068,7 +1068,7 @@ class Engine:
             # through the join SQL to key the downstream by its PK
             self._dag_fact_stream(p_join)
         ].schema.primary_key)
-        view_reserved = {"__g", "__k", "__gbucket"}
+        view_reserved = {"__g", "__k", "__gbucket", "__mult"}
         sink_cols = set(
             f.name for f in self.streams[p_join.sink].schema.fields
         )
@@ -1196,6 +1196,58 @@ class Engine:
                 "with emit_changes=True"
             )
         return self.spark.read.parquet(*deltas)
+
+    def rebuild_pipeline_downstream(
+        self, name: str, upstream: str, agg_bucket_expr: str | None = None
+    ) -> int:
+        """The :class:`~.ivm_dag.DownstreamLagError` recovery through the
+        engine: drop the DAG downstream's root and re-initialize it from
+        the CURRENT join view — O(|view|), nothing upstream re-runs. The
+        root's persisted emission choice is honored: an emitting root's
+        out log (which lives under the root and dies with it) is re-seeded
+        with the new floor image, so ``fold(out log) == the rollup view``
+        holds from the new floor onward. Mid-stream consumers of the old
+        out log must re-bootstrap from the floor — the lag error means
+        history they never consumed is already unreconstructible."""
+        from dbt_decodable_spark.operators import ivm_dag
+        from dbt_decodable_spark.operators.ivm import agg_spec_from_sql
+        from dbt_decodable_spark.operators.ivm_log import ivm_log_read
+
+        if not self.warehouse_dir:
+            raise CatalogError("incremental activation needs a warehouse_dir engine")
+        p_agg = self.pipelines[self.qualify(name)]
+        p_join = self.pipelines[self.qualify(upstream)]
+        agg_spec, src_tbl = agg_spec_from_sql(p_agg.sql)
+        if src_tbl != p_join.sink:
+            raise CatalogError(
+                f"DAG shape: {p_agg.name!r} must aggregate the upstream's "
+                f"sink stream {p_join.sink!r}, not {src_tbl!r}"
+            )
+        fkeys = list(
+            self.streams[self._dag_fact_stream(p_join)].schema.primary_key
+        )
+        jroot = os.path.join(self.warehouse_dir, f"_ivmj_{p_join.name}")
+        droot = os.path.join(self.warehouse_dir, f"_ivmd_{p_agg.name}")
+        out_log = os.path.join(droot, "out")
+        emit_file = os.path.join(droot, "_emit_changes")
+        # read the persisted emission choice BEFORE the rebuild clears it
+        if os.path.exists(emit_file):
+            with open(emit_file) as fh:
+                emitting = fh.read().strip() == "1"
+        else:
+            emitting = os.path.isdir(out_log + ".__deltas__")
+        floor = ivm_dag.rebuild_downstream(
+            self.spark, droot, os.path.join(jroot, "view"), fkeys, agg_spec,
+            bucket_expr=agg_bucket_expr,
+            emit_log=out_log if emitting else None,
+        )
+        _write_atomic(emit_file, "1" if emitting else "0")
+        _write_atomic(os.path.join(droot, "_init_done"), "1")
+        self._materialize(
+            self.streams[p_agg.sink],
+            ivm_log_read(self.spark, droot, agg_spec),
+        )
+        return floor
 
     def compact_pipeline_changes(
         self, name: str, upto_seq: int | None = None

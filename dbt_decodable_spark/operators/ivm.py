@@ -420,7 +420,15 @@ def maintain(
     """
     snapshot_cols = list(snapshot_before.columns)
     pairs = change_pairs(snapshot_before, changes, keys, order)
-    contrib = _contributions(pairs, snapshot_cols, spec, delete_col)
+    # the contributions subplan embeds the snapshot-probe LEFT join — the
+    # expensive step of the batch — and is consumed by the counter delta,
+    # every support delta and the touched set; Spark does not dedupe
+    # common subplans, so without the lazy checkpoint the probe re-runs
+    # 2+k times inside the one returned plan (the log paths persist
+    # contrib for exactly this reason)
+    contrib = _contributions(pairs, snapshot_cols, spec, delete_col).localCheckpoint(
+        eager=False
+    )
 
     def hint(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_patches else df
@@ -651,6 +659,12 @@ def agg_spec_from_sql(sql: str) -> tuple[AggViewSpec, str]:
             out = alias or f"{fn}_{col}"
             {"sum": sums, "avg": avgs, "min": mins, "max": maxs}[fn][out] = col
             order.append(out)
+    dup = sorted({o for o in order if order.count(o) > 1})
+    if dup:
+        # two aggregates aliased to one name would silently drop the
+        # first (dict overwrite) while output_order keeps both slots —
+        # the front door's job is rejecting what it cannot prove
+        raise ValueError(f"duplicate output name(s) in SELECT: {dup}")
     spec = AggViewSpec(
         group_cols=groups,
         count_star=count_star,

@@ -66,12 +66,17 @@ from dbt_decodable_spark.operators.ivm import AggViewSpec
 from dbt_decodable_spark.operators.ivm_log import (
     _agg_root,
     _latest_gen,
+    _pending,
     ivm_log_append,
     ivm_log_compact,
     ivm_log_init,
 )
 from dbt_decodable_spark.operators.versions import list_versions
-from dbt_decodable_spark.streaming.changelog import fold_last_image, list_deltas
+from dbt_decodable_spark.streaming.changelog import (
+    CompactionLockHeld,
+    fold_last_image,
+    list_deltas,
+)
 
 SEQ = "__seq"
 DEL = "__deleted"
@@ -95,6 +100,20 @@ def _delta_tag(path: str) -> int | None:
         except ValueError:
             return None
     return None
+
+
+def _write_floor(root: str, floor: int) -> None:
+    """Atomically advance the root's floor record (never backwards)."""
+    ffile = os.path.join(root, _FLOOR_FILE)
+    cur = 0
+    if os.path.exists(ffile):
+        with open(ffile) as fh:
+            cur = int(fh.read().strip() or 0)
+    if floor <= cur:
+        return
+    with open(ffile + ".tmp", "w") as fh:
+        fh.write(str(floor))
+    os.replace(ffile + ".tmp", ffile)
 
 
 def downstream_watermark(root: str) -> int:
@@ -203,18 +222,23 @@ def init_downstream(
     step. Fully redo-safe — the caller gates on a marker written last and
     clears the root before re-running (no downstream delta can exist before
     the marker, so a re-init can never double-count)."""
+    # ONE pass over the view: list the delta set once, fold once, and
+    # take the floor from the folded frame (the global max-__seq row is
+    # its key's latest image, so max(folded) == max(raw)). The fold is
+    # lazily checkpointed so the floor collect and ivm_log_init's full
+    # pass share the materialization instead of scanning the view twice —
+    # and the single delta listing also closes the old two-listing race
+    # (a delta landing between the floor capture and a second listing).
+    # A delta landing after THIS listing is simply not read and is
+    # consumed by the next maintenance step.
     base, drows = _view_rows(spark, view_log)
-    floor_row = (
-        base.select(F.max(SEQ).alias("m"))
-        .unionByName(drows.select(F.max(SEQ).alias("m")))
-        .agg(F.max("m").alias("m"))
-        .collect()[0]
-    )
+    snap = fold_last_image(
+        base.unionByName(drows), list(keys), [F.col(SEQ)]
+    ).localCheckpoint(eager=False)
+    floor_row = snap.agg(F.max(SEQ).alias("m")).collect()[0]
     floor = int(floor_row["m"]) if floor_row["m"] is not None else 0
-    snap = view_as_of(spark, view_log, keys, floor)
     os.makedirs(root, exist_ok=True)
-    with open(os.path.join(root, _FLOOR_FILE), "w") as fh:
-        fh.write(str(floor))
+    _write_floor(root, floor)
     ivm_log_init(
         spark, root, snap, spec,
         delete_col=DEL, bucket_expr=bucket_expr, n_buckets=n_buckets,
@@ -229,12 +253,36 @@ def rebuild_downstream(
     keys: Sequence[str],
     spec: AggViewSpec,
     bucket_expr: str | None = None,
+    n_buckets: int = 64,
+    emit_log: str | None = None,
 ) -> int:
     """The :class:`DownstreamLagError` recovery: drop the downstream root
     and re-initialize from the current view. O(|view|), not O(history) —
-    the view log IS the upstream state, so nothing upstream re-runs."""
+    the view log IS the upstream state, so nothing upstream re-runs.
+
+    Pass the SAME ``bucket_expr``/``n_buckets`` the root was initialized
+    with (a rebuild is not the place to silently change the state layout)
+    and, for an emitting root, its ``emit_log``: the out log lives under
+    the root and dies with it, so the rebuild re-seeds the new floor
+    image — ``fold(out log) == the rollup view`` holds from the new floor
+    onward, exactly the init contract. Omitting ``emit_log`` on an
+    emitting root would leave a change log that silently lost every
+    untouched group."""
     shutil.rmtree(root, ignore_errors=True)
-    return init_downstream(spark, root, view_log, keys, spec, bucket_expr)
+    floor = init_downstream(
+        spark, root, view_log, keys, spec, bucket_expr, n_buckets
+    )
+    if emit_log is not None:
+        from dbt_decodable_spark.operators.ivm_log import ivm_log_read
+        from dbt_decodable_spark.streaming.changelog import append_delta
+
+        img = (
+            ivm_log_read(spark, root, spec)
+            .withColumn(SEQ, F.lit(floor).cast("long"))
+            .withColumn(DEL, F.lit(False))
+        )
+        append_delta(spark, emit_log, img, tag=str(floor))
+    return floor
 
 
 def snapshot_slice(
@@ -340,24 +388,32 @@ def maintain_downstream(
             spark, root, snap_before, pending,
             list(keys), [F.col(SEQ)], spec, seq=new_w,
         )
-        append_delta(spark, emit_log, out, tag=str(new_w))
-    ivm_log_append(
+        if not out.isEmpty():
+            append_delta(spark, emit_log, out, tag=str(new_w))
+    appended = ivm_log_append(
         spark, root, snap_before, pending,
         list(keys), [F.col(SEQ)], spec, tag=str(new_w),
     )
+    if not appended:
+        # the slice folded to ZERO contributions (e.g. the join arm's
+        # redundant tombstones for keys dead on both sides of a batch) —
+        # no delta carries the tag, so the consumed seqs must be recorded
+        # in the floor file or this same slice re-processes on every step
+        # forever, and the stage-3 view-log compaction (delta-count
+        # triggered) eventually folds the stuck seqs into the base —
+        # a spurious DownstreamLagError and an O(|view|) rebuild for rows
+        # that changed nothing
+        _write_floor(root, new_w)
     agg_root = _agg_root(root)
     _, meta = _latest_gen(agg_root)
-    pending_cnt = sum(
-        1
-        for p in list_deltas(agg_root)
-        if _seq_of(p) > meta["watermark"]
-    )
-    if compact_every and pending_cnt >= compact_every:
-        ivm_log_compact(spark, root, spec)
+    if compact_every and len(_pending(agg_root, meta["watermark"])) >= (
+        compact_every
+    ):
+        try:
+            ivm_log_compact(spark, root, spec)
+        except CompactionLockHeld:
+            # another process is compacting (or a crashed one's lock is
+            # not yet stale): skip the cycle, never stall the step — the
+            # state append above already landed
+            pass
     return new_w
-
-
-def _seq_of(path: str) -> int:
-    from dbt_decodable_spark.operators.ivm_log import _delta_seq
-
-    return _delta_seq(path)

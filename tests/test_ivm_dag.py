@@ -172,6 +172,79 @@ class TestWatermarkProtocol:
             _expected(spark, base + d1 + d2)
         )
 
+    def test_zero_contribution_slice_advances_watermark(
+        self, spark, tmp_path
+    ):
+        """A pending slice that folds to ZERO contributions (the join arm
+        emits redundant tombstones for keys dead on both sides of a batch)
+        must still durably advance the watermark: before the fix the seqs
+        stayed pending forever, and a later view-log compaction folded
+        them into the base — a spurious DownstreamLagError and an
+        O(|view|) rebuild for rows that changed nothing."""
+        base = [(1, "a", 10, 0, False)]
+        view_log = self._mklog(spark, tmp_path, base)
+        root = str(tmp_path / "down")
+        ivm_dag.init_downstream(spark, root, view_log, ["pk"], SPEC)
+        # tombstone for a key that never existed: old image absent, new
+        # image dead → empty contributions → no downstream delta
+        append_delta(
+            spark, view_log, _vdf(spark, [(99, "z", 0, 5, True)]), tag="5"
+        )
+        w = ivm_dag.maintain_downstream(spark, root, view_log, ["pk"], SPEC)
+        assert w == 5
+        assert ivm_dag.downstream_watermark(root) == 5, (
+            "the consumed seq must be durably recorded even with no delta"
+        )
+        # the view log may now compact past seq 5 without a lag error
+        compact_and_vacuum(spark, view_log, ["pk"], [F.col("__seq")], 4)
+        assert ivm_dag.maintain_downstream(
+            spark, root, view_log, ["pk"], SPEC
+        ) == 5
+        assert _rows(ivm_log_read(spark, root, SPEC)) == _rows(
+            _expected(spark, base)
+        )
+
+    def test_rebuild_reseeds_emit_log(self, spark, tmp_path):
+        """rebuild_downstream on an emitting root must re-seed the out
+        log's floor image — the out log lives under the root and dies with
+        it, and without the re-seed fold(out log) silently loses every
+        group the post-rebuild steps don't touch."""
+        base = [(1, "a", 10, 0, False), (2, "b", 20, 0, False)]
+        view_log = self._mklog(spark, tmp_path, base)
+        root = str(tmp_path / "down")
+        out_log = os.path.join(root, "out")
+        floor = ivm_dag.init_downstream(spark, root, view_log, ["pk"], SPEC)
+        init_img = (
+            ivm_log_read(spark, root, SPEC)
+            .withColumn("__seq", F.lit(floor).cast("long"))
+            .withColumn("__deleted", F.lit(False))
+        )
+        append_delta(spark, out_log, init_img, tag=str(floor))
+        # unconsumed delta + compaction → lag → rebuild
+        append_delta(
+            spark, view_log, _vdf(spark, [(3, "a", 5, 9, False)]), tag="9"
+        )
+        compact_and_vacuum(spark, view_log, ["pk"], [F.col("__seq")], 4)
+        with pytest.raises(ivm_dag.DownstreamLagError):
+            ivm_dag.maintain_downstream(spark, root, view_log, ["pk"], SPEC)
+        ivm_dag.rebuild_downstream(
+            spark, root, view_log, ["pk"], SPEC, emit_log=out_log
+        )
+        from dbt_decodable_spark.streaming.changelog import list_deltas
+
+        folded = (
+            fold_last_image(
+                spark.read.parquet(*list_deltas(out_log)),
+                ["grp"], [F.col("__seq")],
+            )
+            .filter(~F.col("__deleted"))
+            .drop("__seq", "__deleted")
+        )
+        assert _rows(folded) == _rows(ivm_log_read(spark, root, SPEC)), (
+            "fold(out log) must equal the rebuilt view — untouched groups "
+            "must not vanish from the change stream"
+        )
+
     def test_downstream_compaction_trigger(self, spark, tmp_path):
         """compact_every folds the downstream log and the watermark
         survives compaction via the generation's max_tag."""

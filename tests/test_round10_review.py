@@ -780,6 +780,129 @@ class TestCommitProtocolHardening:
         assert got == [10, 11, 12]
 
 
+class TestDagRecoveryAndGuards:
+    """Second review pass over the DAG core, pinned."""
+
+    def test_engine_rebuild_preserves_emission(self, spark, tmp_path):
+        """rebuild_pipeline_downstream honors the root's persisted
+        emission choice: the out log (destroyed with the root) is
+        re-seeded with the new floor image and fold(out) == rollup holds
+        through the recovery and the next emitting activation."""
+        from dbt_decodable_spark.streaming.changelog import compact_and_vacuum
+
+        eng = _mk_join(spark, tmp_path, "r10y", F1, D1, with_rollup=True)
+
+        def activate():
+            eng.activate_pipeline_dag_incremental(
+                "rollup", "enriched",
+                fact_order=["ts"], dim_order=["ts"],
+                fact_delete_col="deleted", dim_delete_col="deleted",
+                n_buckets=4, emit_changes=True,
+            )
+
+        def fold_out():
+            ch = eng.read_pipeline_changes("rollup")
+            return _rows(
+                fold_last_image(ch, ["dim_tier"], [F.col("__seq")])
+                .filter(~F.col("__deleted"))
+                .drop("__seq", "__deleted")
+            )
+
+        try:
+            activate()
+            # advance ONLY the join stage, then compact its view log —
+            # the downstream never consumed those deltas → lag
+            f2 = [(4, 10, 1, 2, False)]
+            spark.createDataFrame(f2, FACT_DDL).write.mode("append").parquet(
+                eng.streams["r10y__fact"].path
+            )
+            eng.refresh_stream("fact")
+            eng.activate_pipeline_join_incremental(
+                "enriched", fact_order=["ts"], dim_order=["ts"],
+                fact_delete_col="deleted", dim_delete_col="deleted",
+                n_buckets=4, compact=False,
+            )
+            jroot = os.path.join(eng.warehouse_dir, "_ivmj_r10y__enriched")
+            compact_and_vacuum(
+                spark, os.path.join(jroot, "view"), ["pk"],
+                [F.col("__seq")], 4,
+            )
+            from dbt_decodable_spark.operators.ivm_dag import (
+                DownstreamLagError,
+            )
+
+            with pytest.raises(DownstreamLagError):
+                activate()
+            eng.rebuild_pipeline_downstream("rollup", "enriched")
+            assert fold_out() == _rows(eng.read_stream("rollup"))
+            # and the rebuilt root keeps emitting
+            f3 = [(5, 20, 9, 3, False)]
+            spark.createDataFrame(f3, FACT_DDL).write.mode("append").parquet(
+                eng.streams["r10y__fact"].path
+            )
+            eng.refresh_stream("fact")
+            activate()
+            assert fold_out() == _rows(eng.read_stream("rollup"))
+        finally:
+            eng.cleanup()
+
+    def test_duplicate_output_alias_rejected(self):
+        from dbt_decodable_spark.operators.ivm import agg_spec_from_sql
+
+        with pytest.raises(ValueError, match="duplicate"):
+            agg_spec_from_sql(
+                "select g, sum(a) as x, sum(b) as x from t group by g"
+            )
+
+    def test_dag_rejects_mult_view_column(self, spark, tmp_path):
+        """__mult is the contributions multiplicity the maintenance
+        stacks over the view image — a sink column of that name would be
+        silently overwritten with ±1; the DAG guard must reject it before
+        any write (it passed the join arm's own reserved set)."""
+        ddl = "pk long, fk long, `__mult` long, ts long, deleted boolean"
+        f1 = [(1, 10, 5, 1, False)]
+        d1 = [(10, "a", 1, 1, False)]
+        eng = _mk_engine(spark, tmp_path, "r10z")
+        try:
+            eng.create_stream(
+                "fact",
+                schema=StreamSchema.from_spark(
+                    spark.createDataFrame(f1, ddl).schema, primary_key=["pk"]
+                ),
+                data=spark.createDataFrame(f1, ddl),
+            )
+            eng.create_stream(
+                "dim",
+                schema=StreamSchema.from_spark(
+                    spark.createDataFrame(d1, DIM_DDL).schema,
+                    primary_key=["dk"],
+                ),
+                data=spark.createDataFrame(d1, DIM_DDL),
+            )
+            eng.create_pipeline(
+                "enriched",
+                "select f.*, d.tier as dim_tier "
+                "from r10z__fact f left join r10z__dim d on f.fk = d.dk",
+                activate=False,
+            )
+            eng.create_pipeline(
+                "rollup",
+                "select dim_tier, count(*) as n "
+                "from r10z__enriched group by dim_tier",
+                activate=False,
+            )
+            with pytest.raises(CatalogError, match="reserved"):
+                eng.activate_pipeline_dag_incremental(
+                    "rollup", "enriched",
+                    fact_order=["ts"], dim_order=["ts"],
+                )
+            assert not os.path.exists(
+                os.path.join(eng.warehouse_dir, "_ivmj_r10z__enriched")
+            ), "guard must fire before any write"
+        finally:
+            eng.cleanup()
+
+
 class TestAggReservedColumns:
     @pytest.mark.parametrize("bad", ["__g", "__k", "__gbucket", "__mult"])
     def test_state_machinery_names_rejected_before_write(
