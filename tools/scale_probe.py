@@ -646,6 +646,50 @@ def probe_ivmdag(spark) -> dict:
     return out
 
 
+def probe_outlog(spark) -> dict:
+    """Out-log compaction slope probe (``python tools/scale_probe.py
+    outlog``): ``compact_change_log`` over emitted-change logs of 20 and
+    400 batch files (20x history, same 50k live keys). Pins the cost
+    model: compaction is one fold of the folded-file set — O(|log|) in
+    the history it retires, not O(|keys|²) or worse — and a fresh
+    consumer's bootstrap read drops from O(history) to O(live keys)."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dbt_decodable_spark.streaming.changelog import (
+        append_delta,
+        compact_change_log,
+        list_deltas,
+    )
+
+    out: dict = {}
+    for label, n_batches in (("20f", 20), ("400f", 400)):
+        tmp = tempfile.mkdtemp(prefix=f"probe_outlog_{label}_")
+        log = f"{tmp}/out"
+        per = 50_000 // 20  # 2.5k keys churned per batch, 50k key space
+        for b in range(n_batches):
+            batch = spark.range(per).select(
+                (F.col("id") + (b % 20) * per).alias("k"),
+                (F.col("id") * b % 1000).alias("v"),
+                F.lit(b).cast("long").alias("__seq"),
+                ((F.col("id") + b) % 50 == 0).alias("__deleted"),
+            )
+            append_delta(spark, log, batch, tag=str(b))
+        res = {"files": len(list_deltas(log))}
+        t = time.time()
+        stats = compact_change_log(spark, log, ["k"])
+        res["compact_s"] = round(time.time() - t, 2)
+        res["live_rows"] = stats["live_rows"]
+        t = time.time()
+        spark.read.parquet(*list_deltas(log)).count()
+        res["bootstrap_s"] = round(time.time() - t, 2)
+        out[label] = res
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def probe_ivminit(spark, n: int = 1_000_000) -> dict:
     """Aggregate-arm first-activation probe (``python tools/scale_probe.py
     ivminit [n]``): measures (a) first activation under the r10 init
@@ -713,6 +757,10 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "ivmdag":
         spark = get_spark(app_name="scale_probe_ivmdag")
         print(json.dumps({"ivmdag": probe_ivmdag(spark)}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "outlog":
+        spark = get_spark(app_name="scale_probe_outlog")
+        print(json.dumps({"outlog": probe_outlog(spark)}))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "ivminit":
         spark = get_spark(app_name="scale_probe_ivminit")
