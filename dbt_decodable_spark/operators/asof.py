@@ -24,15 +24,27 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     tolerance: str | None = None,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.ts <= left.ts`` within the same ``on`` key.
 
     Output: all left columns + ``value_cols`` from the right (null when no
     quote precedes the probe). ``tolerance``: an INTERVAL string limiting
-    staleness (e.g. ``'7 days'``).
+    staleness (e.g. ``'7 days'``). ``tiebreak_cols``: right-side columns
+    deciding WHICH quote wins among several at the same ``(key, ts)`` —
+    the one greatest by the tiebreak (ascending in the fill order, so the
+    last tied row wins); without it tied quotes are partition-order
+    nondeterministic, which poisons any pinned-result comparison.
+
+    NULL semantics match ``pandas.merge_asof`` / a LATERAL ``<=`` probe:
+    a quote with a NULL timestamp can never satisfy ``right_ts <=
+    left_ts`` and is excluded (not treated as "earliest"), a NULL-keyed
+    quote matches no probe (join equality, NULL ≠ NULL), and a probe with
+    a NULL timestamp or NULL key gets NULL value columns.
     """
     lcols = left.columns
+    tbs = list(tiebreak_cols or [])
     probes = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
@@ -40,14 +52,21 @@ def asof_join(
         F.struct(*lcols).alias("__l"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
         F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__tb{i}")
+            for i, c in enumerate(tbs)
+        ],
     )
-    quotes = right.select(
+    quotes = right.filter(
+        F.col(right_ts).isNotNull() & F.col(on).isNotNull()
+    ).select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_probe"),
         F.lit(None).cast(probes.schema["__l"].dataType).alias("__l"),
         *value_cols,
         F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(tbs)],
     )
     # quotes sort before probes at the same instant (<= semantics)
     merged = quotes.unionByName(probes)
@@ -65,7 +84,11 @@ def asof_join(
     )
     w = (
         W.partitionBy("__k")
-        .orderBy(F.col("__ts"), F.col("__is_probe"))
+        .orderBy(
+            F.col("__ts"),
+            F.col("__is_probe"),
+            *[F.col(f"__tb{i}") for i in range(len(tbs))],
+        )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     filled = merged.select(
@@ -99,8 +122,14 @@ def asof_join_pandas(
     left_ts: str,
     right_ts: str,
     value_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
-    """merge_asof per key group via applyInPandas (Arrow-batched)."""
+    """merge_asof per key group via applyInPandas (Arrow-batched). Same
+    NULL and tie semantics as :func:`asof_join`: NULL-timestamped or
+    NULL-keyed quotes match nothing (merge_asof raises outright on null
+    merge keys — they are segregated, not crashed on), NULL-timestamped
+    probes get NULL value columns, and ``tiebreak_cols`` decide which of
+    several same-timestamp quotes wins (greatest tiebreak)."""
     import pandas as pd
 
     # build output schema: left columns + value columns
@@ -108,21 +137,43 @@ def asof_join_pandas(
 
     fields = list(left.schema.fields) + [right.schema[c] for c in value_cols]
     out_schema = T.StructType(fields)
+    tbs = list(tiebreak_cols or [])
 
     l2 = left.withColumn("__side", F.lit("l"))
-    r2 = right.select(
-        F.col(on), F.col(right_ts).alias(left_ts), *value_cols
+    r2 = right.filter(
+        F.col(right_ts).isNotNull() & F.col(on).isNotNull()
+    ).select(
+        F.col(on), F.col(right_ts).alias(left_ts), *value_cols,
+        *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(tbs)],
     ).withColumn("__side", F.lit("r"))
     both = l2.unionByName(r2, allowMissingColumns=True)
 
     lcols = left.columns
 
     def merge(key, pdf: pd.DataFrame):
-        lp = pdf[pdf["__side"] == "l"][lcols].sort_values(left_ts)
-        rp = pdf[pdf["__side"] == "r"][[left_ts, *value_cols]].sort_values(left_ts)
+        lp = pdf[pdf["__side"] == "l"][lcols]
+        rp = pdf[pdf["__side"] == "r"][
+            [left_ts, *value_cols, *[f"__tb{i}" for i in range(len(tbs))]]
+        ].sort_values([left_ts, *[f"__tb{i}" for i in range(len(tbs))]])
         if len(lp) == 0:
             return pd.DataFrame(columns=[*lcols, *value_cols])
-        merged = pd.merge_asof(lp, rp, on=left_ts, direction="backward")
-        return merged[[*lcols, *value_cols]]
+        # merge_asof refuses null merge keys — probe rows with a NULL
+        # timestamp can match nothing, so they bypass the merge and come
+        # back with NULL value columns
+        null_ts = lp[left_ts].isna()
+        lp_ok = lp[~null_ts].sort_values(left_ts)
+        out_parts = []
+        if len(lp_ok):
+            merged = pd.merge_asof(
+                lp_ok, rp.drop_duplicates(subset=[left_ts], keep="last"),
+                on=left_ts, direction="backward",
+            )
+            out_parts.append(merged[[*lcols, *value_cols]])
+        if null_ts.any():
+            lp_null = lp[null_ts].copy()
+            for c in value_cols:
+                lp_null[c] = None
+            out_parts.append(lp_null[[*lcols, *value_cols]])
+        return pd.concat(out_parts, ignore_index=True)
 
     return both.groupBy(on).applyInPandas(merge, schema=out_schema)

@@ -166,9 +166,15 @@ def _active(predicates: Sequence[tuple[str, Any, Any]]) -> list[tuple[str, Any, 
 def _list_data_files(path: str) -> list[tuple[str, int]]:
     """(name, size) for every data file directly under ``path`` (recursing
     into partition subdirectories), excluding Spark markers and our
-    manifest. Sorted for a stable inventory comparison."""
+    manifest. Hidden DIRECTORIES are pruned from the walk, not just hidden
+    files — Spark's convention (`_temporary` staging from a killed job,
+    `_spark_metadata`, `_delta_log`) nests NON-hidden files under hidden
+    dirs, and inventorying those would stat uncommitted duplicates or feed
+    JSON metadata to a parquet reader downstream. Sorted for a stable
+    inventory comparison."""
     out: list[tuple[str, int]] = []
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in files:
             if f.startswith(("_", ".")):
                 continue
@@ -212,9 +218,21 @@ def _stats_pass(
         if "://" in fp or fp.startswith("file:"):
             fp = _urlparse(fp).path
         fp = _unquote(fp)
+        rel = os.path.relpath(fp, abs_base)
+        try:
+            mtime = os.path.getmtime(os.path.join(abs_base, rel))
+        except OSError:
+            mtime = None
         entry = {
-            "file": os.path.relpath(fp, abs_base),
+            "file": rel,
             "rows": r["__rows"],
+            # mtime closes the same-size in-place-rewrite blind spot:
+            # (name, size) identity alone cannot see a rewrite that
+            # happens to preserve the byte count, and stale min/max would
+            # then prune wrongly — the one failure the advisory layer
+            # must never have. Legacy entries without it fall back to
+            # size-only identity.
+            "mtime": mtime,
             "cols": {},
         }
         for c in stats_cols:
@@ -356,8 +374,28 @@ def refresh_zonemap_appended(spark: SparkSession, path: str) -> dict | None:
     except (OSError, json.JSONDecodeError):
         return None
     old_inv = {tuple(x) for x in manifest.get("inventory", [])}
+    old_entries = {e["file"]: e for e in manifest["files"]}
     disk = _list_data_files(path)
-    unchanged = {n for n, s in disk if (n, s) in old_inv}
+
+    def _same(n: str, s: int) -> bool:
+        if (n, s) not in old_inv:
+            return False
+        e = old_entries.get(n)
+        if e is None:
+            return False
+        if e.get("mtime") is not None:
+            # size alone cannot see a same-size in-place rewrite; when
+            # the entry recorded an mtime, require it to match too
+            try:
+                return (
+                    abs(os.path.getmtime(os.path.join(path, n)) - e["mtime"])
+                    < 1e-6
+                )
+            except OSError:
+                return False
+        return True  # legacy entry: size-only identity (old behavior)
+
+    unchanged = {n for n, s in disk if _same(n, s)}
     kept = [e for e in manifest["files"] if e["file"] in unchanged]
     new_files = [os.path.join(path, n) for n, s in disk if n not in unchanged]
     fresh = (
@@ -622,7 +660,14 @@ def minmax_from_zonemap(path: str, col: str) -> tuple[Any, Any] | None:
     ]
     if not mins:
         return None
-    return min(mins), max(maxes)
+    # Spark-consistent NaN handling (NaN sorts GREATEST): python min/max
+    # over a list containing NaN are order-dependent (NaN<x and x<NaN are
+    # both False), so an all-NaN file's stored stats would flip the
+    # result with the iteration order
+    non_nan_mins = [v for v in mins if not _is_nan(v)]
+    lo = min(non_nan_mins) if non_nan_mins else float("nan")
+    hi = float("nan") if any(_is_nan(v) for v in maxes) else max(maxes)
+    return lo, hi
 
 
 def prune_for_join(
@@ -927,7 +972,9 @@ def add_bloom_sidecar(
     path = path.rstrip("/")
     probe_schema = spark.read.parquet(path).select(col).schema
     dtype = probe_schema.fields[0].dataType.simpleString()
-    if dtype in ("float", "double"):
+    if dtype in ("float", "double", "boolean"):
+        # boolean renders 'true' in Spark's string cast but 'True' from a
+        # python probe — the same silent-false-negative class as floats
         raise ValueError(
             f"bloom sidecar over {col!r} refused: {dtype} keys hash their "
             "string rendering, which differs between Spark and a probe — "
@@ -1103,12 +1150,19 @@ def write_zonemap_sharded(
             f"{path} has no col=value partition directories — use "
             "write_zonemap for an unpartitioned table"
         )
-    stray = [n for n, _s in _list_data_files(path) if os.sep not in n]
+    stray = [
+        n
+        for n, _s in _list_data_files(path)
+        # a root-level file OR anything nested under a non-Hive first-level
+        # directory: both belong to no shard, and the per-shard manifest
+        # loop below would silently drop their statted entries
+        if os.sep not in n or "=" not in n.split(os.sep, 1)[0]
+    ]
     if stray:
         raise ValueError(
-            f"data files at the table root of {path} ({stray[:3]}…) belong "
-            "to no partition shard; a sharded zone map would silently "
-            "never describe them"
+            f"data files outside any partition shard of {path} "
+            f"({stray[:3]}…); a sharded zone map would silently never "
+            "describe them"
         )
     entries = _stats_pass(spark, path, [path], stats_cols)
     by_shard: dict[str, list[dict]] = {}
@@ -1196,10 +1250,15 @@ def prune_files_sharded(
     shards = []
     stray_roots: list[str] = []
     for d in sorted(os.listdir(path)):
+        if d.startswith(("_", ".")):
+            # Spark-convention hidden entries (_spark_metadata, _delta_log,
+            # _temporary staging, our manifests) are metadata, not stray
+            # DATA — reading them as parquet would crash or ingest garbage
+            continue
         full = os.path.join(path, d)
         if os.path.isdir(full):
             (shards if "=" in d else stray_roots).append(d)
-        elif not d.startswith(("_", ".")):
+        else:
             stray_roots.append(d)
     kept_shards = [d for d in shards if _shard_survives(d, predicates)]
     files: list[str] = []

@@ -187,6 +187,10 @@ def join_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="ots",
         value_cols=["o_orderkey"],
+        # the oracle's LATERAL picks ORDER BY o_orderdate DESC,
+        # o_orderkey DESC LIMIT 1 — same-day orders for one customer
+        # MUST break the tie by the key or the comparison is luck
+        tiebreak_cols=["o_orderkey"],
     )
     return joined.select("event_id", F.col("o_orderkey").alias("last_order_key"))
 

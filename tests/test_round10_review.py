@@ -903,6 +903,210 @@ class TestDagRecoveryAndGuards:
             eng.cleanup()
 
 
+class TestAsofNullAndTieSemantics:
+    """Review pass 3: the as-of joins must match merge_asof / LATERAL-<=
+    semantics on NULLs and break same-timestamp ties deterministically."""
+
+    L_DDL = "k long, ts timestamp, tag string"
+    R_DDL = "k long, rts timestamp, v long"
+
+    def _ts(self, s):
+        import datetime
+
+        return datetime.datetime.fromisoformat(s)
+
+    def _run(self, spark, fn, left, right, **kw):
+        from dbt_decodable_spark.operators import asof
+
+        ldf = spark.createDataFrame(left, self.L_DDL)
+        rdf = spark.createDataFrame(right, self.R_DDL)
+        out = getattr(asof, fn)(
+            ldf, rdf, on="k", left_ts="ts", right_ts="rts",
+            value_cols=["v"], **kw,
+        )
+        return {r["tag"]: r["v"] for r in out.collect()}
+
+    @pytest.mark.parametrize("fn", ["asof_join", "asof_join_pandas"])
+    def test_null_timestamp_quote_never_matches(self, spark, fn):
+        """A NULL right_ts can never satisfy right_ts <= left_ts — the
+        window path used to sort it FIRST (nulls-first) and return its
+        values; the pandas path crashed outright in merge_asof."""
+        got = self._run(
+            spark, fn,
+            left=[(1, self._ts("2026-01-02 00:00:00"), "probe")],
+            right=[(1, None, 42)],
+        )
+        assert got == {"probe": None}
+
+    @pytest.mark.parametrize("fn", ["asof_join", "asof_join_pandas"])
+    def test_null_key_never_matches(self, spark, fn):
+        got = self._run(
+            spark, fn,
+            left=[(None, self._ts("2026-01-02 00:00:00"), "probe")],
+            right=[(None, self._ts("2026-01-01 00:00:00"), 9)],
+        )
+        assert got == {"probe": None}
+
+    @pytest.mark.parametrize("fn", ["asof_join", "asof_join_pandas"])
+    def test_null_left_ts_gets_null_values(self, spark, fn):
+        got = self._run(
+            spark, fn,
+            left=[(1, None, "nullprobe"),
+                  (1, self._ts("2026-01-02 00:00:00"), "probe")],
+            right=[(1, self._ts("2026-01-01 00:00:00"), 7)],
+        )
+        assert got == {"nullprobe": None, "probe": 7}
+
+    @pytest.mark.parametrize("fn", ["asof_join", "asof_join_pandas"])
+    def test_tiebreak_picks_greatest(self, spark, fn):
+        """Two quotes at the SAME (key, ts): tiebreak_cols must pick the
+        greatest deterministically (the window path was partition-order
+        nondeterministic without it)."""
+        t = self._ts("2026-01-01 00:00:00")
+        got = self._run(
+            spark, fn,
+            left=[(1, self._ts("2026-01-02 00:00:00"), "probe")],
+            right=[(1, t, 1), (1, t, 2)],
+            tiebreak_cols=["v"],
+        )
+        assert got == {"probe": 2}
+
+
+class TestZonemapHardening:
+    """Review pass 3 over the pruning layer: hidden-dir blind spots,
+    rendering-sensitive bloom keys, NaN envelopes, same-size rewrites."""
+
+    def test_hidden_dirs_excluded_from_inventory(self, spark, tmp_path):
+        """A killed job's _temporary staging (non-hidden files under a
+        hidden dir) must not enter the manifest or any pruned read —
+        reading uncommitted duplicates is silent wrong data."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from dbt_decodable_spark.operators import zonemap as zm
+
+        path = str(tmp_path / "t")
+        spark.range(100).selectExpr("id", "id * 2 as v").write.parquet(path)
+        zm.write_zonemap(spark, path, ["id"])
+        staging = os.path.join(path, "_temporary", "0")
+        os.makedirs(staging)
+        pq.write_table(
+            pa.table({"id": [999_999], "v": [0]}),
+            os.path.join(staging, "part-uncommitted.parquet"),
+        )
+        assert all(
+            "_temporary" not in n for n, _ in zm._list_data_files(path)
+        )
+        m = zm.refresh_zonemap_appended(spark, path)
+        assert all("_temporary" not in e["file"] for e in m["files"])
+        df, info = zm.read_pruned(spark, path, [("id", 0, 1_000_000)])
+        assert df.filter(F.col("id") == 999_999).count() == 0
+
+    def test_bloom_refuses_boolean_keys(self, spark, tmp_path):
+        from dbt_decodable_spark.operators import zonemap as zm
+
+        path = str(tmp_path / "t")
+        spark.range(10).selectExpr("id", "id % 2 = 0 as flag").write.parquet(
+            path
+        )
+        zm.write_zonemap(spark, path, ["id"])
+        with pytest.raises(ValueError, match="boolean"):
+            zm.add_bloom_sidecar(spark, path, "flag")
+
+    def test_minmax_nan_is_spark_consistent(self, spark, tmp_path):
+        """An all-NaN file's stored stats must not flip the global
+        envelope with iteration order: min skips NaN (Spark: NaN sorts
+        greatest), max is NaN iff any file holds one."""
+        import math
+
+        from dbt_decodable_spark.operators import zonemap as zm
+
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(float("nan"),)] * 5, "v double"
+        ).repartition(1).write.parquet(path)
+        spark.createDataFrame(
+            [(1.0,), (2.0,)], "v double"
+        ).repartition(1).write.mode("append").parquet(path)
+        zm.write_zonemap(spark, path, ["v"])
+        lo, hi = zm.minmax_from_zonemap(path, "v")
+        assert lo == 1.0, "min must skip the all-NaN file"
+        assert math.isnan(hi), "max must be NaN when any file holds one"
+
+    def test_same_size_rewrite_is_restatted(self, spark, tmp_path):
+        """(name, size) identity cannot see an in-place rewrite that
+        preserves the byte count; entries now record mtime and the
+        appended-refresh re-stats on a mismatch."""
+        import time as _time
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from dbt_decodable_spark.operators import zonemap as zm
+
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(i,) for i in range(100)], "id long"
+        ).repartition(1).write.parquet(path)
+        zm.write_zonemap(spark, path, ["id"])
+        (name, size), = zm._list_data_files(path)
+        full = os.path.join(path, name)
+        _time.sleep(0.02)
+        # in-place rewrite with a shifted value range; if the byte count
+        # happens to differ the size check catches it anyway — the mtime
+        # arm is what this pins when sizes collide
+        pq.write_table(
+            pa.table({"id": pa.array(range(10_000, 10_100), pa.int64())}),
+            full + ".tmp",
+        )
+        os.replace(full + ".tmp", full)
+        # drop Hadoop's local-FS checksum sidecar, stale after the rewrite
+        # (a test-harness artifact: HDFS/S3 keep no client-side .crc)
+        crc = os.path.join(
+            os.path.dirname(full), "." + os.path.basename(full) + ".crc"
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+        zm.refresh_zonemap_appended(spark, path)
+        df, info = zm.read_pruned(spark, path, [("id", 10_050, 10_060)])
+        assert df.count() == 11, "stale stats pruned the rewritten file"
+
+    def test_sharded_write_refuses_nested_stray_data(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from dbt_decodable_spark.operators import zonemap as zm
+
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, 10)], "id long, day long"
+        ).write.partitionBy("day").parquet(path)
+        os.makedirs(os.path.join(path, "staging"))
+        pq.write_table(
+            pa.table({"id": [99]}),
+            os.path.join(path, "staging", "part-0.parquet"),
+        )
+        with pytest.raises(ValueError, match="outside any partition shard"):
+            zm.write_zonemap_sharded(spark, path, ["id"])
+
+    def test_sharded_prune_skips_hidden_roots(self, spark, tmp_path):
+        from dbt_decodable_spark.operators import zonemap as zm
+
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(i, i % 2) for i in range(20)], "id long, day long"
+        ).write.partitionBy("day").parquet(path)
+        zm.write_zonemap_sharded(spark, path, ["id"])
+        meta = os.path.join(path, "_spark_metadata")
+        os.makedirs(meta)
+        with open(os.path.join(meta, "0"), "w") as fh:
+            fh.write('{"not": "parquet"}')
+        report = zm.prune_files_sharded(path, [("id", 0, 100)])
+        assert all("_spark_metadata" not in f for f in report["files"])
+        got, _ = zm.read_pruned_sharded(spark, path, [("id", 0, 100)])
+        assert got.count() == 20
+
+
 class TestAggReservedColumns:
     @pytest.mark.parametrize("bad", ["__g", "__k", "__gbucket", "__mult"])
     def test_state_machinery_names_rejected_before_write(
