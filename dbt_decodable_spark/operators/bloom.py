@@ -86,14 +86,21 @@ def check_membership(
     batch data beyond the id re-group, which AQE coalesces."""
     probes = batch.select(
         F.col(id_col).alias("__bid"),
+        F.col(key_col).alias("__bkey"),
         F.explode(_positions(F.col(key_col), m_bits, k)).alias("pos"),
     ).select(
         "__bid",
+        "__bkey",
         F.floor(F.col("pos") / _WORD_BITS).alias("word_idx"),
         (F.col("pos") % _WORD_BITS).cast("int").alias("bit"),
     )
-    hits = probes.join(F.broadcast(bloom), "word_idx", "left").select(
+    # broadcast only at sizes that are sanely driver-collectable — the
+    # module's own doc puts the line at 2^27 bits (~4M words); past it the
+    # word table joins as a plain table (shuffle join, still m/32 rows)
+    bloom_side = bloom if m_bits > (1 << 27) else F.broadcast(bloom)
+    hits = probes.join(bloom_side, "word_idx", "left").select(
         "__bid",
+        "__bkey",
         F.when(
             F.expr("shiftright(coalesce(bits, 0L), bit)").bitwiseAND(F.lit(1)) == 1,
             F.lit(1),
@@ -101,14 +108,23 @@ def check_membership(
         .otherwise(F.lit(0))
         .alias("hit"),
     )
-    flags = hits.groupBy("__bid").agg(F.min("hit").alias("maybe_seen"))
+    # fold per (id, KEY), not id alone: two batch rows sharing an id but
+    # carrying different keys would otherwise merge their probes under
+    # min(hit) — a genuinely-seen key masked 'certainly new' by its
+    # sibling's unset bit, leaking a duplicate past the exact check
+    flags = hits.groupBy("__bid", "__bkey").agg(F.min("hit").alias("maybe_seen"))
     # LEFT join + coalesce: a NULL id produces NULL probe positions and no
     # flag row — an inner join would silently drop the document from the
     # routing entirely. A NULL key was never inserted, so it is certainly new.
     return (
-        batch.join(flags, batch[id_col] == flags["__bid"], "left")
+        batch.join(
+            flags,
+            batch[id_col].eqNullSafe(flags["__bid"])
+            & batch[key_col].eqNullSafe(flags["__bkey"]),
+            "left",
+        )
         .withColumn("maybe_seen", F.coalesce(F.col("maybe_seen"), F.lit(0)))
-        .drop("__bid")
+        .drop("__bid", "__bkey")
     )
 
 

@@ -45,7 +45,13 @@ def mix_by_token_budget(
     configured budget are dropped. Output: input columns + ``cum_col``
     (the running token count within the stratum, in priority order)."""
     spark = df.sparkSession
-    pri = F.substring(F.md5(F.col(key_col).cast("string")), 1, 6)
+    from dbt_decodable_spark.operators.sampling import _key_hash
+
+    # ONE definition of the hash gate (sampling._key_hash) — an inline
+    # copy here could drift from sample membership, silently decoupling
+    # mix priorities from the sampling operators they're documented to
+    # share the hash with
+    pri = _key_hash(F.col(key_col))
     cum = grouped_running_sum(
         df.withColumn(PRIORITY_COL, pri),
         order_cols=[PRIORITY_COL, key_col],
@@ -99,10 +105,17 @@ def temperature_quotas(
         "stratum",
         "n_tokens",
         "weight",
+        "__W",
         # BIGINT `div`, not `/`: Spark's `/` on longs is double division,
-        # which would round differently from the oracle's exact `//`
-        F.expr(f"({budget}L * weight) div __W").alias("__q0"),
-        ((F.lit(budget) * F.col("weight")) % F.col("__W")).alias("__rem"),
+        # which would round differently from the oracle's exact `//`.
+        # __W = 0 (every stratum weightless) is a defined zero allocation,
+        # not a NULL quota / ANSI divide-by-zero
+        F.expr(
+            f"CASE WHEN __W > 0 THEN ({budget}L * weight) div __W ELSE 0 END"
+        ).alias("__q0"),
+        F.when(
+            F.col("__W") > 0, (F.lit(budget) * F.col("weight")) % F.col("__W")
+        ).otherwise(F.lit(0)).alias("__rem"),
     )
     from pyspark.sql import Window as _W
 
@@ -116,7 +129,10 @@ def temperature_quotas(
         "stratum",
         "n_tokens",
         "weight",
-        (F.col("__q0") + F.when(rk <= leftover, 1).otherwise(0)).alias("quota"),
+        F.when(
+            F.col("__W") > 0,
+            F.col("__q0") + F.when(rk <= leftover, 1).otherwise(0),
+        ).otherwise(F.lit(0)).alias("quota"),
     )
 
 

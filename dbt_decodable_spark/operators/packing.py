@@ -116,9 +116,15 @@ def pack_by_budget(
     ~``budget`` weight per shard. Greedy interval packing off the exact
     global running sum: shard = floor((cum - w) / budget)."""
     cum = global_running_sum(df, id_col, weight_col, out_col=cum_col)
+    # BIGINT `div`, not `/`+floor: long/long is DOUBLE division in Spark,
+    # and past 2^53 cumulative weight the coercion misplaces boundary
+    # rows — the same exactness rule mixing.temperature_quotas follows
     return cum.withColumn(
         shard_col,
-        F.floor((F.col(cum_col) - F.col(weight_col)) / F.lit(budget)).cast("long"),
+        F.expr(
+            f"(cast(`{cum_col}` as bigint) - cast(`{weight_col}` as bigint))"
+            f" div {int(budget)}"
+        ).cast("long"),
     )
 
 

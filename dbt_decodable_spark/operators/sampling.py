@@ -47,7 +47,10 @@ def _threshold_hex(fraction: float) -> str:
 
 
 def _key_hash(key: Column) -> Column:
-    return F.substring(F.md5(key.cast("string")), 1, 6)
+    # NULL keys hash as the empty string — a deterministic bucket, not a
+    # silent drop (md5(NULL) is NULL, NULL < threshold is NULL, filter()
+    # discards NULL — so even fraction=1.0 'keep all' lost NULL-key rows)
+    return F.substring(F.md5(F.coalesce(key.cast("string"), F.lit(""))), 1, 6)
 
 
 def deterministic_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
@@ -88,10 +91,15 @@ def sql_stratified_filter(
 ) -> str:
     """The equivalent DuckDB WHERE fragment (for oracle pairing)."""
     whens = " ".join(
-        f"WHEN '{s}' THEN '{_threshold_hex(f)}'" for s, f in sorted(fractions.items())
+        # escape embedded quotes — a free-text stratum label with an
+        # apostrophe would otherwise break (or alter) the generated SQL
+        f"WHEN '{s.replace(chr(39), chr(39) * 2)}' THEN '{_threshold_hex(f)}'"
+        for s, f in sorted(fractions.items())
     )
     case = f"CASE {stratum_col} {whens} ELSE '{_threshold_hex(default_fraction)}' END"
-    return f"substr(md5(CAST({key_col} AS VARCHAR)), 1, 6) < {case}"
+    return (
+        f"substr(md5(coalesce(CAST({key_col} AS VARCHAR), '')), 1, 6) < {case}"
+    )
 
 
 def train_val_test_split(
@@ -157,14 +165,26 @@ def importance_sample(
     same md5 hash gate as :func:`deterministic_sample`, so membership is
     reproducible and partition-independent.
 
-    The comparison is integer cross-multiplied (``h·scale <
-    16^6·min(w, scale)``, all BIGINT) rather than a float division, so any
-    engine computes the identical keep-set. Rows with ``weight >= scale``
-    always survive; ``weight <= 0`` never does. Map-only, one hash + two
-    multiplies per row, codegen'd."""
+    The comparison is exactly cross-multiplied (``h·scale <
+    16^6·min(w, scale)``) in DECIMAL rather than a float division, so any
+    engine computes the identical keep-set. DECIMAL, not BIGINT: a
+    ``cast('long')`` of the weight silently truncated fractional weights
+    (0.9 → 0: the whole sub-unit population dropped instead of kept at
+    90%), and ``h·scale`` overflowed 64 bits for scale ≥ ~2^39 — decimal
+    keeps up to 9 fractional weight digits exactly and never wraps. Rows
+    with ``weight >= scale`` always survive; ``weight <= 0`` (or NULL)
+    never does. Map-only, one hash + two multiplies per row, codegen'd."""
+    if not 0 < scale <= 10**14:
+        raise ValueError(
+            f"scale must be in (0, 10^14], got {scale} — the decimal "
+            "cross-multiply is sized for 14 integer digits"
+        )
+    # h ≤ 16^6-1 fits decimal(8,0); h·scale ≤ decimal(23,0); 16^6·w ≤
+    # decimal(33,9) — every product stays inside decimal(38) exactly
     h = (
         F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 6), 16, 10)
-        .cast("long")
+        .cast("decimal(8,0)")
     )
-    w = F.least(F.col(weight_col).cast("long"), F.lit(scale))
-    return df.filter(h * scale < F.lit(_HEX_SPACE) * w)
+    sc = F.lit(int(scale)).cast("decimal(14,0)")
+    w = F.least(F.col(weight_col).cast("decimal(24,9)"), sc.cast("decimal(24,9)"))
+    return df.filter(h * sc < F.lit(_HEX_SPACE).cast("decimal(8,0)") * w)

@@ -1107,6 +1107,170 @@ class TestZonemapHardening:
         assert got.count() == 20
 
 
+class TestSamplingMixingHardening:
+    """Review pass 4 over the sampling/packing/mixing/bloom family."""
+
+    def test_importance_sample_fractional_weights(self, spark):
+        """cast('long') truncated fractional weights — weight 0.9 at
+        scale 1 kept NOTHING instead of ~90%; the decimal cross-multiply
+        keeps the exact h < w/scale gate."""
+        import hashlib
+
+        from dbt_decodable_spark.operators.sampling import importance_sample
+
+        rows = [(f"doc{i}", 0.9) for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id string, w double")
+        kept = {
+            r["doc_id"]
+            for r in importance_sample(df, "doc_id", "w", scale=1).collect()
+        }
+        want = {
+            k
+            for k, w in rows
+            if int(hashlib.md5(k.encode()).hexdigest()[:6], 16) * 1
+            < 16**6 * 0.9
+        }
+        assert kept == want and 0 < len(kept) < 400
+
+    def test_importance_sample_huge_scale_no_overflow(self, spark):
+        """h·scale wrapped 64-bit for scale ≥ ~2^39 (random keep/drop);
+        decimal never wraps, and out-of-range scales raise."""
+        from dbt_decodable_spark.operators.sampling import importance_sample
+
+        df = spark.createDataFrame(
+            [(f"doc{i}", 2**40) for i in range(50)], "doc_id string, w long"
+        )
+        # weight == scale → keep probability 1: every row survives
+        assert importance_sample(df, "doc_id", "w", scale=2**40).count() == 50
+        with pytest.raises(ValueError, match="scale"):
+            importance_sample(df, "doc_id", "w", scale=10**15)
+        with pytest.raises(ValueError, match="scale"):
+            importance_sample(df, "doc_id", "w", scale=0)
+
+    def test_deterministic_sample_keeps_null_keys_at_full_fraction(
+        self, spark
+    ):
+        from dbt_decodable_spark.operators.sampling import (
+            deterministic_sample,
+            stratified_sample,
+        )
+
+        df = spark.createDataFrame(
+            [("a", "en"), (None, "en"), ("b", "de")],
+            "doc_id string, lang string",
+        )
+        assert deterministic_sample(df, "doc_id", 1.0).count() == 3
+        got = stratified_sample(
+            df, "lang", "doc_id", {"en": 1.0, "de": 1.0}
+        ).count()
+        assert got == 3
+
+    def test_sql_stratified_filter_escapes_quotes(self):
+        from dbt_decodable_spark.operators.sampling import (
+            sql_stratified_filter,
+        )
+
+        frag = sql_stratified_filter("src", "doc_id", {"pe't": 0.5})
+        assert "WHEN 'pe''t' THEN" in frag
+        import duckdb
+
+        con = duckdb.connect()
+        con.sql("CREATE VIEW t AS SELECT 'pe''t' AS src, 'x' AS doc_id")
+        con.sql(f"SELECT * FROM t WHERE {frag}")  # must parse
+
+    def test_temperature_quotas_all_zero_weights(self, spark):
+        """Every stratum weightless: a defined zero allocation, not NULL
+        quotas (non-ANSI) or DIVIDE_BY_ZERO (ANSI)."""
+        from dbt_decodable_spark.operators.mixing import temperature_quotas
+
+        df = spark.createDataFrame(
+            [("a", 0), ("b", 0)], "src string, n long"
+        )
+        got = temperature_quotas(df, "src", "n", budget=100)
+        assert sorted((r["stratum"], r["quota"]) for r in got.collect()) == [
+            ("a", 0), ("b", 0),
+        ]
+
+    def test_pack_by_budget_exact_past_double_precision(self, spark):
+        """long/long is DOUBLE division in Spark: past 2^53 the coerced
+        quotient misplaces boundary rows — BIGINT div is exact."""
+        from dbt_decodable_spark.operators.packing import pack_by_budget
+
+        big = 2**53 + 1
+        df = spark.createDataFrame(
+            [(1, big), (2, big)], "id long, w long"
+        )
+        got = {
+            r["id"]: r["shard_id"]
+            for r in pack_by_budget(df, "id", "w", budget=big).collect()
+        }
+        assert got == {1: 0, 2: 1}
+
+    def test_bloom_duplicate_id_does_not_mask_seen_key(self, spark):
+        """min(hit) folded per id alone: a seen key sharing an id with a
+        fresh key inherited the fresh key's unset bit and skipped the
+        exact check — folding per (id, key) keeps them apart."""
+        from dbt_decodable_spark.operators.bloom import (
+            build_bloom,
+            check_membership,
+        )
+
+        hist = spark.createDataFrame([("seen",)], "key string")
+        bloom = build_bloom(hist, "key")
+        batch = spark.createDataFrame(
+            [(1, "seen"), (1, "definitely-new-key")], "id long, key string"
+        )
+        got = {
+            (r["id"], r["key"]): r["maybe_seen"]
+            for r in check_membership(batch, bloom, "key", "id").collect()
+        }
+        assert got[(1, "seen")] == 1, "the seen key must route to the exact check"
+
+    def test_bloom_large_filter_not_force_broadcast(self, spark, monkeypatch):
+        """The explicit broadcast hint must respect the module's own
+        2^27-bit line: past it, forcing the hint collects ~m/32 rows to
+        the driver (the doc's 1-billion-bit example is ~500 MB) — the
+        word table must join as a plain table and let Catalyst decide."""
+        import dbt_decodable_spark.operators.bloom as bl
+        from dbt_decodable_spark.operators.bloom import (
+            build_bloom,
+            check_membership,
+        )
+
+        hist = spark.createDataFrame([("k1",), ("k2",)], "key string")
+        batch = spark.createDataFrame(
+            [(1, "k1"), (2, "zzz")], "id long, key string"
+        )
+        calls: list[int] = []
+        real_bc = bl.F.broadcast
+
+        def spy(df):
+            calls.append(1)
+            return real_bc(df)
+
+        with monkeypatch.context() as mp:
+            mp.setattr(bl.F, "broadcast", spy)
+            small = build_bloom(hist, "key", m_bits=1 << 16)
+            got = {
+                r["id"]: r["maybe_seen"]
+                for r in check_membership(
+                    batch, small, "key", "id", m_bits=1 << 16
+                ).collect()
+            }
+            assert got[1] == 1 and got[2] == 0
+            assert calls, "small filters keep the explicit broadcast hint"
+            calls.clear()
+            big = build_bloom(hist, "key", m_bits=1 << 28)
+            got = {
+                r["id"]: r["maybe_seen"]
+                for r in check_membership(
+                    batch, big, "key", "id", m_bits=1 << 28
+                ).collect()
+            }
+            assert got[1] == 1 and got[2] == 0
+            assert not calls, "past 2^27 bits the hint must not be forced"
+
+
 class TestAggReservedColumns:
     @pytest.mark.parametrize("bad", ["__g", "__k", "__gbucket", "__mult"])
     def test_state_machinery_names_rejected_before_write(
