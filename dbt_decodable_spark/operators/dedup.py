@@ -88,11 +88,21 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup: keep the minimum id per distinct normalized text.
 
     At 100 TB: groupBy(md5(text)) shuffles 16-byte keys; the min-id
-    representative selection is a map-side partial aggregate.
+    representative selection is a map-side partial aggregate. A NULL text
+    (failed extraction) is NOT the same document as another NULL text —
+    groupBy treats NULL keys as equal, which would silently merge every
+    NULL-text row into one cluster, so NULL fingerprints fall back to a
+    per-row identity and pass through as singletons.
     """
     return (
         fan_out(df)
-        .withColumn("__fp", F.md5(normalize_text(text_col)))
+        .withColumn(
+            "__fp",
+            F.coalesce(
+                F.md5(normalize_text(text_col)),
+                F.concat(F.lit("__null#"), F.col(id_col).cast("string")),
+            ),
+        )
         .groupBy("__fp")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
         .drop("__fp")
@@ -183,6 +193,12 @@ def shingle_pairs_jaccard(
     """
     if method == "auto":
         method = "prefix" if threshold >= 0.5 else "inverted"
+    if method not in ("inverted", "prefix"):
+        # a typo would otherwise silently fall through to the prefix path —
+        # the strategy the caller may be explicitly avoiding
+        raise ValueError(
+            f"unknown method {method!r} — use 'inverted' or 'prefix'"
+        )
     # materialize the shingle pipeline ONCE: it feeds 2 consumers in
     # inverted mode and 4 in prefix mode (freq, both prefix-join sides, and
     # both verification sides) — the module's materialize-once rule
@@ -522,9 +538,14 @@ def paragraph_rows(
                 ),
             ),
         ).otherwise(F.array().cast("array<string>"))
+    # trim-then-length: paragraph mode's \n{2,} split leaves
+    # whitespace-only fragments ('a\n\n \n\nb' → ['a', ' ', 'b']) that a
+    # bare length>0 keeps — they then register as cross-document
+    # boilerplate and inflate n_segments/n_removed for documents that only
+    # lost inter-paragraph whitespace (token mode never produces them)
     return base.select(
         id_col, F.posexplode(segs).alias("seg_idx", "segment")
-    ).filter(F.length("segment") > 0)
+    ).filter(F.length(F.trim(F.col("segment"))) > 0)
 
 
 def duplicate_segments(
@@ -660,11 +681,17 @@ def duplicate_ngram_spans(
       per-document window is bounded by document length — no global sort.
 
     The window relation feeds both the dup-gram aggregate and the probe
-    side, so the lineage computes it twice; at 100 TB write it to parquet
-    once and read it back for both (the same materialize-before-self-join
-    rule as the MinHash signature index).
+    side, so it is checkpointed ONCE (the materialize-before-self-join
+    rule every sibling follows) — which also truncates the child-session
+    posexplode lineage before downstream callers join it into a
+    parent-session frame, where the parent's re-enabled
+    InferFiltersFromGenerate would otherwise push the whole tokenize+
+    window build below the fan-out exchange (the measured 9x regression
+    the child session exists to prevent).
     """
-    wins = ngram_window_rows(df, id_col, text_col, n)
+    wins = ngram_window_rows(df, id_col, text_col, n).localCheckpoint(
+        eager=True
+    )
     cross_doc = (
         wins.groupBy("gh")
         .agg(F.min("id").alias("__mn"), F.max("id").alias("__mx"))
@@ -700,6 +727,13 @@ def remove_duplicate_spans(
 ) -> DataFrame:
     """Cut every cross-document duplicated token span out of each document
     and reassemble the remainder: ``(id, clean_text, n_tokens_removed)``.
+
+    ``clean_text`` is in NORMALIZED TOKEN SPACE — the single-space join of
+    the surviving ``tokens()`` (lowercased, punctuation-stripped), not the
+    original text's casing/layout. Span indices are token positions, so
+    the reassembly contract (and its DuckDB oracle) is defined over the
+    token array; callers that need the original formatting should map the
+    span ranges back onto their own segmentation of the raw text.
 
     Spans come from :func:`duplicate_ngram_spans`; tokens whose index falls
     inside any span are dropped via a JVM ``exists`` over the document's
@@ -758,7 +792,9 @@ def minhash_verified_pairs(
     # the full-corpus shingling from the scan (the module's
     # materialize-once rule, same as the signature checkpoint above)
     sh = shingle_strings(df, id_col, text_col, n).localCheckpoint(eager=True)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
+    # every sh row already carries the per-doc shingle count (n_sh rides
+    # along from shingle_strings) — no second aggregate over the shingles
+    sizes = sh.select("id", F.col("n_sh").alias("__n")).distinct()
     a = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("__sha"))
     b = sh.select(F.col("id").alias("__idb"), F.col("shingle").alias("__shb"))
     inter = (

@@ -178,11 +178,11 @@ def connected_components(
         # union-find pass replaces the remaining convergence rounds
         # (component-preserving: star transforms keep connectivity)
         if 0 < cnt <= smallgraph_edges:
-            return _unionfind_components(
-                stars.union(
-                    stars.select(F.col("v").alias("u"), F.col("u").alias("v"))
-                )
-            )
+            # union-find registers BOTH endpoints of every row (uf() does
+            # setdefault on u and v), so it is direction-agnostic — the
+            # reversed copy would only double the single-task finisher's
+            # input for nothing
+            return _unionfind_components(stars)
         # adaptive width: the edge set shrinks toward a star forest, and we
         # just measured its size — narrow the checkpointed frame (coalesce
         # is shuffle-free) so late rounds don't schedule full-width task
@@ -222,7 +222,15 @@ def dedup_by_components(
     Output: df columns + ``component`` + ``is_representative``."""
     # rename cc's id before joining — with id_col literally "id",
     # drop("id") would remove BOTH columns (same hazard as
-    # keep_best_representative below)
+    # keep_best_representative below). The same hazard class applies to
+    # 'component': a df already carrying one (e.g. this function's own
+    # output fed back in) would make the coalesce reference ambiguous —
+    # or silently resolve to the STALE cluster ids
+    if "component" in df.columns:
+        raise ValueError(
+            "df already has a 'component' column — the cluster-id output "
+            "would be ambiguous against it; rename or drop it first"
+        )
     cc = connected_components(pairs, pair_a, pair_b).withColumnRenamed(
         "id", "__cc_id"
     )
@@ -261,7 +269,12 @@ def keep_best_representative(
 
     # rename cc's id before joining: if the caller's id_col is literally
     # "id", drop("id") would remove BOTH columns and the coalesce below
-    # would not resolve
+    # would not resolve. 'component' as an input name is the same hazard
+    if "component" in (id_col, score_col):
+        raise ValueError(
+            "'component' is this function's output column — rename the "
+            "input column first"
+        )
     cc = connected_components(pairs, pair_a, pair_b).withColumnRenamed(
         "id", "__cc_id"
     )

@@ -26,7 +26,8 @@ _TOKS = f"list_filter(string_split({_NORM}, ' '), t -> t <> '')"
     oracle=f"""
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents
-        GROUP BY md5({_NORM})
+        GROUP BY coalesce(md5({_NORM}),
+                          '__null#' || CAST(doc_id AS VARCHAR))
     """,
     doc="§2.12 exact dedup: hash-groupBy on normalized text, min-id representative",
 )

@@ -1271,6 +1271,53 @@ class TestSamplingMixingHardening:
             assert not calls, "past 2^27 bits the hint must not be forced"
 
 
+class TestDedupHardening:
+    """Review pass 5 over the dedup/graph core."""
+
+    def test_exact_dedup_null_text_stays_singleton(self, spark):
+        """md5(NULL) is NULL and groupBy merges NULL keys — 500 failed
+        extractions used to collapse into one 'duplicate' cluster."""
+        from dbt_decodable_spark.operators.dedup import exact_dedup
+
+        df = spark.createDataFrame(
+            [(1, "same"), (2, "same"), (3, None), (4, None)],
+            "doc_id long, text string",
+        )
+        got = sorted(
+            (r["doc_id"], r["n_copies"])
+            for r in exact_dedup(df, "text", "doc_id").collect()
+        )
+        assert got == [(1, 2), (3, 1), (4, 1)]
+
+    def test_paragraph_mode_drops_whitespace_segments(self, spark):
+        from dbt_decodable_spark.operators.dedup import paragraph_rows
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta\n\n \n\ngamma")], "doc_id long, text string"
+        )
+        segs = paragraph_rows(df, "doc_id", "text", seg_tokens=None).collect()
+        assert len(segs) == 2, "the whitespace-only fragment is not a segment"
+
+    def test_unknown_pair_method_raises(self, spark):
+        from dbt_decodable_spark.operators.dedup import shingle_pairs_jaccard
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="unknown method"):
+            shingle_pairs_jaccard(
+                df, "doc_id", "text", threshold=0.5, method="invered"
+            )
+
+    def test_component_column_collision_raises(self, spark):
+        from dbt_decodable_spark.operators.graph import dedup_by_components
+
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        df = spark.createDataFrame(
+            [(1, 7), (2, 7)], "doc_id long, component long"
+        )
+        with pytest.raises(ValueError, match="component"):
+            dedup_by_components(df, pairs, "doc_id")
+
+
 class TestAggReservedColumns:
     @pytest.mark.parametrize("bad", ["__g", "__k", "__gbucket", "__mult"])
     def test_state_machinery_names_rejected_before_write(
