@@ -114,8 +114,17 @@ def init_centroids(q: DataFrame, k: int, init_mod: int) -> DataFrame:
     """Deterministic seeding: the ``k`` smallest vec_ids with
     ``vec_id % init_mod == 0`` become centroids 0..k-1. Partition-independent
     and trivially reproducible in any engine (the oracle uses the same
-    predicate); the modulus spreads seeds across the id space."""
+    predicate); the modulus spreads seeds across the id space.
+
+    If the modulus predicate matches nothing (an id space with no multiple
+    of ``init_mod``), the ``k`` smallest ids seed instead — the same
+    fallback ``similarity.ivf_centroids`` uses, because empty centroids
+    would silently assign NOTHING (every input row dropped from the
+    output) rather than fail. The fallback is outside the oracle pairing;
+    oracle-matched callers keep id spaces that hit the predicate."""
     seeds = q.filter(F.col("vec_id") % init_mod == 0).orderBy("vec_id").limit(k)
+    if not seeds.head(1):
+        seeds = q.orderBy("vec_id").limit(k)
     w = F.row_number().over(Window.orderBy("vec_id"))
     return seeds.select((w - 1).alias("cid"), F.col("qv").alias("cv"))
 

@@ -70,6 +70,12 @@ def score_pairs_numpy(
     # the same schema the empty-corpus fallback in threshold_join_chunked
     # declares)
     id_type = corpus.schema[id_col].dataType.simpleString()
+    if not queries_local:
+        # (q_mat*q_mat).sum(axis=1) on an empty array raises AxisError on
+        # the DRIVER — an empty query set is an empty result, not a crash
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id {id_type}, neighbor_id {id_type}, cos_sim double"
+        )
     q_ids = [i for i, _ in queries_local]
     q_mat = np.array([v for _, v in queries_local], dtype="float64")
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
@@ -186,6 +192,10 @@ def threshold_join_chunked(
             score_pairs_numpy(corpus, q_local, id_col, vec_col).filter(
                 (F.col("neighbor_id") < F.col("query_id"))
                 & (F.col("cos_sim") > threshold)
+                # zero-norm vectors score NaN, and Spark's NaN compares
+                # GREATER than any threshold — without this filter one
+                # degenerate embedding pairs with the whole corpus
+                & _scoreable(F.col("cos_sim"))
             )
         )
     if not parts:  # empty corpus: contract schema with the REAL id dtype
@@ -290,8 +300,14 @@ def lsh_sketch(
     (id, vec, band, bucket) × n_bands. The plane matrix (n_bands·n_planes ×
     dim, same deterministic :func:`_hyperplane` constants as the JVM
     expression form) rides in the closure; per batch the whole sketch is a
-    single matmul + sign + bit-pack. Inlining n_bands·n_planes 64-literal
-    arrays into the plan (the expression form) is codegen-bound at ~24
+    single matmul + sign + bit-pack. Constants-identical, but SUMMATION
+    ORDER is not: BLAS's blocked accumulation can round a projection
+    within one ulp of zero to the opposite sign of the JVM fold's
+    sequential sum — a bucket bit may differ from the expression form on
+    such knife-edge vectors, so don't pin a bit-exact equality between
+    the two forms (recall comparisons are the right assertion). Inlining
+    n_bands·n_planes 64-literal arrays into the plan (the expression
+    form) is codegen-bound at ~24
     planes — the matmul form is O(batch) with a constant-size plan, and at
     100 TB it's the same one-scan, zero-shuffle shape."""
     import numpy as np
@@ -326,9 +342,10 @@ def lsh_sketch(
                 }
             )
 
+    id_type = dict(df.dtypes)[id_col]
     return df.select(id_col, vec_col).mapInPandas(
         sketch,
-        schema=f"{id_col} long, {vec_col} {vec_type}, band int, bucket long",
+        schema=f"{id_col} {id_type}, {vec_col} {vec_type}, band int, bucket long",
     )
 
 
@@ -404,7 +421,14 @@ def ivf_assign(
     import pandas as pd
 
     cents = centroids.select("centroid_id", "centroid_vec").orderBy("centroid_id").collect()
-    c_ids = np.array([int(r["centroid_id"]) for r in cents], dtype="int64")
+    # centroid ids are corpus ids — keep them at their own type (an int()
+    # coercion crashed string-id corpora)
+    cid_dt = dict(centroids.dtypes)["centroid_id"]
+    c_ids = (
+        np.array([int(r["centroid_id"]) for r in cents], dtype="int64")
+        if cid_dt in ("tinyint", "smallint", "int", "bigint")
+        else np.array([r["centroid_id"] for r in cents], dtype=object)
+    )
     c_mat = np.array([list(r["centroid_vec"]) for r in cents], dtype="float64")
     c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
     vec_type = dict(corpus.dtypes)[vec_col]
@@ -416,6 +440,11 @@ def ivf_assign(
             m = np.array([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
             v_norm = np.sqrt((m * m).sum(axis=1))
             sims = (m @ c_mat.T) / np.outer(v_norm, c_norm)
+            # numpy argmax treats NaN as the maximum: one zero-norm
+            # CENTROID (NaN column everywhere) would swallow the entire
+            # corpus into a single inverted list — NaN scores can never
+            # win a list assignment
+            sims = np.where(np.isnan(sims), -np.inf, sims)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
@@ -424,8 +453,15 @@ def ivf_assign(
                 }
             )
 
+    # centroid ids ARE corpus ids (ivf_centroids aliases them), so both
+    # id columns take the corpus id dtype — string ids crash an Arrow
+    # serialization against a hard-coded long
+    id_type = dict(corpus.dtypes)[id_col]
     return corpus.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"{id_col} long, {vec_col} {vec_type}, centroid_id long"
+        assign,
+        schema=(
+            f"{id_col} {id_type}, {vec_col} {vec_type}, centroid_id {id_type}"
+        ),
     )
 
 
@@ -444,8 +480,17 @@ def ivf_centroids(
     ``n_lists`` smallest ids seed the quantizer instead — still
     deterministic, and assignment would otherwise crash on an empty
     centroid matrix."""
+    # integer ids stride arithmetically (the oracle-paired form); any
+    # other id type (string ids are supported end-to-end) strides on its
+    # 64-bit hash — a plain `id % stride` would throw CAST_INVALID_INPUT
+    id_dt = dict(corpus.dtypes)[id_col]
+    key = (
+        F.col(id_col)
+        if id_dt in ("tinyint", "smallint", "int", "bigint")
+        else F.xxhash64(F.col(id_col))
+    )
     strided = (
-        corpus.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0)
+        corpus.filter(F.pmod(key, F.lit(stride)) == 0)
         .orderBy(id_col)
         .limit(n_lists)
         .select(
@@ -558,8 +603,9 @@ def semantic_dedup(
         out = pdf.loc[keep, [id_col, "centroid_id"]]
         return out.rename(columns={"centroid_id": "cluster"})
 
+    id_type = dict(corpus.dtypes)[id_col]
     return lists.groupBy("centroid_id").applyInPandas(
-        cluster_suppress, schema=f"{id_col} long, cluster long"
+        cluster_suppress, schema=f"{id_col} {id_type}, cluster {id_type}"
     )
 
 

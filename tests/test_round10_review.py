@@ -1318,6 +1318,83 @@ class TestDedupHardening:
             dedup_by_components(df, pairs, "doc_id")
 
 
+class TestSimilarityHardening:
+    """Review pass 6 over the ANN/clustering operators."""
+
+    def test_zero_norm_vector_emits_no_threshold_pairs(self, spark):
+        """cos(0⃗, x) is NaN and Spark's NaN compares GREATER than any
+        threshold — one degenerate embedding used to pair with the whole
+        corpus and suppress every higher-id document downstream."""
+        from dbt_decodable_spark.operators.similarity import (
+            threshold_join_chunked,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.01])],
+            "vec_id long, embedding array<double>",
+        )
+        pairs = threshold_join_chunked(df, threshold=0.9).collect()
+        got = sorted((r["neighbor_id"], r["query_id"]) for r in pairs)
+        assert got == [(2, 3)], "only the genuinely similar pair survives"
+
+    def test_empty_query_set_returns_empty(self, spark):
+        from dbt_decodable_spark.operators.similarity import brute_force_topk
+
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        empty_q = corpus.filter(F.col("vec_id") < 0)
+        assert brute_force_topk(corpus, empty_q, k=3).count() == 0
+
+    def test_string_ids_through_ivf_and_semantic_dedup(self, spark):
+        """The mapInPandas schemas hard-coded `long` ids while the scorer
+        deliberately supports string ids — an Arrow serialization crash."""
+        from dbt_decodable_spark.operators.similarity import (
+            ivf_assign,
+            ivf_centroids,
+            semantic_dedup,
+        )
+
+        df = spark.createDataFrame(
+            [(f"d{i}", [float(i), 1.0]) for i in range(6)],
+            "vec_id string, embedding array<double>",
+        )
+        cents = ivf_centroids(df, n_lists=2, stride=97)
+        assigned = ivf_assign(df, cents)
+        assert assigned.count() == 6
+        clusters = semantic_dedup(df, n_lists=2, stride=97, threshold=0.999)
+        assert clusters.count() >= 1
+
+    def test_zero_norm_centroid_does_not_swallow_corpus(self, spark):
+        """numpy argmax returns the first NaN index: a zero-norm centroid
+        (NaN sims column) used to claim EVERY vector."""
+        from dbt_decodable_spark.operators.similarity import ivf_assign
+
+        cents = spark.createDataFrame(
+            [(0, [0.0, 0.0]), (1, [1.0, 0.0])],
+            "centroid_id long, centroid_vec array<double>",
+        )
+        df = spark.createDataFrame(
+            [(i, [1.0, float(i) / 10]) for i in range(1, 5)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(df, cents).collect()}
+        assert set(got.values()) == {1}, "the degenerate centroid wins nothing"
+
+    def test_kmeans_seeds_fall_back_when_mod_misses(self, spark):
+        from dbt_decodable_spark.operators.clustering import kmeans_fit
+
+        # ids 1..5 with init_mod=61: no multiple of 61 — the seeding used
+        # to come back empty and every row silently vanished
+        df = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(1, 6)],
+            "vec_id long, embedding array<double>",
+        )
+        cents, assigned = kmeans_fit(df, k=2, iters=1, init_mod=61)
+        assert cents.count() == 2
+        assert assigned.count() == 5
+
+
 class TestAggReservedColumns:
     @pytest.mark.parametrize("bad", ["__g", "__k", "__gbucket", "__mult"])
     def test_state_machinery_names_rejected_before_write(
