@@ -1093,6 +1093,48 @@ class Engine:
         view_log = os.path.join(jroot, "view")
 
         # stage 2: fold the pending view changes into the downstream state
+        self._run_downstream_stage(
+            p_agg, agg_spec, view_log, fkeys,
+            emit_changes=emit_changes,
+            agg_bucket_expr=agg_bucket_expr,
+            agg_compact_every=agg_compact_every,
+        )
+
+        # stage 3: NOW the join logs may compact (downstream watermark has
+        # caught up to every committed view delta)
+        if compact:
+            self._compact_join_pipeline_logs(
+                p_join, n_buckets=n_buckets,
+                compact_min_deltas=compact_min_deltas,
+                fact_order=fact_order, dim_order=dim_order,
+            )
+        droot = os.path.join(self.warehouse_dir, f"_ivmd_{p_agg.name}")
+        self._materialize(
+            self.streams[p_agg.sink],
+            ivm_log_read(self.spark, droot, agg_spec),
+        )
+        p_agg.active = True
+
+    def _run_downstream_stage(
+        self,
+        p_agg,
+        agg_spec,
+        view_log: str,
+        keys: list[str],
+        emit_changes: bool,
+        agg_bucket_expr: str | None,
+        agg_compact_every: int,
+    ) -> int:
+        """One maintained-aggregate stage over an upstream CHANGE LOG —
+        the init-marker/emit-flag/watermark protocol shared by the
+        two-stage DAG (:meth:`activate_pipeline_dag_incremental`, upstream
+        = a join view log) and the N-node project graph
+        (:meth:`activate_project_incremental`, upstream = a join view log
+        OR another maintained rollup's emitted out log — the deltas-only
+        shape :mod:`.operators.ivm_dag` auto-detects). Returns the stage's
+        new consumed watermark."""
+        from dbt_decodable_spark.operators import ivm_dag
+
         droot = os.path.join(self.warehouse_dir, f"_ivmd_{p_agg.name}")
         out_log = os.path.join(droot, "out")
         marker = os.path.join(droot, "_init_done")
@@ -1138,7 +1180,7 @@ class Engine:
 
             _sh.rmtree(droot, ignore_errors=True)
             floor = ivm_dag.init_downstream(
-                self.spark, droot, view_log, fkeys, agg_spec,
+                self.spark, droot, view_log, keys, agg_spec,
                 bucket_expr=agg_bucket_expr,
             )
             if emit_changes:
@@ -1156,25 +1198,255 @@ class Engine:
                 append_delta(self.spark, out_log, init_img, tag=str(floor))
             _write_atomic(emit_file, "1" if emit_changes else "0")
             _write_atomic(marker, "1")
-        ivm_dag.maintain_downstream(
-            self.spark, droot, view_log, fkeys, agg_spec,
+        return ivm_dag.maintain_downstream(
+            self.spark, droot, view_log, keys, agg_spec,
             compact_every=agg_compact_every,
             emit_log=out_log if emit_changes else None,
         )
 
-        # stage 3: NOW the join logs may compact (downstream watermark has
-        # caught up to every committed view delta)
-        if compact:
-            self._compact_join_pipeline_logs(
-                p_join, n_buckets=n_buckets,
-                compact_min_deltas=compact_min_deltas,
-                fact_order=fact_order, dim_order=dim_order,
-            )
-        self._materialize(
-            self.streams[p_agg.sink],
-            ivm_log_read(self.spark, droot, agg_spec),
+    def activate_project_incremental(
+        self,
+        nodes: dict[str, dict] | list[str],
+        n_buckets: int = 32,
+        compact: bool = True,
+        compact_min_deltas: int = 4,
+        agg_compact_every: int = 4,
+    ) -> dict[str, int]:
+        """Run an N-NODE model graph as continuously-maintained
+        materializations — the reference platform's actual project shape:
+        a stream+pipeline pair per model where any model's sink stream may
+        be the next model's source (``/root/reference/dbt/adapters/
+        decodable/impl.py:419-447`` creates exactly that pair for EVERY
+        model in the project; the functional test runs a seed→model→test
+        graph, ``tests/functional/adapter/simple/test_simple_project.py``).
+        Generalizes :meth:`activate_pipeline_dag_incremental`'s fixed
+        two-stage join→rollup chain to arbitrary depth and fan-out.
+
+        ``nodes`` maps pipeline name → per-node options (or a plain list
+        for all-default options): ``fact_order``/``dim_order``/
+        ``fact_delete_col``/``dim_delete_col`` for join nodes,
+        ``order``/``delete_col`` for aggregates over raw streams,
+        ``agg_bucket_expr``/``emit_changes`` for any aggregate node.
+        The graph is derived from the pipeline SQL itself (each node's
+        FROM tables vs the other nodes' sinks) and activated in
+        topological order; a cycle or a sink written twice raises before
+        any write.
+
+        Node kinds and how each is maintained:
+
+        - **join** (the ``f.* + d.<col>`` lookup-join shape): the join IVM
+          arm, compaction deferred. Must read RAW change streams (a join
+          over another model's sink is outside the provable shape).
+        - **aggregate over a raw stream**: the aggregate IVM arm
+          (:meth:`activate_pipeline_incremental`) — terminal only (it has
+          no change-log emission yet).
+        - **aggregate over another node's sink**: a downstream stage
+          (:meth:`_run_downstream_stage`) consuming the upstream's CHANGE
+          LOG — a join node's view log, or an aggregate node's emitted
+          ``out/`` log (the deltas-only shape ``ivm_dag`` auto-detects).
+          A node with consumers emits its own change log automatically,
+          so ``join → rollup → rollup-consumer → …`` composes to any
+          depth; each edge is O(|changes|) per activation, never a view
+          recompute.
+
+        Cross-stage invariants, held by ordering inside ONE activation:
+        every consumer stage runs BEFORE its producer's log compacts
+        (join logs via the deferred :meth:`_compact_join_pipeline_logs`
+        pass; emitted out logs via ``compact_change_log(upto_seq=`` the
+        MINIMUM consumer watermark``)`` — Kafka's delete-retention floor,
+        never past a lagging consumer in this set). A consumer NOT in
+        this activation that lags a later compaction hits the
+        ``DownstreamLagError`` guard and rebuilds — the same recovery
+        contract as the two-stage method.
+
+        Cascade key contract: a stage consuming a rollup's change log is
+        keyed by the rollup's GROUP columns, so those must be non-null in
+        the data (the reference's primary-key-constraint stance on change
+        streams, ``decodable/client/schema.py:109-111``; a NULL group
+        would break the keyed old-image join).
+
+        Returns {pipeline name: consumed watermark} for every
+        log-consuming stage."""
+        from collections import deque
+
+        from dbt_decodable_spark.operators import ivm_join as ij
+        from dbt_decodable_spark.operators.ivm import agg_spec_from_sql
+        from dbt_decodable_spark.operators.ivm_log import ivm_log_read
+        from dbt_decodable_spark.streaming.changelog import (
+            CompactionLockHeld,
+            compact_change_log,
+            list_deltas,
         )
-        p_agg.active = True
+
+        if not self.warehouse_dir:
+            raise CatalogError("incremental activation needs a warehouse_dir engine")
+        if not isinstance(nodes, dict):
+            nodes = {n: {} for n in nodes}
+        info: dict[str, dict] = {}
+        for short, opts in nodes.items():
+            qn = self.qualify(short)
+            p = self.pipelines[qn]
+            try:
+                _jspec, ftbl, dtbl = ij.join_spec_from_sql(p.sql, ())
+                nd = dict(kind="join", srcs=(ftbl, dtbl), aspec=None)
+            except ValueError:
+                try:
+                    aspec, src = agg_spec_from_sql(p.sql)
+                    nd = dict(kind="agg", srcs=(src,), aspec=aspec)
+                except ValueError:
+                    raise CatalogError(
+                        f"pipeline {short!r} is neither the maintainable "
+                        "join shape nor the GROUP BY shape — see "
+                        "join_spec_from_sql / agg_spec_from_sql"
+                    ) from None
+            nd.update(p=p, short=short, opts=dict(opts or {}))
+            info[qn] = nd
+        producers: dict[str, str] = {}
+        for qn, nd in info.items():
+            if nd["p"].sink in producers:
+                raise CatalogError(
+                    f"two pipelines in the set write sink {nd['p'].sink!r}"
+                )
+            producers[nd["p"].sink] = qn
+        indeg = {qn: 0 for qn in info}
+        consumers: dict[str, list[str]] = {qn: [] for qn in info}
+        for qn, nd in info.items():
+            for s in nd["srcs"]:
+                up = producers.get(s)
+                if up is not None:
+                    indeg[qn] += 1
+                    consumers[up].append(qn)
+        ready = deque(sorted(q for q, d in indeg.items() if d == 0))
+        topo: list[str] = []
+        while ready:
+            qn = ready.popleft()
+            topo.append(qn)
+            for c in sorted(consumers[qn]):
+                indeg[c] -= 1
+                if indeg[c] == 0:
+                    ready.append(c)
+        if len(topo) != len(info):
+            cyc = sorted(info[q]["short"] for q, d in indeg.items() if d > 0)
+            raise CatalogError(f"pipeline graph has a cycle through {cyc}")
+        # fire-before-write: every shape violation raises before ANY node
+        # creates roots or advances checkpoints (the join/agg arms'
+        # standing invariant, lifted to the graph)
+        view_reserved = {"__g", "__k", "__gbucket", "__mult"}
+        for qn in topo:
+            nd = info[qn]
+            if nd["kind"] == "join":
+                for s in nd["srcs"]:
+                    if s in producers:
+                        raise CatalogError(
+                            f"join stage {nd['short']!r} reads {s!r}, "
+                            "another model's sink — maintained joins must "
+                            "read raw change streams"
+                        )
+                continue
+            src = nd["srcs"][0]
+            wants_emit = bool(consumers[qn]) or bool(
+                nd["opts"].get("emit_changes")
+            )
+            if src not in producers:
+                if wants_emit:
+                    raise CatalogError(
+                        f"aggregate {nd['short']!r} over the raw stream "
+                        f"{src!r} cannot emit a change log — only "
+                        "join-fed or rollup-fed stages compose downstream"
+                    )
+                continue
+            bad = sorted(
+                {f.name for f in self.streams[src].schema.fields}
+                & view_reserved
+            )
+            if bad:
+                raise CatalogError(
+                    f"consumed stream {src!r} column(s) {bad} collide "
+                    "with reserved downstream aggregate state names"
+                )
+        watermarks: dict[str, int] = {}
+        for qn in topo:
+            nd = info[qn]
+            short, opts, p = nd["short"], nd["opts"], nd["p"]
+            if nd["kind"] == "join":
+                self.activate_pipeline_join_incremental(
+                    short,
+                    fact_order=opts.get("fact_order"),
+                    dim_order=opts.get("dim_order"),
+                    fact_delete_col=opts.get("fact_delete_col"),
+                    dim_delete_col=opts.get("dim_delete_col"),
+                    n_buckets=n_buckets,
+                    compact=False,  # deferred past every consumer
+                )
+                continue
+            src = nd["srcs"][0]
+            up = producers.get(src)
+            if up is None:
+                self.activate_pipeline_incremental(
+                    short,
+                    order=opts.get("order"),
+                    delete_col=opts.get("delete_col"),
+                    bucket_expr=opts.get("agg_bucket_expr"),
+                    compact_every=agg_compact_every,
+                )
+                continue
+            und = info[up]
+            if und["kind"] == "join":
+                log = os.path.join(
+                    self.warehouse_dir, f"_ivmj_{und['p'].name}", "view"
+                )
+                keys = list(
+                    self.streams[
+                        self._dag_fact_stream(und["p"])
+                    ].schema.primary_key
+                )
+            else:
+                log = os.path.join(
+                    self.warehouse_dir, f"_ivmd_{und['p'].name}", "out"
+                )
+                keys = list(und["aspec"].group_cols)
+            w = self._run_downstream_stage(
+                p, nd["aspec"], log, keys,
+                emit_changes=bool(consumers[qn])
+                or bool(opts.get("emit_changes")),
+                agg_bucket_expr=opts.get("agg_bucket_expr"),
+                agg_compact_every=agg_compact_every,
+            )
+            watermarks[short] = w
+            droot = os.path.join(self.warehouse_dir, f"_ivmd_{p.name}")
+            self._materialize(
+                self.streams[p.sink],
+                ivm_log_read(self.spark, droot, nd["aspec"]),
+            )
+            p.active = True
+        if compact:
+            # one deferred pass, AFTER every consumer in the set advanced
+            for qn in topo:
+                nd = info[qn]
+                if nd["kind"] == "join":
+                    self._compact_join_pipeline_logs(
+                        nd["p"], n_buckets=n_buckets,
+                        compact_min_deltas=compact_min_deltas,
+                        fact_order=nd["opts"].get("fact_order"),
+                        dim_order=nd["opts"].get("dim_order"),
+                    )
+                elif consumers[qn]:
+                    upto = min(
+                        watermarks[info[c]["short"]] for c in consumers[qn]
+                    )
+                    out_log = os.path.join(
+                        self.warehouse_dir, f"_ivmd_{nd['p'].name}", "out"
+                    )
+                    if len(list_deltas(out_log)) >= compact_min_deltas:
+                        try:
+                            compact_change_log(
+                                self.spark, out_log,
+                                list(nd["aspec"].group_cols),
+                                upto_seq=upto,
+                            )
+                        except CompactionLockHeld:
+                            pass  # another process compacting; next pass
+        return watermarks
 
     def read_pipeline_changes(self, name: str) -> DataFrame:
         """The change stream a DAG-activated aggregate pipeline emitted
@@ -1186,11 +1458,33 @@ class Engine:
         from dbt_decodable_spark.streaming.changelog import list_deltas
 
         p = self.pipelines[self.qualify(name)]
-        out_log = os.path.join(
-            self.warehouse_dir, f"_ivmd_{p.name}", "out"
-        )
+        droot = os.path.join(self.warehouse_dir, f"_ivmd_{p.name}")
+        out_log = os.path.join(droot, "out")
         deltas = list_deltas(out_log)
         if not deltas:
+            # distinguish "emission never enabled" from "log exists but
+            # every retained delta was compacted away" (ADVICE r10 — a
+            # fully-tombstoned fold deletes all deltas; the old error
+            # wrongly told the caller to re-activate with emit_changes)
+            emit_file = os.path.join(droot, "_emit_changes")
+            emitting = False
+            if os.path.exists(emit_file):
+                with open(emit_file) as fh:
+                    emitting = fh.read().strip() == "1"
+            if emitting:
+                from pyspark.sql.types import (
+                    BooleanType, LongType, StructField, StructType,
+                )
+
+                sink = self.streams[p.sink]
+                schema = StructType(
+                    list(sink.schema.to_struct_type().fields)
+                    + [
+                        StructField("__seq", LongType(), True),
+                        StructField("__deleted", BooleanType(), True),
+                    ]
+                )
+                return self.spark.createDataFrame([], schema)
             raise CatalogError(
                 f"pipeline {name!r} has no emitted change log — activate "
                 "with emit_changes=True"

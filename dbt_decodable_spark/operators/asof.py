@@ -154,7 +154,15 @@ def asof_join_pandas(
         lp = pdf[pdf["__side"] == "l"][lcols]
         rp = pdf[pdf["__side"] == "r"][
             [left_ts, *value_cols, *[f"__tb{i}" for i in range(len(tbs))]]
-        ].sort_values([left_ts, *[f"__tb{i}" for i in range(len(tbs))]])
+        ].sort_values(
+            # na_position='first' matches Spark's ascending NULLS FIRST:
+            # drop_duplicates(keep='last') must pick the greatest non-NULL
+            # tiebreak quote, exactly like the window form (ADVICE r10 —
+            # pandas' default NaN-last put the NULL-tiebreak quote last
+            # and reintroduced the nondeterminism tiebreak_cols removes)
+            [left_ts, *[f"__tb{i}" for i in range(len(tbs))]],
+            na_position="first",
+        )
         if len(lp) == 0:
             return pd.DataFrame(columns=[*lcols, *value_cols])
         # merge_asof refuses null merge keys — probe rows with a NULL

@@ -103,17 +103,38 @@ def _delta_tag(path: str) -> int | None:
 
 
 def _write_floor(root: str, floor: int) -> None:
-    """Atomically advance the root's floor record (never backwards)."""
+    """Atomically advance the root's floor record (never backwards).
+
+    The read/compare/replace runs under a short mkdir mutex (the same
+    put-if-absent primitive the compaction lock uses, at the root itself):
+    without it, two concurrent writers — e.g. a maintenance step racing a
+    rebuild — can both read the same current floor and the SMALLER value
+    can ``os.replace`` last, regressing the floor despite the documented
+    monotonicity contract; a regressed floor makes
+    :func:`downstream_watermark` under-report and the same seqs
+    re-process (ADVICE r10). The lock is held for one stat+read+rename —
+    microseconds — so waiters spin; a crashed holder's lock goes stale at
+    60 s and is broken by the lock's own protocol."""
+    import time
+
+    from dbt_decodable_spark.streaming.changelog import _compaction_lock
+
     ffile = os.path.join(root, _FLOOR_FILE)
-    cur = 0
-    if os.path.exists(ffile):
-        with open(ffile) as fh:
-            cur = int(fh.read().strip() or 0)
-    if floor <= cur:
-        return
-    with open(ffile + ".tmp", "w") as fh:
-        fh.write(str(floor))
-    os.replace(ffile + ".tmp", ffile)
+    while True:
+        try:
+            with _compaction_lock(root, stale_lock_seconds=60.0):
+                cur = 0
+                if os.path.exists(ffile):
+                    with open(ffile) as fh:
+                        cur = int(fh.read().strip() or 0)
+                if floor <= cur:
+                    return
+                with open(ffile + ".tmp", "w") as fh:
+                    fh.write(str(floor))
+                os.replace(ffile + ".tmp", ffile)
+                return
+        except CompactionLockHeld:
+            time.sleep(0.02)
 
 
 def downstream_watermark(root: str) -> int:
@@ -139,6 +160,26 @@ def downstream_watermark(root: str) -> int:
         if t is not None:
             cands.append(t)
     return max(cands)
+
+
+def _log_compaction_floor(view_log: str) -> int:
+    """Highest Kafka-style compaction floor committed to a PURE-DELTA
+    change log: ``changelog.compact_change_log`` tags its floor-image
+    delta ``compacted-<floor>-<uuid>``, so the floor is recoverable from
+    the retained dir names alone — no data read. 0 when never compacted.
+
+    This is the deltas-only twin of the base ``max(__seq)`` probe: a
+    consumer whose watermark sits BELOW the floor has lost the tombstones
+    the fold dropped (the documented ``compact_change_log`` consumer
+    contract) and must rebuild."""
+    import re
+
+    floor = 0
+    for p in list_deltas(view_log):
+        m = re.search(r"compacted-(\d+)-", os.path.basename(p))
+        if m:
+            floor = max(floor, int(m.group(1)))
+    return floor
 
 
 def _base_max_seq(view_log: str) -> int | None:
@@ -172,18 +213,41 @@ def _base_max_seq(view_log: str) -> int | None:
 
 
 def _view_rows(spark: SparkSession, view_log: str) -> tuple[DataFrame, DataFrame]:
-    """(base rows, committed delta rows) of the join arm's view log, both
+    """(base rows, committed delta rows) of an upstream change log, both
     carrying ``__seq``/``__deleted``; the internal ``__bucket`` layout
-    column is stripped."""
-    base = spark.read.parquet(view_log)
-    if "__bucket" in base.columns:
-        base = base.drop("__bucket")
+    column is stripped.
+
+    Two upstream shapes, auto-detected by the base directory's existence:
+
+    - the join arm's view log — a hash-partitioned BASE snapshot at
+      ``view_log`` plus committed deltas (the original 2-stage shape);
+    - a PURE-DELTA change log (the shape a maintained rollup EMITS as
+      ``out/`` — only ``<view_log>.__deltas__`` exists) — the depth-3+
+      composition surface: a downstream aggregate consumes another
+      maintained aggregate's change stream. The base is then an empty
+      frame with the deltas' schema (the log's Kafka-style compaction
+      keeps every retained row's ORIGINAL ``__seq``, so base-vs-delta is
+      purely a storage split; the fold semantics are identical).
+    """
     deltas = list_deltas(view_log)
-    if deltas:
-        drows = spark.read.parquet(*deltas).select(*base.columns)
-    else:
-        drows = spark.createDataFrame([], base.schema)
-    return base, drows
+    if os.path.isdir(view_log):
+        base = spark.read.parquet(view_log)
+        if "__bucket" in base.columns:
+            base = base.drop("__bucket")
+        if deltas:
+            drows = spark.read.parquet(*deltas).select(*base.columns)
+        else:
+            drows = spark.createDataFrame([], base.schema)
+        return base, drows
+    if not deltas:
+        raise FileNotFoundError(
+            f"change log {view_log!r} has neither a base snapshot nor any "
+            "committed delta — nothing was ever emitted"
+        )
+    drows = spark.read.parquet(*deltas)
+    if "__bucket" in drows.columns:
+        drows = drows.drop("__bucket")
+    return spark.createDataFrame([], drows.schema), drows
 
 
 def view_as_of(
@@ -352,18 +416,33 @@ def maintain_downstream(
     (``compact_every``)."""
     w = downstream_watermark(root)
     base, drows = _view_rows(spark, view_log)
-    base_max = _base_max_seq(view_log)
-    if base_max is None:
-        # footer stats unavailable (exotic writer) — fall back to the
-        # column scan; correctness first, the fast path is an optimization
-        base_max = base.agg(F.max(SEQ).alias("m")).collect()[0]["m"]
-    if base_max is not None and int(base_max) > w:
-        raise DownstreamLagError(
-            f"view log {view_log!r} base snapshot holds __seq={base_max} > "
-            f"downstream watermark {w} — it was compacted past this "
-            f"downstream; rebuild the root {root!r} "
-            "(operators.ivm_dag.rebuild_downstream)"
-        )
+    if os.path.isdir(view_log):
+        base_max = _base_max_seq(view_log)
+        if base_max is None:
+            # footer stats unavailable (exotic writer) — fall back to the
+            # column scan; correctness first, the fast path is an
+            # optimization
+            base_max = base.agg(F.max(SEQ).alias("m")).collect()[0]["m"]
+        if base_max is not None and int(base_max) > w:
+            raise DownstreamLagError(
+                f"view log {view_log!r} base snapshot holds "
+                f"__seq={base_max} > downstream watermark {w} — it was "
+                f"compacted past this downstream; rebuild the root "
+                f"{root!r} (operators.ivm_dag.rebuild_downstream)"
+            )
+    else:
+        # pure-delta upstream (a maintained rollup's emitted change log):
+        # the unsafe-compaction probe is the committed Kafka floor — a
+        # floor past this consumer's watermark means tombstones it never
+        # consumed were already dropped from the fold
+        log_floor = _log_compaction_floor(view_log)
+        if log_floor > w:
+            raise DownstreamLagError(
+                f"change log {view_log!r} was compacted to floor "
+                f"{log_floor} > downstream watermark {w} — tombstones "
+                f"this consumer never saw are gone; rebuild the root "
+                f"{root!r} (operators.ivm_dag.rebuild_downstream)"
+            )
     pending = drows.filter(F.col(SEQ) > F.lit(w))
     new_w_row = pending.agg(F.max(SEQ).alias("m")).collect()[0]
     if new_w_row["m"] is None:

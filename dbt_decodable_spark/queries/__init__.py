@@ -47,43 +47,43 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 # The driver's correctness gate measures the FIRST 50 registry entries per
-# round. Round-10 rotation (steady-state cadence established in r9): the 45
-# rows whose latest driver evidence is round 6 hit the MAX_AGE_ROUNDS=4
-# staleness bound and MUST refresh. The reference surface is complete
-# (VERDICT r8 "What's missing" is all env-gated); of the 5 free slots, 2
-# go to the NEW r10 IVM queries (never measured — audit rule 1 requires
-# them in the window; they give the r9-r10 maintained-view layer its first
-# driver rows) and 3 early-refresh the alphabetically-first round-7 rows.
-# r11 then owes the remaining 47 r7 rows (47-mandatory/3-free — still
-# inside the 50-slot window). Everything NOT in the window stays verified by
-# tools/oracle_check.py (driver-faithful local replica) and pytest;
-# tools/window_audit.py mechanically checks the staleness invariant.
+# round. Round-11 rotation (VERDICT r10 item 1 — the evidence-cadence
+# arithmetic dominates this round): the 47 rows whose latest driver
+# evidence is round 7 hit the MAX_AGE_ROUNDS=4 staleness bound when r11
+# lands and MUST refresh; of the 3 remaining slots, 2 go to the round's
+# two NEW queries (never measured — audit rule 1 requires them in the
+# window: ivm_dag_depth3 REPLACES ivm_join_agg_dag — it supersedes the
+# two-stage cascade with the N-node engine front door, keeping the
+# registry at the frozen size minus-plus-one — and ivm_scd2_join is the
+# r10-item-3 SCD2-under-IVM row) and 1 early-refreshes the
+# alphabetically-first round-8 row. r12 then owes the remaining 49 r8
+# rows (49-mandatory/1-free); r13 owes the 50 r9 rows (0 free) — the
+# registry is frozen at 198 (capacity 4×50=200) for exactly this reason.
+# Everything NOT in the window stays verified by tools/oracle_check.py
+# (driver-faithful local replica) and pytest; tools/window_audit.py
+# mechanically checks the staleness invariant.
 _DRIVER_WINDOW_PRIORITY = (
-    # (a) the full round-6 cohort (45 rows at the staleness bound):
-    "dedup_cluster_keep_best", "dedup_cross_source_matrix",
-    "dedup_minhash_verified", "dedup_paragraph_exact",
-    "dedup_semantic_clusters", "dedup_span_ngram", "dedup_span_removal",
-    "dedup_url_canonical", "embedding_quantize_int8", "events_funnel_stages",
-    "events_rolling_active_7d", "func_unicode_nfc", "func_url",
-    "graph_khop_neighbors", "mix_epochs_upsample", "mix_temperature_quota",
-    "multimodal_features", "pack_length_buckets", "pipeline_curation_end2end",
-    "sample_importance_weighted", "sample_reservoir_per_source",
-    "sample_split_assign", "similarity_ivf_kmeans_topk",
-    "similarity_ivf_quantized_topk", "source_json_roundtrip",
-    "source_orc_roundtrip", "source_parquet_zstd_roundtrip",
-    "source_partitioned_pruned", "source_text_roundtrip",
-    "stream_bloom_index", "stream_dedup_watermark",
-    "stream_interval_join_outer", "stream_kmeans_assign",
-    "stream_minhash_index", "stream_window_topk", "stream_window_topk_run",
-    "text_bigram_commonness", "text_bpe_segment", "text_bpe_train",
-    "text_gopher_quality", "text_novelty_score", "text_oov_rate",
-    "text_salient_terms", "text_strip_markup", "text_winnowing",
-    # (b) the 2 NEW round-10 queries (never measured — rule 1 places them
-    # here; they give the r9-r10 IVM layer its first driver-row evidence):
-    "ivm_agg_maintained", "ivm_join_agg_dag",
-    # (c) 3 early-refreshed round-7 rows (remaining free slots; r11 then
-    # owes the other 47 r7 rows — still within the 50-slot window):
-    "agg_global", "agg_groupby_expression", "agg_grouping_sets",
+    # (a) the full round-7 cohort (47 rows at the staleness bound):
+    "agg_cube", "agg_distinct", "agg_having", "agg_kmv_by_source",
+    "agg_minmax_by", "agg_percentile", "agg_rollup", "agg_salted_skew",
+    "agg_stats", "case_when", "cluster_outlier_filter", "dedup_simhash",
+    "derived_table_subquery", "events_retention_cohorts", "except_all",
+    "func_datetime_flink", "func_string_flink", "intersect_except",
+    "join_anti", "join_asof", "join_full_outer", "join_inner",
+    "join_left_outer", "join_lookup_broadcast", "join_right_outer",
+    "join_semi", "join_theta", "join_three_way", "layout_zorder_stats",
+    "like_predicate", "order_by_limit", "projection_cast_alias",
+    "scan_project_filter", "similarity_lsh_topk", "snapshot_diff_status",
+    "source_schema_evolution", "source_time_of_day_roundtrip",
+    "stream_sessionize_stateful", "stream_static_enrich",
+    "subquery_scalar_correlated", "table_checksum_shards",
+    "text_fingerprint", "text_langid", "union_all", "union_distinct",
+    "values_inline", "where_predicates",
+    # (b) the 2 NEW round-11 queries (never measured — rule 1):
+    "ivm_dag_depth3", "ivm_scd2_join",
+    # (c) 1 early-refreshed round-8 row (the remaining free slot; r12
+    # then owes the other 49 r8 rows — still within the 50-slot window):
+    "cte_chain",
 )
 
 

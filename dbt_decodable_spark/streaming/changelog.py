@@ -986,6 +986,15 @@ def compact_change_log(
         )
         stats = {r["__dir"]: (r["__min_seq"], r["__max_seq"]) for r in per_file}
         known = [p for p in files if os.path.basename(p) in stats]
+        # a delta dir absent from the stats map holds ZERO rows (e.g. an
+        # empty-view init image) — it contributes nothing to any fold and
+        # would otherwise never be deleted (ADVICE r10: permanent debris).
+        # Empty dirs don't constrain the floor partition; fold them away.
+        empty = [p for p in files if os.path.basename(p) not in stats]
+        if not known:
+            for p in empty:
+                shutil.rmtree(p, ignore_errors=True)
+            return {"floor": None, "folded": empty, "live_rows": 0}
         # the floor must PARTITION the log by sequence: every file is
         # entirely ≤ floor (folded) or entirely > floor (retained).
         # append_delta's commute contract allows out-of-order sequences
@@ -1017,6 +1026,7 @@ def compact_change_log(
         ]
         if len(fold_set) < min_files:
             return {"floor": None, "folded": [], "live_rows": 0}
+        fold_set.extend(empty)
         live = fold_last_image(
             spark.read.parquet(*fold_set), keys, [F.col(seq_col)]
         ).filter(~F.coalesce(F.col(delete_col), F.lit(False)))

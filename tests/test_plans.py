@@ -406,6 +406,9 @@ class TestJvmSweepAllQueries:
     # dedicated tests; skipping keeps this sweep plan-only and fast
     EAGER_SKIP_PREFIXES = ("stream_",)
     EAGER_SKIP = {
+        "ivm_dag_depth3",  # full engine front door (streams + pipelines +
+        # bounded streaming runs + change logs) — covered by
+        # test_project_dag; its returned frame is a checkpointed scan
         "join_skew_aqe",  # checkpointed under forced confs; plan pinned above
         "maintenance_compaction_roundtrip",  # writes + compacts scratch
         "source_time_of_day_roundtrip",  # parquet scratch round-trip

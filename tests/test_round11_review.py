@@ -1,0 +1,289 @@
+"""Round-11 pins for the three r10 ADVICE findings, each verified fixed:
+
+1. ``asof_join_pandas`` diverged from ``asof_join`` when a tiebreak column
+   value is NULL: the window form orders NULLS FIRST (greatest non-NULL
+   tiebreak quote wins), while pandas' default NaN-last sort made
+   ``drop_duplicates(keep='last')`` pick the NULL-tiebreak quote —
+   exactly the pinned-result nondeterminism ``tiebreak_cols`` exists to
+   eliminate. Fixed with ``na_position='first'``.
+2. ``compact_change_log`` keyed its per-delta stats on ``input_file_name``
+   rows, so a ZERO-ROW delta dir (the shape a DAG init appends for an
+   empty view) never entered the fold set — permanent debris — and a
+   fully-tombstoned fold could delete every delta, after which
+   ``read_pipeline_changes`` raised the misleading "activate with
+   emit_changes=True" error. Empty dirs now fold away, and the catalog
+   distinguishes "fully compacted" (empty frame) from "never enabled"
+   (error).
+3. ``ivm_dag._write_floor`` was a lockless check-then-act: two concurrent
+   writers could both read the same floor and the SMALLER value could
+   ``os.replace`` last, regressing the documented never-backwards
+   contract. Now guarded by a short mkdir mutex at the root.
+"""
+
+import datetime
+import os
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_decodable_spark.streaming.changelog import fold_last_image
+
+
+def _rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+
+
+class TestAsofNullTiebreakParity:
+    """ADVICE r10 #1: same (key, ts) quotes [tb=NULL] and [tb=5] — BOTH
+    implementations must pick the non-NULL-tiebreak quote's value."""
+
+    L_DDL = "k long, ts timestamp, tag string"
+    R_DDL = "k long, rts timestamp, tb long, v string"
+
+    def _ts(self, s):
+        return datetime.datetime.fromisoformat(s)
+
+    @pytest.mark.parametrize("fn", ["asof_join", "asof_join_pandas"])
+    def test_null_tiebreak_loses_to_non_null(self, spark, fn):
+        from dbt_decodable_spark.operators import asof
+
+        t = self._ts("2026-01-01 00:00:00")
+        left = spark.createDataFrame(
+            [(1, self._ts("2026-01-02 00:00:00"), "probe")], self.L_DDL
+        )
+        # deliberately list the NULL-tiebreak quote LAST so pandas'
+        # NaN-last default (the bug) would have kept it as the winner
+        right = spark.createDataFrame(
+            [(1, t, 5, "v5"), (1, t, None, "vNULLtb")], self.R_DDL
+        )
+        out = getattr(asof, fn)(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            value_cols=["v"], tiebreak_cols=["tb"],
+        )
+        assert {r["tag"]: r["v"] for r in out.collect()} == {"probe": "v5"}
+
+    def test_window_and_pandas_agree_on_mixed_null_ties(self, spark):
+        """Several keys, several tied quote sets with NULL/non-NULL
+        tiebreak mixes — the two implementations must return identical
+        frames (the docstring's parity claim, now true under NULLs)."""
+        from dbt_decodable_spark.operators import asof
+
+        t1 = self._ts("2026-01-01 00:00:00")
+        t2 = self._ts("2026-01-03 00:00:00")
+        left = spark.createDataFrame(
+            [
+                (1, self._ts("2026-01-02 00:00:00"), "p1"),
+                (2, self._ts("2026-01-04 00:00:00"), "p2"),
+                (3, self._ts("2026-01-04 00:00:00"), "p3"),
+            ],
+            self.L_DDL,
+        )
+        # the k=2 all-NULL tie carries IDENTICAL values: among fully tied
+        # quotes the winner is legitimately arbitrary on both sides, so
+        # the parity assertion must not depend on which row wins
+        right = spark.createDataFrame(
+            [
+                (1, t1, None, "a-null"), (1, t1, 3, "a3"), (1, t1, 7, "a7"),
+                (2, t2, None, "b-null"), (2, t2, None, "b-null"),
+                (3, t1, None, "c-null"),
+            ],
+            self.R_DDL,
+        )
+        kw = dict(
+            on="k", left_ts="ts", right_ts="rts",
+            value_cols=["v"], tiebreak_cols=["tb"],
+        )
+        got_w = _rows(asof.asof_join(left, right, **kw))
+        got_p = _rows(asof.asof_join_pandas(left, right, **kw))
+        assert got_w == got_p
+        vals = {r[2]: r[3] for r in got_w}
+        assert vals["p1"] == "a7", "greatest non-NULL tiebreak wins"
+        assert vals["p2"] == "b-null"
+        assert vals["p3"] == "c-null"
+
+
+class TestCompactionEmptyDeltaDirs:
+    """ADVICE r10 #2 (changelog side): zero-row delta dirs fold away."""
+
+    DDL = "k long, v string, __seq long, __deleted boolean"
+
+    def _log(self, spark, tmp_path, batches):
+        from dbt_decodable_spark.streaming.changelog import append_delta
+
+        log = str(tmp_path / "log")
+        os.makedirs(log, exist_ok=True)
+        spark.createDataFrame([], self.DDL).write.mode("overwrite").parquet(log)
+        for rows in batches:
+            append_delta(spark, log, spark.createDataFrame(rows, self.DDL))
+        return log
+
+    def test_empty_delta_dir_is_deleted_with_the_fold(self, spark, tmp_path):
+        from dbt_decodable_spark.streaming.changelog import (
+            compact_change_log,
+            list_deltas,
+        )
+
+        log = self._log(
+            spark, tmp_path,
+            [
+                [],  # the empty-init-image shape
+                [(1, "a", 1, False)],
+                [(2, "b", 2, False)],
+            ],
+        )
+        assert len(list_deltas(log)) == 3
+        out = compact_change_log(spark, log, ["k"])
+        assert out["floor"] == 2 and out["live_rows"] == 2
+        assert len(list_deltas(log)) == 1, "empty dir folded away too"
+        got = _rows(
+            fold_last_image(
+                spark.read.parquet(*list_deltas(log)), ["k"], [F.col("__seq")]
+            ).drop("__seq", "__deleted")
+        )
+        assert got == [(1, "a"), (2, "b")]
+
+    def test_all_empty_log_compacts_to_nothing(self, spark, tmp_path):
+        from dbt_decodable_spark.streaming.changelog import (
+            compact_change_log,
+            list_deltas,
+        )
+
+        log = self._log(spark, tmp_path, [[], []])
+        out = compact_change_log(spark, log, ["k"])
+        assert out["floor"] is None and out["live_rows"] == 0
+        assert len(out["folded"]) == 2
+        assert list_deltas(log) == []
+
+
+class TestReadChangesAfterFullCompaction:
+    """ADVICE r10 #2 (catalog side): an emitting DAG downstream whose out
+    log compacted to zero retained deltas must return an EMPTY change
+    frame with the right schema — not the 'activate with
+    emit_changes=True' error (emission IS enabled)."""
+
+    FACT_DDL = "pk long, fk long, qty long, ts long, deleted boolean"
+    DIM_DDL = "dk long, name string, tier long, ts long, deleted boolean"
+
+    def test_fully_compacted_out_log_reads_empty(self, spark, tmp_path):
+        from dbt_decodable_spark.catalog import CatalogError, Engine
+        from dbt_decodable_spark.schema import StreamSchema
+        from dbt_decodable_spark.streaming.changelog import list_deltas
+
+        ns = "r11c"
+        eng = Engine(spark, namespace=ns, warehouse_dir=str(tmp_path / "wh"))
+        os.makedirs(eng.warehouse_dir, exist_ok=True)
+        try:
+            f1 = [(1, 10, 5, 1, False), (2, 10, 7, 1, False)]
+            d1 = [(10, "a", 1, 1, False)]
+            eng.create_stream(
+                "fact",
+                schema=StreamSchema.from_spark(
+                    spark.createDataFrame(f1, self.FACT_DDL).schema,
+                    primary_key=["pk"],
+                ),
+                data=spark.createDataFrame(f1, self.FACT_DDL),
+            )
+            eng.create_stream(
+                "dim",
+                schema=StreamSchema.from_spark(
+                    spark.createDataFrame(d1, self.DIM_DDL).schema,
+                    primary_key=["dk"],
+                ),
+                data=spark.createDataFrame(d1, self.DIM_DDL),
+            )
+            eng.create_pipeline(
+                "enriched",
+                f"select f.*, d.tier as dim_tier "
+                f"from {ns}__fact f left join {ns}__dim d on f.fk = d.dk",
+                activate=False,
+            )
+            eng.create_pipeline(
+                "rollup",
+                f"select dim_tier, sum(qty) as total "
+                f"from {ns}__enriched group by dim_tier",
+                activate=False,
+            )
+            eng.activate_pipeline_dag_incremental(
+                "rollup", "enriched",
+                fact_order=["ts"], dim_order=["ts"],
+                fact_delete_col="deleted", dim_delete_col="deleted",
+                n_buckets=4, emit_changes=True,
+            )
+            # sanity: the change log has content (the init image batch)
+            assert eng.read_pipeline_changes("rollup").count() > 0
+            # force a full compaction: everything folds into one floor
+            # image; then simulate the total-deletion end state by
+            # tombstoning… simplest honest path: delete the retained
+            # deltas the way a fully-tombstoned fold would leave the log
+            out_log = os.path.join(
+                eng.warehouse_dir, "_ivmd_r11c__rollup", "out"
+            )
+            import shutil
+
+            for p in list_deltas(out_log):
+                shutil.rmtree(p, ignore_errors=True)
+            got = eng.read_pipeline_changes("rollup")
+            assert got.count() == 0
+            assert {"__seq", "__deleted", "dim_tier", "total"} <= set(
+                got.columns
+            )
+            # and a NON-emitting root still gets the original error
+            droot = os.path.join(eng.warehouse_dir, "_ivmd_r11c__rollup")
+            with open(os.path.join(droot, "_emit_changes"), "w") as fh:
+                fh.write("0")
+            with pytest.raises(CatalogError, match="emit_changes=True"):
+                eng.read_pipeline_changes("rollup")
+        finally:
+            eng.cleanup()
+
+
+class TestFloorWriteMutex:
+    """ADVICE r10 #3: the floor write must serialize behind the root's
+    mkdir mutex — a writer arriving while the lock is held waits, then
+    applies its max-compare, so interleaved writers can never regress."""
+
+    def test_blocked_writer_waits_then_advances(self, tmp_path):
+        from dbt_decodable_spark.operators.ivm_dag import _write_floor
+
+        root = str(tmp_path / "root")
+        os.makedirs(root)
+        _write_floor(root, 5)
+        lock = os.path.join(root, ".__compact_lock__")
+        os.mkdir(lock)
+        done = threading.Event()
+
+        def writer():
+            _write_floor(root, 9)
+            done.set()
+
+        t = threading.Thread(target=writer, daemon=True)
+        t.start()
+        time.sleep(0.3)
+        assert not done.is_set(), "writer must wait for the held lock"
+        os.rmdir(lock)
+        t.join(timeout=10)
+        assert done.is_set()
+        with open(os.path.join(root, "_dag_floor")) as fh:
+            assert int(fh.read()) == 9
+
+    def test_monotonic_under_concurrent_writers(self, tmp_path):
+        from dbt_decodable_spark.operators.ivm_dag import _write_floor
+
+        root = str(tmp_path / "root")
+        os.makedirs(root)
+        floors = list(range(1, 41))
+        threads = [
+            threading.Thread(target=_write_floor, args=(root, f))
+            for f in floors
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        with open(os.path.join(root, "_dag_floor")) as fh:
+            assert int(fh.read()) == 40

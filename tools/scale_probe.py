@@ -646,6 +646,120 @@ def probe_ivmdag(spark) -> dict:
     return out
 
 
+def probe_dag(spark, big_n: int = 2_000_000) -> dict:
+    """Full N-node ENGINE chain slope probe (``python tools/scale_probe.py
+    dag [big_n]``): the depth-3 project graph (join → rollup → band
+    rollup) through ``catalog.activate_project_incremental``, measured at
+    a 100k-fact and a ``big_n``-fact base with the SAME fixed churn batch
+    (5k fact rows + 50 dim updates). Reported walls:
+
+    - ``init`` — the first activation (O(|base|) by design: snapshot
+      writes + change-log seeds; grows with the base, honestly);
+    - ``step`` — the second activation consuming the fixed batch through
+      all three stages (join micro-batch, view-log slice fold, out-log
+      slice fold + deferred compactions): the O(|batch| + touched) claim —
+      expect ~flat across the ≥20× state growth, bounded by the fixed
+      Structured-Streaming machinery plus the base SCANS (never shuffles)
+      in the old-image slices.
+    """
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dbt_decodable_spark.catalog import Engine
+    from dbt_decodable_spark.schema import StreamSchema
+
+    out: dict = {}
+    for label, n in (("100k", 100_000), (f"{big_n // 1000}k", big_n)):
+        tmp = tempfile.mkdtemp(prefix=f"probe_dag_{label}_")
+        ns = f"pd{label.replace('.', '')}"
+        eng = Engine(spark, namespace=ns, warehouse_dir=f"{tmp}/wh")
+        os.makedirs(eng.warehouse_dir, exist_ok=True)
+        facts = spark.range(n).select(
+            F.col("id").alias("pk"),
+            (F.col("id") % 1000).alias("fk"),
+            (F.col("id") % 777).alias("qty"),
+            F.lit(0).cast("long").alias("ver"),
+            F.lit(False).alias("deleted"),
+        )
+        dims = spark.range(1000).select(
+            F.col("id").alias("dk"),
+            (F.col("id") % 37).cast("string").alias("seg"),
+            F.lit(0).cast("long").alias("dver"),
+        )
+        eng.create_stream(
+            "fact",
+            schema=StreamSchema.from_spark(facts.schema, primary_key=["pk"]),
+            data=facts,
+        )
+        eng.create_stream(
+            "dim",
+            schema=StreamSchema.from_spark(dims.schema, primary_key=["dk"]),
+            data=dims,
+        )
+        eng.create_pipeline(
+            "enriched",
+            f"select f.*, d.seg as seg from {ns}__fact f "
+            f"join {ns}__dim d on f.fk = d.dk",
+            activate=False,
+        )
+        eng.create_pipeline(
+            "rollup",
+            f"select seg, count(*) as n_rows, sum(qty) as sum_qty "
+            f"from {ns}__enriched group by seg",
+            activate=False,
+        )
+        eng.create_pipeline(
+            "summary",
+            f"select length(seg) % 2 as band, count(*) as n_segs, "
+            f"sum(sum_qty) as total "
+            f"from {ns}__rollup group by band",
+            activate=False,
+        )
+        nodes = {
+            "enriched": dict(
+                fact_order=["ver"], dim_order=["dver"],
+                fact_delete_col="deleted",
+            ),
+            "rollup": {},
+            "summary": {},
+        }
+        res = {}
+        t = time.time()
+        eng.activate_project_incremental(nodes, n_buckets=32)
+        res["init"] = round(time.time() - t, 2)
+        batch = spark.range(5000).select(
+            (F.col("id") * (n // 5000)).alias("pk"),
+            (F.col("id") % 1000).alias("fk"),
+            (F.col("id") % 555).alias("qty"),
+            F.lit(1).cast("long").alias("ver"),
+            (F.col("id") % 500 == 0).alias("deleted"),
+        )
+        dbatch = spark.range(50).select(
+            (F.col("id") * 20).alias("dk"),
+            F.lit("UPD").alias("seg"),
+            F.lit(1).cast("long").alias("dver"),
+        )
+        batch.write.mode("append").parquet(eng.streams[f"{ns}__fact"].path)
+        dbatch.write.mode("append").parquet(eng.streams[f"{ns}__dim"].path)
+        eng.refresh_stream("fact")
+        eng.refresh_stream("dim")
+        t = time.time()
+        eng.activate_project_incremental(nodes, n_buckets=32)
+        res["step"] = round(time.time() - t, 2)
+        out[label] = res
+        eng.cleanup()
+        shutil.rmtree(tmp, ignore_errors=True)
+    labels = list(out)
+    out["step_ratio"] = (
+        round(out[labels[1]]["step"] / out[labels[0]]["step"], 2)
+        if out[labels[0]]["step"] > 0.05
+        else None
+    )
+    return out
+
+
 def probe_outlog(spark) -> dict:
     """Out-log compaction slope probe (``python tools/scale_probe.py
     outlog``): ``compact_change_log`` over emitted-change logs of 20 and
@@ -757,6 +871,11 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "ivmdag":
         spark = get_spark(app_name="scale_probe_ivmdag")
         print(json.dumps({"ivmdag": probe_ivmdag(spark)}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "dag":
+        spark = get_spark(app_name="scale_probe_dag")
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+        print(json.dumps({"dag": probe_dag(spark, n)}))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "outlog":
         spark = get_spark(app_name="scale_probe_outlog")
