@@ -212,6 +212,21 @@ def _base_max_seq(view_log: str) -> int | None:
     return mx
 
 
+def _has_parquet(path: str) -> bool:
+    """Base-snapshot detector for :func:`_view_rows`: an existing dir with
+    at least one parquet file. A bare ``isdir`` would misread a
+    parquet-less debris dir (a tool's mkdir, a crashed writer's empty
+    staging) as a base snapshot and crash the read with an
+    unable-to-infer-schema error instead of falling through to the
+    deltas-only path."""
+    if not os.path.isdir(path):
+        return False
+    for _dirpath, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def _view_rows(spark: SparkSession, view_log: str) -> tuple[DataFrame, DataFrame]:
     """(base rows, committed delta rows) of an upstream change log, both
     carrying ``__seq``/``__deleted``; the internal ``__bucket`` layout
@@ -230,7 +245,7 @@ def _view_rows(spark: SparkSession, view_log: str) -> tuple[DataFrame, DataFrame
       purely a storage split; the fold semantics are identical).
     """
     deltas = list_deltas(view_log)
-    if os.path.isdir(view_log):
+    if _has_parquet(view_log):
         base = spark.read.parquet(view_log)
         if "__bucket" in base.columns:
             base = base.drop("__bucket")
@@ -416,7 +431,7 @@ def maintain_downstream(
     (``compact_every``)."""
     w = downstream_watermark(root)
     base, drows = _view_rows(spark, view_log)
-    if os.path.isdir(view_log):
+    if _has_parquet(view_log):
         base_max = _base_max_seq(view_log)
         if base_max is None:
             # footer stats unavailable (exotic writer) — fall back to the

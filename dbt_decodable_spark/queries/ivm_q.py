@@ -341,11 +341,15 @@ def ivm_dag_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "custkey — which must rewrite ONLY the orders dated 1996+ (history "
     "stays pinned to the older version; an equi-key dim update would "
     "wrongly migrate all of them). Oracle = DuckDB's native ASOF JOIN "
-    "over the full version history. Maintenance cost per batch is "
+    "over the full version history. VIEW-maintenance cost per batch is "
     "O(|batch| + version fanout): the affected-fact probe is a broadcast "
     "range-semi-join on the fact snapshot and the AS-OF recompute "
-    "shuffles only the touched slice (tests/test_ivm_temporal.py pins "
-    "the from-base equivalence under random two-sided churn).",
+    "shuffles only the touched slice (scale_probe temporal: view_step "
+    "flat at 20x state); the snapshot advance is the caller's MERGE "
+    "(snapshot_after — bucketed partition-overwrite at scale; this "
+    "query's single in-memory round uses the fold fallback). "
+    "tests/test_ivm_temporal.py pins the from-base equivalence under "
+    "random two-sided churn.",
 )
 def ivm_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_decodable_spark.operators.ivm_temporal import (

@@ -237,6 +237,37 @@ class TestFallbacksAndCollisions:
             outs.append(_rows(st_.view))
         assert outs[0] == outs[1] == _want(spark, f0 + fb, d0 + d1)
 
+    def test_caller_advanced_snapshot_matches_fold(self, spark):
+        """The production contract (snapshot_after = the caller's MERGE
+        result) must produce the identical state as the fold fallback —
+        and a WRONG snapshot is the caller's bug, so the pin feeds the
+        exact fold result."""
+        from dbt_decodable_spark.streaming.changelog import fold_last_image
+
+        f0 = TestDeterministicRounds.F0
+        d0 = TestDeterministicRounds.D0
+        snap = fold_last_image(_fdf(spark, f0), ["pk"], ORDER)
+        fb = [(1, 10, 6, 300, 1, False), (4, 20, 2, 400, 0, False),
+              (2, 10, 7, 250, 1, True)]
+        d1 = [(10, "a2", 200)]
+        st0 = init_temporal_join_state(
+            snap, _ddf(spark, d0), SPEC, fact_delete_col="deleted"
+        )
+        merged = fold_last_image(
+            snap.unionByName(_fdf(spark, fb)), ["pk"], ORDER
+        )
+        got_a = maintain_temporal_join(
+            st0, _fdf(spark, fb), _ddf(spark, d1), ORDER, SPEC,
+            fact_delete_col="deleted", snapshot_after=merged,
+        )
+        got_b = maintain_temporal_join(
+            st0, _fdf(spark, fb), _ddf(spark, d1), ORDER, SPEC,
+            fact_delete_col="deleted",
+        )
+        assert _rows(got_a.view) == _rows(got_b.view) == _want(
+            spark, f0 + fb, d0 + d1
+        )
+
     def test_dim_key_named_like_fk_col(self, spark):
         """dim_key == fk_col (both 'fk') must not hit an ambiguous-column
         error in the version semi-join probe."""

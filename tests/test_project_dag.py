@@ -183,6 +183,43 @@ class TestDepth3Chain:
             eng.cleanup()
 
 
+class TestDepth4Chain:
+    def test_depth4_out_log_of_out_log(self, spark, tmp_path):
+        """join → rollup → band rollup → parity-of-band rollup: the 4th
+        stage consumes the THIRD stage's emitted out log (an out log built
+        from another out log), pinning the 'composes to any depth' claim
+        across churn."""
+        ns = "pj4"
+        eng = _mk_project(spark, tmp_path, ns, F1, D1)
+        eng.create_pipeline(
+            "grand",
+            f"select band % 2 as parity, count(*) as n_bands, "
+            f"sum(total_qty) as grand_qty "
+            f"from {ns}__summary group by parity",
+            activate=False,
+        )
+        nodes = {**NODES, "grand": {}}
+        try:
+            eng.activate_project_incremental(nodes, n_buckets=4)
+            _append(spark, eng, "fact", F2, FACT_DDL)
+            _append(spark, eng, "dim", D2, DIM_DDL)
+            eng.activate_project_incremental(nodes, n_buckets=4)
+            _, summ_w = _want(spark, F1 + F2, D1 + D2)
+            assert _rows(eng.read_stream("summary")) == summ_w
+            # declarative stage-4 recompute over the stage-3 expectation
+            import collections
+
+            grand = collections.defaultdict(lambda: [0, 0])
+            for band, n_tiers, total_qty in summ_w:
+                g = grand[band % 2]
+                g[0] += 1
+                g[1] += total_qty
+            want4 = sorted((p, n, t) for p, (n, t) in grand.items())
+            assert _rows(eng.read_stream("grand")) == want4
+        finally:
+            eng.cleanup()
+
+
 class TestFanOut:
     def test_two_consumers_one_rollup(self, spark, tmp_path):
         ns = "pjf"

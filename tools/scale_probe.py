@@ -760,6 +760,122 @@ def probe_dag(spark, big_n: int = 2_000_000) -> dict:
     return out
 
 
+def probe_temporal(spark, big_n: int = 2_000_000) -> dict:
+    """SCD2-temporal IVM slope probe (``python tools/scale_probe.py
+    temporal [big_n]``): one :func:`ivm_temporal.maintain_temporal_join`
+    step with a FIXED churn batch (5k fact upserts + a 50-key dim version
+    batch whose fanout is bounded by construction) against 100k- and
+    ``big_n``-fact snapshots. Pins the O(|batch| + version fanout) claim
+    for the VIEW work: the fact snapshot is only broadcast-probed
+    (semi/anti joins — scans, never shuffles) and the AS-OF recompute
+    shuffles the touched slice. Rows:
+
+    - ``view_step`` — the step with a caller-advanced snapshot
+      (``snapshot_after``, the production contract): should stay ~flat
+      across the ≥20× state growth;
+    - ``step_fold`` — the convenience fallback that folds the whole
+      snapshot ∪ batch: an O(|fact|) key shuffle per batch, measured
+      here precisely so the difference is on record (the first probe run
+      caught it costing MORE than the recompute — the reason
+      ``snapshot_after`` exists);
+    - ``recompute`` — the from-base control (full SCD2 rebuild + AS-OF
+      join of ALL facts) a non-incremental design would pay per batch."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dbt_decodable_spark.operators.ivm_temporal import (
+        TemporalJoinSpec,
+        init_temporal_join_state,
+        maintain_temporal_join,
+        recompute_temporal_view,
+    )
+
+    spec = TemporalJoinSpec(
+        fact_keys=("pk",), fk_col="fk", dim_key="dk",
+        fact_ts="ts", valid_from="vfrom",
+        payload={"seg_at_ts": "seg"},
+    )
+    order = ["ver", "pk"]
+    out: dict = {}
+    for label, n in (("100k", 100_000), (f"{big_n // 1000}k", big_n)):
+        facts = spark.range(n).select(
+            F.col("id").alias("pk"),
+            (F.col("id") % 1000).alias("fk"),
+            (F.col("id") % 777).alias("qty"),
+            (F.col("id") % 500_000).alias("ts"),
+            F.lit(0).cast("long").alias("ver"),
+            F.lit(False).alias("deleted"),
+        )
+        dims = spark.range(1000).select(
+            F.col("id").alias("dk"),
+            (F.col("id") % 37).cast("string").alias("seg"),
+            F.lit(0).cast("long").alias("vfrom"),
+        )
+        st = init_temporal_join_state(
+            facts, dims, spec, fact_delete_col="deleted"
+        )
+        st = type(st)(
+            fact=st.fact.localCheckpoint(eager=True),
+            dim_versions=st.dim_versions.localCheckpoint(eager=True),
+            view=st.view.localCheckpoint(eager=True),
+        )
+        fb = spark.range(5000).select(
+            (F.col("id") * (n // 5000)).alias("pk"),
+            (F.col("id") % 1000).alias("fk"),
+            (F.col("id") % 555).alias("qty"),
+            (F.col("id") % 500_000).alias("ts"),
+            F.lit(1).cast("long").alias("ver"),
+            (F.col("id") % 500 == 0).alias("deleted"),
+        )
+        # 50 dim keys get a LATE version (vfrom near the ts ceiling) so
+        # the range fanout stays bounded — the production shape; the
+        # bulk low-vfrom backfill case is the broadcast_touched=False path
+        db = spark.range(50).select(
+            (F.col("id") * 20).alias("dk"),
+            F.lit("UPD").alias("seg"),
+            F.lit(499_000).cast("long").alias("vfrom"),
+        )
+        # the production contract: the caller's MERGE advanced the
+        # snapshot (bucketed partition-overwrite at scale); here the
+        # merged result is pre-materialized so the timed step carries
+        # only the VIEW work
+        from dbt_decodable_spark.streaming.changelog import fold_last_image
+
+        snap_after = fold_last_image(
+            st.fact.unionByName(fb), ["pk"], order
+        ).localCheckpoint(eager=True)
+        res = {}
+        t = time.time()
+        st2 = maintain_temporal_join(
+            st, fb, db, order, spec, fact_delete_col="deleted",
+            snapshot_after=snap_after,
+        )
+        st2.view.write.format("noop").mode("overwrite").save()
+        res["view_step"] = round(time.time() - t, 2)
+        t = time.time()
+        st3 = maintain_temporal_join(
+            st, fb, db, order, spec, fact_delete_col="deleted"
+        )
+        st3.view.write.format("noop").mode("overwrite").save()
+        res["step_fold"] = round(time.time() - t, 2)
+        t = time.time()
+        recompute_temporal_view(
+            facts.unionByName(fb),
+            dims.unionByName(db),
+            spec, order, fact_delete_col="deleted",
+        ).write.format("noop").mode("overwrite").save()
+        res["recompute"] = round(time.time() - t, 2)
+        out[label] = res
+    labels = list(out)
+    out["view_step_ratio"] = (
+        round(out[labels[1]]["view_step"] / out[labels[0]]["view_step"], 2)
+        if out[labels[0]]["view_step"] > 0.05
+        else None
+    )
+    return out
+
+
 def probe_outlog(spark) -> dict:
     """Out-log compaction slope probe (``python tools/scale_probe.py
     outlog``): ``compact_change_log`` over emitted-change logs of 20 and
@@ -876,6 +992,11 @@ def main() -> None:
         spark = get_spark(app_name="scale_probe_dag")
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
         print(json.dumps({"dag": probe_dag(spark, n)}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "temporal":
+        spark = get_spark(app_name="scale_probe_temporal")
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+        print(json.dumps({"temporal": probe_temporal(spark, n)}))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "outlog":
         spark = get_spark(app_name="scale_probe_outlog")
