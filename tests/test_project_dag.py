@@ -259,6 +259,120 @@ class TestFanOut:
             eng.cleanup()
 
 
+class TestRandomizedGraphs:
+    """Property-style sweep: random graph shapes (0-2 rollup consumers,
+    optional depth-4 node) under random per-round churn (inserts, updates,
+    tombstones, dim tier churn) — every stage equals its declarative
+    recompute after every activation round."""
+
+    @pytest.mark.parametrize("seed", [11, 23, 47])
+    def test_random_churn_rounds_match_recompute(
+        self, spark, tmp_path, seed
+    ):
+        import random
+
+        rnd = random.Random(seed)
+        ns = f"pjr{seed}"
+        f_hist = [
+            (pk, rnd.choice((10, 20, 30)), rnd.randint(1, 50), 1, False)
+            for pk in range(1, 9)
+        ]
+        d_hist = [(10, "a", 1, 1, False), (20, "b", 2, 1, False),
+                  (30, "c", 3, 1, False)]
+        eng = _mk_project(spark, tmp_path, ns, f_hist, d_hist)
+        nodes = dict(NODES)
+        n_consumers = rnd.randint(0, 2)
+        if n_consumers == 0:
+            nodes.pop("summary")
+        if n_consumers == 2:
+            eng.create_pipeline(
+                "summary2",
+                f"select dim_tier % 3 as tri, sum(n_rows) as total_rows "
+                f"from {ns}__rollup group by tri",
+                activate=False,
+            )
+            nodes["summary2"] = {}
+        depth4 = n_consumers >= 1 and rnd.random() < 0.5
+        if depth4:
+            eng.create_pipeline(
+                "grand",
+                f"select band % 2 as parity, sum(total_qty) as grand_qty "
+                f"from {ns}__summary group by parity",
+                activate=False,
+            )
+            nodes["grand"] = {}
+        try:
+            next_pk = 9
+            for rnd_i in range(3):
+                if rnd_i > 0:
+                    fb = []
+                    for j in range(rnd.randint(1, 5)):
+                        # unique ts per row: two same-round images of one
+                        # key must not TIE on the (ts, pk) change order
+                        # (a tie's winner is legitimately arbitrary and
+                        # would flake the recompute comparison)
+                        ts = rnd_i * 100 + j
+                        kind = rnd.random()
+                        if kind < 0.4:  # insert
+                            fb.append((
+                                next_pk, rnd.choice((10, 20, 30)),
+                                rnd.randint(1, 50), ts, False,
+                            ))
+                            next_pk += 1
+                        elif kind < 0.75:  # update an existing key
+                            pk = rnd.randrange(1, next_pk)
+                            fb.append((
+                                pk, rnd.choice((10, 20, 30)),
+                                rnd.randint(1, 50), ts, False,
+                            ))
+                        else:  # tombstone
+                            pk = rnd.randrange(1, next_pk)
+                            fb.append((pk, 10, 0, ts, True))
+                    db = []
+                    if rnd.random() < 0.6:  # dim tier churn
+                        dk = rnd.choice((10, 20, 30))
+                        db.append((
+                            dk, "x", rnd.randint(1, 5), rnd_i * 100, False
+                        ))
+                    if fb:
+                        _append(spark, eng, "fact", fb, FACT_DDL)
+                        f_hist = f_hist + fb
+                    if db:
+                        _append(spark, eng, "dim", db, DIM_DDL)
+                        d_hist = d_hist + db
+                eng.activate_project_incremental(nodes, n_buckets=4)
+                roll_w, summ_w = _want(spark, f_hist, d_hist)
+                assert _rows(eng.read_stream("rollup")) == roll_w, (
+                    f"seed {seed} round {rnd_i}: rollup diverged"
+                )
+                if "summary" in nodes:
+                    assert _rows(eng.read_stream("summary")) == summ_w, (
+                        f"seed {seed} round {rnd_i}: summary diverged"
+                    )
+                if "summary2" in nodes:
+                    import collections
+
+                    tri = collections.defaultdict(int)
+                    for dim_tier, n_rows, _sum_qty in roll_w:
+                        tri[dim_tier % 3] += n_rows
+                    want2 = sorted(tri.items())
+                    assert _rows(eng.read_stream("summary2")) == want2, (
+                        f"seed {seed} round {rnd_i}: summary2 diverged"
+                    )
+                if depth4:
+                    import collections
+
+                    gr = collections.defaultdict(int)
+                    for band, _n, total_qty in summ_w:
+                        gr[band % 2] += total_qty
+                    want4 = sorted(gr.items())
+                    assert _rows(eng.read_stream("grand")) == want4, (
+                        f"seed {seed} round {rnd_i}: grand diverged"
+                    )
+        finally:
+            eng.cleanup()
+
+
 class TestShapeGuards:
     def test_cycle_raises_before_writes(self, spark, tmp_path):
         ns = "pjc"
