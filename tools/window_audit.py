@@ -160,6 +160,26 @@ def forecast() -> list[str]:
         out.extend(f"  due-next-round: {n}" for n in due)
     else:
         out.append("forecast: no rows age out next round")
+    # second horizon: assuming the upcoming round measures its planned
+    # window and the next round measures the first-horizon dues, rows
+    # whose evidence would reach MAX_AGE_ROUNDS at r{max+3} are everything
+    # measured at r{max+3-MAX_AGE_ROUNDS} that neither window refreshes —
+    # printed so a build never learns about a 50-row cohort one round late
+    due1 = set(due)
+    window = set(names[:WINDOW])
+    due2 = sorted(
+        name
+        for name, (rnd, _) in latest.items()
+        if name in registry
+        and name not in window
+        and name not in due1
+        and (max_round + 3) - rnd >= MAX_AGE_ROUNDS
+    )
+    if due2:
+        out.append(
+            f"forecast+2: {len(due2)} row(s) follow at the "
+            f"r{max_round + 3} build; free slots then: {WINDOW - len(due2)}"
+        )
     return out
 
 
