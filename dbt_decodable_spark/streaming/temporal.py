@@ -45,17 +45,23 @@ def temporal_asof_stream(
     out_path: str,
     tolerance: str | None = None,
     checkpoint_path: str | None = None,
+    tiebreak_cols: list[str] | None = None,
 ):
     """Start the temporal join as a streaming query writing parquet batches
     to ``out_path``; returns the StreamingQuery. ``dim_provider`` may be a
     static DataFrame (event-time semantics over a complete changelog) or a
     zero-arg callable re-evaluated per micro-batch (processing-time
-    semantics over an accreting changelog)."""
+    semantics over an accreting changelog). ``tiebreak_cols`` picks the
+    winner among several dim versions at the same ``(key, dim_ts)``
+    instant (greatest wins) — without it such ties are partition-order
+    nondeterministic, the same class the batch operator's r10 fix covers;
+    changelogs with unique version timestamps don't need it."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         dim = dim_provider() if callable(dim_provider) else dim_provider
         joined = asof_join(
-            batch_df, dim, on, stream_ts, dim_ts, value_cols, tolerance=tolerance
+            batch_df, dim, on, stream_ts, dim_ts, value_cols,
+            tolerance=tolerance, tiebreak_cols=tiebreak_cols,
         )
         # foreachBatch is at-least-once: after a failure the checkpointed
         # query REPLAYS the last batch. Partition the sink by batch_id and
@@ -91,29 +97,43 @@ def run_temporal_asof_bounded(
     value_cols: list[str],
     tolerance: str | None = None,
     timeout: int = 300,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Bounded-run convenience: drain the stream (availableNow), then return
     the joined result read back from the per-batch parquet output (the
     ``__batch_id`` sink-partition column is dropped — it is idempotence
     plumbing, not part of the join result). A stream that yields zero
     batches never creates the output directory; return an empty frame with
-    the join's schema instead of letting ``read.parquet`` throw."""
+    the join's schema instead of letting ``read.parquet`` throw. The
+    result is materialized (eager local checkpoint) so the scratch output
+    dir can be deleted before returning — the pre-r11 shape leaked one
+    /tmp parquet dir per bounded run."""
+    import shutil
+
     out = os.path.join("/tmp", f"temporal_join_{uuid.uuid4().hex}")
-    q = temporal_asof_stream(
-        stream, dim_provider, on, stream_ts, dim_ts, value_cols, out_path=out,
-        tolerance=tolerance,
-    )
-    finished = q.awaitTermination(timeout)
-    if not finished:
-        q.stop()
-        raise TimeoutError(
-            f"bounded temporal join did not drain within {timeout}s — "
-            "partial output discarded"
+    try:
+        q = temporal_asof_stream(
+            stream, dim_provider, on, stream_ts, dim_ts, value_cols,
+            out_path=out, tolerance=tolerance, tiebreak_cols=tiebreak_cols,
         )
-    if not os.path.exists(out):
-        dim = dim_provider() if callable(dim_provider) else dim_provider
-        empty_stream = spark.createDataFrame([], stream.schema)
-        return asof_join(
-            empty_stream, dim, on, stream_ts, dim_ts, value_cols, tolerance=tolerance
+        finished = q.awaitTermination(timeout)
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                f"bounded temporal join did not drain within {timeout}s — "
+                "partial output discarded"
+            )
+        if not os.path.exists(out):
+            dim = dim_provider() if callable(dim_provider) else dim_provider
+            empty_stream = spark.createDataFrame([], stream.schema)
+            return asof_join(
+                empty_stream, dim, on, stream_ts, dim_ts, value_cols,
+                tolerance=tolerance, tiebreak_cols=tiebreak_cols,
+            )
+        return (
+            spark.read.parquet(out)
+            .drop("__batch_id")
+            .localCheckpoint(eager=True)
         )
-    return spark.read.parquet(out).drop("__batch_id")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

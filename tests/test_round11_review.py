@@ -287,3 +287,38 @@ class TestFloorWriteMutex:
             t.join(timeout=30)
         with open(os.path.join(root, "_dag_floor")) as fh:
             assert int(fh.read()) == 40
+
+
+class TestTemporalStreamSweep:
+    """r11 sweep of the STREAMING temporal twin: the bounded runner leaked
+    one /tmp parquet dir per run (the returned frame read it lazily — now
+    checkpointed and cleaned), and same-instant dim versions had no
+    deterministic winner (tiebreak_cols now threads through, the r10 batch
+    asof fix one layer up)."""
+
+    def test_bounded_run_cleans_scratch_and_breaks_ties(self, spark, tmp_path):
+        import glob
+
+        from dbt_decodable_spark.streaming.temporal import (
+            run_temporal_asof_bounded,
+        )
+
+        src = str(tmp_path / "stream")
+        spark.createDataFrame(
+            [(1, 100, "probe")], "k long, ts long, tag string"
+        ).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema("k long, ts long, tag string").parquet(src)
+        # two dim versions at the SAME (key, ts) instant
+        dim = spark.createDataFrame(
+            [(1, 50, 1, "v1"), (1, 50, 2, "v2")],
+            "k long, dts long, pri long, v string",
+        )
+        before = set(glob.glob("/tmp/temporal_join_*"))
+        out = run_temporal_asof_bounded(
+            spark, stream, dim, on="k", stream_ts="ts", dim_ts="dts",
+            value_cols=["v"], tiebreak_cols=["pri"],
+        )
+        rows = {(r["k"], r["v"]) for r in out.collect()}
+        assert rows == {(1, "v2")}, "greatest tiebreak must win"
+        after = set(glob.glob("/tmp/temporal_join_*"))
+        assert after <= before, "bounded run must clean its scratch dir"
