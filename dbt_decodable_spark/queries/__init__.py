@@ -47,43 +47,43 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 # The driver's correctness gate measures the FIRST 50 registry entries per
-# round. Round-11 rotation (VERDICT r10 item 1 — the evidence-cadence
-# arithmetic dominates this round): the 47 rows whose latest driver
-# evidence is round 7 hit the MAX_AGE_ROUNDS=4 staleness bound when r11
-# lands and MUST refresh; of the 3 remaining slots, 2 go to the round's
-# two NEW queries (never measured — audit rule 1 requires them in the
-# window: ivm_dag_depth3 REPLACES ivm_join_agg_dag — it supersedes the
-# two-stage cascade with the N-node engine front door, keeping the
-# registry at the frozen size minus-plus-one — and ivm_scd2_join is the
-# r10-item-3 SCD2-under-IVM row) and 1 early-refreshes the
-# alphabetically-first round-8 row. r12 then owes the remaining 49 r8
-# rows (49-mandatory/1-free); r13 owes the 50 r9 rows (0 free) — the
-# registry is frozen at 198 (capacity 4×50=200) for exactly this reason.
-# Everything NOT in the window stays verified by tools/oracle_check.py
-# (driver-faithful local replica) and pytest; tools/window_audit.py
-# mechanically checks the staleness invariant.
+# round. Round-12 rotation (VERDICT r11 item 1): the 49 rows whose latest
+# driver evidence is round 8 hit the MAX_AGE_ROUNDS=4 staleness bound when
+# r12 lands and MUST refresh; the single remaining slot goes to
+# ivm_dag_depth3, whose implementation changes this round (VERDICT r11
+# items 2+4: the depth-3 chain is re-rooted at an aggregate-over-raw-stream
+# node — the last N-node shape gap — and its fixed commit cost is cut), so
+# its r11 evidence no longer covers the shipped code. r13 then owes the
+# full 50-row r9 cohort (0 free) — the registry stays frozen at 198
+# (capacity 4×50=200) for exactly this reason; any new row must REPLACE a
+# superseded one. Everything NOT in the window stays verified by
+# tools/oracle_check.py (driver-faithful local replica) and pytest;
+# tools/window_audit.py mechanically checks the staleness invariant.
 _DRIVER_WINDOW_PRIORITY = (
-    # (a) the full round-7 cohort (47 rows at the staleness bound):
-    "agg_cube", "agg_distinct", "agg_having", "agg_kmv_by_source",
-    "agg_minmax_by", "agg_percentile", "agg_rollup", "agg_salted_skew",
-    "agg_stats", "case_when", "cluster_outlier_filter", "dedup_simhash",
-    "derived_table_subquery", "events_retention_cohorts", "except_all",
-    "func_datetime_flink", "func_string_flink", "intersect_except",
-    "join_anti", "join_asof", "join_full_outer", "join_inner",
-    "join_left_outer", "join_lookup_broadcast", "join_right_outer",
-    "join_semi", "join_theta", "join_three_way", "layout_zorder_stats",
-    "like_predicate", "order_by_limit", "projection_cast_alias",
-    "scan_project_filter", "similarity_lsh_topk", "snapshot_diff_status",
-    "source_schema_evolution", "source_time_of_day_roundtrip",
-    "stream_sessionize_stateful", "stream_static_enrich",
-    "subquery_scalar_correlated", "table_checksum_shards",
-    "text_fingerprint", "text_langid", "union_all", "union_distinct",
-    "values_inline", "where_predicates",
-    # (b) the 2 NEW round-11 queries (never measured — rule 1):
-    "ivm_dag_depth3", "ivm_scd2_join",
-    # (c) 1 early-refreshed round-8 row (the remaining free slot; r12
-    # then owes the other 49 r8 rows — still within the 50-slot window):
-    "cte_chain",
+    # (a) the full round-8 cohort (49 rows at the staleness bound):
+    "func_array", "func_array_explode", "func_char_length_not_null",
+    "func_coalesce_nullif", "func_conditional", "func_datetime",
+    "func_grok", "func_grok_agg", "func_grok_patterns", "func_json",
+    "func_map", "func_math", "func_string", "func_string_extra",
+    "func_to_timestamp", "join_salted_skew", "join_skew_aqe",
+    "maintenance_compaction_roundtrip", "pivot_status_by_year",
+    "source_multiset_roundtrip", "stream_cdc_merge", "stream_change_fold",
+    "stream_cumulate_window", "stream_hop_window", "stream_start_latest",
+    "stream_tumble_window", "subquery_in", "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customer", "tpch_q19_discounted_revenue",
+    "tpch_q22_sales_opportunity", "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority", "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_national_market_share", "window_dedup_latest",
+    "window_first_last", "window_lag_lead", "window_ntile_cume",
+    "window_range_frame", "window_rank_dense", "window_rows_frame",
+    "window_topk_per_group",
+    # (b) the 1 free slot: the row whose implementation changes this round
+    # (re-rooted depth-3 DAG + coalesced commit protocol) — its r11
+    # measurement no longer covers the shipped code:
+    "ivm_dag_depth3",
 )
 
 
