@@ -174,7 +174,13 @@ def _log_compaction_floor(view_log: str) -> int:
     contract) and must rebuild."""
     import re
 
-    floor = 0
+    from dbt_decodable_spark.streaming.changelog import log_compaction_floor
+
+    # the durable record first (compact_change_log writes it under the
+    # compaction lock — survives the marker delta being folded away or
+    # holding zero live rows, ADVICE r11), max-ed with the dir-name scan
+    # for logs compacted before the record existed
+    floor = log_compaction_floor(view_log)
     for p in list_deltas(view_log):
         m = re.search(r"compacted-(\d+)-", os.path.basename(p))
         if m:
@@ -255,6 +261,20 @@ def _view_rows(spark: SparkSession, view_log: str) -> tuple[DataFrame, DataFrame
             drows = spark.createDataFrame([], base.schema)
         return base, drows
     if not deltas:
+        from dbt_decodable_spark.streaming.changelog import _deltas_root
+
+        if os.path.isdir(_deltas_root(view_log)):
+            # the log EXISTED but retains zero committed deltas — the
+            # compaction always leaves a schema-anchor marker, so this is
+            # external sweeping / a pre-fix fully-tombstoned fold. The
+            # schema is unknowable here; callers that can no-op instead
+            # (a caught-up maintain_downstream) check before calling.
+            raise FileNotFoundError(
+                f"change log {view_log!r} exists but retains no committed "
+                "delta (externally swept, or compacted to zero rows before "
+                "the schema-anchor fix) — its schema is unrecoverable; "
+                "re-emit from the upstream root"
+            )
         raise FileNotFoundError(
             f"change log {view_log!r} has neither a base snapshot nor any "
             "committed delta — nothing was ever emitted"
@@ -430,6 +450,26 @@ def maintain_downstream(
     DOWNSTREAM log runs on the aggregate arm's pending-delta trigger
     (``compact_every``)."""
     w = downstream_watermark(root)
+    if not _has_parquet(view_log) and not list_deltas(view_log):
+        # pure-delta upstream that retains ZERO committed deltas. The
+        # compaction now always leaves a schema-anchor marker, so this is
+        # an externally-swept or pre-fix log — still: guard the floor
+        # FIRST (the durable record survives zero retained deltas), then
+        # no-op for a caught-up consumer instead of crashing in
+        # _view_rows (ADVICE r11).
+        from dbt_decodable_spark.streaming.changelog import _deltas_root
+
+        log_floor = _log_compaction_floor(view_log)
+        if log_floor > w:
+            raise DownstreamLagError(
+                f"change log {view_log!r} was compacted to floor "
+                f"{log_floor} > downstream watermark {w} — tombstones "
+                f"this consumer never saw are gone; rebuild the root "
+                f"{root!r} (operators.ivm_dag.rebuild_downstream)"
+            )
+        if os.path.isdir(_deltas_root(view_log)):
+            return w  # log exists, nothing was ever pending beyond w
+        # fall through for the log-never-existed error
     base, drows = _view_rows(spark, view_log)
     if _has_parquet(view_log):
         base_max = _base_max_seq(view_log)

@@ -97,6 +97,27 @@ class TemporalJoinState:
     view: DataFrame  # live facts + payload, as-of enriched
 
 
+# internal plumbing column names stacked onto user frames by _enrich and the
+# maintenance probes; a fact/dim column with one of these names would make
+# the affected-keys range probe or version prune silently ambiguous/wrong
+# (ADVICE r11) — so fail fast at every entry point, like the catalog's
+# __g/__k/__gbucket/__mult view_reserved check.
+_RESERVED = frozenset({"__vf", "__dk", "__new_vf", "__probe_fk"})
+
+
+def _check_reserved(spec: TemporalJoinSpec, *frames: DataFrame | None) -> None:
+    for df in frames:
+        if df is None:
+            continue
+        bad = sorted(set(df.columns) & _RESERVED)
+        if bad:
+            raise ValueError(
+                f"column(s) {bad} collide with reserved temporal-join "
+                f"internal names {sorted(_RESERVED)} — rename them before "
+                "entering init_temporal_join_state/maintain_temporal_join"
+            )
+
+
 def _live(df: DataFrame, delete_col: str | None) -> DataFrame:
     if delete_col is None:
         return df
@@ -134,6 +155,7 @@ def init_temporal_join_state(
     """Build the state by one full pass: SCD2 table from the dim change
     history (the batch/backfill path), then one AS-OF enrichment of the
     live facts. ``fact`` must already be a keyed snapshot (≤1 row/key)."""
+    _check_reserved(spec, fact, dim_changes)
     dim_versions = scd2_from_changelog(
         dim_changes, [spec.dim_key], spec.valid_from
     )
@@ -171,6 +193,29 @@ def maintain_temporal_join(
     associative winner rule, but a FULL key shuffle of the snapshot per
     batch: fine in-memory/small, the measured scale difference is the
     ``step_fold`` vs ``view_step`` rows of ``scale_probe temporal``."""
+    _check_reserved(spec, fact_batch, dim_batch, snapshot_after)
+    new_state, _touched, _enriched = _temporal_round(
+        state, fact_batch, dim_batch, fact_order, spec,
+        fact_delete_col, broadcast_dim_batch, broadcast_touched,
+        snapshot_after,
+    )
+    return new_state
+
+
+def _temporal_round(
+    state: TemporalJoinState,
+    fact_batch: DataFrame | None,
+    dim_batch: DataFrame | None,
+    fact_order: Sequence[Column | str],
+    spec: TemporalJoinSpec,
+    fact_delete_col: str | None,
+    broadcast_dim_batch: bool,
+    broadcast_touched: bool,
+    snapshot_after: DataFrame | None,
+) -> tuple[TemporalJoinState, DataFrame, DataFrame]:
+    """One maintenance round; returns (new state, touched fact keys,
+    re-enriched live slice) so :func:`maintain_temporal_join_with_changes`
+    can derive the view's own change stream without a second pass."""
     spark = state.fact.sparkSession
     keys = list(spec.fact_keys)
     ordc = [F.col(c) if isinstance(c, str) else c for c in fact_order]
@@ -253,9 +298,182 @@ def maintain_temporal_join(
         state.view.join(probe_t, on=keys, how="left_anti")
         .unionByName(enriched)
     )
-    return TemporalJoinState(
-        fact=new_fact, dim_versions=new_dim, view=new_view
+    return (
+        TemporalJoinState(fact=new_fact, dim_versions=new_dim, view=new_view),
+        touched,
+        enriched,
     )
+
+
+def maintain_temporal_join_with_changes(
+    state: TemporalJoinState,
+    fact_batch: DataFrame | None,
+    dim_batch: DataFrame | None,
+    fact_order: Sequence[Column | str],
+    spec: TemporalJoinSpec,
+    seq: int,
+    fact_delete_col: str | None = None,
+    broadcast_dim_batch: bool = True,
+    broadcast_touched: bool = True,
+    snapshot_after: DataFrame | None = None,
+    seq_col: str = "__seq",
+    deleted_col: str = "__deleted",
+) -> tuple[TemporalJoinState, DataFrame]:
+    """:func:`maintain_temporal_join` plus DELTA PROPAGATION — the view's
+    own change stream for this batch in the standard changelog shape (view
+    columns + ``seq_col`` + ``deleted_col``), mirroring
+    :func:`..ivm_join.maintain_join_with_changes`: one upsert per touched
+    key that survives in the view (its re-enriched image), one tombstone
+    per touched key that does not. A key absent before AND after emits a
+    redundant tombstone — harmless downstream, cheaper than re-probing the
+    old view to suppress it. ``seq`` is the caller's monotonically
+    increasing batch sequence. This is what makes a temporal-join model a
+    COMPOSABLE node in a maintained project graph: a downstream aggregate
+    consumes this stream exactly like a join node's view log."""
+    _check_reserved(spec, fact_batch, dim_batch, snapshot_after)
+    view_cols = list(state.view.columns)
+    for c in (seq_col, deleted_col):
+        if c in view_cols:
+            raise ValueError(f"{c!r} collides with a view column")
+    new_state, touched, enriched = _temporal_round(
+        state, fact_batch, dim_batch, fact_order, spec,
+        fact_delete_col, broadcast_dim_batch, broadcast_touched,
+        snapshot_after,
+    )
+    keys = list(spec.fact_keys)
+    ups = enriched.select(*view_cols).withColumn(deleted_col, F.lit(False))
+    types = {f.name: f.dataType for f in state.view.schema.fields}
+    gone = (
+        touched.join(enriched.select(*keys), on=keys, how="left_anti")
+        .select(
+            *[F.col(k) for k in keys],
+            *[
+                F.lit(None).cast(types[c]).alias(c)
+                for c in view_cols
+                if c not in keys
+            ],
+        )
+        .select(*view_cols)
+        .withColumn(deleted_col, F.lit(True))
+    )
+    changes = ups.unionByName(gone).withColumn(
+        seq_col, F.lit(seq).cast("long")
+    ).select(*view_cols, seq_col, deleted_col)
+    return new_state, changes
+
+
+import re as _re
+
+# the Flink temporal-table-join spelling the reference's change-stream dims
+# imply (``/root/reference/README.md:104`` — a pipeline may join a fact
+# stream against a versioned dimension "as of" the fact's event time):
+#   SELECT f.*, d.<col> [AS name], ...
+#   FROM fact f LEFT JOIN dim FOR SYSTEM_TIME AS OF f.<ts> [AS] d
+#   ON f.<fk> = d.<dk>
+# LEFT is required: the AS-OF enrichment keeps facts with no preceding
+# version (NULL payload) — accepting INNER and silently running LEFT would
+# flip semantics, so INNER raises instead.
+_TEMPORAL_SQL = _re.compile(
+    r"^\s*select\s+(?P<items>.*?)\s+from\s+(?P<ft>[A-Za-z_][\w.]*)"
+    r"(?:\s+(?:as\s+)?(?!left\b|join\b|inner\b)(?P<fa>[A-Za-z_]\w*))?\s+"
+    r"left\s+(?:outer\s+)?join\s+(?P<dt>[A-Za-z_][\w.]*)\s+"
+    r"for\s+system_time\s+as\s+of\s+(?P<pa>[A-Za-z_]\w*)\.(?P<pts>[A-Za-z_]\w*)"
+    r"\s+(?:as\s+)?(?P<da>[A-Za-z_]\w*)\s+"
+    r"on\s+(?P<cond>.+?)\s*;?\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+_TEMPORAL_EQ = _re.compile(
+    r"^\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$"
+)
+_TEMPORAL_PAYLOAD = _re.compile(
+    r"^([A-Za-z_]\w*)\.([A-Za-z_]\w*)(?:\s+as\s+([A-Za-z_]\w*))?$",
+    _re.IGNORECASE,
+)
+
+
+def temporal_spec_from_sql(
+    sql: str, fact_keys: Sequence[str], valid_from: str
+) -> tuple[TemporalJoinSpec, str, str]:
+    """Parse the supported temporal-join shape (above) into a
+    :class:`TemporalJoinSpec` plus the (fact, dim) table names — the SQL
+    front door that makes the SCD2-temporal arm a node kind in
+    ``catalog.activate_project_incremental``, the twin of
+    ``ivm_join.join_spec_from_sql``. Anything outside the provable shape
+    raises ``ValueError``. ``fact_keys`` come from the fact stream's
+    declared ``primary_key``; ``valid_from`` is the dim change stream's
+    version-start column (the catalog defaults it to the dim's watermark
+    column — the versioning is a property of the dim STREAM, not of the
+    query, exactly Flink's versioned-table stance)."""
+    m = _TEMPORAL_SQL.match(sql)
+    if not m:
+        if _re.search(r"for\s+system_time\s+as\s+of", sql, _re.IGNORECASE) and not _re.search(
+            r"left\s+(?:outer\s+)?join", sql, _re.IGNORECASE
+        ):
+            raise ValueError(
+                "temporal joins must be LEFT JOIN — the AS-OF enrichment "
+                "keeps facts with no preceding dim version (NULL payload); "
+                f"unsupported spelling: {sql!r}"
+            )
+        raise ValueError(f"unsupported temporal-join SQL shape: {sql!r}")
+    ft, dt = m.group("ft"), m.group("dt")
+    fa = m.group("fa") or ft
+    da = m.group("da")
+    if m.group("pa") != fa:
+        raise ValueError(
+            f"FOR SYSTEM_TIME AS OF must probe the fact alias {fa!r}, "
+            f"got {m.group('pa')!r}"
+        )
+    em = _TEMPORAL_EQ.match(m.group("cond"))
+    if not em:
+        raise ValueError(
+            "temporal ON clause must be a single fact-key = dim-key "
+            f"equality: {m.group('cond')!r}"
+        )
+    a_tbl, a_col, b_tbl, b_col = em.groups()
+    if a_tbl == fa and b_tbl == da:
+        fk, dk = a_col, b_col
+    elif a_tbl == da and b_tbl == fa:
+        fk, dk = b_col, a_col
+    else:
+        raise ValueError(
+            f"ON clause references unknown alias: {m.group('cond')!r} "
+            f"(fact={fa!r}, dim={da!r})"
+        )
+    from dbt_decodable_spark.operators.ivm import _split_items
+
+    star_seen = False
+    payload: dict[str, str] = {}
+    for item in _split_items(m.group("items")):
+        if item == f"{fa}.*":
+            star_seen = True
+            continue
+        pm = _TEMPORAL_PAYLOAD.match(item)
+        if pm and pm.group(1) == da:
+            out_name = pm.group(3) or pm.group(2)
+            if out_name in payload:
+                raise ValueError(
+                    f"duplicate output name {out_name!r} in select list"
+                )
+            payload[out_name] = pm.group(2)
+            continue
+        raise ValueError(
+            f"unsupported select item: {item!r} — the maintainable shape "
+            f"is {fa}.* plus {da}.<col> [AS name] items"
+        )
+    if not star_seen:
+        raise ValueError(
+            f"select list must carry {fa}.* — the view is keyed by the "
+            "fact's primary key and carries its full image"
+        )
+    spec = TemporalJoinSpec(
+        fact_keys=tuple(fact_keys),
+        fk_col=fk,
+        dim_key=dk,
+        fact_ts=m.group("pts"),
+        valid_from=valid_from,
+        payload=payload,
+    )
+    return spec, ft, dt
 
 
 def recompute_temporal_view(

@@ -915,6 +915,46 @@ def stream_append_deltas(
     return stream_df.writeStream.foreachBatch(_handle)
 
 
+_LOG_FLOOR_FILE = "_compaction_floor"
+
+
+def _record_log_floor(root: str, floor: int) -> None:
+    """Durably record a pure-delta log's compaction floor (monotonic) in a
+    plain file beside the deltas. Caller MUST hold the log's compaction
+    lock — the read/compare/replace is not otherwise atomic. This record
+    exists because the ``compacted-<floor>-`` delta name is NOT durable
+    evidence: a later compaction folds the marker away, and a fold whose
+    keys all ended tombstoned retains zero rows, so a floor derivable only
+    from retained dir names could silently regress to 0 and let a lagging
+    pure-delta consumer pass the ``DownstreamLagError`` guard after its
+    tombstones were dropped (ADVICE r11)."""
+    import os
+
+    ffile = os.path.join(root, _LOG_FLOOR_FILE)
+    cur = 0
+    if os.path.exists(ffile):
+        with open(ffile) as fh:
+            cur = int(fh.read().strip() or 0)
+    if floor <= cur:
+        return
+    with open(ffile + ".tmp", "w") as fh:
+        fh.write(str(floor))
+    os.replace(ffile + ".tmp", ffile)
+
+
+def log_compaction_floor(log_path: str) -> int:
+    """The durable compaction-floor record of a pure-delta change log
+    (0 = never compacted / pre-record era). Consumers combine this with
+    the ``compacted-<floor>-`` dir-name scan for pre-record logs."""
+    import os
+
+    ffile = os.path.join(_deltas_root(log_path), _LOG_FLOOR_FILE)
+    if not os.path.exists(ffile):
+        return 0
+    with open(ffile) as fh:
+        return int(fh.read().strip() or 0)
+
+
 def compact_change_log(
     spark,
     log_path: str,
@@ -992,9 +1032,14 @@ def compact_change_log(
         # Empty dirs don't constrain the floor partition; fold them away.
         empty = [p for p in files if os.path.basename(p) not in stats]
         if not known:
-            for p in empty:
+            # all retained deltas hold zero rows. Keep the NEWEST one as
+            # the log's schema anchor — deleting every delta would leave a
+            # fully-tombstoned log unreadable (consumers could no longer
+            # infer the empty frame's schema; ADVICE r11) — and sweep the
+            # rest as debris.
+            for p in empty[:-1]:
                 shutil.rmtree(p, ignore_errors=True)
-            return {"floor": None, "folded": empty, "live_rows": 0}
+            return {"floor": None, "folded": empty[:-1], "live_rows": 0}
         # the floor must PARTITION the log by sequence: every file is
         # entirely ≤ floor (folded) or entirely > floor (retained).
         # append_delta's commute contract allows out-of-order sequences
@@ -1024,7 +1069,9 @@ def compact_change_log(
         fold_set = [
             p for p in known if stats[os.path.basename(p)][1] <= floor
         ]
-        if len(fold_set) < min_files:
+        # empty dirs (e.g. a previous fully-tombstoned fold's marker) count
+        # toward the trigger: a marker + one new delta is a real fold
+        if len(fold_set) + len(empty) < min_files:
             return {"floor": None, "folded": [], "live_rows": 0}
         fold_set.extend(empty)
         live = fold_last_image(
@@ -1033,18 +1080,25 @@ def compact_change_log(
         live = live.persist()
         try:
             n_live = live.count()
-            if n_live > 0:
-                # ALWAYS a fresh append (no tag dedup): a crash between
-                # this commit and the deletes leaves the floor image and
-                # its sources coexisting — the fold converges (identical
-                # winners) and the NEXT run folds them all into a newer
-                # floor, so nothing depends on recognizing a retry; a
-                # tag-keyed retry would mistake a late post-compaction
-                # delta that recomputes the same floor for its own replay
-                # and delete it unfolded
-                append_delta(spark, log_path, live, tag=f"compacted-{floor}-{uuid.uuid4().hex[:8]}")
+            # ALWAYS a fresh append (no tag dedup): a crash between
+            # this commit and the deletes leaves the floor image and
+            # its sources coexisting — the fold converges (identical
+            # winners) and the NEXT run folds them all into a newer
+            # floor, so nothing depends on recognizing a retry; a
+            # tag-keyed retry would mistake a late post-compaction
+            # delta that recomputes the same floor for its own replay
+            # and delete it unfolded. Committed EVEN when the fold
+            # retained zero live rows (every key ended tombstoned): the
+            # empty marker keeps the log readable (schema anchor) and the
+            # floor recoverable from the retained dir names (ADVICE r11).
+            append_delta(spark, log_path, live, tag=f"compacted-{floor}-{uuid.uuid4().hex[:8]}")
         finally:
             live.unpersist(False)
+        # durable floor record, written under the lock BEFORE any fold-set
+        # delete: even if every later marker delta is itself folded away
+        # (or held zero rows), _log_compaction_floor-style consumers can
+        # still see how far tombstones were dropped.
+        _record_log_floor(_deltas_root(log_path), int(floor))
         for p in fold_set:
             shutil.rmtree(p, ignore_errors=True)
     return {"floor": int(floor), "folded": fold_set, "live_rows": n_live}

@@ -119,6 +119,12 @@ def run_temporal_asof_bounded(
         finished = q.awaitTermination(timeout)
         if not finished:
             q.stop()
+            # stop() is asynchronous: in-flight tasks may still be writing
+            # into the scratch dir when the finally-block rmtree runs, and a
+            # partially-recreated dir after deletion would leak (ADVICE
+            # r11). Block until the query has fully terminated before the
+            # cleanup path can touch the directory.
+            q.awaitTermination()
             raise TimeoutError(
                 f"bounded temporal join did not drain within {timeout}s — "
                 "partial output discarded"

@@ -147,7 +147,11 @@ class TestCompactionEmptyDeltaDirs:
         )
         assert got == [(1, "a"), (2, "b")]
 
-    def test_all_empty_log_compacts_to_nothing(self, spark, tmp_path):
+    def test_all_empty_log_keeps_one_schema_anchor(self, spark, tmp_path):
+        """r12 revision of this pin (ADVICE r11 #2): an all-empty log must
+        NOT compact to zero retained deltas — that made a legitimately
+        fully-tombstoned log unreadable. The newest empty delta stays as
+        the schema anchor; the rest is still swept as debris."""
         from dbt_decodable_spark.streaming.changelog import (
             compact_change_log,
             list_deltas,
@@ -156,8 +160,8 @@ class TestCompactionEmptyDeltaDirs:
         log = self._log(spark, tmp_path, [[], []])
         out = compact_change_log(spark, log, ["k"])
         assert out["floor"] is None and out["live_rows"] == 0
-        assert len(out["folded"]) == 2
-        assert list_deltas(log) == []
+        assert len(out["folded"]) == 1
+        assert len(list_deltas(log)) == 1
 
 
 class TestReadChangesAfterFullCompaction:

@@ -1,0 +1,245 @@
+"""Round-12 pins for the four r11 ADVICE findings, each verified fixed:
+
+1. (medium) ``compact_change_log``: a fold whose keys ALL ended tombstoned
+   committed no ``compacted-<floor>-`` image — the floor became
+   unrecoverable, so a lagging pure-delta consumer passed the
+   ``DownstreamLagError`` guard after its tombstones were already dropped.
+   Now the marker delta is committed even when empty (schema anchor +
+   name-recoverable floor) AND the floor is durably recorded in a
+   ``_compaction_floor`` file beside the log (survives the marker itself
+   being folded away or externally swept).
+2. ``ivm_dag._view_rows`` raised "nothing was ever emitted" for a log that
+   legitimately compacted to zero retained rows. The compaction's schema
+   anchor keeps such logs readable; an externally-swept log now gets a
+   distinct "schema unrecoverable" error, and a fully-caught-up
+   ``maintain_downstream`` no-ops over it instead of crashing.
+3. ``ivm_temporal`` stacked internal columns (``__vf``/``__dk``/
+   ``__new_vf``/``__probe_fk``) onto user frames with no reserved-name
+   guard — a colliding fact/dim column made the range probe silently
+   ambiguous. Both entry points now fail fast, like the catalog's
+   ``__g``/``__k`` check.
+4. ``run_temporal_asof_bounded``'s timeout path rmtree'd the scratch dir
+   while the just-stopped query's in-flight tasks could still be writing
+   into it (worst case: partial re-creation after deletion = a leak). The
+   stop now blocks on full termination before cleanup.
+"""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_decodable_spark.operators import ivm_dag
+from dbt_decodable_spark.operators.ivm import AggViewSpec
+from dbt_decodable_spark.streaming.changelog import (
+    append_delta,
+    compact_change_log,
+    fold_last_image,
+    list_deltas,
+    log_compaction_floor,
+)
+
+DDL = "k long, v string, __seq long, __deleted boolean"
+SPEC = AggViewSpec(group_cols=("v",), count_star="n_rows")
+
+
+def _rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+
+
+def _append(spark, log, rows):
+    append_delta(spark, log, spark.createDataFrame(rows, DDL))
+
+
+class TestFullyTombstonedCompactionFloor:
+    """ADVICE r11 #1 (medium) + #2: the n_live == 0 fold."""
+
+    def _tombstoned_log(self, spark, tmp_path):
+        """Pure-delta log (no base snapshot) whose single key ends dead."""
+        log = str(tmp_path / "out")
+        _append(spark, log, [(1, "a", 1, False)])
+        _append(spark, log, [(1, None, 2, True)])
+        return log
+
+    def test_empty_fold_keeps_floor_and_schema(self, spark, tmp_path):
+        log = self._tombstoned_log(spark, tmp_path)
+        out = compact_change_log(spark, log, ["k"])
+        assert out["floor"] == 2 and out["live_rows"] == 0
+        # the floor survives BOTH ways: the empty marker delta's name and
+        # the durable record file
+        assert ivm_dag._log_compaction_floor(log) == 2
+        assert log_compaction_floor(log) == 2
+        retained = list_deltas(log)
+        assert len(retained) == 1, "empty marker = the log's schema anchor"
+        # the log stays consumable: empty view, schema intact
+        base, drows = ivm_dag._view_rows(spark, log)
+        assert set(drows.columns) == {"k", "v", "__seq", "__deleted"}
+        assert drows.count() == 0 and base.count() == 0
+
+    def test_lagging_consumer_still_caught(self, spark, tmp_path):
+        """The exact scenario the guard exists for: a consumer parked at
+        w=1 never saw the seq-2 tombstone the fold dropped."""
+        log = self._tombstoned_log(spark, tmp_path)
+        compact_change_log(spark, log, ["k"])
+        root = str(tmp_path / "down")
+        os.makedirs(root)
+        ivm_dag._write_floor(root, 1)  # parked below the floor
+        with pytest.raises(ivm_dag.DownstreamLagError):
+            ivm_dag.maintain_downstream(spark, root, log, ["k"], SPEC)
+
+    def test_lag_guard_survives_marker_sweep(self, spark, tmp_path):
+        """Even with the marker delta externally deleted (zero retained
+        deltas), the durable record still fails the parked consumer —
+        the pre-fix shape silently returned floor 0 here."""
+        import shutil
+
+        log = self._tombstoned_log(spark, tmp_path)
+        compact_change_log(spark, log, ["k"])
+        for p in list_deltas(log):
+            shutil.rmtree(p)
+        assert list_deltas(log) == []
+        assert ivm_dag._log_compaction_floor(log) == 2
+        root = str(tmp_path / "down")
+        os.makedirs(root)
+        ivm_dag._write_floor(root, 1)
+        with pytest.raises(ivm_dag.DownstreamLagError):
+            ivm_dag.maintain_downstream(spark, root, log, ["k"], SPEC)
+
+    def test_caught_up_consumer_noops_not_crashes(self, spark, tmp_path):
+        """ADVICE r11 #2: a fully-caught-up downstream over a log with zero
+        retained deltas must no-op (return its watermark), not raise
+        FileNotFoundError."""
+        import shutil
+
+        log = self._tombstoned_log(spark, tmp_path)
+        compact_change_log(spark, log, ["k"])
+        for p in list_deltas(log):
+            shutil.rmtree(p)
+        root = str(tmp_path / "down")
+        os.makedirs(root)
+        ivm_dag._write_floor(root, 2)  # consumed everything ever emitted
+        assert (
+            ivm_dag.maintain_downstream(spark, root, log, ["k"], SPEC) == 2
+        )
+
+    def test_view_rows_error_distinguishes_swept_from_missing(
+        self, spark, tmp_path
+    ):
+        import shutil
+
+        log = self._tombstoned_log(spark, tmp_path)
+        compact_change_log(spark, log, ["k"])
+        for p in list_deltas(log):
+            shutil.rmtree(p)
+        with pytest.raises(FileNotFoundError, match="unrecoverable"):
+            ivm_dag._view_rows(spark, log)
+        with pytest.raises(FileNotFoundError, match="never was emitted|nothing was ever emitted"):
+            ivm_dag._view_rows(spark, str(tmp_path / "no_such_log"))
+
+    def test_recompaction_over_empty_marker(self, spark, tmp_path):
+        """Life after a fully-tombstoned fold: a new live delta plus the
+        empty marker fold into a fresh floor image; the record advances."""
+        log = self._tombstoned_log(spark, tmp_path)
+        compact_change_log(spark, log, ["k"])
+        _append(spark, log, [(2, "b", 3, False)])
+        out = compact_change_log(spark, log, ["k"])
+        assert out["floor"] == 3 and out["live_rows"] == 1
+        assert log_compaction_floor(log) == 3
+        got = _rows(
+            fold_last_image(
+                spark.read.parquet(*list_deltas(log)), ["k"], [F.col("__seq")]
+            )
+            .filter(~F.col("__deleted"))
+            .select("k", "v")
+        )
+        assert got == [(2, "b")]
+
+    def test_all_empty_deltas_keep_schema_anchor(self, spark, tmp_path):
+        """The not-known branch (every retained delta holds zero rows) must
+        keep one delta as the schema anchor, not sweep the log bare."""
+        log = str(tmp_path / "out")
+        empty = spark.createDataFrame([], DDL)
+        append_delta(spark, log, empty)
+        append_delta(spark, log, empty)
+        out = compact_change_log(spark, log, ["k"])
+        assert out["floor"] is None and len(out["folded"]) == 1
+        assert len(list_deltas(log)) == 1
+        _, drows = ivm_dag._view_rows(spark, log)
+        assert drows.count() == 0
+        assert set(drows.columns) == {"k", "v", "__seq", "__deleted"}
+
+
+class TestTemporalReservedNames:
+    """ADVICE r11 #3: fail fast on internal-name collisions."""
+
+    def _spec(self):
+        from dbt_decodable_spark.operators.ivm_temporal import TemporalJoinSpec
+
+        return TemporalJoinSpec(
+            fact_keys=("pk",), fk_col="fk", dim_key="dk", fact_ts="ts",
+            valid_from="vfrom", payload={"seg_at_ts": "seg"},
+        )
+
+    def test_init_rejects_reserved_fact_column(self, spark):
+        from dbt_decodable_spark.operators.ivm_temporal import (
+            init_temporal_join_state,
+        )
+
+        fact = spark.createDataFrame(
+            [(1, 10, 100, 0)], "pk long, fk long, ts long, __vf long"
+        )
+        dim = spark.createDataFrame([(10, "a", 0)], "dk long, seg string, vfrom long")
+        with pytest.raises(ValueError, match="reserved temporal-join"):
+            init_temporal_join_state(fact, dim, self._spec())
+
+    def test_maintain_rejects_reserved_dim_batch_column(self, spark):
+        from dbt_decodable_spark.operators.ivm_temporal import (
+            init_temporal_join_state,
+            maintain_temporal_join,
+        )
+
+        fact = spark.createDataFrame(
+            [(1, 10, 100, 0)], "pk long, fk long, ts long, ver long"
+        )
+        dim = spark.createDataFrame([(10, "a", 0)], "dk long, seg string, vfrom long")
+        state = init_temporal_join_state(fact, dim, self._spec())
+        bad_batch = spark.createDataFrame(
+            [(10, "b", 5, 1)], "dk long, seg string, vfrom long, __dk long"
+        )
+        with pytest.raises(ValueError, match="reserved temporal-join"):
+            maintain_temporal_join(
+                state, None, bad_batch, ["ver", "pk"], self._spec()
+            )
+
+
+class TestBoundedTemporalTimeoutCleanup:
+    """ADVICE r11 #4: the timeout path must not leak (or race) the scratch
+    output dir."""
+
+    def test_timeout_leaves_no_scratch_dir(self, spark):
+        from dbt_decodable_spark.queries.streaming_q import events_file_stream
+        from dbt_decodable_spark.sources.tables import read_table
+        from dbt_decodable_spark.streaming.temporal import (
+            run_temporal_asof_bounded,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        e = read_table(spark, sf, "events")
+        dim = e.groupBy("event_type").agg(
+            F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n")
+        )
+        stream = events_file_stream(spark, sf).select(
+            "event_id", "event_type", "ts_event"
+        )
+        before = set(glob.glob("/tmp/temporal_join_*"))
+        with pytest.raises(TimeoutError):
+            run_temporal_asof_bounded(
+                spark, stream, dim, on="event_type", stream_ts="ts_event",
+                dim_ts="valid_from", value_cols=["n"], timeout=0.001,
+            )
+        leaked = set(glob.glob("/tmp/temporal_join_*")) - before
+        assert leaked == set(), f"scratch dirs leaked: {leaked}"
