@@ -86,6 +86,19 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
+    # Host-drift sentinels (VERDICT r8 item 8 / r11 item 6): a fixed
+    # 3-query calibration set, trivially-planned and untouched for rounds,
+    # whose in-bench walls are compared against the r8 driver-bench
+    # calibration. The BENCH series crosses hosts with 2-6x drift; the
+    # sentinel ratio is the only way to read a total across sessions, so
+    # every emitted JSON carries it — value_normalized = value / median
+    # sentinel ratio is the cross-host-comparable headline.
+    sentinel_cal = {
+        "tpch_q14_promo_revenue": 0.266,
+        "where_predicates": 0.147,
+        "text_strip_markup": 0.110,
+    }
+
     prev_family = None
     for name, q in sorted(registry.items()):
         if family(name) != prev_family:
@@ -109,6 +122,22 @@ def main() -> None:
         if best > 0:
             total += best
 
+    ratios = sorted(
+        timings[n] / cal
+        for n, cal in sentinel_cal.items()
+        if timings.get(n, -1) > 0
+    )
+    sent_ratio = round(ratios[len(ratios) // 2], 3) if ratios else None
+    sentinels = {
+        "calibration": "r8 driver in-bench",
+        "queries": {
+            n: timings.get(n) for n in sentinel_cal
+        },
+        "ratio_median": sent_ratio,
+    }
+    value_norm = (
+        round(total / sent_ratio, 3) if sent_ratio and sent_ratio > 0 else None
+    )
     print(
         json.dumps(
             {
@@ -120,6 +149,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "repeat": repeat,
                 "aggregation": "best_of_n",
+                "sentinels": sentinels,
+                "value_normalized": value_norm,
             }
         )
     )
@@ -154,6 +185,8 @@ def main() -> None:
                 # (full per-query timings are on the preceding detail line)
                 "queries": slowest,
                 "queries_truncated_to_slowest": len(slowest),
+                "sentinels": sentinels,
+                "value_normalized": value_norm,
             }
         )
     )

@@ -316,8 +316,43 @@ class Engine:
 
     def infer_output_schema(self, sql: str) -> StreamSchema:
         """The reference POSTs the SQL to /pipelines/outputStream for schema
-        inference (impl.py:482-500); Catalyst's analyzer does it locally."""
-        return StreamSchema.from_spark(self.spark.sql(normalize(sql)).schema)
+        inference (impl.py:482-500); Catalyst's analyzer does it locally.
+        The temporal-join shape (``FOR SYSTEM_TIME AS OF`` — Flink syntax
+        Spark has no spelling for) is inferred structurally: the fact's
+        full schema plus the dim payload columns, nullable (LEFT
+        semantics), in select order — exactly the AS-OF operator's output."""
+        try:
+            return StreamSchema.from_spark(self.spark.sql(normalize(sql)).schema)
+        except Exception as exc:
+            from dbt_decodable_spark.operators.ivm_temporal import (
+                temporal_spec_from_sql,
+            )
+
+            try:
+                spec0, ftbl, dtbl = temporal_spec_from_sql(sql, (), "__pending__")
+            except ValueError:
+                raise exc
+            from pyspark.sql import types as _T
+
+            f_st = self.streams[self.qualify(ftbl)].schema.to_struct_type()
+            d_types = {
+                f.name: f.dataType
+                for f in self.streams[self.qualify(dtbl)].schema.to_struct_type()
+            }
+            bad = [s for s in spec0.payload.values() if s not in d_types]
+            if bad:
+                raise CatalogError(
+                    f"temporal payload column(s) {bad} are not columns of "
+                    f"{dtbl!r}"
+                ) from None
+            out = _T.StructType(
+                list(f_st.fields)
+                + [
+                    _T.StructField(name, d_types[src], True)
+                    for name, src in spec0.payload.items()
+                ]
+            )
+            return StreamSchema.from_spark(out)
 
     def _resolve_sources(self, sql: str) -> tuple[str, ...]:
         """Input streams referenced by the SQL (resolved against the catalog).
@@ -373,11 +408,52 @@ class Engine:
             self.activate_pipeline(name)
         return pdef
 
+    def _temporal_batch_frame(self, sql: str) -> DataFrame:
+        """Batch execution of the temporal-join shape (Spark SQL has no
+        ``FOR SYSTEM_TIME AS OF`` spelling): one AS-OF join of the fact
+        rows against the dim's full version history — each fact picks the
+        latest version with ``valid_from <= fact_ts`` for its key. The
+        version-start column is the dim's single watermark column (the
+        incremental front door accepts ``dim_valid_from=`` instead)."""
+        from dbt_decodable_spark.operators.ivm_temporal import (
+            _enrich,
+            temporal_spec_from_sql,
+        )
+
+        spec0, ftbl, dtbl = temporal_spec_from_sql(sql, (), "__pending__")
+        ddef = self.streams[self.qualify(dtbl)]
+        wms = [w.name for w in ddef.schema.watermarks]
+        if len(wms) != 1:
+            raise CatalogError(
+                "batch execution of a temporal join needs the dim stream "
+                "to declare exactly one watermark column (its version "
+                "start) — or activate incrementally with dim_valid_from="
+            )
+        import dataclasses
+
+        spec = dataclasses.replace(spec0, valid_from=wms[0])
+        return _enrich(
+            self.spark.table(self.qualify(ftbl)),
+            self.spark.table(self.qualify(dtbl)),
+            spec,
+        )
+
     def activate_pipeline(self, name: str) -> None:
         """Run the INSERT INTO (batch semantics: sink := query result)."""
         p = self.pipelines[self.qualify(name)]
         sdef = self.streams[p.sink]
-        result = self.spark.sql(p.sql)
+        try:
+            result = self.spark.sql(p.sql)
+        except Exception as exc:
+            from dbt_decodable_spark.operators.ivm_temporal import (
+                temporal_spec_from_sql,
+            )
+
+            try:
+                temporal_spec_from_sql(p.sql, (), "__pending__")
+            except ValueError:
+                raise exc
+            result = self._temporal_batch_frame(p.sql)
         if p.sink in p.sources and self.warehouse_dir:
             # self-referencing pipeline (incremental-style model): the query
             # reads the sink's own parquet path, so a direct overwrite would
@@ -479,6 +555,7 @@ class Engine:
         delete_col: str | None = None,
         bucket_expr: str | None = None,
         compact_every: int = 4,
+        emit_changes: bool = False,
     ):
         """Run the pipeline as a CONTINUOUSLY-MAINTAINED materialization —
         the reference platform's actual execution model for an aggregate
@@ -507,6 +584,20 @@ class Engine:
         Repeated activations resume from the stream checkpoint; any replay
         converges because replayed images tie with the snapshot and
         contribute nothing (the fold's replay tolerance).
+
+        ``emit_changes`` maintains the rollup's OWN change log at
+        ``_ivm_<name>/out`` (group-keyed upserts/tombstones with
+        ``__seq``/``__deleted``) — what lets a FURTHER maintained stage
+        consume this rollup, closing the aggregate-over-raw-stream
+        composition gap in :meth:`activate_project_incremental` (the
+        reference lets ANY model's sink source the next model,
+        ``impl.py:419-447``). Same protocol as the DAG arm: the init image
+        lands as the floor-seq-0 batch, every micro-batch emits its
+        group-level changes BEFORE the state append
+        (``ivm_log_batch_changes`` — crash replays converge by tag), and
+        the emission choice is persisted at init: enabling late is
+        impossible and disabling for one activation would punch a
+        permanent gap, so both raise.
         """
         from dbt_decodable_spark.operators import ivm_log
         from dbt_decodable_spark.operators.ivm import agg_spec_from_sql
@@ -558,8 +649,17 @@ class Engine:
                 f"source column(s) {bad_src} collide with reserved "
                 "maintenance-state names"
             )
+        if emit_changes:
+            bad_out = sorted(set(spec.outputs()) & {"__seq", "__deleted"})
+            if bad_out:
+                raise CatalogError(
+                    f"view output name(s) {bad_out} collide with reserved "
+                    "change-log columns — rename the aggregate aliases"
+                )
         root = os.path.join(self.warehouse_dir, f"_ivm_{p.name}")
         snap_path = os.path.join(root, "snapshot")
+        out_log = os.path.join(root, "out")
+        emit_file = os.path.join(root, "_emit_changes")
         ckpt = os.path.join(self.warehouse_dir, f"_ckpt_ivm_{p.name}")
         # init completion is gated on a marker written LAST (r10, mirroring
         # the join arm): gating on the root dir would let a crash between
@@ -589,13 +689,53 @@ class Engine:
             # own crash between ivm_log_init's per-table publishes, which
             # ivm_log_init alone cannot redo (it refuses a root with
             # committed agg generations).
+            from dbt_decodable_spark.streaming.changelog import (
+                list_deltas as _list_deltas,
+            )
+
             if all(
                 glob.glob(os.path.join(root, f"sup_{c}", "v=*", "_SUCCESS"))
                 for c in spec.support_cols()
+            ) and (
+                # an EMITTING init is complete only once the out log's
+                # init image committed — a crash between the state publish
+                # and that seed must re-init, or fold(out log) would
+                # permanently miss every pre-existing group
+                not emit_changes
+                or any(
+                    os.path.basename(d).endswith("-init")
+                    for d in _list_deltas(out_log)
+                )
             ):
                 _write_atomic(init_marker, "1")
             else:
                 shutil.rmtree(root, ignore_errors=True)
+        if os.path.exists(init_marker):
+            # the emission choice is a property of the ROOT (the
+            # _run_downstream_stage rationale, verbatim): enabling late is
+            # impossible (the out log's init image is unrecoverable), and
+            # disabling for one activation would silently punch a
+            # permanent gap in the out log
+            if os.path.exists(emit_file):
+                with open(emit_file) as fh:
+                    persisted_emit = fh.read().strip() == "1"
+            else:
+                persisted_emit = os.path.isdir(out_log + ".__deltas__")
+                _write_atomic(emit_file, "1" if persisted_emit else "0")
+            if emit_changes and not persisted_emit:
+                raise CatalogError(
+                    "change emission must be enabled from the FIRST "
+                    "activation (the out log's init image is unrecoverable "
+                    f"later) — delete {root!r} to rebuild with emit_changes"
+                )
+            if persisted_emit and not emit_changes:
+                raise CatalogError(
+                    "this pipeline maintains an emitted change log — every "
+                    "activation must keep emitting (a non-emitting one "
+                    "would punch a permanent gap in the out log); pass "
+                    f"emit_changes=True, or delete {root!r} to rebuild "
+                    "without emission"
+                )
         if not os.path.exists(init_marker):
             os.makedirs(root, exist_ok=True)
             # one-time setup: commit the stream offsets over the current
@@ -619,6 +759,27 @@ class Engine:
                 self.spark.read.parquet(snap_path).drop("__bucket"),
                 spec, delete_col=delete_col, bucket_expr=bucket_expr,
             )
+            if emit_changes:
+                # the change log must be self-contained: the init image is
+                # its first batch (seq 0 — strictly below every emitted
+                # batch's batch_id+1), so fold(out log) == the view from
+                # init onward. A mid-init redo may fold a LARGER source
+                # than the first attempt did, so the stale out log is
+                # cleared first — nothing can have consumed it (the marker
+                # gates completion) and the "init" tag would otherwise
+                # dedupe the redo's fresher image.
+                from dbt_decodable_spark.streaming.changelog import (
+                    append_delta as _append_delta,
+                )
+
+                shutil.rmtree(out_log + ".__deltas__", ignore_errors=True)
+                init_img = (
+                    ivm_log.ivm_log_read(self.spark, root, spec)
+                    .withColumn("__seq", F.lit(0).cast("long"))
+                    .withColumn("__deleted", F.lit(False))
+                )
+                _append_delta(self.spark, out_log, init_img, tag="init")
+            _write_atomic(emit_file, "1" if emit_changes else "0")
             _write_atomic(init_marker, "1")
         stream_df = self.spark.readStream.schema(src_schema).parquet(sdef.path)
         q = (
@@ -626,6 +787,7 @@ class Engine:
                 stream_df, root, snap_path,
                 keys, [F.col(c) for c in order], spec,
                 compact_every=compact_every, snapshot_n_buckets=32,
+                emit_log=out_log if emit_changes else None,
             )
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -917,19 +1079,22 @@ class Engine:
         _write_atomic(epoch_file, str(epoch))
 
         def _state():
+            # prune_fold: per-batch state reads SCAN the snapshots and
+            # shuffle only the pending-delta key slices (r12 — the
+            # measured merge-on-read step slope at 20x state)
             return ij.JoinViewState(
                 fact=read_merged(
                     self.spark, fact_log, fkeys, fordc(),
-                    include_tombstones=True,
+                    include_tombstones=True, prune_fold=True,
                 ),
                 dim=read_merged(
                     self.spark, dim_log, dkeys, dordc(),
-                    include_tombstones=True,
+                    include_tombstones=True, prune_fold=True,
                 ),
                 # the view frame only shapes the (discarded) splice plan
                 view=read_merged(
                     self.spark, view_log, fkeys, [F.col("__seq")],
-                    delete_col="__deleted",
+                    delete_col="__deleted", prune_fold=True,
                 ).drop("__seq", "__deleted"),
             )
 
@@ -988,6 +1153,312 @@ class Engine:
         ).drop("__seq", "__deleted")
         self._materialize(self.streams[p.sink], live)
         p.active = True
+
+    def activate_pipeline_temporal_incremental(
+        self,
+        name: str,
+        fact_order: list[str] | None = None,
+        dim_valid_from: str | None = None,
+        fact_delete_col: str | None = None,
+        n_buckets: int = 32,
+        compact: bool = True,
+        compact_min_deltas: int = 4,
+    ):
+        """Run a TEMPORAL (``FOR SYSTEM_TIME AS OF``) join pipeline as a
+        continuously-maintained materialization — the SQL front door of the
+        SCD2-temporal IVM arm (:mod:`.operators.ivm_temporal`), making the
+        reference's change-stream dimension semantics
+        (``/root/reference/README.md:104``, ``decodable/client/
+        schema.py:109-111``) a first-class node kind. The pipeline SQL must
+        be the provable shape (``ivm_temporal.temporal_spec_from_sql``):
+        ``SELECT f.*, d.<col> [AS name] FROM fact f LEFT JOIN dim FOR
+        SYSTEM_TIME AS OF f.<ts> AS d ON f.<fk> = d.<pk>``. The dim's
+        version-start column defaults to its single watermark column
+        (versioning is a property of the dim STREAM, Flink's
+        versioned-table stance); override with ``dim_valid_from``.
+
+        Persistence is three logs under ``_ivmt_<name>``: the fact state
+        (merge-on-read, folded by the fact order), the dim HISTORY
+        (append-only — every version is retained; the SCD2 table is
+        rebuilt from it per micro-batch, O(|dim history|) over a
+        change-stream-contract-small dimension), and the view log
+        (``__seq``/``__deleted`` change stream a downstream stage consumes
+        exactly like a join node's). Per-batch view work is the operator's
+        touched-slice recompute — O(|batch| + version fanout), never a
+        view recompute; the fact snapshot the maintenance probes is the
+        post-append merge-on-read read, so no extra per-batch key shuffle
+        of the fact state (the ``snapshot_after`` caller-MERGE contract).
+
+        Commit ordering per side: the FACT side lands its state delta
+        FIRST (the post-append read IS the snapshot_after), the DIM side
+        lands its state delta LAST (the SCD2 merge must pre-date the
+        batch); both orders converge under replay — recomputation against
+        unchanged inputs is bit-identical and the view append dedupes on
+        the batch tag (the join arm's crash story, adapted).
+
+        Contracts inherited from the operator (pytest-pinned there): dim
+        versions arrive in ``valid_from`` order per key; dim keys are
+        never tombstoned (a temporal dim retires by emitting a new
+        version)."""
+        import dataclasses
+
+        from dbt_decodable_spark.operators import ivm_temporal as it
+        from dbt_decodable_spark.streaming.changelog import (
+            append_delta,
+            fold_last_image,
+            list_deltas,
+            read_merged,
+            scd2_from_changelog,
+            write_hash_partitioned,
+        )
+
+        if not self.warehouse_dir:
+            raise CatalogError("incremental activation needs a warehouse_dir engine")
+        p = self.pipelines[self.qualify(name)]
+        spec0, ftbl, dtbl = it.temporal_spec_from_sql(p.sql, (), "__pending__")
+        for t in (ftbl, dtbl):
+            if t not in p.sources:
+                raise CatalogError(
+                    f"view source {t!r} is not a registered source of {p.name!r}"
+                )
+        fdef, ddef = self.streams[ftbl], self.streams[dtbl]
+        fkeys = list(fdef.schema.primary_key)
+        dkeys = list(ddef.schema.primary_key)
+        if not fkeys or not dkeys:
+            raise CatalogError(
+                "both temporal-join sides must declare primary_key — "
+                "incremental maintenance needs keyed change streams "
+                "(schema.py:109-111)"
+            )
+        if [spec0.dim_key] != dkeys:
+            raise CatalogError(
+                f"ON-clause dim column {spec0.dim_key!r} must be exactly "
+                f"{dtbl!r}'s primary_key {tuple(dkeys)} — versions are "
+                "keyed by it"
+            )
+        valid_from = dim_valid_from
+        if valid_from is None:
+            wms = [w.name for w in ddef.schema.watermarks]
+            if len(wms) != 1:
+                raise CatalogError(
+                    "pass dim_valid_from= (the dim's version-start "
+                    "column): the dim stream does not have exactly one "
+                    "watermark column to default to"
+                )
+            valid_from = wms[0]
+        spec = dataclasses.replace(
+            spec0, fact_keys=tuple(fkeys), valid_from=valid_from
+        )
+        forder = self._change_order(fact_order, fdef, fkeys, "fact")
+        for sdef, t in ((fdef, ftbl), (ddef, dtbl)):
+            if not sdef.path:
+                raise CatalogError(f"source stream {t!r} is not parquet-backed")
+        fschema = self.spark.read.parquet(fdef.path).schema
+        dschema = self.spark.read.parquet(ddef.path).schema
+        # fire-before-write (the join arm's standing invariant)
+        for out in spec.payload:
+            if out in fschema.fieldNames():
+                raise CatalogError(
+                    f"payload name {out!r} collides with a fact column"
+                )
+        for col_, sch, side in (
+            (fact_delete_col, fschema, "fact_delete_col"),
+            (spec.fact_ts, fschema, "AS OF probe column"),
+            (spec.fk_col, fschema, "ON-clause fact column"),
+            (valid_from, dschema, "dim valid_from column"),
+            *((src, dschema, "payload source column")
+              for src in spec.payload.values()),
+        ):
+            if col_ is not None and col_ not in sch.fieldNames():
+                raise CatalogError(f"{side} {col_!r} is not a source column")
+        log_cols = {"__bucket", "__seq", "__deleted"}
+        reserved = set(it._RESERVED) | log_cols
+        bad_fact = sorted(set(fschema.fieldNames()) & reserved)
+        bad_dim = sorted(set(dschema.fieldNames()) & reserved)
+        bad_payload = sorted(set(spec.payload) & reserved)
+        if bad_fact or bad_dim or bad_payload:
+            raise CatalogError(
+                f"column(s) fact={bad_fact} dim={bad_dim} "
+                f"payload={bad_payload} collide with reserved temporal "
+                "maintenance names"
+            )
+
+        root = os.path.join(self.warehouse_dir, f"_ivmt_{p.name}")
+        fact_log = os.path.join(root, "fact")
+        dim_log = os.path.join(root, "dim")
+        view_log = os.path.join(root, "view")
+        fordc = lambda: [F.col(c) for c in forder]  # noqa: E731
+        dim_hist_keys = [spec.dim_key, valid_from]
+        nb_file = os.path.join(root, "_n_buckets")
+        init_marker = os.path.join(root, "_init_done")
+        if not os.path.exists(init_marker):
+            if any(list_deltas(log) for log in (fact_log, dim_log, view_log)):
+                raise CatalogError(
+                    f"{root!r} has appended deltas but no completed init — "
+                    "delete the root to rebuild from the sources"
+                )
+            os.makedirs(root, exist_ok=True)
+            _write_atomic(nb_file, str(n_buckets))
+            # offsets BEFORE snapshots (the join arm's race-free ordering)
+            _advance_stream_offsets(
+                self.spark, fdef.path, fschema,
+                os.path.join(root, "_ckpt_fact"),
+            )
+            _advance_stream_offsets(
+                self.spark, ddef.path, dschema,
+                os.path.join(root, "_ckpt_dim"),
+            )
+            fsnap = fold_last_image(
+                self.spark.read.parquet(fdef.path), fkeys, fordc()
+            )
+            write_hash_partitioned(fsnap, fact_log, fkeys, n_buckets)
+            # the dim log keeps EVERY version — keyed (dim key, valid_from)
+            # the fold is duplicate-elimination only, never version loss
+            write_hash_partitioned(
+                fold_last_image(
+                    self.spark.read.parquet(ddef.path),
+                    dim_hist_keys, [F.col(valid_from)],
+                ),
+                dim_log, dim_hist_keys, n_buckets,
+            )
+            v0 = (
+                it.recompute_temporal_view(
+                    self.spark.read.parquet(fact_log).drop("__bucket"),
+                    self.spark.read.parquet(dim_log).drop("__bucket"),
+                    spec, fordc(), fact_delete_col=fact_delete_col,
+                )
+                .withColumn("__seq", F.lit(0).cast("long"))
+                .withColumn("__deleted", F.lit(False))
+            )
+            write_hash_partitioned(v0, view_log, fkeys, n_buckets)
+            _write_atomic(init_marker, "1")
+        with open(nb_file) as fh:
+            persisted_nb = int(fh.read().strip())
+        if persisted_nb != n_buckets:
+            raise CatalogError(
+                f"n_buckets={n_buckets} does not match the bucket layout "
+                f"this view was created with ({persisted_nb})"
+            )
+        epoch_file = os.path.join(root, "_epoch")
+        epoch = 0
+        if os.path.exists(epoch_file):
+            with open(epoch_file) as fh:
+                epoch = int(fh.read().strip() or 0)
+        epoch += 1
+        _write_atomic(epoch_file, str(epoch))
+
+        def _dim_rows():
+            # merge-on-read keyed by (dim key, valid_from): the fold is
+            # duplicate-elimination of replayed version rows only — every
+            # distinct version survives (the history is the state)
+            return read_merged(
+                self.spark, dim_log, dim_hist_keys, [F.col(valid_from)],
+                include_tombstones=True, prune_fold=True,
+            )
+
+        def _view():
+            return read_merged(
+                self.spark, view_log, fkeys, [F.col("__seq")],
+                delete_col="__deleted", prune_fold=True,
+            ).drop("__seq", "__deleted")
+
+        def _run_side(side, sdef, sschema):
+            sbit = 0 if side == "fact" else 1
+
+            def handle(batch_df, batch_id):
+                seq = ((epoch * 2 + sbit) << 33) + batch_id
+                tag = f"{side}-{epoch}-{batch_id}"
+                if side == "fact":
+                    # state FIRST: the post-append merge-on-read read IS
+                    # the snapshot_after (no extra per-batch fold)
+                    append_delta(self.spark, fact_log, batch_df, tag=tag)
+                fact_now = read_merged(
+                    self.spark, fact_log, fkeys, fordc(),
+                    include_tombstones=True, prune_fold=True,
+                )
+                state = it.TemporalJoinState(
+                    fact=fact_now,
+                    dim_versions=scd2_from_changelog(
+                        _dim_rows(), [spec.dim_key], valid_from
+                    ),
+                    view=_view(),
+                )
+                fb = batch_df if side == "fact" else None
+                db = batch_df if side == "dim" else None
+                _st, changes = it.maintain_temporal_join_with_changes(
+                    state, fb, db, fordc(), spec, seq=seq,
+                    fact_delete_col=fact_delete_col,
+                    snapshot_after=fact_now,
+                )
+                changes = changes.localCheckpoint(eager=True)
+                if changes.count() > 0:
+                    append_delta(
+                        self.spark, view_log, changes, tag=f"view-{tag}"
+                    )
+                if side == "dim":
+                    # dim state LAST: the SCD2 merge must pre-date the batch
+                    append_delta(self.spark, dim_log, batch_df, tag=tag)
+
+            q = (
+                self.spark.readStream.schema(sschema)
+                .parquet(sdef.path)
+                .writeStream.foreachBatch(handle)
+                .option(
+                    "checkpointLocation", os.path.join(root, f"_ckpt_{side}")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        _run_side("fact", fdef, fschema)
+        _run_side("dim", ddef, dschema)
+
+        if compact:
+            self._compact_temporal_pipeline_logs(
+                p, n_buckets=n_buckets,
+                compact_min_deltas=compact_min_deltas,
+                fact_order=fact_order, dim_valid_from=dim_valid_from,
+            )
+        self._materialize(self.streams[p.sink], _view())
+        p.active = True
+
+    def _compact_temporal_pipeline_logs(
+        self,
+        p,
+        n_buckets: int,
+        compact_min_deltas: int,
+        fact_order: list[str] | None,
+        dim_valid_from: str | None,
+    ) -> None:
+        """The temporal arm's LSM compaction — the inline trigger above and
+        the project graph's deferred pass share this implementation (the
+        ``_compact_join_pipeline_logs`` pattern). The dim history log is
+        keyed (dim key, valid_from): its fold deduplicates replayed
+        version rows, never drops a version."""
+        from dbt_decodable_spark.operators import ivm_temporal as it
+        from dbt_decodable_spark.streaming.changelog import (
+            compact_and_vacuum,
+            list_deltas,
+        )
+
+        spec0, ftbl, dtbl = it.temporal_spec_from_sql(p.sql, (), "__pending__")
+        fdef, ddef = self.streams[ftbl], self.streams[dtbl]
+        fkeys = list(fdef.schema.primary_key)
+        valid_from = dim_valid_from or [w.name for w in ddef.schema.watermarks][0]
+        forder = self._change_order(fact_order, fdef, fkeys, "fact")
+        root = os.path.join(self.warehouse_dir, f"_ivmt_{p.name}")
+        for log, keys_, ord_ in (
+            (os.path.join(root, "fact"), fkeys, [F.col(c) for c in forder]),
+            (
+                os.path.join(root, "dim"),
+                [spec0.dim_key, valid_from],
+                [F.col(valid_from)],
+            ),
+            (os.path.join(root, "view"), fkeys, [F.col("__seq")]),
+        ):
+            if len(list_deltas(log)) >= compact_min_deltas:
+                compact_and_vacuum(self.spark, log, keys_, ord_, n_buckets)
 
     def activate_pipeline_dag_incremental(
         self,
@@ -1204,6 +1675,16 @@ class Engine:
             emit_log=out_log if emit_changes else None,
         )
 
+    @staticmethod
+    def _agg_node_root(info: dict, nd: dict) -> str:
+        """Warehouse-relative root of an aggregate node's state: the raw
+        aggregate arm (``_ivm_``) when its source is a raw stream, the
+        downstream-stage arm (``_ivmd_``) when it consumes another node's
+        sink — both emit their change log at ``<root>/out``."""
+        sinks = {d["p"].sink for d in info.values()}
+        prefix = "_ivmd_" if nd["srcs"][0] in sinks else "_ivm_"
+        return f"{prefix}{nd['p'].name}"
+
     def activate_project_incremental(
         self,
         nodes: dict[str, dict] | list[str],
@@ -1237,9 +1718,18 @@ class Engine:
         - **join** (the ``f.* + d.<col>`` lookup-join shape): the join IVM
           arm, compaction deferred. Must read RAW change streams (a join
           over another model's sink is outside the provable shape).
+        - **temporal join** (``FOR SYSTEM_TIME AS OF`` — the reference's
+          change-stream dim semantics): the SCD2-temporal IVM arm
+          (:meth:`activate_pipeline_temporal_incremental`); its view log
+          composes downstream exactly like a join node's. Same raw-stream
+          restriction; per-node options ``fact_order``/``fact_delete_col``/
+          ``dim_valid_from``.
         - **aggregate over a raw stream**: the aggregate IVM arm
-          (:meth:`activate_pipeline_incremental`) — terminal only (it has
-          no change-log emission yet).
+          (:meth:`activate_pipeline_incremental`). With consumers it
+          emits its own change log (``_ivm_<name>/out``) batch-by-batch,
+          so a chain may be ROOTED at a plain GROUP-BY model — the
+          reference's ``model → model`` composition with no join anywhere
+          (``impl.py:419-447``).
         - **aggregate over another node's sink**: a downstream stage
           (:meth:`_run_downstream_stage`) consuming the upstream's CHANGE
           LOG — a join node's view log, or an aggregate node's emitted
@@ -1270,6 +1760,7 @@ class Engine:
         from collections import deque
 
         from dbt_decodable_spark.operators import ivm_join as ij
+        from dbt_decodable_spark.operators import ivm_temporal
         from dbt_decodable_spark.operators.ivm import agg_spec_from_sql
         from dbt_decodable_spark.operators.ivm_log import ivm_log_read
         from dbt_decodable_spark.streaming.changelog import (
@@ -1291,14 +1782,22 @@ class Engine:
                 nd = dict(kind="join", srcs=(ftbl, dtbl), aspec=None)
             except ValueError:
                 try:
-                    aspec, src = agg_spec_from_sql(p.sql)
-                    nd = dict(kind="agg", srcs=(src,), aspec=aspec)
+                    _tspec, ftbl, dtbl = ivm_temporal.temporal_spec_from_sql(
+                        p.sql, (), "__pending__"
+                    )
+                    nd = dict(kind="temporal", srcs=(ftbl, dtbl), aspec=None)
                 except ValueError:
-                    raise CatalogError(
-                        f"pipeline {short!r} is neither the maintainable "
-                        "join shape nor the GROUP BY shape — see "
-                        "join_spec_from_sql / agg_spec_from_sql"
-                    ) from None
+                    try:
+                        aspec, src = agg_spec_from_sql(p.sql)
+                        nd = dict(kind="agg", srcs=(src,), aspec=aspec)
+                    except ValueError:
+                        raise CatalogError(
+                            f"pipeline {short!r} is none of the "
+                            "maintainable shapes (lookup join, FOR "
+                            "SYSTEM_TIME AS OF temporal join, GROUP BY) — "
+                            "see join_spec_from_sql / "
+                            "temporal_spec_from_sql / agg_spec_from_sql"
+                        ) from None
             nd.update(p=p, short=short, opts=dict(opts or {}))
             info[qn] = nd
         producers: dict[str, str] = {}
@@ -1334,26 +1833,29 @@ class Engine:
         view_reserved = {"__g", "__k", "__gbucket", "__mult"}
         for qn in topo:
             nd = info[qn]
-            if nd["kind"] == "join":
+            if nd["kind"] in ("join", "temporal"):
                 for s in nd["srcs"]:
                     if s in producers:
                         raise CatalogError(
-                            f"join stage {nd['short']!r} reads {s!r}, "
-                            "another model's sink — maintained joins must "
-                            "read raw change streams"
+                            f"{nd['kind']} stage {nd['short']!r} reads "
+                            f"{s!r}, another model's sink — maintained "
+                            "joins must read raw change streams"
                         )
                 continue
             src = nd["srcs"][0]
-            wants_emit = bool(consumers[qn]) or bool(
-                nd["opts"].get("emit_changes")
-            )
-            if src not in producers:
-                if wants_emit:
+            if bool(consumers[qn]) or bool(nd["opts"].get("emit_changes")):
+                # an emitting rollup stacks __seq/__deleted onto its view
+                # outputs — raise here, before ANY graph node writes
+                bad_out = sorted(
+                    set(nd["aspec"].outputs()) & {"__seq", "__deleted"}
+                )
+                if bad_out:
                     raise CatalogError(
-                        f"aggregate {nd['short']!r} over the raw stream "
-                        f"{src!r} cannot emit a change log — only "
-                        "join-fed or rollup-fed stages compose downstream"
+                        f"aggregate {nd['short']!r} output name(s) "
+                        f"{bad_out} collide with reserved change-log "
+                        "columns — rename the aggregate aliases"
                     )
+            if src not in producers:
                 continue
             bad = sorted(
                 {f.name for f in self.streams[src].schema.fields}
@@ -1379,6 +1881,16 @@ class Engine:
                     compact=False,  # deferred past every consumer
                 )
                 continue
+            if nd["kind"] == "temporal":
+                self.activate_pipeline_temporal_incremental(
+                    short,
+                    fact_order=opts.get("fact_order"),
+                    dim_valid_from=opts.get("dim_valid_from"),
+                    fact_delete_col=opts.get("fact_delete_col"),
+                    n_buckets=n_buckets,
+                    compact=False,  # deferred past every consumer
+                )
+                continue
             src = nd["srcs"][0]
             up = producers.get(src)
             if up is None:
@@ -1388,6 +1900,8 @@ class Engine:
                     delete_col=opts.get("delete_col"),
                     bucket_expr=opts.get("agg_bucket_expr"),
                     compact_every=agg_compact_every,
+                    emit_changes=bool(consumers[qn])
+                    or bool(opts.get("emit_changes")),
                 )
                 continue
             und = info[up]
@@ -1400,9 +1914,17 @@ class Engine:
                         self._dag_fact_stream(und["p"])
                     ].schema.primary_key
                 )
+            elif und["kind"] == "temporal":
+                log = os.path.join(
+                    self.warehouse_dir, f"_ivmt_{und['p'].name}", "view"
+                )
+                _ts0, t_ftbl, _td = ivm_temporal.temporal_spec_from_sql(
+                    und["p"].sql, (), "__pending__"
+                )
+                keys = list(self.streams[t_ftbl].schema.primary_key)
             else:
                 log = os.path.join(
-                    self.warehouse_dir, f"_ivmd_{und['p'].name}", "out"
+                    self.warehouse_dir, self._agg_node_root(info, und), "out"
                 )
                 keys = list(und["aspec"].group_cols)
             w = self._run_downstream_stage(
@@ -1430,12 +1952,21 @@ class Engine:
                         fact_order=nd["opts"].get("fact_order"),
                         dim_order=nd["opts"].get("dim_order"),
                     )
+                elif nd["kind"] == "temporal":
+                    self._compact_temporal_pipeline_logs(
+                        nd["p"], n_buckets=n_buckets,
+                        compact_min_deltas=compact_min_deltas,
+                        fact_order=nd["opts"].get("fact_order"),
+                        dim_valid_from=nd["opts"].get("dim_valid_from"),
+                    )
                 elif consumers[qn]:
                     upto = min(
                         watermarks[info[c]["short"]] for c in consumers[qn]
                     )
                     out_log = os.path.join(
-                        self.warehouse_dir, f"_ivmd_{nd['p'].name}", "out"
+                        self.warehouse_dir,
+                        self._agg_node_root(info, nd),
+                        "out",
                     )
                     if len(list_deltas(out_log)) >= compact_min_deltas:
                         try:
@@ -1458,7 +1989,13 @@ class Engine:
         from dbt_decodable_spark.streaming.changelog import list_deltas
 
         p = self.pipelines[self.qualify(name)]
+        # a log-consuming stage's root is _ivmd_<name>; a raw-stream
+        # aggregate's is _ivm_<name> — whichever exists holds the out log
         droot = os.path.join(self.warehouse_dir, f"_ivmd_{p.name}")
+        if not os.path.isdir(droot) and os.path.isdir(
+            os.path.join(self.warehouse_dir, f"_ivm_{p.name}")
+        ):
+            droot = os.path.join(self.warehouse_dir, f"_ivm_{p.name}")
         out_log = os.path.join(droot, "out")
         deltas = list_deltas(out_log)
         if not deltas:

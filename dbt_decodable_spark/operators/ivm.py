@@ -269,16 +269,25 @@ def change_pairs(
     changes: DataFrame,
     keys: Sequence[str],
     order: Sequence[Column | str],
+    prune_target: bool = True,
 ) -> DataFrame:
     """Per touched primary key, the (old image, winning new image) pair.
 
-    Left join of the folded batch against the snapshot (the probe side is
-    the batch — state-side shuffle-free on a key-bucketed snapshot, the
-    ``merge_changes_keyed`` layout contract). Winner follows the same
-    order-tuple rule as the MERGE: ties go to the batch; a batch row older
-    than the snapshot row is a no-op (``__changed`` false). Primary keys are
-    non-null by the module contract (``changelog.py``), so a plain key-equi
-    join is exact.
+    Left join of the folded batch against the snapshot. With
+    ``prune_target`` (default — r12, the merge-on-read slope fix) the
+    snapshot side is first restricted to the batch's keys by a BROADCAST
+    left-semi probe, so the state side is SCANNED map-side and never
+    shuffled: without it, the left join plans as a sort-merge join that
+    re-shuffles O(|state|) on every micro-batch — the measured
+    super-linear step slope at 20x state (SCALING.md r11/r12). The
+    restriction is exact (the left join can only ever match batch keys).
+    Pass ``prune_target=False`` for a batch too large to broadcast its
+    key set (bulk backfill — the general shuffle fallback).
+
+    Winner follows the same order-tuple rule as the MERGE: ties go to the
+    batch; a batch row older than the snapshot row is a no-op
+    (``__changed`` false). Primary keys are non-null by the module
+    contract (``changelog.py``), so a plain key-equi join is exact.
 
     Output: key cols, ``__old`` struct (null when the key is new),
     ``__new`` struct (the post-merge image), ``__changed`` boolean.
@@ -286,6 +295,12 @@ def change_pairs(
     cols = list(target.columns)
     ordc = [F.col(c) if isinstance(c, str) else c for c in order]
     folded = fold_last_image(changes, keys, order).select(*cols)
+    if prune_target:
+        target = target.join(
+            F.broadcast(folded.select(*keys).distinct()),
+            on=list(keys),
+            how="left_semi",
+        )
     b = folded.select(
         *keys,
         F.struct(*ordc).alias("__ord_b"),

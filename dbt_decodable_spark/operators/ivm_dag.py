@@ -513,21 +513,23 @@ def maintain_downstream(
         # emitted BEFORE the state append, from committed state + local
         # delta, so a crash in between replays to bit-identical changes
         # and the out-log append dedupes on the tag (the join arm's
-        # view-delta-before-state-delta order, one stage down). Costs a
-        # second batch-sized maintenance-shaped pass.
-        from dbt_decodable_spark.operators.ivm_log import ivm_log_batch_changes
-        from dbt_decodable_spark.streaming.changelog import append_delta
+        # view-delta-before-state-delta order, one stage down). FUSED
+        # with the state append: one maintenance-shaped pass feeds both
+        # (r12 — the emitting stages' per-batch cost, halved).
+        from dbt_decodable_spark.operators.ivm_log import (
+            ivm_log_append_with_changes,
+        )
 
-        out = ivm_log_batch_changes(
+        appended = ivm_log_append_with_changes(
             spark, root, snap_before, pending,
             list(keys), [F.col(SEQ)], spec, seq=new_w,
+            out_log=emit_log, tag=str(new_w),
         )
-        if not out.isEmpty():
-            append_delta(spark, emit_log, out, tag=str(new_w))
-    appended = ivm_log_append(
-        spark, root, snap_before, pending,
-        list(keys), [F.col(SEQ)], spec, tag=str(new_w),
-    )
+    else:
+        appended = ivm_log_append(
+            spark, root, snap_before, pending,
+            list(keys), [F.col(SEQ)], spec, tag=str(new_w),
+        )
     if not appended:
         # the slice folded to ZERO contributions (e.g. the join arm's
         # redundant tombstones for keys dead on both sides of a batch) —

@@ -382,7 +382,10 @@ def ivm_log_append(
             pass  # non-integer tags: only the pending-delta dedup applies
 
     snapshot_cols = list(snapshot_before.columns)
-    pairs = change_pairs(snapshot_before, changes, keys, order)
+    pairs = change_pairs(
+        snapshot_before, changes, keys, order,
+        prune_target=broadcast_patches,
+    )
     contrib = _contributions(pairs, snapshot_cols, spec, delete_col).persist()
     try:
         if contrib.isEmpty():
@@ -491,7 +494,10 @@ def ivm_log_batch_changes(
     _, meta = _latest_gen(agg_root)
     delete_col = meta["delete_col"]
     snapshot_cols = list(snapshot_before.columns)
-    pairs = change_pairs(snapshot_before, changes, keys, order)
+    pairs = change_pairs(
+        snapshot_before, changes, keys, order,
+        prune_target=broadcast_patches,
+    )
     contrib = _contributions(pairs, snapshot_cols, spec, delete_col).persist()
     try:
         counter_cols = _counter_cols(spec)
@@ -571,6 +577,152 @@ def ivm_log_batch_changes(
         contrib.unpersist(False)
 
 
+def ivm_log_append_with_changes(
+    spark: SparkSession,
+    root: str,
+    snapshot_before: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[Column | str],
+    spec: AggViewSpec,
+    seq: int,
+    out_log: str,
+    tag: str | None = None,
+    broadcast_patches: bool = True,
+) -> bool:
+    """Fused :func:`ivm_log_batch_changes` → out-log append →
+    :func:`ivm_log_append`: ONE maintenance-shaped pass (change pairs,
+    contributions, touched-bucket pruned folds) shared between the
+    emission and the state append, instead of the two passes the separate
+    calls pay — the emitting stages' per-batch fixed cost, halved (VERDICT
+    r11 item 4). The crash contract is unchanged: the out-log delta
+    commits BEFORE any state delta, replays dedupe on ``tag`` on every
+    log, and a replay of an already-folded batch returns False without
+    re-emitting (its original emission necessarily landed — emission and
+    state append are non-empty for exactly the same batches).
+
+    The extremes reuse is sound both ways: the emission path computes
+    them from committed support state SPLICED with the batch's unwritten
+    support delta, which is exactly the post-support-append committed
+    fold the append path would recompute."""
+    from dbt_decodable_spark.operators.ivm import project_view
+
+    agg_root = _agg_root(root)
+    _, meta = _latest_gen(agg_root)
+    delete_col = meta["delete_col"]
+    if tag is not None and meta["max_tag"] is not None:
+        try:
+            if int(tag) <= int(meta["max_tag"]):
+                return False  # replay of a fully-folded batch
+        except (TypeError, ValueError):
+            pass
+    snapshot_cols = list(snapshot_before.columns)
+    pairs = change_pairs(
+        snapshot_before, changes, keys, order,
+        prune_target=broadcast_patches,
+    )
+    contrib = _contributions(pairs, snapshot_cols, spec, delete_col).persist()
+    try:
+        if contrib.isEmpty():
+            return False
+        counter_cols = _counter_cols(spec)
+        ext_state = _ext_state_cols(spec)
+        out_schema_cols = list(spec.outputs())
+        touched = contrib.select(GKEY).distinct()
+        bf = _touched_bucket_filter(touched, meta)
+
+        def hint(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if broadcast_patches else df
+
+        ext: DataFrame | None = None
+        if spec.support_cols():
+            ext = _ext_recompute(
+                spark, root, spec, touched, bf, hint,
+                pending_delta=lambda c: _support_delta(contrib, c),
+            )
+        agg_delta = _counter_delta(contrib, spec)
+
+        # ---- emission (the ivm_log_batch_changes body, on the shared
+        # frames): committed pre-images + signed deltas → post images
+        pre = _fold(spark, agg_root, GKEY, counter_cols, ext_state,
+                    base_filter=bf).join(
+            hint(touched), on=[GKEY], how="left_semi"
+        )
+        d, p = agg_delta.alias("__d"), hint(pre).alias("__p")
+        post_cols: list[Column] = [d[GKEY]] + [
+            (F.coalesce(p[c], F.lit(0)) + d[c]).alias(c) for c in counter_cols
+        ]
+        if ext is not None:
+            e = hint(ext).alias("__e")
+            joined = d.join(p, on=[GKEY], how="left").join(
+                e, on=[GKEY], how="left"
+            )
+            for c in spec.support_cols():
+                for x in spec.ext_cols(c):
+                    col = (
+                        F.coalesce(e[x], F.lit(0))
+                        if x.startswith("__cd_")
+                        else e[x]
+                    )
+                    post_cols.append(col.alias(x))
+            post = joined.select(*post_cols)
+        else:
+            post = d.join(p, on=[GKEY], how="left").select(*post_cols)
+        alive = post.filter(F.col("__cnt") > 0)
+        img = project_view(alive, spec).withColumn("__deleted", F.lit(False))
+        img_types = {f.name: f.dataType for f in img.schema.fields}
+        gone = post.filter(F.col("__cnt") <= 0).select(
+            *[F.col(GKEY).getField(g).alias(g) for g in spec.group_cols],
+            *[
+                F.lit(None).cast(img_types[c]).alias(c)
+                for c in out_schema_cols
+                if c not in spec.group_cols
+            ],
+        ).select(*out_schema_cols).withColumn("__deleted", F.lit(True))
+        out = (
+            img.unionByName(gone)
+            .withColumn("__seq", F.lit(seq).cast("long"))
+            .select(*out_schema_cols, "__seq", "__deleted")
+        )
+        append_delta(spark, out_log, out, tag=tag)
+
+        # ---- state append (the ivm_log_append tail, on the same frames)
+        def _tag_folded(table_root: str) -> bool:
+            if tag is None:
+                return False
+            _, tmeta = _latest_gen(table_root)
+            if tmeta["max_tag"] is None:
+                return False
+            try:
+                return int(tag) <= int(tmeta["max_tag"])
+            except (TypeError, ValueError):
+                return False
+
+        for c in spec.support_cols():
+            if _tag_folded(_sup_root(root, c)):
+                continue
+            append_delta(
+                spark, _sup_root(root, c), _support_delta(contrib, c), tag=tag
+            )
+        if ext is not None:
+            a, e = agg_delta.alias("__a"), hint(ext).alias("__e")
+            sel: list[Column] = [a[GKEY]] + [
+                a[c].alias(c) for c in _counter_cols(spec)
+            ]
+            for c in spec.support_cols():
+                for x in spec.ext_cols(c):
+                    col = (
+                        F.coalesce(e[x], F.lit(0))
+                        if x.startswith("__cd_")
+                        else e[x]
+                    )
+                    sel.append(col.alias(x))
+            agg_delta = a.join(e, on=[GKEY], how="left").select(*sel)
+        return append_delta(spark, agg_root, agg_delta, tag=tag) is not None
+    finally:
+        contrib.unpersist(False)
+
+
 def ivm_log_read(spark: SparkSession, root: str, spec: AggViewSpec) -> DataFrame:
     """The continuously-maintained view: fold the aggregate table's latest
     generation with its pending deltas and project the user-facing columns
@@ -594,6 +746,7 @@ def stream_maintain_view(
     vacuum_horizon_seconds: float = 600.0,
     snapshot_n_buckets: int = 64,
     snapshot_partition_expr: Column | None = None,
+    emit_log: str | None = None,
 ):
     """Structured-Streaming front door: a continuously-maintained GROUP BY
     view of a CDC stream, end to end. Per micro-batch the handler
@@ -618,7 +771,19 @@ def stream_maintain_view(
     This is the reference's pipeline model made literal: a SQL aggregate
     over a change stream that stays current forever without a recompute
     (``handler.py:89-94`` change-stream fold; the platform behavior behind
-    the dbt adapter's rejected ``incremental`` materialization)."""
+    the dbt adapter's rejected ``incremental`` materialization).
+
+    ``emit_log`` maintains the rollup's OWN group-keyed change log
+    alongside the state — the composition surface that lets ANOTHER
+    maintained stage consume this rollup (the reference allows any model's
+    sink to source the next model, ``impl.py:419-447``). Per batch the
+    group-level changes are emitted BEFORE the state append (the
+    :func:`ivm_log_batch_changes` crash contract: a replay before the
+    state advanced recomputes bit-identical rows and dedupes on the tag;
+    a replay after can only happen when the original emit landed, because
+    the state append and the emission are non-empty for exactly the same
+    batches). Emitted ``__seq`` is ``batch_id + 1`` so the init image's
+    floor seq 0 sorts strictly below every batch."""
     from dbt_decodable_spark.streaming.changelog import (
         CompactionLockHeld,
         compact_and_vacuum,
@@ -630,12 +795,20 @@ def stream_maintain_view(
             return
         sp = batch_df.sparkSession
         snapshot_before = read_merged(
-            sp, snapshot_path, keys, order, include_tombstones=True
+            sp, snapshot_path, keys, order, include_tombstones=True,
+            prune_fold=True,
         ).select(*batch_df.columns)
-        ivm_log_append(
-            sp, root, snapshot_before, batch_df, keys, order, spec,
-            tag=str(batch_id),
-        )
+        if emit_log is not None:
+            # fused emission + state append: one maintenance-shaped pass
+            ivm_log_append_with_changes(
+                sp, root, snapshot_before, batch_df, keys, order, spec,
+                seq=batch_id + 1, out_log=emit_log, tag=str(batch_id),
+            )
+        else:
+            ivm_log_append(
+                sp, root, snapshot_before, batch_df, keys, order, spec,
+                tag=str(batch_id),
+            )
         append_delta(sp, snapshot_path, batch_df, tag=str(batch_id))
         # count PENDING (seq > watermark) deltas, not every committed file:
         # folded deltas are retained for vacuum_horizon_seconds plus the

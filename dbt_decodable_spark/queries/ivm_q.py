@@ -136,52 +136,53 @@ def ivm_agg_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ivm_dag_depth3",
     oracle=f"""
-        WITH cust AS (
-            SELECT c_custkey,
-                   CASE WHEN c_custkey % 10 = 0 THEN 'UPD'
-                        ELSE c_mktsegment END AS mktsegment
-            FROM customer
-        ), live AS (
-            SELECT o_orderkey, o_custkey,
+        WITH live AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 41 = 0 THEN o_custkey + 1
+                        ELSE o_custkey END AS o_custkey,
                    {sql_cents('o_totalprice')} AS cents
             FROM orders
             WHERE o_orderkey % 5 = 0 AND o_orderkey % 37 <> 0
-        ), roll AS (
-            SELECT c.mktsegment AS mktsegment,
-                   count(*) AS n_orders,
-                   SUM(o.cents) AS sum_cents
-            FROM live o JOIN cust c ON o.o_custkey = c.c_custkey
-            GROUP BY c.mktsegment
+        ), roll1 AS (
+            SELECT o_custkey, count(*) AS n_orders,
+                   SUM(cents) AS sum_cents
+            FROM live GROUP BY o_custkey
+        ), roll2 AS (
+            SELECT o_custkey % 7 AS cohort, count(*) AS n_custs,
+                   SUM(sum_cents) AS cents_cohort
+            FROM roll1 GROUP BY cohort
         )
-        SELECT length(mktsegment) % 2 AS band,
-               count(*) AS n_segments,
-               CAST(SUM(sum_cents) AS DOUBLE) / 100 AS sum_total
-        FROM roll
+        SELECT cohort % 2 AS band,
+               count(*) AS n_cohorts,
+               CAST(SUM(cents_cohort) AS DOUBLE) / 100 AS sum_total
+        FROM roll2
         GROUP BY band
     """,
     doc="§2.12 depth-3 maintained model DAG over REAL on-disk change "
-    "logs (operators/ivm_dag.py consumption protocol — round 11's "
-    "generalization of the two-stage cascade to the reference's "
+    "logs (operators/ivm_dag.py consumption protocol — the reference's "
     "pipeline-per-model graph, impl.py:419-447, where one model's sink "
-    "stream is the next model's source): orders⟗customer lookup-join "
-    "view log → GROUP-BY-mktsegment rollup consuming the view's CHANGE "
-    "LOG (watermarked ivm_log_append, EMITTING its own out log) → a "
-    "second rollup consuming the FIRST rollup's emitted out log — the "
-    "PURE-DELTA upstream shape ivm_dag auto-detects, guarded by the "
-    "committed Kafka compaction floor — re-grouping segments into bands. "
-    "Three continuously-maintained materializations; each downstream "
-    "edge O(|changes| + touched), never a recompute. Init on a third of "
-    "a 20% orderkey slice, then ONE churn batch carrying new facts, late "
-    "tombstones (every 37th orderkey, retracting counts/sums through "
-    "BOTH downstream stages) and a dim payload update (every 10th "
-    "custkey → 'UPD', migrating facts between stage-2 groups AND stage-3 "
-    "bands). Oracle = the declarative three-stage recompute; "
+    "stream is the next model's source), ROOTED at an "
+    "aggregate-over-raw-stream node (r12 — the last N-node shape gap: "
+    "a chain with no join anywhere): GROUP-BY-custkey rollup over the "
+    "raw orders change stream, EMITTING its own out log via the FUSED "
+    "single-pass ivm_log_append_with_changes → a cohort rollup "
+    "consuming that log (the PURE-DELTA upstream shape ivm_dag "
+    "auto-detects, guarded by the durable Kafka compaction floor), "
+    "itself emitting → a band rollup consuming the cohort log. Three "
+    "continuously-maintained materializations; each downstream edge "
+    "O(|changes| + touched), never a recompute. Init on a third of a "
+    "20% orderkey slice, then ONE churn batch carrying new facts, late "
+    "tombstones (every 37th orderkey — group deaths retract through "
+    "BOTH downstream stages) and key migrations (every 41st orderkey "
+    "moves to custkey+1, migrating orders between stage-1 groups and "
+    "cohorts). Oracle = the declarative three-stage recompute; "
     "hash-equality proves the on-disk watermark/emit/deltas-only "
     "protocol lands on it. The CATALOG front door for the same graph "
-    "(activate_project_incremental — streams, pipelines, topo order, "
-    "deferred compaction) is pinned by tests/test_project_dag.py incl. "
-    "a crash sweep of every durable-write boundary; scale slope is "
-    "measured by scale_probe dag (full engine) and ivmdag (step).",
+    "shapes (activate_project_incremental — raw-rooted, join-rooted and "
+    "temporal-rooted chains, topo order, deferred compaction) is pinned "
+    "by tests/test_project_dag.py incl. crash sweeps of every "
+    "durable-write boundary; scale slope is measured by scale_probe dag "
+    "(full engine) and ivmdag (step).",
 )
 def ivm_dag_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -189,26 +190,26 @@ def ivm_dag_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dbt_decodable_spark.operators import ivm_dag
     from dbt_decodable_spark.operators.ivm import AggViewSpec
-    from dbt_decodable_spark.operators.ivm_join import (
-        JoinViewSpec,
-        init_join_state,
-        maintain_join_with_changes,
+    from dbt_decodable_spark.operators.ivm_log import (
+        ivm_log_append_with_changes,
+        ivm_log_init,
+        ivm_log_read,
     )
-    from dbt_decodable_spark.operators.ivm_log import ivm_log_read
     from dbt_decodable_spark.streaming.changelog import (
         append_delta,
-        write_hash_partitioned,
+        fold_last_image,
     )
 
     root = tempfile.mkdtemp(prefix="spark_dag3_")
-    view_log = f"{root}/view"
-    droot2 = f"{root}/roll"
-    out_log = f"{droot2}/out"
+    root1 = f"{root}/orders_by_cust"
+    out1 = f"{root1}/out"
+    droot2 = f"{root}/cohort"
+    out2 = f"{droot2}/out"
     droot3 = f"{root}/band"
     try:
         # a 20% orderkey slice: the thing under test is the three-stage
         # consumption PROTOCOL (delta logs, watermarks, emission, the
-        # deltas-only stage-3), whose per-stage cost is dominated by
+        # deltas-only stages), whose per-stage cost is dominated by
         # fixed commit machinery — the slice keeps every churn class
         # intact (the oracle applies the same slice)
         orders = read_table(spark, sf_dir, "orders").filter(
@@ -220,83 +221,92 @@ def ivm_dag_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long").alias("ver"),
             F.lit(False).alias("deleted"),
         )
-        cust = read_table(spark, sf_dir, "customer").select(
-            "c_custkey",
-            F.col("c_mktsegment").alias("seg"),
-            F.lit(0).cast("long").alias("dver"),
-        )
-        jspec = JoinViewSpec(
-            fact_keys=("o_orderkey",),
-            fk_cols=("o_custkey",),
-            dim_keys=("c_custkey",),
-            dim_payload={"mktsegment": "seg"},
-            how="inner",
-        )
-        spec2 = AggViewSpec(
-            group_cols=("mktsegment",),
+        spec1 = AggViewSpec(
+            group_cols=("o_custkey",),
             count_star="n_orders",
             sums={"sum_cents": "cents"},
-            output_order=("mktsegment", "n_orders", "sum_cents"),
+            output_order=("o_custkey", "n_orders", "sum_cents"),
+        )
+        spec2 = AggViewSpec(
+            group_cols=("cohort",),
+            group_exprs={"cohort": "o_custkey % 7"},
+            count_star="n_custs",
+            sums={"cents_cohort": "sum_cents"},
+            output_order=("cohort", "n_custs", "cents_cohort"),
         )
         spec3 = AggViewSpec(
             group_cols=("band",),
-            group_exprs={"band": "length(mktsegment) % 2"},
-            count_star="n_segments",
-            sums={"total_cents": "sum_cents"},
-            output_order=("band", "n_segments", "total_cents"),
+            group_exprs={"band": "cohort % 2"},
+            count_star="n_cohorts",
+            sums={"total_cents": "cents_cohort"},
+            output_order=("band", "n_cohorts", "total_cents"),
         )
         ford = [F.col("ver"), F.col("o_orderkey")]
-        dord = [F.col("dver"), F.col("c_custkey")]
+        keys = ["o_orderkey"]
         f0 = orders.filter(F.pmod("o_orderkey", F.lit(3)) == 0)
-        # ---- init: stage-1 view log base, stage-2 root (EMITTING — the
-        # out log's floor image is its first batch), stage-3 root over
-        # the out log (the deltas-only upstream)
-        jstate = init_join_state(f0, cust, jspec, "deleted", None)
-        v0 = (
-            jstate.view
+        # ---- init: stage-1 aggregate state over the raw stream's fold
+        # (EMITTING — the out log's seq-0 image is its first batch), then
+        # each downstream root over its upstream's PURE-DELTA out log
+        # n_buckets=8 across all three stages: the default 64-way state
+        # layout writes 64 part-files per generation publish — pure fixed
+        # file-commit cost at this data size (the wall this row measures
+        # is the protocol, not the volume)
+        snap0 = fold_last_image(f0, keys, ford).localCheckpoint(eager=False)
+        ivm_log_init(
+            spark, root1, snap0, spec1, delete_col="deleted", n_buckets=8
+        )
+        seed1 = (
+            ivm_log_read(spark, root1, spec1)
             .withColumn("__seq", F.lit(0).cast("long"))
             .withColumn("__deleted", F.lit(False))
         )
-        write_hash_partitioned(v0, view_log, ["o_orderkey"], n_buckets=8)
+        append_delta(spark, out1, seed1, tag="init")
         floor2 = ivm_dag.init_downstream(
-            spark, droot2, view_log, ["o_orderkey"], spec2
+            spark, droot2, out1, ["o_custkey"], spec2, n_buckets=8
         )
-        seed = (
+        seed2 = (
             ivm_log_read(spark, droot2, spec2)
             .withColumn("__seq", F.lit(floor2).cast("long"))
             .withColumn("__deleted", F.lit(False))
         )
-        append_delta(spark, out_log, seed, tag=str(floor2))
-        ivm_dag.init_downstream(spark, droot3, out_log, ["mktsegment"], spec3)
+        append_delta(spark, out2, seed2, tag=str(floor2))
+        ivm_dag.init_downstream(
+            spark, droot3, out2, ["cohort"], spec3, n_buckets=8
+        )
         # ---- ONE churn batch through all three stages: new facts, late
         # tombstones (ver=1 beats both the snapshot image and same-batch
-        # ver=0 inserts), dim payload migration — stage 1 appends the view
-        # changes as a committed delta; stages 2 and 3 CONSUME, each from
-        # the upstream's log, never a recompute
+        # ver=0 inserts — customer groups DIE and the deaths retract
+        # through both downstream stages) and key migrations (orders
+        # moving between stage-1 groups). Stage 1 emits + appends in ONE
+        # fused maintenance pass; stages 2 and 3 CONSUME, each from the
+        # upstream's log, never a recompute.
         f_rest = orders.filter(F.pmod("o_orderkey", F.lit(3)) != 0)
         f_tomb = orders.filter(
             F.pmod("o_orderkey", F.lit(37)) == 0
         ).withColumns(
             {"ver": F.lit(1).cast("long"), "deleted": F.lit(True)}
         )
-        d_upd = cust.filter(F.pmod("c_custkey", F.lit(10)) == 0).withColumns(
-            {"seg": F.lit("UPD"), "dver": F.lit(1).cast("long")}
+        f_move = orders.filter(
+            (F.pmod("o_orderkey", F.lit(41)) == 0)
+            & (F.pmod("o_orderkey", F.lit(37)) != 0)
+        ).withColumns(
+            {
+                "o_custkey": F.col("o_custkey") + 1,
+                "ver": F.lit(1).cast("long"),
+            }
         )
-        _, ch = maintain_join_with_changes(
-            jstate, f_rest.unionByName(f_tomb), d_upd, ford, dord, jspec,
-            seq=1, fact_delete_col="deleted", dim_delete_col=None,
+        batch = f_rest.unionByName(f_tomb).unionByName(f_move)
+        ivm_log_append_with_changes(
+            spark, root1, snap0, batch, keys, ford, spec1,
+            seq=1, out_log=out1, tag="1",
         )
-        append_delta(spark, view_log, ch, tag="1")
         ivm_dag.maintain_downstream(
-            spark, droot2, view_log, ["o_orderkey"], spec2,
-            emit_log=out_log,
+            spark, droot2, out1, ["o_custkey"], spec2, emit_log=out2,
         )
-        ivm_dag.maintain_downstream(
-            spark, droot3, out_log, ["mktsegment"], spec3
-        )
+        ivm_dag.maintain_downstream(spark, droot3, out2, ["cohort"], spec3)
         out = ivm_log_read(spark, droot3, spec3).select(
             "band",
-            "n_segments",
+            "n_cohorts",
             (F.col("total_cents").cast("double") / 100).alias("sum_total"),
         ).localCheckpoint(eager=True)  # materialize before tmp-dir GC
     finally:

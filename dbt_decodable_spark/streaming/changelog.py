@@ -510,6 +510,7 @@ def read_with_deltas(
     include_tombstones: bool = False,
     delete_col: str = "is_delete",
     allow_schema_evolution: bool = False,
+    prune_fold: bool = False,
 ) -> DataFrame:
     """Merge-on-READ view of a snapshot plus pending delta files — the
     other half of the merge-on-read/merge-on-write trade the partial-
@@ -547,17 +548,27 @@ def read_with_deltas(
     silently dropping the new column from the durable snapshot —
     widening the snapshot schema is an explicit full rewrite
     (:func:`write_hash_partitioned`).
+
+    ``prune_fold`` (r12 — the merge-on-read slope fix): the snapshot
+    holds at most one row per key (every writer of this layout folds
+    before writing), so the last-image fold only has WORK to do for keys
+    that appear in a pending delta. With the flag, base rows outside the
+    delta key set stream through a broadcast LEFT-ANTI probe with NO
+    shuffle, and only the delta-touched slice (base semi-probe ∪ deltas
+    — batch-sized, bounded by compaction) pays the key shuffle: per-batch
+    state read cost drops from O(|state|) SHUFFLE to O(|state|) scan +
+    O(|pending|) shuffle. Identical result by the ≤1-row/key invariant
+    (pytest-pinned equivalence). Off by default: a base written with >1
+    row per key (not this layer's layout) would be silently unfolded.
     """
     base = spark.read.parquet(base_path.rstrip("/"))
     if "__bucket" in base.columns:
         base = base.drop("__bucket")
-    view = base
     vfields = list(base.schema.fields)
+    dview: DataFrame | None = None
     for p in delta_paths:
         d = spark.read.parquet(p)
-        if allow_schema_evolution:
-            view = view.unionByName(d, allowMissingColumns=True)
-        else:
+        if not allow_schema_evolution:
             missing_keys = [k for k in keys if k not in d.columns]
             if missing_keys:
                 # NULL-fill is for widened VALUE columns only — a delta
@@ -565,17 +576,39 @@ def read_with_deltas(
                 raise ValueError(
                     f"delta {p} lacks key column(s) {missing_keys}"
                 )
-            view = view.unionByName(
-                d.select(
-                    *[
-                        F.col(f.name).cast(f.dataType).alias(f.name)
-                        if f.name in d.columns
-                        else F.lit(None).cast(f.dataType).alias(f.name)
-                        for f in vfields
-                    ]
-                )
+            d = d.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in d.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in vfields
+                ]
             )
-    out = fold_last_image(view, keys, order)
+        if dview is None:
+            dview = d
+        else:
+            dview = dview.unionByName(
+                d, allowMissingColumns=allow_schema_evolution
+            )
+    if dview is None:
+        out = fold_last_image(base, keys, order)
+    elif prune_fold:
+        dkeys = dview.select(*keys).distinct()
+        untouched = base.join(
+            F.broadcast(dkeys), on=list(keys), how="left_anti"
+        )
+        touched = base.join(
+            F.broadcast(dkeys), on=list(keys), how="left_semi"
+        ).unionByName(dview, allowMissingColumns=allow_schema_evolution)
+        out = fold_last_image(touched, keys, order)
+        out = untouched.unionByName(
+            out, allowMissingColumns=allow_schema_evolution
+        ).select(*out.columns)
+    else:
+        view = base.unionByName(
+            dview, allowMissingColumns=allow_schema_evolution
+        )
+        out = fold_last_image(view, keys, order)
     if not include_tombstones and delete_col in out.columns:
         out = out.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
     return out
@@ -795,10 +828,13 @@ def read_merged(
     include_tombstones: bool = False,
     delete_col: str = "is_delete",
     allow_schema_evolution: bool = False,
+    prune_fold: bool = False,
 ) -> DataFrame:
     """The managed merge-on-read view: snapshot ∪ all committed deltas,
     folded to the last image per key (:func:`read_with_deltas` over
-    :func:`list_deltas`). What a reader of the table should call."""
+    :func:`list_deltas`). What a reader of the table should call.
+    ``prune_fold`` restricts the fold to delta-touched keys — see
+    :func:`read_with_deltas`; safe on every table THIS layer writes."""
     return read_with_deltas(
         spark,
         base_path,
@@ -808,6 +844,7 @@ def read_merged(
         include_tombstones=include_tombstones,
         delete_col=delete_col,
         allow_schema_evolution=allow_schema_evolution,
+        prune_fold=prune_fold,
     )
 
 

@@ -220,6 +220,335 @@ class TestDepth4Chain:
             eng.cleanup()
 
 
+class TestRawAggRootedChain:
+    """r12 (VERDICT r11 item 2): change-log emission for
+    aggregate-over-raw-stream nodes — a chain ROOTED at a plain GROUP-BY
+    model over a raw change stream, no join anywhere, runs through
+    ``activate_project_incremental`` (the reference lets any model's sink
+    source the next model, ``impl.py:419-447``)."""
+
+    RAW_NODES = {
+        "rawroll": dict(order=["ts"], delete_col="deleted"),
+        "rawband": {},
+    }
+
+    def _mk(self, spark, tmp_path, ns, f1):
+        eng = Engine(spark, namespace=ns, warehouse_dir=str(tmp_path / "wh"))
+        os.makedirs(eng.warehouse_dir, exist_ok=True)
+        eng.create_stream(
+            "fact",
+            schema=StreamSchema.from_spark(
+                spark.createDataFrame(f1, FACT_DDL).schema,
+                primary_key=["pk"],
+            ),
+            data=spark.createDataFrame(f1, FACT_DDL),
+        )
+        eng.create_pipeline(
+            "rawroll",
+            f"select fk, count(*) as n_rows, sum(qty) as sum_qty "
+            f"from {ns}__fact group by fk",
+            activate=False,
+        )
+        eng.create_pipeline(
+            "rawband",
+            f"select fk % 2 as band, count(*) as n_fks, "
+            f"sum(sum_qty) as total_qty from {ns}__rawroll group by band",
+            activate=False,
+        )
+        return eng
+
+    @staticmethod
+    def _want(spark, f_rows):
+        live = fold_last_image(
+            spark.createDataFrame(f_rows, FACT_DDL), ["pk"],
+            [F.col("ts"), F.col("pk")],
+        ).filter(~F.col("deleted"))
+        roll = live.groupBy("fk").agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum("qty").alias("sum_qty")
+        )
+        band = roll.groupBy((F.col("fk") % 2).alias("band")).agg(
+            F.count(F.lit(1)).alias("n_fks"),
+            F.sum("sum_qty").alias("total_qty"),
+        )
+        return _rows(roll), _rows(band)
+
+    def test_chain_matches_recompute_across_churn(self, spark, tmp_path):
+        ns = "pjraw"
+        eng = self._mk(spark, tmp_path, ns, F1)
+        try:
+            eng.activate_project_incremental(self.RAW_NODES, n_buckets=4)
+            roll_w, band_w = self._want(spark, F1)
+            assert _rows(eng.read_stream("rawroll")) == roll_w
+            assert _rows(eng.read_stream("rawband")) == band_w
+            # churn: update, insert, tombstone, plus a GROUP MIGRATION
+            # (pk 4 moves fk 30 → 20, leaving fk 30 empty — the rollup
+            # must emit a tombstone the band stage retracts)
+            f2 = F2 + [(4, 20, 4, 2, False)]
+            _append(spark, eng, "fact", f2, FACT_DDL)
+            eng.activate_project_incremental(self.RAW_NODES, n_buckets=4)
+            roll_w, band_w = self._want(spark, F1 + f2)
+            assert _rows(eng.read_stream("rawroll")) == roll_w
+            assert _rows(eng.read_stream("rawband")) == band_w
+            assert all(r[0] != 30 for r in roll_w), "fk 30 must be gone"
+            # the rollup's emitted log folds to the rollup view
+            folded = (
+                fold_last_image(
+                    eng.read_pipeline_changes("rawroll"),
+                    ["fk"], [F.col("__seq")],
+                )
+                .filter(~F.col("__deleted"))
+                .drop("__seq", "__deleted")
+            )
+            assert _rows(folded) == roll_w
+            # idle activation is a no-op at every stage
+            eng.activate_project_incremental(self.RAW_NODES, n_buckets=4)
+            assert _rows(eng.read_stream("rawband")) == band_w
+        finally:
+            eng.cleanup()
+
+    def test_every_init_crash_point_recovers(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The depth-3 crash sweep's contract, over the raw-rooted chain:
+        crash the first activation at every durable-write boundary, then
+        re-activate cleanly — both stages land the exact recompute and
+        fold(out log) == rollup."""
+        from test_round10_review import SimulatedCrash, _CrashPlan, _inject
+
+        k = 1
+        while True:
+            eng = self._mk(spark, tmp_path / f"c{k}", f"pjrc{k}", F1)
+            try:
+                plan = _CrashPlan(k)
+                with monkeypatch.context() as mp:
+                    _inject(mp, plan)
+                    try:
+                        eng.activate_project_incremental(
+                            self.RAW_NODES, n_buckets=4
+                        )
+                        crashed = False
+                    except SimulatedCrash:
+                        crashed = True
+                eng.activate_project_incremental(self.RAW_NODES, n_buckets=4)
+                roll_w, band_w = self._want(spark, F1)
+                assert _rows(eng.read_stream("rawroll")) == roll_w, (
+                    f"crash point {k}: rawroll diverged"
+                )
+                assert _rows(eng.read_stream("rawband")) == band_w, (
+                    f"crash point {k}: rawband diverged"
+                )
+                folded = (
+                    fold_last_image(
+                        eng.read_pipeline_changes("rawroll"),
+                        ["fk"], [F.col("__seq")],
+                    )
+                    .filter(~F.col("__deleted"))
+                    .drop("__seq", "__deleted")
+                )
+                assert _rows(folded) == roll_w, f"crash point {k}: out gap"
+            finally:
+                eng.cleanup()
+            if not crashed:
+                assert k > 6, "sweep ended before reaching the init writes"
+                break
+            k += 1
+
+    def test_emission_choice_is_sticky(self, spark, tmp_path):
+        """A root built emitting must keep emitting; one built without
+        cannot enable later — same protocol as the DAG arm."""
+        ns = "pjrs"
+        eng = self._mk(spark, tmp_path, ns, F1)
+        try:
+            eng.activate_project_incremental(self.RAW_NODES, n_buckets=4)
+            with pytest.raises(CatalogError, match="keep emitting"):
+                eng.activate_pipeline_incremental(
+                    "rawroll", order=["ts"], delete_col="deleted",
+                    emit_changes=False,
+                )
+            # a fresh non-emitting root cannot enable emission later
+            eng2 = self._mk(spark, tmp_path / "b", ns + "b", F1)
+            try:
+                eng2.activate_pipeline_incremental(
+                    "rawroll", order=["ts"], delete_col="deleted",
+                )
+                with pytest.raises(CatalogError, match="FIRST activation"):
+                    eng2.activate_pipeline_incremental(
+                        "rawroll", order=["ts"], delete_col="deleted",
+                        emit_changes=True,
+                    )
+            finally:
+                eng2.cleanup()
+        finally:
+            eng.cleanup()
+
+
+class TestTemporalNodeKind:
+    """r12 (VERDICT r11 item 3): the SCD2-temporal arm as a project-graph
+    node kind — a ``FOR SYSTEM_TIME AS OF`` model activates inside an
+    N-node graph and a downstream aggregate consumes its view log. The
+    pin that separates this from the equi-join arm: a dim VERSION with
+    ``valid_from = t`` rewrites only facts with ``ts >= t``; history
+    before it stays pinned to the older version."""
+
+    T_NODES = {
+        "asof": dict(
+            fact_order=["ts"], fact_delete_col="deleted",
+            dim_valid_from="ts",
+        ),
+        "troll": {},
+    }
+
+    def _mk(self, spark, tmp_path, ns, f1, d1):
+        eng = Engine(spark, namespace=ns, warehouse_dir=str(tmp_path / "wh"))
+        os.makedirs(eng.warehouse_dir, exist_ok=True)
+        eng.create_stream(
+            "fact",
+            schema=StreamSchema.from_spark(
+                spark.createDataFrame(f1, FACT_DDL).schema,
+                primary_key=["pk"],
+            ),
+            data=spark.createDataFrame(f1, FACT_DDL),
+        )
+        eng.create_stream(
+            "dim",
+            schema=StreamSchema.from_spark(
+                spark.createDataFrame(d1, DIM_DDL).schema,
+                primary_key=["dk"],
+            ),
+            data=spark.createDataFrame(d1, DIM_DDL),
+        )
+        eng.create_pipeline(
+            "asof",
+            f"select f.*, d.tier as tier_at_ts from {ns}__fact f "
+            f"left join {ns}__dim for system_time as of f.ts as d "
+            f"on f.fk = d.dk",
+            activate=False,
+        )
+        eng.create_pipeline(
+            "troll",
+            f"select tier_at_ts, count(*) as n_rows, sum(qty) as sum_qty "
+            f"from {ns}__asof group by tier_at_ts",
+            activate=False,
+        )
+        return eng
+
+    @staticmethod
+    def _want(spark, f_rows, d_rows):
+        from dbt_decodable_spark.operators.ivm_temporal import (
+            TemporalJoinSpec,
+            recompute_temporal_view,
+        )
+
+        spec = TemporalJoinSpec(
+            fact_keys=("pk",), fk_col="fk", dim_key="dk", fact_ts="ts",
+            valid_from="ts", payload={"tier_at_ts": "tier"},
+        )
+        view = recompute_temporal_view(
+            spark.createDataFrame(f_rows, FACT_DDL),
+            spark.createDataFrame(d_rows, DIM_DDL),
+            spec, ["ts", "pk"], fact_delete_col="deleted",
+        )
+        roll = view.groupBy("tier_at_ts").agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum("qty").alias("sum_qty")
+        )
+        return _rows(view), _rows(roll)
+
+    def test_graph_matches_recompute_across_churn(self, spark, tmp_path):
+        ns = "pjt"
+        eng = self._mk(spark, tmp_path, ns, F1, D1)
+        try:
+            eng.activate_project_incremental(self.T_NODES, n_buckets=4)
+            view_w, roll_w = self._want(spark, F1, D1)
+            assert _rows(eng.read_stream("asof")) == view_w
+            assert _rows(eng.read_stream("troll")) == roll_w
+            # churn both sides: fact update/insert/tombstone + a NEW dim
+            # VERSION (dk=10 tier 1→4 from ts 2) — facts BEFORE ts 2 must
+            # keep tier 1 (the as-of pin the equi arm cannot express)
+            _append(spark, eng, "fact", F2, FACT_DDL)
+            _append(spark, eng, "dim", D2, DIM_DDL)
+            eng.activate_project_incremental(self.T_NODES, n_buckets=4)
+            view_w, roll_w = self._want(spark, F1 + F2, D1 + D2)
+            assert _rows(eng.read_stream("asof")) == view_w
+            assert _rows(eng.read_stream("troll")) == roll_w
+            got = {r[0]: r[-1] for r in view_w}
+            assert got[2] == 1, "pk 2 (ts 1) must keep the pre-version tier"
+            assert got[1] == 4, "pk 1 (ts 2) must take the new version"
+            # idle activation is a no-op
+            eng.activate_project_incremental(self.T_NODES, n_buckets=4)
+            assert _rows(eng.read_stream("troll")) == roll_w
+        finally:
+            eng.cleanup()
+
+    def test_standalone_activation_and_compaction(self, spark, tmp_path):
+        """The temporal arm alone (no graph), over enough churn rounds to
+        cross the compaction trigger — the maintained view must equal the
+        recompute after the logs fold into their snapshots."""
+        ns = "pjts"
+        eng = self._mk(spark, tmp_path, ns, F1, D1)
+        fact_hist = list(F1)
+        dim_hist = list(D1)
+        try:
+            eng.activate_pipeline_temporal_incremental(
+                "asof", fact_order=["ts"], fact_delete_col="deleted",
+                dim_valid_from="ts", n_buckets=4, compact_min_deltas=2,
+            )
+            for i, (frows, drows) in enumerate(
+                ((F2, D2),
+                 ([(6, 30, 1, 3, False)], [(20, "b", 5, 3, False)]),
+                 ([(1, 10, 2, 4, True)], []))
+            ):
+                if frows:
+                    _append(spark, eng, "fact", frows, FACT_DDL)
+                    fact_hist += frows
+                if drows:
+                    _append(spark, eng, "dim", drows, DIM_DDL)
+                    dim_hist += drows
+                eng.activate_pipeline_temporal_incremental(
+                    "asof", fact_order=["ts"], fact_delete_col="deleted",
+                    dim_valid_from="ts", n_buckets=4, compact_min_deltas=2,
+                )
+                view_w, _ = self._want(spark, fact_hist, dim_hist)
+                assert _rows(eng.read_stream("asof")) == view_w, (
+                    f"round {i} diverged"
+                )
+        finally:
+            eng.cleanup()
+
+    def test_every_init_crash_point_recovers(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from test_round10_review import SimulatedCrash, _CrashPlan, _inject
+
+        k = 1
+        while True:
+            eng = self._mk(spark, tmp_path / f"c{k}", f"pjtc{k}", F1, D1)
+            try:
+                plan = _CrashPlan(k)
+                with monkeypatch.context() as mp:
+                    _inject(mp, plan)
+                    try:
+                        eng.activate_project_incremental(
+                            self.T_NODES, n_buckets=4
+                        )
+                        crashed = False
+                    except SimulatedCrash:
+                        crashed = True
+                eng.activate_project_incremental(self.T_NODES, n_buckets=4)
+                view_w, roll_w = self._want(spark, F1, D1)
+                assert _rows(eng.read_stream("asof")) == view_w, (
+                    f"crash point {k}: asof diverged"
+                )
+                assert _rows(eng.read_stream("troll")) == roll_w, (
+                    f"crash point {k}: troll diverged"
+                )
+            finally:
+                eng.cleanup()
+            if not crashed:
+                assert k > 6, "sweep ended before reaching the init writes"
+                break
+            k += 1
+
+
 class TestFanOut:
     def test_two_consumers_one_rollup(self, spark, tmp_path):
         ns = "pjf"
@@ -420,26 +749,30 @@ class TestShapeGuards:
         finally:
             eng.cleanup()
 
-    def test_raw_agg_with_consumer_raises(self, spark, tmp_path):
+    def test_emitting_raw_agg_output_name_guard(self, spark, tmp_path):
+        """An emitting rollup stacks __seq/__deleted onto its outputs —
+        a colliding alias must raise before any node writes."""
         ns = "pjr"
         eng = _mk_project(spark, tmp_path, ns, F1, D1)
-        # aggregate DIRECTLY over the raw fact stream, consumed downstream
         eng.create_pipeline(
             "rawagg",
-            f"select fk, sum(qty) as s from {ns}__fact group by fk",
+            f"select fk, sum(qty) as __seq from {ns}__fact group by fk",
             activate=False,
         )
         eng.create_pipeline(
             "rawagg2",
-            f"select fk % 2 as b, sum(s) as t from {ns}__rawagg group by b",
+            f"select fk % 2 as b, sum(__seq) as t from {ns}__rawagg group by b",
             activate=False,
         )
         try:
-            with pytest.raises(CatalogError, match="cannot emit"):
+            with pytest.raises(CatalogError, match="reserved change-log"):
                 eng.activate_project_incremental(
-                    {"rawagg": dict(order=["fk"]), "rawagg2": {}},
+                    {"rawagg": dict(order=["ts"]), "rawagg2": {}},
                     n_buckets=4,
                 )
+            assert not os.path.exists(
+                os.path.join(eng.warehouse_dir, f"_ivm_{ns}__rawagg")
+            ), "guard must fire before any write"
         finally:
             eng.cleanup()
 
