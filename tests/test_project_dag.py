@@ -630,6 +630,26 @@ class TestRandomizedGraphs:
                 activate=False,
             )
             nodes["grand"] = {}
+        # r12: optionally a RAW-ROOTED side chain off the same fact stream
+        # in the SAME activation set — a mixed graph (join-rooted and
+        # GROUP-BY-rooted chains sharing a source) through one
+        # activate_project_incremental call
+        raw_chain = rnd.random() < 0.6
+        if raw_chain:
+            eng.create_pipeline(
+                "rawroll",
+                f"select fk, count(*) as n_rows, sum(qty) as sum_qty "
+                f"from {ns}__fact group by fk",
+                activate=False,
+            )
+            eng.create_pipeline(
+                "rawband",
+                f"select fk % 2 as band2, sum(sum_qty) as total2 "
+                f"from {ns}__rawroll group by band2",
+                activate=False,
+            )
+            nodes["rawroll"] = dict(order=["ts"], delete_col="deleted")
+            nodes["rawband"] = {}
         try:
             next_pk = 9
             for rnd_i in range(3):
@@ -697,6 +717,24 @@ class TestRandomizedGraphs:
                     want4 = sorted(gr.items())
                     assert _rows(eng.read_stream("grand")) == want4, (
                         f"seed {seed} round {rnd_i}: grand diverged"
+                    )
+                if raw_chain:
+                    live = fold_last_image(
+                        spark.createDataFrame(f_hist, FACT_DDL), ["pk"],
+                        [F.col("ts"), F.col("pk")],
+                    ).filter(~F.col("deleted"))
+                    rr = live.groupBy("fk").agg(
+                        F.count(F.lit(1)).alias("n_rows"),
+                        F.sum("qty").alias("sum_qty"),
+                    )
+                    assert _rows(eng.read_stream("rawroll")) == _rows(rr), (
+                        f"seed {seed} round {rnd_i}: rawroll diverged"
+                    )
+                    rb = rr.groupBy((F.col("fk") % 2).alias("band2")).agg(
+                        F.sum("sum_qty").alias("total2")
+                    )
+                    assert _rows(eng.read_stream("rawband")) == _rows(rb), (
+                        f"seed {seed} round {rnd_i}: rawband diverged"
                     )
         finally:
             eng.cleanup()

@@ -760,6 +760,187 @@ def probe_dag(spark, big_n: int = 2_000_000) -> dict:
     return out
 
 
+def probe_rawdag(spark, big_n: int = 2_000_000) -> dict:
+    """Raw-rooted engine chain slope probe (``python tools/scale_probe.py
+    rawdag [big_n]``): the r12 aggregate-over-raw-stream node kind —
+    GROUP-BY rollup over the raw fact stream (EMITTING via the fused
+    single-pass append) → band rollup consuming the out log — through
+    ``catalog.activate_project_incremental``, at a 100k-fact and a
+    ``big_n``-fact base with the SAME fixed 5k-row churn batch. ``step``
+    is the O(|batch| + touched) claim for the new emission path: with
+    ``prune_fold``/``prune_target`` the fact state is scanned, never
+    shuffled, per micro-batch — expect ~flat."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dbt_decodable_spark.catalog import Engine
+    from dbt_decodable_spark.schema import StreamSchema
+
+    out: dict = {}
+    for label, n in (("100k", 100_000), (f"{big_n // 1000}k", big_n)):
+        tmp = tempfile.mkdtemp(prefix=f"probe_rawdag_{label}_")
+        ns = f"prd{label.replace('.', '')}"
+        eng = Engine(spark, namespace=ns, warehouse_dir=f"{tmp}/wh")
+        os.makedirs(eng.warehouse_dir, exist_ok=True)
+        facts = spark.range(n).select(
+            F.col("id").alias("pk"),
+            (F.col("id") % 997).alias("grp"),
+            (F.col("id") % 777).alias("qty"),
+            F.lit(0).cast("long").alias("ver"),
+            F.lit(False).alias("deleted"),
+        )
+        eng.create_stream(
+            "fact",
+            schema=StreamSchema.from_spark(facts.schema, primary_key=["pk"]),
+            data=facts,
+        )
+        eng.create_pipeline(
+            "rawroll",
+            f"select grp, count(*) as n_rows, sum(qty) as sum_qty "
+            f"from {ns}__fact group by grp",
+            activate=False,
+        )
+        eng.create_pipeline(
+            "rawband",
+            f"select grp % 2 as band, count(*) as n_grps, "
+            f"sum(sum_qty) as total "
+            f"from {ns}__rawroll group by band",
+            activate=False,
+        )
+        nodes = {
+            "rawroll": dict(order=["ver"], delete_col="deleted"),
+            "rawband": {},
+        }
+        res = {}
+        t = time.time()
+        eng.activate_project_incremental(nodes, n_buckets=32)
+        res["init"] = round(time.time() - t, 2)
+        batch = spark.range(5000).select(
+            (F.col("id") * (n // 5000)).alias("pk"),
+            (F.col("id") % 997).alias("grp"),
+            (F.col("id") % 555).alias("qty"),
+            F.lit(1).cast("long").alias("ver"),
+            (F.col("id") % 500 == 0).alias("deleted"),
+        )
+        batch.write.mode("append").parquet(eng.streams[f"{ns}__fact"].path)
+        eng.refresh_stream("fact")
+        t = time.time()
+        eng.activate_project_incremental(nodes, n_buckets=32)
+        res["step"] = round(time.time() - t, 2)
+        out[label] = res
+        eng.cleanup()
+        shutil.rmtree(tmp, ignore_errors=True)
+    labels = list(out)
+    out["step_ratio"] = (
+        round(out[labels[1]]["step"] / out[labels[0]]["step"], 2)
+        if out[labels[0]]["step"] > 0.05
+        else None
+    )
+    return out
+
+
+def probe_temporaldag(spark, big_n: int = 1_000_000) -> dict:
+    """Temporal-node engine chain slope probe (``python tools/scale_probe.py
+    temporaldag [big_n]``): the r12 FOR SYSTEM_TIME AS OF node kind —
+    temporal join (fact × versioned dim) → rollup consuming its view log
+    — through ``catalog.activate_project_incremental``, at a 100k-fact
+    and a ``big_n``-fact base with the SAME fixed churn batch (5k fact
+    rows + 50 new dim versions). ``step`` pins the O(|batch| + fanout)
+    claim: the fact state is probed map-side (broadcast semi) and read
+    via ``prune_fold`` — expect near-flat."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dbt_decodable_spark.catalog import Engine
+    from dbt_decodable_spark.schema import StreamSchema
+
+    out: dict = {}
+    for label, n in (("100k", 100_000), (f"{big_n // 1000}k", big_n)):
+        tmp = tempfile.mkdtemp(prefix=f"probe_tdag_{label}_")
+        ns = f"ptd{label.replace('.', '')}"
+        eng = Engine(spark, namespace=ns, warehouse_dir=f"{tmp}/wh")
+        os.makedirs(eng.warehouse_dir, exist_ok=True)
+        facts = spark.range(n).select(
+            F.col("id").alias("pk"),
+            (F.col("id") % 1000).alias("fk"),
+            (F.col("id") % 777).alias("qty"),
+            (F.col("id") % 100).alias("ts"),
+            F.lit(False).alias("deleted"),
+        )
+        dims = spark.range(1000).select(
+            F.col("id").alias("dk"),
+            (F.col("id") % 37).cast("string").alias("seg"),
+            F.lit(0).cast("long").alias("vfrom"),
+        )
+        eng.create_stream(
+            "fact",
+            schema=StreamSchema.from_spark(facts.schema, primary_key=["pk"]),
+            data=facts,
+        )
+        eng.create_stream(
+            "dim",
+            schema=StreamSchema.from_spark(dims.schema, primary_key=["dk"]),
+            data=dims,
+        )
+        eng.create_pipeline(
+            "asof",
+            f"select f.*, d.seg as seg_at_ts from {ns}__fact f "
+            f"left join {ns}__dim for system_time as of f.ts as d "
+            f"on f.fk = d.dk",
+            activate=False,
+        )
+        eng.create_pipeline(
+            "troll",
+            f"select seg_at_ts, count(*) as n_rows, sum(qty) as sum_qty "
+            f"from {ns}__asof group by seg_at_ts",
+            activate=False,
+        )
+        nodes = {
+            "asof": dict(
+                fact_order=["ts"], fact_delete_col="deleted",
+                dim_valid_from="vfrom",
+            ),
+            "troll": {},
+        }
+        res = {}
+        t = time.time()
+        eng.activate_project_incremental(nodes, n_buckets=32)
+        res["init"] = round(time.time() - t, 2)
+        batch = spark.range(5000).select(
+            (F.col("id") * (n // 5000)).alias("pk"),
+            (F.col("id") % 1000).alias("fk"),
+            (F.col("id") % 555).alias("qty"),
+            F.lit(150).cast("long").alias("ts"),
+            (F.col("id") % 500 == 0).alias("deleted"),
+        )
+        dbatch = spark.range(50).select(
+            (F.col("id") * 20).alias("dk"),
+            F.lit("UPD").alias("seg"),
+            F.lit(120).cast("long").alias("vfrom"),
+        )
+        batch.write.mode("append").parquet(eng.streams[f"{ns}__fact"].path)
+        dbatch.write.mode("append").parquet(eng.streams[f"{ns}__dim"].path)
+        eng.refresh_stream("fact")
+        eng.refresh_stream("dim")
+        t = time.time()
+        eng.activate_project_incremental(nodes, n_buckets=32)
+        res["step"] = round(time.time() - t, 2)
+        out[label] = res
+        eng.cleanup()
+        shutil.rmtree(tmp, ignore_errors=True)
+    labels = list(out)
+    out["step_ratio"] = (
+        round(out[labels[1]]["step"] / out[labels[0]]["step"], 2)
+        if out[labels[0]]["step"] > 0.05
+        else None
+    )
+    return out
+
+
 def probe_temporal(spark, big_n: int = 2_000_000) -> dict:
     """SCD2-temporal IVM slope probe (``python tools/scale_probe.py
     temporal [big_n]``): one :func:`ivm_temporal.maintain_temporal_join`
@@ -992,6 +1173,16 @@ def main() -> None:
         spark = get_spark(app_name="scale_probe_dag")
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
         print(json.dumps({"dag": probe_dag(spark, n)}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "rawdag":
+        spark = get_spark(app_name="scale_probe_rawdag")
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+        print(json.dumps({"rawdag": probe_rawdag(spark, n)}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "temporaldag":
+        spark = get_spark(app_name="scale_probe_temporaldag")
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+        print(json.dumps({"temporaldag": probe_temporaldag(spark, n)}))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "temporal":
         spark = get_spark(app_name="scale_probe_temporal")
