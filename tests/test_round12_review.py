@@ -349,6 +349,98 @@ class TestChangePairsPruneTarget:
         assert "LeftSemi" in plan, "the broadcast key probe must be planned"
 
 
+class TestFusedEmitAppendEquivalence:
+    """r12: ivm_log_append_with_changes (one maintenance pass feeding both
+    the emission and the state append) must land EXACTLY what the separate
+    ivm_log_batch_changes + append_delta + ivm_log_append calls land —
+    same emitted rows, same folded state — including on a spec with
+    support tables (min/max/count-distinct), where the extremes-reuse
+    argument does the heavy lifting."""
+
+    VDDL = "pk long, grp string, val long, __seq long, __deleted boolean"
+    SPEC = AggViewSpec(
+        group_cols=("grp",),
+        count_star="n_rows",
+        sums={"sum_val": "val"},
+        mins={"min_val": "val"},
+        maxs={"max_val": "val"},
+        count_distincts={"n_vals": "val"},
+    )
+
+    BASE = [(1, "a", 10, 0, False), (2, "a", 20, 0, False),
+            (3, "b", 30, 0, False), (4, "c", 5, 0, False)]
+    # updates, a tombstone that empties group c, a new group, dup values
+    BATCH = [(1, "a", 11, 5, False), (4, "c", 5, 5, True),
+             (5, "d", 7, 5, False), (6, "b", 30, 5, False)]
+
+    def _run(self, spark, root, out_log, fused: bool):
+        from dbt_decodable_spark.operators.ivm_log import (
+            ivm_log_append,
+            ivm_log_append_with_changes,
+            ivm_log_batch_changes,
+            ivm_log_init,
+            ivm_log_read,
+        )
+        from dbt_decodable_spark.streaming.changelog import append_delta
+
+        base = spark.createDataFrame(self.BASE, self.VDDL)
+        batch = spark.createDataFrame(self.BATCH, self.VDDL)
+        ivm_log_init(spark, root, base, self.SPEC, delete_col="__deleted")
+        if fused:
+            appended = ivm_log_append_with_changes(
+                spark, root, base, batch, ["pk"], [F.col("__seq")],
+                self.SPEC, seq=5, out_log=out_log, tag="5",
+            )
+        else:
+            out = ivm_log_batch_changes(
+                spark, root, base, batch, ["pk"], [F.col("__seq")],
+                self.SPEC, seq=5,
+            )
+            append_delta(spark, out_log, out, tag="5")
+            appended = ivm_log_append(
+                spark, root, base, batch, ["pk"], [F.col("__seq")],
+                self.SPEC, tag="5",
+            )
+        assert appended
+        emitted = spark.read.parquet(
+            *list_deltas(out_log)
+        )
+        return _rows(emitted), _rows(ivm_log_read(spark, root, self.SPEC))
+
+    def test_fused_equals_separate(self, spark, tmp_path):
+        e1, s1 = self._run(
+            spark, str(tmp_path / "r1"), str(tmp_path / "o1"), fused=True
+        )
+        e2, s2 = self._run(
+            spark, str(tmp_path / "r2"), str(tmp_path / "o2"), fused=False
+        )
+        assert e1 == e2, "emitted change rows diverge"
+        assert s1 == s2, "folded state diverges"
+        # the tombstoned group c is emitted as a NULL-agg tombstone
+        dead = [r for r in e1 if r[0] == "c"]
+        assert len(dead) == 1 and dead[0][-1] is True
+
+    def test_fused_replay_noops(self, spark, tmp_path):
+        """A replay of an already-folded batch must return False and leave
+        both logs untouched."""
+        from dbt_decodable_spark.operators.ivm_log import (
+            ivm_log_append_with_changes,
+            ivm_log_compact,
+        )
+
+        root, out_log = str(tmp_path / "r"), str(tmp_path / "o")
+        e1, s1 = self._run(spark, root, out_log, fused=True)
+        ivm_log_compact(spark, root, self.SPEC)  # fold the tag into the gen
+        base = spark.createDataFrame(self.BASE, self.VDDL)
+        batch = spark.createDataFrame(self.BATCH, self.VDDL)
+        assert not ivm_log_append_with_changes(
+            spark, root, base, batch, ["pk"], [F.col("__seq")],
+            self.SPEC, seq=5, out_log=out_log, tag="5",
+        )
+        emitted = spark.read.parquet(*list_deltas(out_log))
+        assert _rows(emitted) == e1
+
+
 class TestBoundedTemporalTimeoutCleanup:
     """ADVICE r11 #4: the timeout path must not leak (or race) the scratch
     output dir."""
