@@ -255,7 +255,21 @@ def _fold(
     return folded
 
 
-def _touched_bucket_filter(touched: DataFrame, meta: dict) -> Column:
+def _collect_touched_buckets(touched: DataFrame, meta: dict) -> list:
+    """The touched groups' distinct partition-bucket values — ONE Spark
+    action that doubles as the batch emptiness probe (an empty list ⇔ no
+    touched group ⇔ zero contributions), so callers that need the bucket
+    prune don't pay a separate ``isEmpty`` job (r12 — the emitting
+    stages' fixed per-batch action count)."""
+    return [
+        r[0]
+        for r in touched.select(F.expr(meta["bucket_expr"]).alias("b"))
+        .distinct()
+        .collect()
+    ]
+
+
+def _bucket_filter(tbuckets: list) -> Column:
     """Partition-directory prune for the touched groups' state slice —
     shared by the state-append and emission paths (the same fix must land
     on both). NULL-safe: a custom ``bucket_expr`` over a nullable group
@@ -263,17 +277,17 @@ def _touched_bucket_filter(touched: DataFrame, meta: dict) -> Column:
     ``isin()`` never matches NULL (SQL IN semantics) — without the isNull
     arm the group's compacted base rows would silently drop out of the
     extreme recompute."""
-    tbuckets = [
-        r[0]
-        for r in touched.select(F.expr(meta["bucket_expr"]).alias("b"))
-        .distinct()
-        .collect()
-    ]
     non_null = [b for b in tbuckets if b is not None]
     bf = F.col(BUCKET).isin(non_null) if non_null else F.lit(False)
     if len(non_null) < len(tbuckets):
         bf = bf | F.col(BUCKET).isNull()
     return bf
+
+
+def _touched_bucket_filter(touched: DataFrame, meta: dict) -> Column:
+    """Collect + build in one call (the pre-r12 shape, kept for callers
+    that don't reuse the collect as their emptiness probe)."""
+    return _bucket_filter(_collect_touched_buckets(touched, meta))
 
 
 def _ext_recompute(
@@ -388,7 +402,16 @@ def ivm_log_append(
     )
     contrib = _contributions(pairs, snapshot_cols, spec, delete_col).persist()
     try:
-        if contrib.isEmpty():
+        # the emptiness probe: support specs fold it into the touched-bucket
+        # collect (one action serves both); counter-only specs keep the
+        # plain isEmpty (nothing consumes buckets)
+        tbuckets: list | None = None
+        if spec.support_cols():
+            touched = contrib.select(GKEY).distinct()
+            tbuckets = _collect_touched_buckets(touched, meta)
+            if not tbuckets:
+                return False
+        elif contrib.isEmpty():
             return False
 
         # 1. support deltas FIRST (replay after a crash here no-ops them by
@@ -426,9 +449,9 @@ def ivm_log_append(
         # skip the touched/bucket collection entirely — nothing consumes it.
         ext: DataFrame | None = None
         if spec.support_cols():
-            touched = contrib.select(GKEY).distinct()
-            bf = _touched_bucket_filter(touched, meta)
-            ext = _ext_recompute(spark, root, spec, touched, bf, hint)
+            ext = _ext_recompute(
+                spark, root, spec, touched, _bucket_filter(tbuckets), hint
+            )
 
         # 3. the aggregate delta: signed counters per touched group, plus
         # the absolute recomputed extremes riding on the same row
@@ -514,10 +537,12 @@ def ivm_log_batch_changes(
                 .limit(0)
             )
 
-        if contrib.isEmpty():
-            return _empty()
         touched = contrib.select(GKEY).distinct()
-        bf = _touched_bucket_filter(touched, meta)
+        # one action: emptiness probe + the touched-bucket collect
+        tbuckets = _collect_touched_buckets(touched, meta)
+        if not tbuckets:
+            return _empty()
+        bf = _bucket_filter(tbuckets)
 
         def hint(df: DataFrame) -> DataFrame:
             return F.broadcast(df) if broadcast_patches else df
@@ -623,13 +648,15 @@ def ivm_log_append_with_changes(
     )
     contrib = _contributions(pairs, snapshot_cols, spec, delete_col).persist()
     try:
-        if contrib.isEmpty():
-            return False
         counter_cols = _counter_cols(spec)
         ext_state = _ext_state_cols(spec)
         out_schema_cols = list(spec.outputs())
         touched = contrib.select(GKEY).distinct()
-        bf = _touched_bucket_filter(touched, meta)
+        # one action: emptiness probe + the touched-bucket collect
+        tbuckets = _collect_touched_buckets(touched, meta)
+        if not tbuckets:
+            return False
+        bf = _bucket_filter(tbuckets)
 
         def hint(df: DataFrame) -> DataFrame:
             return F.broadcast(df) if broadcast_patches else df

@@ -514,6 +514,49 @@ class TestTemporalNodeKind:
         finally:
             eng.cleanup()
 
+    def test_batch_activation_of_temporal_sql(self, spark, tmp_path):
+        """A plain (non-incremental) activate_pipeline on the temporal
+        shape: Spark SQL can't parse FOR SYSTEM_TIME, so execution routes
+        through the AS-OF operator with the dim's watermark column as the
+        version start — result must equal the same AS-OF computed
+        directly. Requires the dim to declare exactly one watermark."""
+        import dataclasses
+
+        from dbt_decodable_spark.schema import Watermark
+
+        ns = "pjtb"
+        eng = self._mk(spark, tmp_path, ns, F1, D1)
+        try:
+            dqn = eng.qualify("dim")
+            sdef = eng.streams[dqn]
+            eng.streams[dqn] = dataclasses.replace(
+                sdef,
+                schema=dataclasses.replace(
+                    sdef.schema,
+                    watermarks=(
+                        Watermark("ts", "ts - INTERVAL '1' SECOND"),
+                    ),
+                ),
+            )
+            eng.activate_pipeline("asof")
+            from dbt_decodable_spark.operators.ivm_temporal import (
+                TemporalJoinSpec,
+                _enrich,
+            )
+
+            spec = TemporalJoinSpec(
+                fact_keys=("pk",), fk_col="fk", dim_key="dk", fact_ts="ts",
+                valid_from="ts", payload={"tier_at_ts": "tier"},
+            )
+            want = _enrich(
+                spark.createDataFrame(F1, FACT_DDL),
+                spark.createDataFrame(D1, DIM_DDL),
+                spec,
+            )
+            assert _rows(eng.read_stream("asof")) == _rows(want)
+        finally:
+            eng.cleanup()
+
     def test_every_init_crash_point_recovers(
         self, spark, tmp_path, monkeypatch
     ):
