@@ -1376,10 +1376,29 @@ class Engine:
                     self.spark, fact_log, fkeys, fordc(),
                     include_tombstones=True, prune_fold=True,
                 )
+                # the maintenance only ever consumes versions of the
+                # batch's touched dim keys (fact side: its fks; dim side:
+                # its dks — the affected facts all carry those fks), so
+                # the SCD2 window folds a broadcast-semi-pruned slice of
+                # the history, not all of it: per-batch dim cost is
+                # O(touched keys' history), not O(|dim history|) — the
+                # large-dim scale path. Exact because SCD2 is a per-key
+                # computation; the operator's returned dim state is
+                # discarded (the next batch re-reads the logs).
+                touch_dk = (
+                    batch_df.select(
+                        F.col(spec.fk_col).alias(spec.dim_key)
+                    ).distinct()
+                    if side == "fact"
+                    else batch_df.select(spec.dim_key).distinct()
+                )
+                hist = _dim_rows().join(
+                    F.broadcast(touch_dk), on=spec.dim_key, how="left_semi"
+                )
                 state = it.TemporalJoinState(
                     fact=fact_now,
                     dim_versions=scd2_from_changelog(
-                        _dim_rows(), [spec.dim_key], valid_from
+                        hist, [spec.dim_key], valid_from
                     ),
                     view=_view(),
                 )
