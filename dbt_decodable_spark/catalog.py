@@ -2123,7 +2123,14 @@ class Engine:
 
         p = self.pipelines[self.qualify(name)]
         spec, _ = agg_spec_from_sql(p.sql)
+        # log-consuming stage roots are _ivmd_<name>; raw-stream aggregate
+        # roots are _ivm_<name> (r12) — same resolution as
+        # read_pipeline_changes
         out_log = os.path.join(self.warehouse_dir, f"_ivmd_{p.name}", "out")
+        if not list_deltas(out_log):
+            alt = os.path.join(self.warehouse_dir, f"_ivm_{p.name}", "out")
+            if list_deltas(alt):
+                out_log = alt
         if not list_deltas(out_log):
             raise CatalogError(
                 f"pipeline {name!r} has no emitted change log — activate "

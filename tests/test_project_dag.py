@@ -303,6 +303,19 @@ class TestRawAggRootedChain:
             # idle activation is a no-op at every stage
             eng.activate_project_incremental(self.RAW_NODES, n_buckets=4)
             assert _rows(eng.read_stream("rawband")) == band_w
+            # the compaction front door resolves the raw-agg root and
+            # fold(out log) == rollup still holds after the fold
+            res = eng.compact_pipeline_changes("rawroll")
+            assert res["floor"] is not None
+            folded = (
+                fold_last_image(
+                    eng.read_pipeline_changes("rawroll"),
+                    ["fk"], [F.col("__seq")],
+                )
+                .filter(~F.col("__deleted"))
+                .drop("__seq", "__deleted")
+            )
+            assert _rows(folded) == roll_w
         finally:
             eng.cleanup()
 
