@@ -284,12 +284,6 @@ def _bucket_filter(tbuckets: list) -> Column:
     return bf
 
 
-def _touched_bucket_filter(touched: DataFrame, meta: dict) -> Column:
-    """Collect + build in one call (the pre-r12 shape, kept for callers
-    that don't reuse the collect as their emptiness probe)."""
-    return _bucket_filter(_collect_touched_buckets(touched, meta))
-
-
 def _ext_recompute(
     spark: SparkSession,
     root: str,
