@@ -941,6 +941,105 @@ def probe_temporaldag(spark, big_n: int = 1_000_000) -> dict:
     return out
 
 
+def probe_temporaldim(spark, big_v: int = 1_000_000) -> dict:
+    """Dim-HISTORY-axis slope probe for the temporal node kind (``python
+    tools/scale_probe.py temporaldim [big_versions]``): fixed 100k facts
+    and a fixed churn batch, dim version history grown 10k → ``big_v``
+    rows (1000 keys × many versions). Pins the r12 touched-key SCD2
+    prune: per-batch dim cost is O(touched keys' history), so the step
+    should stay ~flat while the history grows 100× — without the prune
+    every micro-batch re-folds the whole history through the SCD2
+    window."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dbt_decodable_spark.catalog import Engine
+    from dbt_decodable_spark.schema import StreamSchema
+
+    out: dict = {}
+    n = 100_000
+    for label, nv in (("10k", 10_000), (f"{big_v // 1000}k", big_v)):
+        tmp = tempfile.mkdtemp(prefix=f"probe_tdim_{label}_")
+        ns = f"ptv{label.replace('.', '')}"
+        eng = Engine(spark, namespace=ns, warehouse_dir=f"{tmp}/wh")
+        os.makedirs(eng.warehouse_dir, exist_ok=True)
+        facts = spark.range(n).select(
+            F.col("id").alias("pk"),
+            (F.col("id") % 1000).alias("fk"),
+            (F.col("id") % 777).alias("qty"),
+            (F.col("id") % 100).alias("ts"),
+            F.lit(False).alias("deleted"),
+        )
+        # nv versions over 1000 keys, valid_from strictly increasing per
+        # key (the scd2 contract) and NORMALIZED to the same 0..~1000
+        # range at both scales so the churn's affected-fact fanout is
+        # identical — only the history SIZE varies
+        vstep = max(1, 1000 // (nv // 1000))
+        dims = spark.range(nv).select(
+            (F.col("id") % 1000).alias("dk"),
+            (F.col("id") % 37).cast("string").alias("seg"),
+            (F.expr("id div 1000") * vstep).cast("long").alias("vfrom"),
+        )
+        eng.create_stream(
+            "fact",
+            schema=StreamSchema.from_spark(facts.schema, primary_key=["pk"]),
+            data=facts,
+        )
+        eng.create_stream(
+            "dim",
+            schema=StreamSchema.from_spark(dims.schema, primary_key=["dk"]),
+            data=dims,
+        )
+        eng.create_pipeline(
+            "asof",
+            f"select f.*, d.seg as seg_at_ts from {ns}__fact f "
+            f"left join {ns}__dim for system_time as of f.ts as d "
+            f"on f.fk = d.dk",
+            activate=False,
+        )
+        nodes = {
+            "asof": dict(
+                fact_order=["ts"], fact_delete_col="deleted",
+                dim_valid_from="vfrom",
+            ),
+        }
+        res = {}
+        t = time.time()
+        eng.activate_project_incremental(nodes, n_buckets=32)
+        res["init"] = round(time.time() - t, 2)
+        batch = spark.range(5000).select(
+            (F.col("id") * (n // 5000)).alias("pk"),
+            (F.col("id") % 1000).alias("fk"),
+            (F.col("id") % 555).alias("qty"),
+            F.lit(10 ** 9).cast("long").alias("ts"),
+            (F.col("id") % 500 == 0).alias("deleted"),
+        )
+        dbatch = spark.range(50).select(
+            (F.col("id") * 20).alias("dk"),
+            F.lit("UPD").alias("seg"),
+            F.lit(2000).cast("long").alias("vfrom"),
+        )
+        batch.write.mode("append").parquet(eng.streams[f"{ns}__fact"].path)
+        dbatch.write.mode("append").parquet(eng.streams[f"{ns}__dim"].path)
+        eng.refresh_stream("fact")
+        eng.refresh_stream("dim")
+        t = time.time()
+        eng.activate_project_incremental(nodes, n_buckets=32)
+        res["step"] = round(time.time() - t, 2)
+        out[label] = res
+        eng.cleanup()
+        shutil.rmtree(tmp, ignore_errors=True)
+    labels = list(out)
+    out["step_ratio"] = (
+        round(out[labels[1]]["step"] / out[labels[0]]["step"], 2)
+        if out[labels[0]]["step"] > 0.05
+        else None
+    )
+    return out
+
+
 def probe_temporal(spark, big_n: int = 2_000_000) -> dict:
     """SCD2-temporal IVM slope probe (``python tools/scale_probe.py
     temporal [big_n]``): one :func:`ivm_temporal.maintain_temporal_join`
@@ -1183,6 +1282,11 @@ def main() -> None:
         spark = get_spark(app_name="scale_probe_temporaldag")
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
         print(json.dumps({"temporaldag": probe_temporaldag(spark, n)}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "temporaldim":
+        spark = get_spark(app_name="scale_probe_temporaldim")
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+        print(json.dumps({"temporaldim": probe_temporaldim(spark, n)}))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "temporal":
         spark = get_spark(app_name="scale_probe_temporal")
