@@ -28,6 +28,7 @@ import glob
 import os
 
 import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from dbt_decodable_spark.operators import ivm_dag
@@ -302,6 +303,65 @@ class TestMergeOnReadPruneFold:
         assert _rows(pruned.select(*sorted(pruned.columns))) == _rows(
             full.select(*sorted(full.columns))
         )
+
+
+class TestPruneFoldProperty:
+    """Randomized equivalence: pruned fold == full fold for ANY keyed
+    snapshot + delta history (updates, tombstones, resurrections, keys
+    only in deltas, repeated images), both tombstone modes."""
+
+    DDL = "k long, v long, seq long, dead boolean"
+
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(data=st.data())
+    def test_pruned_equals_full(self, spark, tmp_path_factory, data):
+        from dbt_decodable_spark.streaming.changelog import (
+            append_delta,
+            read_merged,
+            write_hash_partitioned,
+        )
+
+        keyspace = list(range(1, 12))
+        base = [
+            (k, data.draw(st.integers(0, 99)), 0,
+             data.draw(st.booleans()))
+            for k in data.draw(
+                st.lists(st.sampled_from(keyspace), unique=True, min_size=1)
+            )
+        ]
+        n_deltas = data.draw(st.integers(1, 3))
+        seq = 1
+        deltas = []
+        for _ in range(n_deltas):
+            rows = []
+            for _ in range(data.draw(st.integers(1, 4))):
+                rows.append((
+                    data.draw(st.sampled_from(keyspace + [99, 100])),
+                    data.draw(st.integers(0, 99)),
+                    seq,
+                    data.draw(st.booleans()),
+                ))
+                seq += 1
+            deltas.append(rows)
+        path = str(tmp_path_factory.mktemp("pf") / "state")
+        write_hash_partitioned(
+            spark.createDataFrame(base, self.DDL), path, ["k"], 4
+        )
+        for rows in deltas:
+            append_delta(spark, path, spark.createDataFrame(rows, self.DDL))
+        for tomb in (True, False):
+            kw = dict(include_tombstones=tomb, delete_col="dead")
+            full = read_merged(
+                spark, path, ["k"], [F.col("seq"), F.col("k")], **kw
+            )
+            pruned = read_merged(
+                spark, path, ["k"], [F.col("seq"), F.col("k")],
+                prune_fold=True, **kw,
+            )
+            assert _rows(pruned) == _rows(full), f"tomb={tomb}"
 
 
 class TestChangePairsPruneTarget:
