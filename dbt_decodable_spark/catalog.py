@@ -2052,31 +2052,66 @@ class Engine:
     ) -> int:
         """The :class:`~.ivm_dag.DownstreamLagError` recovery through the
         engine: drop the DAG downstream's root and re-initialize it from
-        the CURRENT join view — O(|view|), nothing upstream re-runs. The
-        root's persisted emission choice is honored: an emitting root's
-        out log (which lives under the root and dies with it) is re-seeded
-        with the new floor image, so ``fold(out log) == the rollup view``
-        holds from the new floor onward. Mid-stream consumers of the old
-        out log must re-bootstrap from the floor — the lag error means
-        history they never consumed is already unreconstructible."""
+        the CURRENT upstream state — O(|view|), nothing upstream re-runs.
+        The upstream may be ANY producer node kind (r12): a lookup-join
+        pipeline (its view log), a temporal-join pipeline (its view log),
+        or another rollup (its emitted out log — the pure-delta shape).
+        The root's persisted emission choice is honored: an emitting
+        root's out log (which lives under the root and dies with it) is
+        re-seeded with the new floor image, so ``fold(out log) == the
+        rollup view`` holds from the new floor onward. Mid-stream
+        consumers of the old out log must re-bootstrap from the floor —
+        the lag error means history they never consumed is already
+        unreconstructible."""
         from dbt_decodable_spark.operators import ivm_dag
+        from dbt_decodable_spark.operators import ivm_join as ij
+        from dbt_decodable_spark.operators import ivm_temporal
         from dbt_decodable_spark.operators.ivm import agg_spec_from_sql
         from dbt_decodable_spark.operators.ivm_log import ivm_log_read
 
         if not self.warehouse_dir:
             raise CatalogError("incremental activation needs a warehouse_dir engine")
         p_agg = self.pipelines[self.qualify(name)]
-        p_join = self.pipelines[self.qualify(upstream)]
+        p_up = self.pipelines[self.qualify(upstream)]
         agg_spec, src_tbl = agg_spec_from_sql(p_agg.sql)
-        if src_tbl != p_join.sink:
+        if src_tbl != p_up.sink:
             raise CatalogError(
                 f"DAG shape: {p_agg.name!r} must aggregate the upstream's "
-                f"sink stream {p_join.sink!r}, not {src_tbl!r}"
+                f"sink stream {p_up.sink!r}, not {src_tbl!r}"
             )
-        fkeys = list(
-            self.streams[self._dag_fact_stream(p_join)].schema.primary_key
-        )
-        jroot = os.path.join(self.warehouse_dir, f"_ivmj_{p_join.name}")
+        # resolve the upstream's change log + its key, by node kind
+        try:
+            ij.join_spec_from_sql(p_up.sql, ())
+            up_log = os.path.join(
+                self.warehouse_dir, f"_ivmj_{p_up.name}", "view"
+            )
+            keys = list(
+                self.streams[self._dag_fact_stream(p_up)].schema.primary_key
+            )
+        except ValueError:
+            try:
+                _t, t_ftbl, _d = ivm_temporal.temporal_spec_from_sql(
+                    p_up.sql, (), "__pending__"
+                )
+                up_log = os.path.join(
+                    self.warehouse_dir, f"_ivmt_{p_up.name}", "view"
+                )
+                keys = list(
+                    self.streams[self.qualify(t_ftbl)].schema.primary_key
+                )
+            except ValueError:
+                up_spec, _src = agg_spec_from_sql(p_up.sql)
+                keys = list(up_spec.group_cols)
+                uproot = os.path.join(
+                    self.warehouse_dir, f"_ivmd_{p_up.name}"
+                )
+                if not os.path.isdir(uproot) and os.path.isdir(
+                    os.path.join(self.warehouse_dir, f"_ivm_{p_up.name}")
+                ):
+                    uproot = os.path.join(
+                        self.warehouse_dir, f"_ivm_{p_up.name}"
+                    )
+                up_log = os.path.join(uproot, "out")
         droot = os.path.join(self.warehouse_dir, f"_ivmd_{p_agg.name}")
         out_log = os.path.join(droot, "out")
         emit_file = os.path.join(droot, "_emit_changes")
@@ -2087,7 +2122,7 @@ class Engine:
         else:
             emitting = os.path.isdir(out_log + ".__deltas__")
         floor = ivm_dag.rebuild_downstream(
-            self.spark, droot, os.path.join(jroot, "view"), fkeys, agg_spec,
+            self.spark, droot, up_log, keys, agg_spec,
             bucket_expr=agg_bucket_expr,
             emit_log=out_log if emitting else None,
         )

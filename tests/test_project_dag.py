@@ -366,6 +366,43 @@ class TestRawAggRootedChain:
                 break
             k += 1
 
+    def test_lag_guard_and_front_door_rebuild(self, spark, tmp_path):
+        """Park the band stage, compact the raw rollup's out log past it →
+        DownstreamLagError; then recover through
+        rebuild_pipeline_downstream, whose upstream here is a ROLLUP (the
+        r12 generalization — it used to assume a join upstream)."""
+        from dbt_decodable_spark.operators.ivm_dag import DownstreamLagError
+        from dbt_decodable_spark.streaming.changelog import (
+            compact_change_log,
+        )
+
+        ns = "pjrl"
+        eng = self._mk(spark, tmp_path, ns, F1)
+        one = {"rawroll": dict(order=["ts"], delete_col="deleted",
+                               emit_changes=True)}
+        f_hist = list(F1)
+        try:
+            eng.activate_project_incremental(self.RAW_NODES, n_buckets=4)
+            # three churn rounds advance ONLY the rollup (band parked)
+            for i in range(3):
+                rows = [(100 + i, 20 + 10 * (i % 2), i + 1, 2 + i, False)]
+                _append(spark, eng, "fact", rows, FACT_DDL)
+                f_hist += rows
+                eng.activate_project_incremental(one, n_buckets=4)
+            out_log = os.path.join(
+                eng.warehouse_dir, f"_ivm_{ns}__rawroll", "out"
+            )
+            res = compact_change_log(spark, out_log, ["fk"])
+            assert res["floor"] is not None
+            with pytest.raises(DownstreamLagError):
+                eng.activate_project_incremental(self.RAW_NODES, n_buckets=4)
+            eng.rebuild_pipeline_downstream("rawband", "rawroll")
+            eng.activate_project_incremental(self.RAW_NODES, n_buckets=4)
+            _, band_w = self._want(spark, f_hist)
+            assert _rows(eng.read_stream("rawband")) == band_w
+        finally:
+            eng.cleanup()
+
     def test_emission_choice_is_sticky(self, spark, tmp_path):
         """A root built emitting must keep emitting; one built without
         cannot enable later — same protocol as the DAG arm."""
