@@ -607,6 +607,42 @@ class TestTemporalNodeKind:
         finally:
             eng.cleanup()
 
+    def test_lag_guard_and_front_door_rebuild(self, spark, tmp_path):
+        """Park the rollup, fold the temporal view log's deltas into its
+        base (raising the base max __seq past the parked watermark) →
+        DownstreamLagError; recover through rebuild_pipeline_downstream
+        with a TEMPORAL upstream (the r12 generalization's third kind)."""
+        from dbt_decodable_spark.operators.ivm_dag import DownstreamLagError
+        from dbt_decodable_spark.streaming.changelog import compact_and_vacuum
+
+        ns = "pjtl"
+        eng = self._mk(spark, tmp_path, ns, F1, D1)
+        one = {"asof": self.T_NODES["asof"]}
+        f_hist, d_hist = list(F1), list(D1)
+        try:
+            eng.activate_project_incremental(self.T_NODES, n_buckets=4)
+            for i in range(2):
+                rows = [(100 + i, 20, i + 1, 2 + i, False)]
+                _append(spark, eng, "fact", rows, FACT_DDL)
+                f_hist += rows
+                eng.activate_project_incremental(
+                    one, n_buckets=4, compact=False
+                )
+            view_log = os.path.join(
+                eng.warehouse_dir, f"_ivmt_{ns}__asof", "view"
+            )
+            compact_and_vacuum(
+                spark, view_log, ["pk"], [F.col("__seq")], n_buckets=4
+            )
+            with pytest.raises(DownstreamLagError):
+                eng.activate_project_incremental(self.T_NODES, n_buckets=4)
+            eng.rebuild_pipeline_downstream("troll", "asof")
+            eng.activate_project_incremental(self.T_NODES, n_buckets=4)
+            _, roll_w = self._want(spark, f_hist, d_hist)
+            assert _rows(eng.read_stream("troll")) == roll_w
+        finally:
+            eng.cleanup()
+
     def test_every_init_crash_point_recovers(
         self, spark, tmp_path, monkeypatch
     ):
