@@ -1333,11 +1333,19 @@ class Engine:
             write_hash_partitioned(v0, view_log, fkeys, n_buckets)
             _write_atomic(init_marker, "1")
         with open(nb_file) as fh:
-            persisted_nb = int(fh.read().strip())
+            raw_nb = fh.read().strip()
+        try:
+            persisted_nb = int(raw_nb)
+        except ValueError:
+            raise CatalogError(
+                f"corrupt _n_buckets record {raw_nb!r} in {root!r} — "
+                "delete the root to re-initialize"
+            ) from None
         if persisted_nb != n_buckets:
             raise CatalogError(
                 f"n_buckets={n_buckets} does not match the bucket layout "
-                f"this view was created with ({persisted_nb})"
+                f"this view was created with ({persisted_nb}) — re-activate "
+                f"with n_buckets={persisted_nb} or delete {root!r}"
             )
         epoch_file = os.path.join(root, "_epoch")
         epoch = 0
