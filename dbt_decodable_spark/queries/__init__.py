@@ -47,43 +47,36 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 # The driver's correctness gate measures the FIRST 50 registry entries per
-# round. Round-12 rotation (VERDICT r11 item 1): the 49 rows whose latest
-# driver evidence is round 8 hit the MAX_AGE_ROUNDS=4 staleness bound when
-# r12 lands and MUST refresh; the single remaining slot goes to
-# ivm_dag_depth3, whose implementation changes this round (VERDICT r11
-# items 2+4: the depth-3 chain is re-rooted at an aggregate-over-raw-stream
-# node — the last N-node shape gap — and its fixed commit cost is cut), so
-# its r11 evidence no longer covers the shipped code. r13 then owes the
-# full 50-row r9 cohort (0 free) — the registry stays frozen at 198
+# round. Round-13 rotation (VERDICT r12 item 1): the full 50-row round-9
+# cohort hits the MAX_AGE_ROUNDS=4 staleness bound when r13 lands and MUST
+# refresh — 0 free slots this round. The registry stays frozen at 198
 # (capacity 4×50=200) for exactly this reason; any new row must REPLACE a
-# superseded one. Everything NOT in the window stays verified by
+# superseded one. After this rotation, r14's forecast load is the 49-row
+# r10 cohort (1 free slot). Everything NOT in the window stays verified by
 # tools/oracle_check.py (driver-faithful local replica) and pytest;
 # tools/window_audit.py mechanically checks the staleness invariant.
 _DRIVER_WINDOW_PRIORITY = (
-    # (a) the full round-8 cohort (49 rows at the staleness bound):
-    "func_array", "func_array_explode", "func_char_length_not_null",
-    "func_coalesce_nullif", "func_conditional", "func_datetime",
-    "func_grok", "func_grok_agg", "func_grok_patterns", "func_json",
-    "func_map", "func_math", "func_string", "func_string_extra",
-    "func_to_timestamp", "join_salted_skew", "join_skew_aqe",
-    "maintenance_compaction_roundtrip", "pivot_status_by_year",
-    "source_multiset_roundtrip", "stream_cdc_merge", "stream_change_fold",
-    "stream_cumulate_window", "stream_hop_window", "stream_start_latest",
-    "stream_tumble_window", "subquery_in", "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customer", "tpch_q19_discounted_revenue",
-    "tpch_q22_sales_opportunity", "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority", "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
-    "tpch_q8_national_market_share", "window_dedup_latest",
-    "window_first_last", "window_lag_lead", "window_ntile_cume",
-    "window_range_frame", "window_rank_dense", "window_rows_frame",
-    "window_topk_per_group",
-    # (b) the 1 free slot: the row whose implementation changes this round
-    # (re-rooted depth-3 DAG + coalesced commit protocol) — its r11
-    # measurement no longer covers the shipped code:
-    "ivm_dag_depth3",
+    # the full round-9 cohort (50 rows at the staleness bound):
+    "agg_approx_distinct", "agg_bool_string", "agg_groupby_q1",
+    "agg_kmv_distinct", "cluster_kmeans_lloyd", "corpus_length_quantiles",
+    "corpus_stats_by_source", "decontaminate_against_benchmark",
+    "dedup_bloom_filter", "dedup_cc_star_edges",
+    "dedup_connected_components", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_incremental_minhash", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "embedding_normalize", "events_count", "func_timestamp_ltz",
+    "join_asof_merge", "join_interval", "mix_token_budget",
+    "multimodal_metadata", "pack_token_shards", "sample_stratified",
+    "sample_uniform", "similarity_bruteforce_topk", "similarity_ivf_topk",
+    "similarity_threshold_join", "source_csv_roundtrip",
+    "stream_interval_join", "stream_scd2_versions", "stream_session_window",
+    "stream_temporal_join", "text_chunk_windows", "text_quality",
+    "text_quality_quantile_gate", "text_redact_pii",
+    "text_repetition_filter", "text_token_count", "text_token_histogram",
+    "text_vocab_topk", "tpch_q11_important_part_value",
+    "tpch_q12_late_shipment_priority", "tpch_q16_supplier_part_count",
+    "tpch_q20_excess_shipments", "tpch_q21_suppliers_kept_waiting",
+    "tpch_q2_min_cost_supplier", "tpch_q9_product_type_profit",
+    "unpivot_stack",
 )
 
 
