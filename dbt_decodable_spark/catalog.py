@@ -345,6 +345,17 @@ class Engine:
                     f"temporal payload column(s) {bad} are not columns of "
                     f"{dtbl!r}"
                 ) from None
+            # mirror the incremental front door's payload-vs-fact check
+            # (activate_pipeline_temporal_incremental): a colliding OUTPUT
+            # alias would otherwise build a StructType with duplicate
+            # field names instead of raising (ADVICE r12)
+            fact_names = set(f_st.fieldNames())
+            bad_alias = [a for a in spec0.payload if a in fact_names]
+            if bad_alias:
+                raise CatalogError(
+                    f"payload name(s) {bad_alias} collide with a fact "
+                    "column"
+                ) from None
             out = _T.StructType(
                 list(f_st.fields)
                 + [
@@ -1393,13 +1404,30 @@ class Engine:
                 # large-dim scale path. Exact because SCD2 is a per-key
                 # computation; the operator's returned dim state is
                 # discarded (the next batch re-reads the logs).
-                touch_dk = (
-                    batch_df.select(
-                        F.col(spec.fk_col).alias(spec.dim_key)
-                    ).distinct()
-                    if side == "fact"
-                    else batch_df.select(spec.dim_key).distinct()
-                )
+                if side == "fact":
+                    # The re-enrichment consumes the POST-MERGE WINNING
+                    # images of the batch's keys, and a stale/out-of-order
+                    # batch row can LOSE the merge to a snapshot image
+                    # carrying a DIFFERENT fk — so the winners' fks must
+                    # be in the pruned history too, or the LEFT as-of
+                    # re-enriches against a version set missing them and
+                    # emits a NULL-payload upsert over the correct view
+                    # row. Both arms stay batch-bounded (≤ 2·|batch| keys
+                    # broadcast): the batch's own fks ∪ the current
+                    # winning images' fks for the batch's pks.
+                    winner_fks = fact_now.join(
+                        F.broadcast(batch_df.select(*fkeys).distinct()),
+                        on=fkeys, how="left_semi",
+                    ).select(F.col(spec.fk_col).alias(spec.dim_key))
+                    touch_dk = (
+                        batch_df.select(
+                            F.col(spec.fk_col).alias(spec.dim_key)
+                        )
+                        .unionByName(winner_fks)
+                        .distinct()
+                    )
+                else:
+                    touch_dk = batch_df.select(spec.dim_key).distinct()
                 hist = _dim_rows().join(
                     F.broadcast(touch_dk), on=spec.dim_key, how="left_semi"
                 )
@@ -1702,15 +1730,471 @@ class Engine:
             emit_log=out_log if emit_changes else None,
         )
 
-    @staticmethod
-    def _agg_node_root(info: dict, nd: dict) -> str:
+    def _run_downstream_join_stage(
+        self,
+        p,
+        up_log: str,
+        up_keys: list[str],
+        dim_order: list[str] | None,
+        dim_delete_col: str | None,
+        n_buckets: int,
+    ) -> int:
+        """One maintained LOOKUP-JOIN stage whose FACT side consumes an
+        upstream node's CHANGE LOG instead of a raw stream — the last
+        composition gap vs the reference platform, where ANY model's sink
+        may source the next pipeline (``/root/reference/dbt/adapters/
+        decodable/impl.py:419-447``): rollup → enrich-join → rollup.
+
+        The insight that makes this the join arm unchanged: an upstream
+        change log IS a keyed CDC stream — ``__seq`` is the change order,
+        ``__deleted`` the tombstone flag. Ingest renames them to the
+        state-only names ``__useq``/``__udel`` (the join's own view log
+        stacks fresh ``__seq``/``__deleted`` onto its outputs), then the
+        standard maintenance round runs with ``fact_order=[__useq]``,
+        ``fact_delete_col="__udel"`` and both hidden from the view
+        projection (``fact_hidden_cols``) — the view columns are exactly
+        the upstream sink's columns plus the dim payload.
+
+        Consumption is the DAG arm's watermark protocol, not a Spark
+        stream (the upstream log is a delta directory whose files
+        compaction deletes — file-based checkpoints would break): pending
+        = upstream rows with ``__seq`` past the root's floor record,
+        processed as ONE batch (correct for any batching — the keyed merge
+        telescopes intermediate images), then the floor advances. Lag
+        guards mirror :func:`~.operators.ivm_dag.maintain_downstream`:
+        an upstream base/floor past this consumer's watermark raises
+        :class:`~.operators.ivm_dag.DownstreamLagError` (delete the root
+        to re-init from the current upstream state; downstream consumers
+        of THIS join's view log must rebuild with it).
+
+        Crash story (the join arm's, one level down): per batch the VIEW
+        delta commits first, the fact STATE delta second, the floor LAST —
+        a replay before the floor write recomputes bit-identical changes
+        (state still excludes the batch, or the batch ties with its own
+        landed state rows and changes nothing) and every append dedupes on
+        its deterministic ``up<watermark>`` tag. The dim side stays a raw
+        stream with the standard epoch/batch protocol; fact-stage view
+        seqs use the same ``(epoch, side, batch)`` space so a later dim
+        batch outranks this activation's fact batch, matching application
+        order. Returns the consumed upstream watermark."""
+        import dataclasses
+
+        from dbt_decodable_spark.operators import ivm_dag
+        from dbt_decodable_spark.operators import ivm_join as ij
+        from dbt_decodable_spark.streaming.changelog import (
+            append_delta,
+            fold_last_image,
+            list_deltas,
+            read_merged,
+            write_hash_partitioned,
+        )
+
+        spec0, ftbl, dtbl = ij.join_spec_from_sql(p.sql, ())
+        ftbl, dtbl = self.qualify(ftbl), self.qualify(dtbl)
+        spec = dataclasses.replace(spec0, fact_keys=tuple(up_keys))
+        ddef = self.streams[dtbl]
+        dkeys = list(ddef.schema.primary_key)
+        if not dkeys:
+            raise CatalogError(
+                "the dim side must declare primary_key — incremental "
+                "maintenance needs keyed change streams (schema.py:109-111)"
+            )
+        if tuple(dkeys) != spec.dim_keys:
+            raise CatalogError(
+                f"ON-clause dim columns {spec.dim_keys} must be exactly "
+                f"{dtbl!r}'s primary_key {tuple(dkeys)}"
+            )
+        if not ddef.path:
+            raise CatalogError(f"source stream {dtbl!r} is not parquet-backed")
+        dorder = self._change_order(dim_order, ddef, dkeys, "dim")
+        dordc = lambda: [F.col(c) for c in dorder]  # noqa: E731
+        fordc = lambda: [F.col("__useq")]  # noqa: E731
+
+        # fire-before-write: the fact side's columns are the upstream
+        # SINK's schema; reject collisions with the state-only ingest
+        # names, the view-log columns, and the round sentinels
+        up_fields = [f.name for f in self.streams[ftbl].schema.fields]
+        bad_fact = sorted(
+            set(up_fields)
+            & (
+                set(ij._RESERVED)
+                | {"__bucket", "__seq", "__deleted", "__useq", "__udel"}
+            )
+        )
+        if bad_fact:
+            raise CatalogError(
+                f"upstream sink column(s) {bad_fact} collide with reserved "
+                "maintenance names"
+            )
+        missing_fk = sorted(set(spec.fk_cols) - set(up_fields))
+        if missing_fk:
+            raise CatalogError(
+                f"fk column(s) {missing_fk} are not columns of the "
+                f"upstream sink {ftbl!r}"
+            )
+        for out in spec.dim_payload:
+            if out in up_fields:
+                raise CatalogError(
+                    f"payload name {out!r} collides with a fact column"
+                )
+        bad_payload = sorted(
+            set(spec.dim_payload) & {"__bucket", "__seq", "__deleted"}
+        )
+        if bad_payload:
+            raise CatalogError(
+                f"payload output name(s) {bad_payload} collide with "
+                "reserved view-log columns"
+            )
+        dschema = self.spark.read.parquet(ddef.path).schema
+        if dim_delete_col is not None and dim_delete_col not in dschema.fieldNames():
+            raise CatalogError(
+                f"dim_delete_col {dim_delete_col!r} is not a column of the "
+                "dim stream"
+            )
+        if "__bucket" in dschema.fieldNames():
+            raise CatalogError(
+                "dim column '__bucket' collides with the bucketed snapshot "
+                "layout column"
+            )
+
+        root = os.path.join(self.warehouse_dir, f"_ivmjd_{p.name}")
+        fact_log = os.path.join(root, "fact")
+        dim_log = os.path.join(root, "dim")
+        view_log = os.path.join(root, "view")
+        nb_file = os.path.join(root, "_n_buckets")
+        init_marker = os.path.join(root, "_init_done")
+
+        def _ingest(rows):
+            return rows.withColumnRenamed("__seq", "__useq").withColumnRenamed(
+                "__deleted", "__udel"
+            )
+
+        if not os.path.exists(init_marker):
+            # clear-then-init is redo-safe: every append below is gated on
+            # the marker, so a partial root holds no consumed delta to lose
+            import shutil as _sh
+
+            _sh.rmtree(root, ignore_errors=True)
+            os.makedirs(root, exist_ok=True)
+            _write_atomic(nb_file, str(n_buckets))
+            # dim offsets BEFORE the dim fold (the no-op init pass both
+            # raw arms run); the fact side has no stream — its floor is
+            # captured from the same listing its fold reads
+            _advance_stream_offsets(
+                self.spark, ddef.path, dschema,
+                os.path.join(root, "_ckpt_dim"),
+            )
+            base, drows = ivm_dag._view_rows(self.spark, up_log)
+            fsnap = _ingest(
+                fold_last_image(
+                    base.unionByName(drows), list(up_keys),
+                    [F.col("__seq")],
+                ).localCheckpoint(eager=False)
+            )
+            floor_row = fsnap.agg(F.max("__useq").alias("m")).collect()[0]
+            floor = int(floor_row["m"]) if floor_row["m"] is not None else 0
+            # the fold consumed the ENTIRE listed log, so the consumed
+            # floor must also cover seqs the log no longer RETAINS rows
+            # for — a compaction fold keeps only live images, whose max
+            # seq can sit BELOW the durable compaction floor (e.g. the
+            # newest change was a group death), and a floor derived from
+            # the retained rows alone would trip this stage's own lag
+            # guard on the very next step
+            floor = max(floor, ivm_dag._log_compaction_floor(up_log))
+            if ivm_dag._has_parquet(up_log):
+                bm = ivm_dag._base_max_seq(up_log)
+                if bm is not None:
+                    floor = max(floor, int(bm))
+            dsnap = fold_last_image(
+                self.spark.read.parquet(ddef.path), dkeys, dordc()
+            )
+            write_hash_partitioned(fsnap, fact_log, list(up_keys), n_buckets)
+            write_hash_partitioned(dsnap, dim_log, dkeys, n_buckets)
+            v0 = (
+                ij.compute_join_view(
+                    self.spark.read.parquet(fact_log).drop("__bucket"),
+                    self.spark.read.parquet(dim_log).drop("__bucket"),
+                    spec, "__udel", dim_delete_col,
+                    fact_hidden_cols=("__useq",),
+                )
+                .withColumn("__seq", F.lit(0).cast("long"))
+                .withColumn("__deleted", F.lit(False))
+            )
+            write_hash_partitioned(v0, view_log, list(up_keys), n_buckets)
+            ivm_dag._write_floor(root, floor)
+            _write_atomic(init_marker, "1")
+        with open(nb_file) as fh:
+            persisted_nb = int(fh.read().strip())
+        if persisted_nb != n_buckets:
+            raise CatalogError(
+                f"n_buckets={n_buckets} does not match the bucket layout "
+                f"this view was created with ({persisted_nb}) — re-activate "
+                f"with n_buckets={persisted_nb} or delete {root!r}"
+            )
+        epoch_file = os.path.join(root, "_epoch")
+        epoch = 0
+        if os.path.exists(epoch_file):
+            with open(epoch_file) as fh:
+                epoch = int(fh.read().strip() or 0)
+        epoch += 1
+        _write_atomic(epoch_file, str(epoch))
+
+        def _state():
+            return ij.JoinViewState(
+                fact=read_merged(
+                    self.spark, fact_log, list(up_keys), fordc(),
+                    include_tombstones=True, prune_fold=True,
+                ),
+                dim=read_merged(
+                    self.spark, dim_log, dkeys, dordc(),
+                    include_tombstones=True, prune_fold=True,
+                ),
+                view=read_merged(
+                    self.spark, view_log, list(up_keys), [F.col("__seq")],
+                    delete_col="__deleted", prune_fold=True,
+                ).drop("__seq", "__deleted"),
+            )
+
+        fact_state_schema = self.spark.read.parquet(fact_log).drop(
+            "__bucket"
+        ).schema
+
+        # ---- fact stage: consume the upstream log past the floor
+        w = ivm_dag.downstream_watermark(root)
+        base, drows = ivm_dag._view_rows(self.spark, up_log)
+        from dbt_decodable_spark.operators.ivm_dag import DownstreamLagError
+
+        if ivm_dag._has_parquet(up_log):
+            base_max = ivm_dag._base_max_seq(up_log)
+            if base_max is None:
+                base_max = base.agg(F.max("__seq").alias("m")).collect()[0]["m"]
+            if base_max is not None and int(base_max) > w:
+                raise DownstreamLagError(
+                    f"upstream log {up_log!r} base snapshot holds "
+                    f"__seq={base_max} > join-stage watermark {w} — it was "
+                    f"compacted past this consumer; delete {root!r} to "
+                    "re-initialize from the current upstream state "
+                    "(downstream consumers of this join rebuild with it)"
+                )
+        else:
+            log_floor = ivm_dag._log_compaction_floor(up_log)
+            if log_floor > w:
+                raise DownstreamLagError(
+                    f"upstream log {up_log!r} was compacted to floor "
+                    f"{log_floor} > join-stage watermark {w} — tombstones "
+                    f"this consumer never saw are gone; delete {root!r} to "
+                    "re-initialize from the current upstream state "
+                    "(downstream consumers of this join rebuild with it)"
+                )
+        pending = drows.filter(F.col("__seq") > F.lit(w))
+        new_w_row = pending.agg(F.max("__seq").alias("m")).collect()[0]
+        new_w = w
+        if new_w_row["m"] is not None:
+            new_w = int(new_w_row["m"])
+            fb = _ingest(pending)
+            seq = (epoch * 2) << 33
+            _st, changes = ij.maintain_join_with_changes(
+                _state(), fb,
+                self.spark.createDataFrame([], dschema),
+                fordc(), dordc(), spec, seq=seq,
+                fact_delete_col="__udel", dim_delete_col=dim_delete_col,
+                fact_hidden_cols=("__useq",),
+            )
+            changes = changes.localCheckpoint(eager=True)
+            # VIEW delta first, state second, floor LAST (crash story)
+            if changes.count() > 0:
+                append_delta(
+                    self.spark, view_log, changes, tag=f"view-up{new_w}"
+                )
+            append_delta(self.spark, fact_log, fb, tag=f"fact-up{new_w}")
+            ivm_dag._write_floor(root, new_w)
+
+        # ---- dim stage: the raw arm's bounded stream, fact side empty
+        def handle(batch_df, batch_id):
+            seq = ((epoch * 2 + 1) << 33) + batch_id
+            tag = f"dim-{epoch}-{batch_id}"
+            _st, changes = ij.maintain_join_with_changes(
+                _state(),
+                self.spark.createDataFrame([], fact_state_schema),
+                batch_df, fordc(), dordc(), spec, seq=seq,
+                fact_delete_col="__udel", dim_delete_col=dim_delete_col,
+                fact_hidden_cols=("__useq",),
+            )
+            changes = changes.localCheckpoint(eager=True)
+            if changes.count() > 0:
+                append_delta(
+                    self.spark, view_log, changes, tag=f"view-{tag}"
+                )
+            append_delta(self.spark, dim_log, batch_df, tag=tag)
+
+        q = (
+            self.spark.readStream.schema(dschema)
+            .parquet(ddef.path)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", os.path.join(root, "_ckpt_dim"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        live = read_merged(
+            self.spark, view_log, list(up_keys), [F.col("__seq")],
+            delete_col="__deleted", prune_fold=True,
+        ).drop("__seq", "__deleted")
+        self._materialize(self.streams[p.sink], live)
+        p.active = True
+        return new_w
+
+    def _compact_downstream_join_logs(
+        self, p, up_keys: list[str], dim_order: list[str] | None,
+        n_buckets: int, compact_min_deltas: int,
+    ) -> None:
+        """LSM compaction for a mid-graph join stage's three logs — the
+        ``_ivmjd_`` twin of :meth:`_compact_join_pipeline_logs` (fact
+        folds by the ingest order column ``__useq``)."""
+        from dbt_decodable_spark.operators import ivm_join as ij
+        from dbt_decodable_spark.streaming.changelog import (
+            compact_and_vacuum,
+            list_deltas,
+        )
+
+        _, _ftbl, dtbl = ij.join_spec_from_sql(p.sql, ())
+        ddef = self.streams[self.qualify(dtbl)]
+        dkeys = list(ddef.schema.primary_key)
+        dorder = self._change_order(dim_order, ddef, dkeys, "dim")
+        root = os.path.join(self.warehouse_dir, f"_ivmjd_{p.name}")
+        for log, keys_, ord_ in (
+            (os.path.join(root, "fact"), list(up_keys), [F.col("__useq")]),
+            (os.path.join(root, "dim"), dkeys, [F.col(c) for c in dorder]),
+            (os.path.join(root, "view"), list(up_keys), [F.col("__seq")]),
+        ):
+            if len(list_deltas(log)) >= compact_min_deltas:
+                compact_and_vacuum(self.spark, log, keys_, ord_, n_buckets)
+
+    def _join_node_root(self, info: dict, nd: dict) -> str:
+        """Warehouse-relative root of a join node's state: the raw arm
+        (``_ivmj_``) when the fact side is a raw stream, the mid-graph
+        arm (``_ivmjd_``) when it consumes another node's sink — kind
+        pinned by the persisted root exactly like :meth:`_agg_node_root`
+        (a contradicting activation set raises instead of silently
+        re-initializing under the other prefix)."""
+        name, short, ftbl = nd["p"].name, nd["short"], nd["srcs"][0]
+        persisted = next(
+            (
+                prefix
+                for prefix in ("_ivmjd_", "_ivmj_")
+                if os.path.exists(
+                    os.path.join(
+                        self.warehouse_dir, f"{prefix}{name}", "_init_done"
+                    )
+                )
+            ),
+            None,
+        )
+        sinks = {d["p"].sink for d in info.values()}
+        from_set = "_ivmjd_" if ftbl in sinks else "_ivmj_"
+        if persisted == "_ivmjd_" and from_set == "_ivmj_":
+            raise CatalogError(
+                f"join {short!r} was built as a MID-GRAPH stage consuming "
+                f"the change log behind {ftbl!r}, but this activation set "
+                "does not include that producer — include it, or delete "
+                f"{os.path.join(self.warehouse_dir, f'_ivmjd_{name}')!r} "
+                "to rebuild the node over raw streams"
+            )
+        if persisted == "_ivmj_" and from_set == "_ivmjd_":
+            raise CatalogError(
+                f"join {short!r} was built over RAW streams, but this "
+                "activation set also activates a producer for its fact "
+                "source — delete "
+                f"{os.path.join(self.warehouse_dir, f'_ivmj_{name}')!r} to "
+                "rebuild the node as a mid-graph stage"
+            )
+        return f"{persisted or from_set}{name}"
+
+    def _node_view_keys(self, info: dict, nd: dict) -> list[str]:
+        """The key columns of a node's change-log view — what a consumer
+        folds/merges it by: an aggregate's group columns, a join's fact
+        keys (for a mid-graph join: its UPSTREAM's view keys, resolved
+        recursively), a temporal join's fact primary key."""
+        from dbt_decodable_spark.operators import ivm_temporal
+
+        if nd["kind"] == "agg":
+            return list(nd["aspec"].group_cols)
+        if nd["kind"] == "temporal":
+            _t, t_ftbl, _d = ivm_temporal.temporal_spec_from_sql(
+                nd["p"].sql, (), "__pending__"
+            )
+            return list(self.streams[self.qualify(t_ftbl)].schema.primary_key)
+        producers = {d["p"].sink: q for q, d in info.items()}
+        ftbl = nd["srcs"][0]
+        if ftbl in producers:
+            return self._node_view_keys(info, info[producers[ftbl]])
+        return list(
+            self.streams[self._dag_fact_stream(nd["p"])].schema.primary_key
+        )
+
+    def _upstream_change_log(self, info: dict, und: dict) -> tuple[str, list[str]]:
+        """(change-log path, key columns) of a producer node — what any
+        consumer stage (aggregate or mid-graph join) reads."""
+        if und["kind"] == "join":
+            log = os.path.join(
+                self.warehouse_dir, self._join_node_root(info, und), "view"
+            )
+        elif und["kind"] == "temporal":
+            log = os.path.join(
+                self.warehouse_dir, f"_ivmt_{und['p'].name}", "view"
+            )
+        else:
+            log = os.path.join(
+                self.warehouse_dir, self._agg_node_root(info, und), "out"
+            )
+        return log, self._node_view_keys(info, und)
+
+    def _agg_node_root(self, info: dict, nd: dict) -> str:
         """Warehouse-relative root of an aggregate node's state: the raw
         aggregate arm (``_ivm_``) when its source is a raw stream, the
         downstream-stage arm (``_ivmd_``) when it consumes another node's
-        sink — both emit their change log at ``<root>/out``."""
+        sink — both emit their change log at ``<root>/out``.
+
+        The kind is PINNED by the persisted root (init-marker-gated, the
+        ``_ivmd_``-first order :meth:`read_pipeline_changes` resolves by)
+        once one exists: re-resolving from the current activation set alone
+        would let a later run that omits the producer silently re-init the
+        node as a raw-stream aggregate over the sink parquet under the
+        other prefix — a persisted kind that contradicts the set raises
+        instead (ADVICE r12)."""
+        name, short, src = nd["p"].name, nd["short"], nd["srcs"][0]
+        persisted = next(
+            (
+                prefix
+                for prefix in ("_ivmd_", "_ivm_")
+                if os.path.exists(
+                    os.path.join(
+                        self.warehouse_dir, f"{prefix}{name}", "_init_done"
+                    )
+                )
+            ),
+            None,
+        )
         sinks = {d["p"].sink for d in info.values()}
-        prefix = "_ivmd_" if nd["srcs"][0] in sinks else "_ivm_"
-        return f"{prefix}{nd['p'].name}"
+        from_set = "_ivmd_" if src in sinks else "_ivm_"
+        if persisted == "_ivmd_" and from_set == "_ivm_":
+            raise CatalogError(
+                f"aggregate {short!r} was built as a DOWNSTREAM stage "
+                f"consuming the change log behind {src!r}, but this "
+                "activation set does not include that producer — include "
+                f"it, or delete {os.path.join(self.warehouse_dir, f'_ivmd_{name}')!r} "
+                "to rebuild the node as a raw-stream aggregate"
+            )
+        if persisted == "_ivm_" and from_set == "_ivmd_":
+            raise CatalogError(
+                f"aggregate {short!r} was built as a RAW-STREAM aggregate "
+                f"over {src!r}, but this activation set also activates a "
+                "producer for that sink — delete "
+                f"{os.path.join(self.warehouse_dir, f'_ivm_{name}')!r} to "
+                "rebuild the node as a downstream stage"
+            )
+        return f"{persisted or from_set}{name}"
 
     def activate_project_incremental(
         self,
@@ -1743,8 +2227,12 @@ class Engine:
         Node kinds and how each is maintained:
 
         - **join** (the ``f.* + d.<col>`` lookup-join shape): the join IVM
-          arm, compaction deferred. Must read RAW change streams (a join
-          over another model's sink is outside the provable shape).
+          arm, compaction deferred. The FACT side may be a raw stream OR
+          another node's sink (r13 — the mid-graph join stage,
+          :meth:`_run_downstream_join_stage`: the upstream's change log is
+          consumed as a keyed CDC stream); the DIM side must read a raw
+          change stream (an SCD-correct maintained dim over a change log
+          is the temporal arm's semantics, not the lookup join's).
         - **temporal join** (``FOR SYSTEM_TIME AS OF`` — the reference's
           change-stream dim semantics): the SCD2-temporal IVM arm
           (:meth:`activate_pipeline_temporal_incremental`); its view log
@@ -1860,13 +2348,27 @@ class Engine:
         view_reserved = {"__g", "__k", "__gbucket", "__mult"}
         for qn in topo:
             nd = info[qn]
-            if nd["kind"] in ("join", "temporal"):
+            if nd["kind"] == "join":
+                # the FACT side may consume another node's change log (the
+                # mid-graph join stage); the DIM side must stay a raw
+                # stream — an SCD-correct maintained dim over a change log
+                # is the temporal arm's job, not the lookup join's
+                if nd["srcs"][1] in producers:
+                    raise CatalogError(
+                        f"join stage {nd['short']!r} reads "
+                        f"{nd['srcs'][1]!r}, another model's sink, as its "
+                        "DIM side — maintained join dims must read raw "
+                        "change streams (the fact side may consume a "
+                        "model's sink)"
+                    )
+                continue
+            if nd["kind"] == "temporal":
                 for s in nd["srcs"]:
                     if s in producers:
                         raise CatalogError(
-                            f"{nd['kind']} stage {nd['short']!r} reads "
+                            f"temporal stage {nd['short']!r} reads "
                             f"{s!r}, another model's sink — maintained "
-                            "joins must read raw change streams"
+                            "temporal joins must read raw change streams"
                         )
                 continue
             src = nd["srcs"][0]
@@ -1898,15 +2400,28 @@ class Engine:
             nd = info[qn]
             short, opts, p = nd["short"], nd["opts"], nd["p"]
             if nd["kind"] == "join":
-                self.activate_pipeline_join_incremental(
-                    short,
-                    fact_order=opts.get("fact_order"),
-                    dim_order=opts.get("dim_order"),
-                    fact_delete_col=opts.get("fact_delete_col"),
-                    dim_delete_col=opts.get("dim_delete_col"),
-                    n_buckets=n_buckets,
-                    compact=False,  # deferred past every consumer
-                )
+                # kind pin (raises if a persisted root contradicts the set)
+                jroot = self._join_node_root(info, nd)
+                if jroot.startswith("_ivmjd_"):
+                    up = info[producers[nd["srcs"][0]]]
+                    up_log, up_keys = self._upstream_change_log(info, up)
+                    w = self._run_downstream_join_stage(
+                        p, up_log, up_keys,
+                        dim_order=opts.get("dim_order"),
+                        dim_delete_col=opts.get("dim_delete_col"),
+                        n_buckets=n_buckets,
+                    )
+                    watermarks[short] = w
+                else:
+                    self.activate_pipeline_join_incremental(
+                        short,
+                        fact_order=opts.get("fact_order"),
+                        dim_order=opts.get("dim_order"),
+                        fact_delete_col=opts.get("fact_delete_col"),
+                        dim_delete_col=opts.get("dim_delete_col"),
+                        n_buckets=n_buckets,
+                        compact=False,  # deferred past every consumer
+                    )
                 continue
             if nd["kind"] == "temporal":
                 self.activate_pipeline_temporal_incremental(
@@ -1920,6 +2435,10 @@ class Engine:
                 continue
             src = nd["srcs"][0]
             up = producers.get(src)
+            # kind pin: a persisted root that contradicts this set's
+            # classification raises here, BEFORE either arm re-inits the
+            # node's state under the other prefix
+            self._agg_node_root(info, nd)
             if up is None:
                 self.activate_pipeline_incremental(
                     short,
@@ -1932,28 +2451,7 @@ class Engine:
                 )
                 continue
             und = info[up]
-            if und["kind"] == "join":
-                log = os.path.join(
-                    self.warehouse_dir, f"_ivmj_{und['p'].name}", "view"
-                )
-                keys = list(
-                    self.streams[
-                        self._dag_fact_stream(und["p"])
-                    ].schema.primary_key
-                )
-            elif und["kind"] == "temporal":
-                log = os.path.join(
-                    self.warehouse_dir, f"_ivmt_{und['p'].name}", "view"
-                )
-                _ts0, t_ftbl, _td = ivm_temporal.temporal_spec_from_sql(
-                    und["p"].sql, (), "__pending__"
-                )
-                keys = list(self.streams[t_ftbl].schema.primary_key)
-            else:
-                log = os.path.join(
-                    self.warehouse_dir, self._agg_node_root(info, und), "out"
-                )
-                keys = list(und["aspec"].group_cols)
+            log, keys = self._upstream_change_log(info, und)
             w = self._run_downstream_stage(
                 p, nd["aspec"], log, keys,
                 emit_changes=bool(consumers[qn])
@@ -1973,12 +2471,21 @@ class Engine:
             for qn in topo:
                 nd = info[qn]
                 if nd["kind"] == "join":
-                    self._compact_join_pipeline_logs(
-                        nd["p"], n_buckets=n_buckets,
-                        compact_min_deltas=compact_min_deltas,
-                        fact_order=nd["opts"].get("fact_order"),
-                        dim_order=nd["opts"].get("dim_order"),
-                    )
+                    if nd["srcs"][0] in producers:
+                        self._compact_downstream_join_logs(
+                            nd["p"],
+                            up_keys=self._node_view_keys(info, nd),
+                            dim_order=nd["opts"].get("dim_order"),
+                            n_buckets=n_buckets,
+                            compact_min_deltas=compact_min_deltas,
+                        )
+                    else:
+                        self._compact_join_pipeline_logs(
+                            nd["p"], n_buckets=n_buckets,
+                            compact_min_deltas=compact_min_deltas,
+                            fact_order=nd["opts"].get("fact_order"),
+                            dim_order=nd["opts"].get("dim_order"),
+                        )
                 elif nd["kind"] == "temporal":
                     self._compact_temporal_pipeline_logs(
                         nd["p"], n_buckets=n_buckets,

@@ -134,8 +134,17 @@ def _live(df: DataFrame, delete_col: str | None) -> DataFrame:
     return df.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
 
 
-def _fact_out_cols(fact_cols: list[str], delete_col: str | None) -> list[str]:
-    return [c for c in fact_cols if c != delete_col]
+def _fact_out_cols(
+    fact_cols: list[str],
+    delete_col: str | None,
+    hidden: Sequence[str] = (),
+) -> list[str]:
+    """View-output projection of the fact columns: the tombstone flag and
+    any ``hidden`` metadata columns (e.g. the upstream change log's order
+    column when the fact side IS another node's change stream) stay in the
+    STATE — merges fold by them — but never reach the view."""
+    drop = {delete_col, *hidden}
+    return [c for c in fact_cols if c not in drop]
 
 
 def _dim_side(dim: DataFrame, spec: JoinViewSpec, dim_delete_col: str | None) -> DataFrame:
@@ -175,16 +184,21 @@ def compute_join_view(
     spec: JoinViewSpec,
     fact_delete_col: str | None = None,
     dim_delete_col: str | None = None,
+    fact_hidden_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Full recompute of the view — initialization and the ground truth
     the incremental path is tested against. Output columns: the fact's
-    (minus its tombstone flag), then the payload outputs in spec order."""
+    (minus its tombstone flag and any ``fact_hidden_cols`` state-only
+    metadata), then the payload outputs in spec order."""
     for out in spec.dim_payload:
         if out in fact.columns:
             raise ValueError(f"payload name {out!r} collides with a fact column")
     f = _live(fact, fact_delete_col)
     d = _dim_side(dim, spec, dim_delete_col)
-    return _joined(f, d, spec, _fact_out_cols(fact.columns, fact_delete_col))
+    return _joined(
+        f, d, spec,
+        _fact_out_cols(fact.columns, fact_delete_col, fact_hidden_cols),
+    )
 
 
 def init_join_state(
@@ -212,6 +226,7 @@ def _round(
     fact_delete_col: str | None,
     dim_delete_col: str | None,
     broadcast_dim: bool,
+    fact_hidden_cols: Sequence[str] = (),
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
     """One maintenance round's shared plan set: (fact_new, dim_new,
     touched_keys, patch, view_new, emitted) — ``emitted`` carries every
@@ -261,7 +276,7 @@ def _round(
             f"fact column name(s) {bad} collide with maintenance sentinel "
             f"columns (reserved: {sorted(_RESERVED)})"
         )
-    out_fact = _fact_out_cols(fact_cols, fact_delete_col)
+    out_fact = _fact_out_cols(fact_cols, fact_delete_col, fact_hidden_cols)
 
     fact_new = merge_changes_keyed(state.fact, fact_changes, fkeys, fact_order)
     dim_new = merge_changes_keyed(state.dim, dim_changes, dkeys, dim_order)
@@ -341,6 +356,7 @@ def maintain_join(
     fact_delete_col: str | None = None,
     dim_delete_col: str | None = None,
     broadcast_dim: bool = True,
+    fact_hidden_cols: Sequence[str] = (),
 ) -> JoinViewState:
     """Advance the view by one micro-batch of keyed changes on either or
     both sides.
@@ -358,7 +374,7 @@ def maintain_join(
     """
     fact_new, dim_new, _touched, _patch, view_new, _emitted = _round(
         state, fact_changes, dim_changes, fact_order, dim_order, spec,
-        fact_delete_col, dim_delete_col, broadcast_dim,
+        fact_delete_col, dim_delete_col, broadcast_dim, fact_hidden_cols,
     )
     return JoinViewState(fact=fact_new, dim=dim_new, view=view_new)
 
@@ -376,6 +392,7 @@ def maintain_join_with_changes(
     broadcast_dim: bool = True,
     seq_col: str = "__seq",
     deleted_col: str = "__deleted",
+    fact_hidden_cols: Sequence[str] = (),
 ) -> tuple[JoinViewState, DataFrame]:
     """:func:`maintain_join` plus DELTA PROPAGATION: also returns the view's
     own change stream for this batch, in the standard changelog shape
@@ -402,7 +419,7 @@ def maintain_join_with_changes(
     """
     fact_new, dim_new, _touched, _patch, view_new, emitted = _round(
         state, fact_changes, dim_changes, fact_order, dim_order, spec,
-        fact_delete_col, dim_delete_col, broadcast_dim,
+        fact_delete_col, dim_delete_col, broadcast_dim, fact_hidden_cols,
     )
     for c in (seq_col, deleted_col):
         if c in emitted.columns and c != "__dead":

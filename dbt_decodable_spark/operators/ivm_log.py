@@ -284,6 +284,33 @@ def _bucket_filter(tbuckets: list) -> Column:
     return bf
 
 
+def _tag_in_log(table_root: str, tag) -> bool:
+    """True when ``table_root`` already carries this batch's delta — folded
+    into the latest generation (integer ``tag`` ≤ ``max_tag``) or still
+    pending as a committed ``delta-<seq>-<tag>`` directory. The spliced
+    ``_ext_recompute`` paths use this to recognize a crash replay whose
+    support deltas already landed: ``_fold`` reads the landed delta, so
+    splicing the batch's support contributions in AGAIN would double them —
+    a doubled ``-1`` can drive a (group, value) support count from net 1 to
+    0 and drop a still-present value from the extreme recompute (ADVICE
+    r12)."""
+    if tag is None:
+        return False
+    _, tmeta = _latest_gen(table_root)
+    if tmeta["max_tag"] is not None:
+        try:
+            if int(tag) <= int(tmeta["max_tag"]):
+                return True
+        except (TypeError, ValueError):
+            pass
+    stag = str(tag)
+    for p in list_deltas(table_root):
+        parts = os.path.basename(p).split("-", 2)
+        if len(parts) == 3 and parts[2] == stag:
+            return True
+    return False
+
+
 def _ext_recompute(
     spark: SparkSession,
     root: str,
@@ -297,17 +324,20 @@ def _ext_recompute(
     state (committed fold, touched-bucket pruned). The append path calls this
     AFTER landing the batch's support deltas (the fold reads them as pending);
     the emission path writes nothing, so it passes ``pending_delta`` (a
-    ``col -> DataFrame`` of the batch's unwritten support delta) to splice
-    them in — unioning with the committed fold is equivalent because dropped
-    zero-count rows are the additive identity."""
+    ``col -> DataFrame | None`` of the batch's unwritten support delta) to
+    splice them in — unioning with the committed fold is equivalent because
+    dropped zero-count rows are the additive identity. A per-column ``None``
+    means the batch's delta is ALREADY in this column's log (crash replay —
+    see :func:`_tag_in_log`): the fold covers it, so nothing is spliced."""
     ext: DataFrame | None = None
     for c in spec.support_cols():
         sup = _fold(
             spark, _sup_root(root, c), SKEY, ["__cnt"], [], base_filter=bf
         )
-        if pending_delta is not None:
+        pd = pending_delta(c) if pending_delta is not None else None
+        if pd is not None:
             sup = (
-                sup.unionByName(pending_delta(c))
+                sup.unionByName(pd)
                 .groupBy(SKEY)
                 .agg(F.sum("__cnt").alias("__cnt"))
                 .filter(F.col("__cnt") > 0)
@@ -475,6 +505,7 @@ def ivm_log_batch_changes(
     spec: AggViewSpec,
     seq: int,
     broadcast_patches: bool = True,
+    tag: str | None = None,
 ) -> DataFrame:
     """The GROUP-LEVEL change stream one source micro-batch induces on the
     maintained aggregate view — the view's own keyed upsert/tombstone
@@ -489,7 +520,8 @@ def ivm_log_batch_changes(
     PURE — writes nothing. The crash-safe composition is emit-THEN-append,
     mirroring the join arm's view-delta-before-state-delta order::
 
-        out = ivm_log_batch_changes(spark, root, snap, batch, k, o, spec, seq)
+        out = ivm_log_batch_changes(spark, root, snap, batch, k, o, spec,
+                                    seq, tag=str(seq))
         append_delta(spark, out_log, out, tag=str(seq))   # dedupes replays
         ivm_log_append(spark, root, snap, batch, k, o, spec, tag=str(seq))
 
@@ -498,6 +530,9 @@ def ivm_log_batch_changes(
     append no-ops on its tag, and the state append proceeds. (Computing
     the post-image from committed-state + local delta instead of from a
     post-append read is what makes the pre-append emission possible.)
+    Pass the SAME ``tag`` the state append will use: a replay after the
+    support appends landed must not splice the batch's support delta on
+    top of a fold that already reads it (see :func:`_tag_in_log`).
 
     Emitted per touched group: the post-batch view row (``__deleted``
     false), or a tombstone with NULL aggregate outputs when the group's
@@ -543,10 +578,16 @@ def ivm_log_batch_changes(
 
         # absolute extremes for the touched groups — the same recompute
         # ivm_log_append rides on its delta rows, from COMMITTED support
-        # state plus this batch's (unwritten) support contributions
+        # state plus this batch's (unwritten) support contributions; on a
+        # crash replay whose support deltas already landed (recognized by
+        # ``tag``), the committed fold covers them and nothing is spliced
         ext = _ext_recompute(
             spark, root, spec, touched, bf, hint,
-            pending_delta=lambda c: _support_delta(contrib, c),
+            pending_delta=lambda c: (
+                None
+                if _tag_in_log(_sup_root(root, c), tag)
+                else _support_delta(contrib, c)
+            ),
         )
 
         # signed counter deltas per touched group (identical arithmetic to
@@ -657,9 +698,18 @@ def ivm_log_append_with_changes(
 
         ext: DataFrame | None = None
         if spec.support_cols():
+            # crash replay guard: after a crash BETWEEN the support appends
+            # and the agg append, the committed support fold already reads
+            # this batch's delta (tag-landed) — splicing it again would
+            # double the support contributions and corrupt the recomputed
+            # extremes the replayed agg delta then lands durably
             ext = _ext_recompute(
                 spark, root, spec, touched, bf, hint,
-                pending_delta=lambda c: _support_delta(contrib, c),
+                pending_delta=lambda c: (
+                    None
+                    if _tag_in_log(_sup_root(root, c), tag)
+                    else _support_delta(contrib, c)
+                ),
             )
         agg_delta = _counter_delta(contrib, spec)
 

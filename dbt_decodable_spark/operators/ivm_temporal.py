@@ -88,6 +88,11 @@ class TemporalJoinSpec:
     fact_ts: str
     valid_from: str
     payload: dict[str, str]
+    how: str = "left"
+
+    def __post_init__(self) -> None:
+        if self.how not in ("left", "inner"):
+            raise ValueError(f"how must be left|inner, got {self.how!r}")
 
 
 @dataclass
@@ -102,7 +107,7 @@ class TemporalJoinState:
 # the affected-keys range probe or version prune silently ambiguous/wrong
 # (ADVICE r11) — so fail fast at every entry point, like the catalog's
 # __g/__k/__gbucket/__mult view_reserved check.
-_RESERVED = frozenset({"__vf", "__dk", "__new_vf", "__probe_fk"})
+_RESERVED = frozenset({"__vf", "__dk", "__new_vf", "__probe_fk", "__vfm"})
 
 
 def _check_reserved(spec: TemporalJoinSpec, *frames: DataFrame | None) -> None:
@@ -126,24 +131,36 @@ def _live(df: DataFrame, delete_col: str | None) -> DataFrame:
 
 def _enrich(facts: DataFrame, versions: DataFrame, spec: TemporalJoinSpec) -> DataFrame:
     """AS-OF enrich: each fact gets the payload of the latest version with
-    ``valid_from <= fact_ts`` for its fk (NULL payload when no version
-    precedes the fact). One shuffle on the key — the merge-technique
-    :func:`asof_join`, not a per-key quadratic probe."""
-    rhs = versions.select(
+    ``valid_from <= fact_ts`` for its fk. One shuffle on the key — the
+    merge-technique :func:`asof_join`, not a per-key quadratic probe.
+
+    ``spec.how``: under ``left`` a fact with no preceding version keeps a
+    NULL payload; under ``inner`` (Flink allows both spellings) the fact is
+    ABSENT from the view. The distinction rides on a non-null match marker
+    (``__vfm`` — the matched version's own ``valid_from``), never on the
+    payload values, which may be legitimately NULL in a matched version."""
+    rhs_cols = [
         F.col(spec.dim_key).alias(spec.fk_col),
         F.col(spec.valid_from).alias("__vf"),
         *[F.col(src).alias(out) for out, src in spec.payload.items()],
-    )
-    return asof_join(
+    ]
+    value_cols = list(spec.payload)
+    if spec.how == "inner":
+        rhs_cols.append(F.col(spec.valid_from).alias("__vfm"))
+        value_cols.append("__vfm")
+    out = asof_join(
         facts,
-        rhs,
+        versions.select(*rhs_cols),
         on=spec.fk_col,
         left_ts=spec.fact_ts,
         right_ts="__vf",
-        value_cols=list(spec.payload),
+        value_cols=value_cols,
         # deterministic winner among same-(key, valid_from) versions
         tiebreak_cols=list(spec.payload),
     )
+    if spec.how == "inner":
+        out = out.filter(F.col("__vfm").isNotNull()).drop("__vfm")
+    return out
 
 
 def init_temporal_join_state(
@@ -368,15 +385,14 @@ import re as _re
 # imply (``/root/reference/README.md:104`` — a pipeline may join a fact
 # stream against a versioned dimension "as of" the fact's event time):
 #   SELECT f.*, d.<col> [AS name], ...
-#   FROM fact f LEFT JOIN dim FOR SYSTEM_TIME AS OF f.<ts> [AS] d
+#   FROM fact f LEFT|INNER JOIN dim FOR SYSTEM_TIME AS OF f.<ts> [AS] d
 #   ON f.<fk> = d.<dk>
-# LEFT is required: the AS-OF enrichment keeps facts with no preceding
-# version (NULL payload) — accepting INNER and silently running LEFT would
-# flip semantics, so INNER raises instead.
+# Both Flink spellings are supported (r13): LEFT keeps facts with no
+# preceding version (NULL payload); INNER drops them from the view.
 _TEMPORAL_SQL = _re.compile(
     r"^\s*select\s+(?P<items>.*?)\s+from\s+(?P<ft>[A-Za-z_][\w.]*)"
     r"(?:\s+(?:as\s+)?(?!left\b|join\b|inner\b)(?P<fa>[A-Za-z_]\w*))?\s+"
-    r"left\s+(?:outer\s+)?join\s+(?P<dt>[A-Za-z_][\w.]*)\s+"
+    r"(?P<how>left\s+(?:outer\s+)?join|inner\s+join|join)\s+(?P<dt>[A-Za-z_][\w.]*)\s+"
     r"for\s+system_time\s+as\s+of\s+(?P<pa>[A-Za-z_]\w*)\.(?P<pts>[A-Za-z_]\w*)"
     r"\s+(?:as\s+)?(?P<da>[A-Za-z_]\w*)\s+"
     r"on\s+(?P<cond>.+?)\s*;?\s*$",
@@ -406,15 +422,8 @@ def temporal_spec_from_sql(
     query, exactly Flink's versioned-table stance)."""
     m = _TEMPORAL_SQL.match(sql)
     if not m:
-        if _re.search(r"for\s+system_time\s+as\s+of", sql, _re.IGNORECASE) and not _re.search(
-            r"left\s+(?:outer\s+)?join", sql, _re.IGNORECASE
-        ):
-            raise ValueError(
-                "temporal joins must be LEFT JOIN — the AS-OF enrichment "
-                "keeps facts with no preceding dim version (NULL payload); "
-                f"unsupported spelling: {sql!r}"
-            )
         raise ValueError(f"unsupported temporal-join SQL shape: {sql!r}")
+    how = "left" if m.group("how").lower().startswith("left") else "inner"
     ft, dt = m.group("ft"), m.group("dt")
     fa = m.group("fa") or ft
     da = m.group("da")
@@ -472,6 +481,7 @@ def temporal_spec_from_sql(
         fact_ts=m.group("pts"),
         valid_from=valid_from,
         payload=payload,
+        how=how,
     )
     return spec, ft, dt
 

@@ -331,3 +331,130 @@ class TestSliceScaling:
         segs = {r["pk"]: r["seg_at_ts"] for r in new_st.view.collect()}
         # even pk → fk=10; ts = 100+pk, version boundary at 150
         assert segs[48] == "a" and segs[52] == "a2"
+
+
+class TestInnerTemporal:
+    """r13 (VERDICT r12 item 4): the INNER temporal join — Flink allows
+    both spellings; under ``inner`` a fact with no preceding dim version
+    is ABSENT from the view (not NULL-extended), and it APPEARS when its
+    first matching version arrives late."""
+
+    ISPEC = TemporalJoinSpec(
+        fact_keys=("pk",), fk_col="fk", dim_key="dk", fact_ts="ts",
+        valid_from="vfrom", payload={"seg_at_ts": "seg"}, how="inner",
+    )
+    F0 = [(1, 10, 5, 100, 0, False), (2, 10, 7, 250, 0, False),
+          (3, 30, 9, 100, 0, False)]  # dk=30 has NO version
+    D0 = [(10, "a", 0)]
+
+    def _want(self, spark, f_rows, d_rows):
+        return _rows(
+            recompute_temporal_view(
+                _fdf(spark, f_rows), _ddf(spark, d_rows), self.ISPEC,
+                ORDER, fact_delete_col="deleted",
+            )
+        )
+
+    def _init(self, spark):
+        from dbt_decodable_spark.streaming.changelog import fold_last_image
+
+        snap = fold_last_image(_fdf(spark, self.F0), ["pk"], ORDER)
+        return init_temporal_join_state(
+            snap, _ddf(spark, self.D0), self.ISPEC,
+            fact_delete_col="deleted",
+        )
+
+    def test_how_validation(self):
+        import dataclasses
+
+        with pytest.raises(ValueError, match="left|inner"):
+            dataclasses.replace(self.ISPEC, how="full")
+
+    def test_unmatched_fact_absent(self, spark):
+        st_ = self._init(spark)
+        got = {r["pk"] for r in st_.view.collect()}
+        assert got == {1, 2}, "pk 3 (no preceding version) must be absent"
+        assert _rows(st_.view) == self._want(spark, self.F0, self.D0)
+
+    def test_matched_fact_with_null_payload_survives(self, spark):
+        """INNER must gate on MATCH, not on payload NULLness: a matched
+        version whose payload VALUE is NULL keeps its fact."""
+        d = [(10, None, 0)]
+        from dbt_decodable_spark.streaming.changelog import fold_last_image
+
+        snap = fold_last_image(
+            _fdf(spark, [(1, 10, 5, 100, 0, False)]), ["pk"], ORDER
+        )
+        st_ = init_temporal_join_state(
+            snap, _ddf(spark, d), self.ISPEC, fact_delete_col="deleted"
+        )
+        rows = st_.view.collect()
+        assert len(rows) == 1 and rows[0]["seg_at_ts"] is None
+
+    def test_late_first_version_makes_fact_appear(self, spark):
+        st_ = self._init(spark)
+        d1 = [(30, "c", 50)]  # now precedes pk 3 (ts 100)
+        st_ = maintain_temporal_join(
+            st_, None, _ddf(spark, d1), ORDER, self.ISPEC,
+            fact_delete_col="deleted",
+        )
+        got = {r["pk"]: r["seg_at_ts"] for r in st_.view.collect()}
+        assert got == {1: "a", 2: "a", 3: "c"}
+        assert _rows(st_.view) == self._want(spark, self.F0, self.D0 + d1)
+
+    def test_changes_tombstone_unmatched_touched_fact(self, spark):
+        """An unmatched fact touched by a batch must emit a TOMBSTONE in
+        the change stream, not a NULL-payload upsert."""
+        from dbt_decodable_spark.operators.ivm_temporal import (
+            maintain_temporal_join_with_changes,
+        )
+
+        st_ = self._init(spark)
+        fb = [(3, 30, 10, 110, 1, False)]  # update pk 3, still unmatched
+        st_, changes = maintain_temporal_join_with_changes(
+            st_, _fdf(spark, fb), None, ORDER, self.ISPEC, seq=1,
+            fact_delete_col="deleted",
+        )
+        ch = {r["pk"]: r["__deleted"] for r in changes.collect()}
+        assert ch == {3: True}
+        assert 3 not in {r["pk"] for r in st_.view.collect()}
+
+    def test_churn_rounds_match_recompute(self, spark):
+        """Two-sided churn, including a fact moving from unmatched to
+        matched territory and a tombstone."""
+        st_ = self._init(spark)
+        f_hist, d_hist = list(self.F0), list(self.D0)
+        rounds = [
+            ([(4, 20, 2, 400, 0, False)], [(20, "b", 350)]),
+            ([(1, 30, 6, 300, 1, False)], []),   # pk 1 migrates to dk 30
+            ([(2, 10, 7, 250, 1, True)], [(30, "c", 200)]),
+        ]
+        for fb, db in rounds:
+            st_ = maintain_temporal_join(
+                st_,
+                _fdf(spark, fb) if fb else None,
+                _ddf(spark, db) if db else None,
+                ORDER, self.ISPEC, fact_delete_col="deleted",
+            )
+            f_hist += fb
+            d_hist += db
+            assert _rows(st_.view) == self._want(spark, f_hist, d_hist)
+
+    def test_parser_accepts_both_spellings(self):
+        from dbt_decodable_spark.operators.ivm_temporal import (
+            temporal_spec_from_sql,
+        )
+
+        for sql, how in (
+            ("select f.*, d.seg as s from ft f "
+             "left join dt for system_time as of f.ts as d on f.fk = d.dk",
+             "left"),
+            ("select f.*, d.seg as s from ft f "
+             "inner join dt for system_time as of f.ts as d on f.fk = d.dk",
+             "inner"),
+            ("select f.*, d.seg as s from ft f "
+             "join dt for system_time as of f.ts as d on f.fk = d.dk",
+             "inner"),
+        ):
+            spec, ft, dt = temporal_spec_from_sql(sql, ("pk",), "vfrom")
+            assert (spec.how, ft, dt) == (how, "ft", "dt"), sql

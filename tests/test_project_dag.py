@@ -899,19 +899,23 @@ class TestShapeGuards:
         finally:
             eng.cleanup()
 
-    def test_join_over_model_sink_raises(self, spark, tmp_path):
+    def test_join_dim_over_model_sink_raises(self, spark, tmp_path):
+        """r13: the FACT side of a join may consume another node's sink
+        (the mid-graph join stage — ``TestMidGraphJoin``); the DIM side
+        must still read a raw stream, and a temporal stage must on both
+        sides."""
         ns = "pjj"
         eng = _mk_project(spark, tmp_path, ns, F1, D1)
         eng.create_pipeline(
-            "enriched2",
-            f"select f.*, d.name as nm2 "
-            f"from {ns}__enriched f join {ns}__dim d on f.fk = d.dk",
+            "badjoin",
+            f"select f.*, r.sum_qty as rq "
+            f"from {ns}__fact f join {ns}__rollup r on f.fk = r.dim_tier",
             activate=False,
         )
         try:
-            with pytest.raises(CatalogError, match="raw change streams"):
+            with pytest.raises(CatalogError, match="DIM side"):
                 eng.activate_project_incremental(
-                    {**NODES, "enriched2": {}}, n_buckets=4
+                    {**NODES, "badjoin": {}}, n_buckets=4
                 )
         finally:
             eng.cleanup()
@@ -1071,3 +1075,488 @@ class TestDepth3CrashSweep:
                 assert k > 10, "sweep ended before reaching the init writes"
                 break
             k += 1
+
+
+class TestMidGraphJoin:
+    """r13 (VERDICT r12 item 2): a JOIN node whose FACT side consumes an
+    upstream node's change log — the last composition gap vs the reference
+    platform, where any model's sink may source the next pipeline
+    (``impl.py:419-447``). The chain here is the canonical shape:
+    rollup → enrich-join → rollup.
+
+    The maintained pin: a rollup group that empties (tombstone in the
+    rollup's change log) must RETRACT its enriched row from the join view
+    and its contribution from the terminal rollup; a dim churn must
+    re-enrich only the referencing keys."""
+
+    MG_NODES = {
+        "mgroll": dict(order=["ts"], delete_col="deleted"),
+        "mgenrich": dict(dim_order=["ts"], dim_delete_col="deleted"),
+        "mgband": {},
+    }
+
+    def _mk(self, spark, tmp_path, ns, f1, d1):
+        eng = Engine(spark, namespace=ns, warehouse_dir=str(tmp_path / "wh"))
+        os.makedirs(eng.warehouse_dir, exist_ok=True)
+        eng.create_stream(
+            "fact",
+            schema=StreamSchema.from_spark(
+                spark.createDataFrame(f1, FACT_DDL).schema,
+                primary_key=["pk"],
+            ),
+            data=spark.createDataFrame(f1, FACT_DDL),
+        )
+        eng.create_stream(
+            "dim",
+            schema=StreamSchema.from_spark(
+                spark.createDataFrame(d1, DIM_DDL).schema,
+                primary_key=["dk"],
+            ),
+            data=spark.createDataFrame(d1, DIM_DDL),
+        )
+        eng.create_pipeline(
+            "mgroll",
+            f"select fk, count(*) as n_rows, sum(qty) as sum_qty "
+            f"from {ns}__fact group by fk",
+            activate=False,
+        )
+        eng.create_pipeline(
+            "mgenrich",
+            f"select f.*, d.name as dim_name "
+            f"from {ns}__mgroll f join {ns}__dim d on f.fk = d.dk",
+            activate=False,
+        )
+        eng.create_pipeline(
+            "mgband",
+            f"select dim_name, count(*) as n_fks, sum(sum_qty) as total_qty "
+            f"from {ns}__mgenrich group by dim_name",
+            activate=False,
+        )
+        return eng
+
+    @staticmethod
+    def _want(spark, f_rows, d_rows):
+        """Declarative recompute: live fold → rollup → INNER enrich →
+        terminal rollup."""
+        live = fold_last_image(
+            spark.createDataFrame(f_rows, FACT_DDL), ["pk"],
+            [F.col("ts"), F.col("pk")],
+        ).filter(~F.col("deleted"))
+        roll = live.groupBy("fk").agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum("qty").alias("sum_qty")
+        )
+        dlive = fold_last_image(
+            spark.createDataFrame(d_rows, DIM_DDL), ["dk"],
+            [F.col("ts"), F.col("dk")],
+        ).filter(~F.col("deleted"))
+        enrich = roll.join(
+            dlive, roll["fk"] == dlive["dk"], "inner"
+        ).select("fk", "n_rows", "sum_qty", F.col("name").alias("dim_name"))
+        band = enrich.groupBy("dim_name").agg(
+            F.count(F.lit(1)).alias("n_fks"),
+            F.sum("sum_qty").alias("total_qty"),
+        )
+        return _rows(roll), _rows(enrich), _rows(band)
+
+    def _assert_all(self, spark, eng, f_hist, d_hist, ctx=""):
+        roll_w, enr_w, band_w = self._want(spark, f_hist, d_hist)
+        assert _rows(eng.read_stream("mgroll")) == roll_w, f"{ctx} rollup"
+        assert _rows(eng.read_stream("mgenrich")) == enr_w, f"{ctx} enrich"
+        assert _rows(eng.read_stream("mgband")) == band_w, f"{ctx} band"
+
+    def test_chain_matches_recompute_across_churn(self, spark, tmp_path):
+        ns = "pjmg"
+        eng = self._mk(spark, tmp_path, ns, F1, D1)
+        f_hist, d_hist = list(F1), list(D1)
+        try:
+            eng.activate_project_incremental(self.MG_NODES, n_buckets=4)
+            self._assert_all(spark, eng, f_hist, d_hist, "round 1:")
+            # churn 1: fact update + insert + tombstone + GROUP MIGRATION
+            # (pk 4 fk 30 → 20 empties the fk-30 group: the rollup emits a
+            # tombstone the join must retract and the band must drop)
+            f2 = F2 + [(4, 20, 4, 2, False)]
+            _append(spark, eng, "fact", f2, FACT_DDL)
+            f_hist += f2
+            eng.activate_project_incremental(self.MG_NODES, n_buckets=4)
+            self._assert_all(spark, eng, f_hist, d_hist, "round 2:")
+            got = _rows(eng.read_stream("mgenrich"))
+            assert all(r[0] != 30 for r in got), "fk 30 must be retracted"
+            # churn 2: dim rename (re-enrich fk 10's row, migrate its band
+            # group) + dim tombstone (INNER join drops fk 20's row)
+            d2 = [(10, "a2", 1, 3, False), (20, "b", 2, 3, True)]
+            _append(spark, eng, "dim", d2, DIM_DDL)
+            d_hist += d2
+            eng.activate_project_incremental(self.MG_NODES, n_buckets=4)
+            self._assert_all(spark, eng, f_hist, d_hist, "round 3:")
+            got = {r[-1] for r in _rows(eng.read_stream("mgenrich"))}
+            assert "a2" in got and "b" not in got
+            # churn 3: both sides at once, then an idle no-op activation
+            f3 = [(7, 10, 3, 4, False)]
+            d3 = [(20, "b3", 2, 5, False)]
+            _append(spark, eng, "fact", f3, FACT_DDL)
+            _append(spark, eng, "dim", d3, DIM_DDL)
+            f_hist += f3
+            d_hist += d3
+            eng.activate_project_incremental(self.MG_NODES, n_buckets=4)
+            self._assert_all(spark, eng, f_hist, d_hist, "round 4:")
+            eng.activate_project_incremental(self.MG_NODES, n_buckets=4)
+            self._assert_all(spark, eng, f_hist, d_hist, "idle:")
+        finally:
+            eng.cleanup()
+
+    def test_compaction_roundtrip(self, spark, tmp_path):
+        """Enough churn rounds to cross every compaction trigger (the out
+        log's, the _ivmjd_ logs', the downstream agg's) — the chain must
+        still equal the recompute after the folds."""
+        ns = "pjmgc"
+        eng = self._mk(spark, tmp_path, ns, F1, D1)
+        f_hist, d_hist = list(F1), list(D1)
+        try:
+            eng.activate_project_incremental(
+                self.MG_NODES, n_buckets=4, compact_min_deltas=2,
+            )
+            for i in range(4):
+                rows = [(100 + i, 10 + 10 * (i % 3), i + 1, 10 + i, False)]
+                _append(spark, eng, "fact", rows, FACT_DDL)
+                f_hist += rows
+                eng.activate_project_incremental(
+                    self.MG_NODES, n_buckets=4, compact_min_deltas=2,
+                )
+                self._assert_all(spark, eng, f_hist, d_hist, f"round {i}:")
+        finally:
+            eng.cleanup()
+
+    def test_view_has_no_metadata_columns(self, spark, tmp_path):
+        """The join's sink columns are exactly the upstream sink's plus
+        the payload — the ingest metadata (__useq/__udel) must never
+        leak."""
+        ns = "pjmgv"
+        eng = self._mk(spark, tmp_path, ns, F1, D1)
+        try:
+            eng.activate_project_incremental(self.MG_NODES, n_buckets=4)
+            cols = eng.read_stream("mgenrich").columns
+            assert cols == ["fk", "n_rows", "sum_qty", "dim_name"]
+        finally:
+            eng.cleanup()
+
+    def test_every_init_crash_point_recovers(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Crash the first activation at every durable-write boundary,
+        re-activate cleanly — all three stages land the exact recompute."""
+        from test_round10_review import SimulatedCrash, _CrashPlan, _inject
+
+        k = 1
+        while True:
+            eng = self._mk(spark, tmp_path / f"c{k}", f"pjmgk{k}", F1, D1)
+            try:
+                plan = _CrashPlan(k)
+                with monkeypatch.context() as mp:
+                    _inject(mp, plan)
+                    try:
+                        eng.activate_project_incremental(
+                            self.MG_NODES, n_buckets=4
+                        )
+                        crashed = False
+                    except SimulatedCrash:
+                        crashed = True
+                eng.activate_project_incremental(self.MG_NODES, n_buckets=4)
+                self._assert_all(spark, eng, F1, D1, f"crash point {k}:")
+            finally:
+                eng.cleanup()
+            if not crashed:
+                assert k > 10, "sweep ended before reaching the init writes"
+                break
+            k += 1
+
+    def test_maintenance_crash_points_recover(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Crash a CHURN activation (state initialized, pending upstream
+        changes) at every durable-write boundary, then re-activate —
+        convergence under replay, the view-before-state-before-floor
+        ordering's contract."""
+        from test_round10_review import SimulatedCrash, _CrashPlan, _inject
+
+        k = 1
+        while True:
+            eng = self._mk(spark, tmp_path / f"m{k}", f"pjmgm{k}", F1, D1)
+            f_hist = list(F1)
+            try:
+                eng.activate_project_incremental(self.MG_NODES, n_buckets=4)
+                f2 = F2 + [(4, 20, 4, 2, False)]
+                _append(spark, eng, "fact", f2, FACT_DDL)
+                f_hist += f2
+                plan = _CrashPlan(k)
+                with monkeypatch.context() as mp:
+                    _inject(mp, plan)
+                    try:
+                        eng.activate_project_incremental(
+                            self.MG_NODES, n_buckets=4
+                        )
+                        crashed = False
+                    except SimulatedCrash:
+                        crashed = True
+                eng.activate_project_incremental(self.MG_NODES, n_buckets=4)
+                self._assert_all(
+                    spark, eng, f_hist, D1, f"maint crash point {k}:"
+                )
+            finally:
+                eng.cleanup()
+            if not crashed:
+                # the instrumented churn writes: the rollup's out + agg
+                # appends, the join stage's view + fact appends (+ floors
+                # where reached) — deeper appends go through module-local
+                # references the injector deliberately leaves alone
+                assert k > 3, "sweep ended before reaching the writes"
+                break
+            k += 1
+
+    def test_join_over_join_chain(self, spark, tmp_path):
+        """Depth-4 with a mid-graph join consuming a RAW join's view log:
+        raw-join → mid-graph-join → rollup (the upstream kind resolution's
+        join arm)."""
+        ns = "pjmg4"
+        eng = Engine(spark, namespace=ns, warehouse_dir=str(tmp_path / "wh"))
+        os.makedirs(eng.warehouse_dir, exist_ok=True)
+        eng.create_stream(
+            "fact",
+            schema=StreamSchema.from_spark(
+                spark.createDataFrame(F1, FACT_DDL).schema,
+                primary_key=["pk"],
+            ),
+            data=spark.createDataFrame(F1, FACT_DDL),
+        )
+        eng.create_stream(
+            "dim",
+            schema=StreamSchema.from_spark(
+                spark.createDataFrame(D1, DIM_DDL).schema,
+                primary_key=["dk"],
+            ),
+            data=spark.createDataFrame(D1, DIM_DDL),
+        )
+        d2_rows = [(1, "x", 9, False), (2, "y", 9, False), (3, "z", 9, False)]
+        D2_DDL = "tid long, tname string, ts long, deleted boolean"
+        eng.create_stream(
+            "tiers",
+            schema=StreamSchema.from_spark(
+                spark.createDataFrame(d2_rows, D2_DDL).schema,
+                primary_key=["tid"],
+            ),
+            data=spark.createDataFrame(d2_rows, D2_DDL),
+        )
+        eng.create_pipeline(
+            "enr1",
+            f"select f.*, d.tier as dim_tier "
+            f"from {ns}__fact f left join {ns}__dim d on f.fk = d.dk",
+            activate=False,
+        )
+        eng.create_pipeline(
+            "enr2",
+            f"select f.*, t.tname as tier_name "
+            f"from {ns}__enr1 f join {ns}__tiers t on f.dim_tier = t.tid",
+            activate=False,
+        )
+        eng.create_pipeline(
+            "agg2",
+            f"select tier_name, count(*) as n_rows, sum(qty) as sum_qty "
+            f"from {ns}__enr2 group by tier_name",
+            activate=False,
+        )
+        nodes = {
+            "enr1": dict(
+                fact_order=["ts"], dim_order=["ts"],
+                fact_delete_col="deleted", dim_delete_col="deleted",
+            ),
+            "enr2": dict(dim_order=["ts"], dim_delete_col="deleted"),
+            "agg2": {},
+        }
+
+        def want(f_rows, d_rows):
+            live = fold_last_image(
+                spark.createDataFrame(f_rows, FACT_DDL), ["pk"],
+                [F.col("ts"), F.col("pk")],
+            ).filter(~F.col("deleted"))
+            dlive = fold_last_image(
+                spark.createDataFrame(d_rows, DIM_DDL), ["dk"],
+                [F.col("ts"), F.col("dk")],
+            ).filter(~F.col("deleted"))
+            # enr1's view projects its tombstone flag away (the raw join
+            # arm's _fact_out_cols), so enr2's fact columns carry no
+            # `deleted`
+            e1 = live.join(dlive, live["fk"] == dlive["dk"], "left").select(
+                live["pk"], live["fk"], live["qty"], live["ts"],
+                dlive["tier"].alias("dim_tier"),
+            )
+            t = spark.createDataFrame(d2_rows, D2_DDL)
+            e2 = e1.join(t, e1["dim_tier"] == t["tid"], "inner").select(
+                e1["pk"], e1["fk"], e1["qty"], e1["ts"],
+                e1["dim_tier"], t["tname"].alias("tier_name"),
+            )
+            agg = e2.groupBy("tier_name").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("qty").alias("sum_qty"),
+            )
+            return _rows(e2), _rows(agg)
+
+        f_hist, d_hist = list(F1), list(D1)
+        try:
+            eng.activate_project_incremental(nodes, n_buckets=4)
+            e2_w, agg_w = want(f_hist, d_hist)
+            assert _rows(eng.read_stream("enr2")) == e2_w
+            assert _rows(eng.read_stream("agg2")) == agg_w
+            # churn the ROOT fact and the FIRST dim: changes must ripple
+            # through both joins into the terminal rollup
+            f2 = F2 + [(4, 20, 4, 2, False)]
+            d2 = [(10, "a", 2, 2, False)]  # dk 10 migrates tier 1 → 2
+            _append(spark, eng, "fact", f2, FACT_DDL)
+            _append(spark, eng, "dim", d2, DIM_DDL)
+            f_hist += f2
+            d_hist += d2
+            eng.activate_project_incremental(nodes, n_buckets=4)
+            e2_w, agg_w = want(f_hist, d_hist)
+            assert _rows(eng.read_stream("enr2")) == e2_w
+            assert _rows(eng.read_stream("agg2")) == agg_w
+        finally:
+            eng.cleanup()
+
+    def test_lag_guard_after_external_compaction(self, spark, tmp_path):
+        """Compact the upstream rollup's out log past a parked mid-graph
+        join → DownstreamLagError naming the join's root; deleting the
+        root re-initializes from the current upstream state."""
+        import shutil
+
+        from dbt_decodable_spark.operators.ivm_dag import DownstreamLagError
+        from dbt_decodable_spark.streaming.changelog import compact_change_log
+
+        ns = "pjmgl"
+        eng = self._mk(spark, tmp_path, ns, F1, D1)
+        roll_only = {"mgroll": dict(
+            order=["ts"], delete_col="deleted", emit_changes=True,
+        )}
+        f_hist = list(F1)
+        try:
+            eng.activate_project_incremental(self.MG_NODES, n_buckets=4)
+            # advance ONLY the rollup (join + band parked): live inserts
+            # then a tombstone emptying a group — the compaction folds a
+            # retraction the parked join never consumed
+            for i, rows in enumerate((
+                [(200, 20, 1, 20, False)],
+                [(201, 40, 2, 21, False)],   # new group fk=40
+                [(201, 40, 2, 22, True)],    # ...emptied again
+            )):
+                _append(spark, eng, "fact", rows, FACT_DDL)
+                f_hist += rows
+                eng.activate_project_incremental(roll_only, n_buckets=4)
+            out_log = os.path.join(
+                eng.warehouse_dir, f"_ivm_{ns}__mgroll", "out"
+            )
+            res = compact_change_log(spark, out_log, ["fk"])
+            assert res["floor"] is not None
+            with pytest.raises(DownstreamLagError, match="_ivmjd_"):
+                eng.activate_project_incremental(self.MG_NODES, n_buckets=4)
+            shutil.rmtree(
+                os.path.join(eng.warehouse_dir, f"_ivmjd_{ns}__mgenrich")
+            )
+            # the band stage consumed seqs the rebuilt join restarts
+            # below — it must be rebuilt with its upstream
+            shutil.rmtree(
+                os.path.join(eng.warehouse_dir, f"_ivmd_{ns}__mgband"),
+                ignore_errors=True,
+            )
+            eng.activate_project_incremental(self.MG_NODES, n_buckets=4)
+            self._assert_all(spark, eng, f_hist, D1, "post-rebuild:")
+        finally:
+            eng.cleanup()
+
+
+class TestInnerTemporalNodeKind:
+    """r13: the INNER temporal spelling through the catalog front door —
+    unmatched facts absent from the materialized view, appearing when
+    their first matching version lands, across churn + compaction."""
+
+    def _mk(self, spark, tmp_path, ns, f1, d1):
+        eng = Engine(spark, namespace=ns, warehouse_dir=str(tmp_path / "wh"))
+        os.makedirs(eng.warehouse_dir, exist_ok=True)
+        eng.create_stream(
+            "fact",
+            schema=StreamSchema.from_spark(
+                spark.createDataFrame(f1, FACT_DDL).schema,
+                primary_key=["pk"],
+            ),
+            data=spark.createDataFrame(f1, FACT_DDL),
+        )
+        eng.create_stream(
+            "dim",
+            schema=StreamSchema.from_spark(
+                spark.createDataFrame(d1, DIM_DDL).schema,
+                primary_key=["dk"],
+            ),
+            data=spark.createDataFrame(d1, DIM_DDL),
+        )
+        eng.create_pipeline(
+            "iasof",
+            f"select f.*, d.tier as tier_at_ts from {ns}__fact f "
+            f"inner join {ns}__dim for system_time as of f.ts as d "
+            f"on f.fk = d.dk",
+            activate=False,
+        )
+        return eng
+
+    @staticmethod
+    def _want(spark, f_rows, d_rows):
+        from dbt_decodable_spark.operators.ivm_temporal import (
+            TemporalJoinSpec,
+            recompute_temporal_view,
+        )
+
+        spec = TemporalJoinSpec(
+            fact_keys=("pk",), fk_col="fk", dim_key="dk", fact_ts="ts",
+            valid_from="ts", payload={"tier_at_ts": "tier"}, how="inner",
+        )
+        return _rows(
+            recompute_temporal_view(
+                spark.createDataFrame(f_rows, FACT_DDL),
+                spark.createDataFrame(d_rows, DIM_DDL),
+                spec, ["ts", "pk"], fact_delete_col="deleted",
+            )
+        )
+
+    def test_inner_activation_across_churn(self, spark, tmp_path):
+        ns = "pjti"
+        # dk=40 never gets a version; a fact referencing it stays absent
+        f1 = F1 + [(9, 40, 2, 1, False)]
+        eng = self._mk(spark, tmp_path, ns, f1, D1)
+        f_hist, d_hist = list(f1), list(D1)
+        try:
+            kw = dict(
+                fact_order=["ts"], fact_delete_col="deleted",
+                dim_valid_from="ts", n_buckets=4, compact_min_deltas=2,
+            )
+            eng.activate_pipeline_temporal_incremental("iasof", **kw)
+            want = self._want(spark, f_hist, d_hist)
+            assert _rows(eng.read_stream("iasof")) == want
+            assert all(r[0] != 9 for r in want), "pk 9 must be absent"
+            rounds = [
+                # a LATE dim version for dk=40 at ts 0 → pk 9 appears
+                ([], [(40, "d", 7, 0, False)]),
+                # fact churn incl. tombstone; enough rounds to compact
+                (F2, [(10, "a", 4, 2, False)]),
+                ([(9, 40, 3, 5, False)], []),
+            ]
+            for i, (frows, drows) in enumerate(rounds):
+                if frows:
+                    _append(spark, eng, "fact", frows, FACT_DDL)
+                    f_hist += frows
+                if drows:
+                    _append(spark, eng, "dim", drows, DIM_DDL)
+                    d_hist += drows
+                eng.activate_pipeline_temporal_incremental("iasof", **kw)
+                want = self._want(spark, f_hist, d_hist)
+                assert _rows(eng.read_stream("iasof")) == want, (
+                    f"round {i} diverged"
+                )
+            got = {r[0]: r[-1] for r in _rows(eng.read_stream("iasof"))}
+            assert got[9] == 7, "pk 9 must carry dk 40's tier"
+        finally:
+            eng.cleanup()

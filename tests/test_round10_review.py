@@ -372,6 +372,7 @@ def _inject(monkeypatch, plan):
     _advance_stream_offsets/_write_atomic/_publish_gen are module globals
     at their call sites."""
     from dbt_decodable_spark import catalog as cat
+    from dbt_decodable_spark.operators import ivm_dag as idg
     from dbt_decodable_spark.operators import ivm_log as il
     from dbt_decodable_spark.streaming import changelog as cl
 
@@ -382,6 +383,7 @@ def _inject(monkeypatch, plan):
                         plan.wrap(cl.write_hash_partitioned))
     monkeypatch.setattr(cl, "append_delta", plan.wrap(cl.append_delta))
     monkeypatch.setattr(il, "_publish_gen", plan.wrap(il._publish_gen))
+    monkeypatch.setattr(idg, "_write_floor", plan.wrap(idg._write_floor))
 
 
 class TestInitCrashSweep:
