@@ -83,12 +83,33 @@ def scan_shuffle_free(df: DataFrame, scan_marker: str) -> bool:
     AQE and whole-stage-codegen wrappers.
     """
 
+    def scan_desc(node) -> str:
+        # node.toString() truncates the Location field at
+        # spark.sql.maxMetadataStringLength (100 chars) — a scan path one
+        # character too long silently cuts the marker out of the rendered
+        # string and the contract check becomes PATH-LENGTH-dependent
+        # (observed: the same test flipping pass→fail when pytest's tmp
+        # counter grew a digit). Concatenate the un-truncated root paths
+        # (and the v2 scan description) WITH the rendered string — some
+        # markers (catalog table names) appear only in the latter.
+        desc = []
+        try:
+            desc.append(node.relation().location().rootPaths().toString())
+        except Exception:
+            pass
+        try:
+            desc.append(node.scan().description())
+        except Exception:
+            pass
+        desc.append(node.toString())
+        return "\n".join(desc)
+
     def walk(node, shuffled_above: bool) -> bool:
         cls = node.getClass().getSimpleName()
         if cls.startswith("ShuffleExchange") or cls.startswith("ShuffleQueryStage"):
             shuffled_above = True
         if "FileSourceScan" in cls or "BatchScan" in cls:
-            if scan_marker in node.toString() and not shuffled_above:
+            if scan_marker in scan_desc(node) and not shuffled_above:
                 return True
         # AdaptiveSparkPlanExec hides its live plan outside children()
         if cls == "AdaptiveSparkPlanExec":

@@ -841,6 +841,105 @@ def probe_rawdag(spark, big_n: int = 2_000_000) -> dict:
     return out
 
 
+def probe_midjoin(spark, big_n: int = 2_000_000) -> dict:
+    """Mid-graph JOIN stage slope probe (``python tools/scale_probe.py
+    midjoin [big_n]``): the r13 composition — GROUP-BY rollup over the
+    raw fact stream (emitting) → enrich-JOIN whose fact side consumes the
+    rollup's change log → band rollup over the join's view log — through
+    ``catalog.activate_project_incremental``, at a 100k-fact and a
+    ``big_n``-fact base with the SAME fixed 5k-row churn batch. The
+    O(|changes|)-per-edge claim: the join stage's pending read is
+    delta-only, its state reads are prune_fold scans, and the churn
+    touches a fixed number of groups — expect ``step`` ~flat while
+    ``init`` scales with the base."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dbt_decodable_spark.catalog import Engine
+    from dbt_decodable_spark.schema import StreamSchema
+
+    out: dict = {}
+    for label, n in (("100k", 100_000), (f"{big_n // 1000}k", big_n)):
+        tmp = tempfile.mkdtemp(prefix=f"probe_midjoin_{label}_")
+        ns = f"pmj{label.replace('.', '')}"
+        eng = Engine(spark, namespace=ns, warehouse_dir=f"{tmp}/wh")
+        os.makedirs(eng.warehouse_dir, exist_ok=True)
+        facts = spark.range(n).select(
+            F.col("id").alias("pk"),
+            (F.col("id") % 997).alias("grp"),
+            (F.col("id") % 777).alias("qty"),
+            F.lit(0).cast("long").alias("ver"),
+            F.lit(False).alias("deleted"),
+        )
+        eng.create_stream(
+            "fact",
+            schema=StreamSchema.from_spark(facts.schema, primary_key=["pk"]),
+            data=facts,
+        )
+        dim = spark.range(997).select(
+            F.col("id").alias("dk"),
+            (F.col("id") % 7).alias("tier"),
+            F.lit(0).cast("long").alias("ver"),
+            F.lit(False).alias("deleted"),
+        )
+        eng.create_stream(
+            "dim",
+            schema=StreamSchema.from_spark(dim.schema, primary_key=["dk"]),
+            data=dim,
+        )
+        eng.create_pipeline(
+            "rawroll",
+            f"select grp, count(*) as n_rows, sum(qty) as sum_qty "
+            f"from {ns}__fact group by grp",
+            activate=False,
+        )
+        eng.create_pipeline(
+            "enrich",
+            f"select f.*, d.tier as tier "
+            f"from {ns}__rawroll f join {ns}__dim d on f.grp = d.dk",
+            activate=False,
+        )
+        eng.create_pipeline(
+            "band",
+            f"select tier, count(*) as n_grps, sum(sum_qty) as total "
+            f"from {ns}__enrich group by tier",
+            activate=False,
+        )
+        nodes = {
+            "rawroll": dict(order=["ver"], delete_col="deleted"),
+            "enrich": dict(dim_order=["ver"], dim_delete_col="deleted"),
+            "band": {},
+        }
+        res = {}
+        t = time.time()
+        eng.activate_project_incremental(nodes, n_buckets=32)
+        res["init"] = round(time.time() - t, 2)
+        batch = spark.range(5000).select(
+            (F.col("id") * (n // 5000)).alias("pk"),
+            (F.col("id") % 997).alias("grp"),
+            (F.col("id") % 555).alias("qty"),
+            F.lit(1).cast("long").alias("ver"),
+            (F.col("id") % 500 == 0).alias("deleted"),
+        )
+        batch.write.mode("append").parquet(eng.streams[f"{ns}__fact"].path)
+        eng.refresh_stream("fact")
+        t = time.time()
+        eng.activate_project_incremental(nodes, n_buckets=32)
+        res["step"] = round(time.time() - t, 2)
+        out[label] = res
+        eng.cleanup()
+        shutil.rmtree(tmp, ignore_errors=True)
+    labels = list(out)
+    out["step_ratio"] = (
+        round(out[labels[1]]["step"] / out[labels[0]]["step"], 2)
+        if out[labels[0]]["step"] > 0.05
+        else None
+    )
+    return out
+
+
 def probe_temporaldag(spark, big_n: int = 1_000_000) -> dict:
     """Temporal-node engine chain slope probe (``python tools/scale_probe.py
     temporaldag [big_n]``): the r12 FOR SYSTEM_TIME AS OF node kind —
@@ -1277,6 +1376,11 @@ def main() -> None:
         spark = get_spark(app_name="scale_probe_rawdag")
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
         print(json.dumps({"rawdag": probe_rawdag(spark, n)}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "midjoin":
+        spark = get_spark(app_name="scale_probe_midjoin")
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+        print(json.dumps({"midjoin": probe_midjoin(spark, n)}))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "temporaldag":
         spark = get_spark(app_name="scale_probe_temporaldag")
