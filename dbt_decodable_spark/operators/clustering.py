@@ -163,6 +163,16 @@ def kmeans_fit(
     cent = init_centroids(q, k, init_mod)
     for _ in range(iters):
         cent = _update(_assign(q, cent))
+    # lineage cut on the k-row centroid table (r13 optimization, guide §5):
+    # downstream consumers reference the centroids SEVERAL times (the final
+    # assignment below, a broadcast probe, a stream-side literal, ...) and
+    # Spark does not dedupe common subplans, so without this each reference
+    # re-executes the full `iters`-round assign/update chain (measured:
+    # similarity_ivf_kmeans_topk 3.7 s -> 3.1 s warm). Lazy so nothing runs
+    # until first use; the stored block is k rows (k·dim ints) — bounded by
+    # contract, unlike the r8 khop checkpoint this replaces nothing cached
+    # grows with data volume.
+    cent = cent.localCheckpoint(eager=False)
     return cent, _assign(q, cent)
 
 
