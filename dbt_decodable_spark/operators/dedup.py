@@ -295,6 +295,17 @@ def minhash_signatures(
     aggregate before the one shuffle on (id, band).
     """
     sh = shingle_strings(df, id_col, text_col, n).select("id", "shingle")
+    return minhash_signatures_from_shingles(sh, num_hashes)
+
+
+def minhash_signatures_from_shingles(
+    sh: DataFrame, num_hashes: int = 6
+) -> DataFrame:
+    """Signature aggregation over an existing ``(id, shingle)`` relation —
+    split out (r13) so pipelines that ALSO need the shingle table
+    (:func:`minhash_verified_pairs`) can materialize it once and derive
+    both consumers from the same pass instead of re-running the
+    tokenize+shingle scan per consumer."""
     bands = F.array(
         *[
             F.struct(
@@ -343,6 +354,15 @@ def minhash_lsh_candidates(
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes).localCheckpoint(
         eager=True
     )
+    return lsh_pairs_from_signatures(sig, link)
+
+
+def lsh_pairs_from_signatures(sig: DataFrame, link: str = "pairs") -> DataFrame:
+    """Bucket-pair emission over an already-materialized ``(id, band,
+    minhash)`` signature table — split out (r13) for the same
+    materialize-once reason as :func:`minhash_signatures_from_shingles`.
+    ``sig`` must be materialized (checkpoint/table): both aliased join
+    sides re-execute its plan otherwise."""
     if link == "star":
         hub = sig.groupBy("band", "minhash").agg(F.min("id").alias("__hub"))
         return (
@@ -784,14 +804,17 @@ def minhash_verified_pairs(
     band min-hash ⇒ the same min shingle string), so the intersection
     join below loses no candidate.
     """
-    pairs = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes)
-    # materialize the shingle table ONCE: it feeds three consumers below
-    # (both sides of the intersection join and the sizes aggregate), and
-    # minhash_lsh_candidates already ran the tokenize+shingle pipeline for
-    # the signatures — without the checkpoint each consumer would replay
-    # the full-corpus shingling from the scan (the module's
-    # materialize-once rule, same as the signature checkpoint above)
+    # materialize the shingle table ONCE: it feeds FOUR consumers below —
+    # the minhash signatures, both sides of the intersection join and the
+    # sizes aggregate. r13: the signatures are now derived from this same
+    # checkpoint (minhash_signatures_from_shingles) instead of re-running
+    # the tokenize+shingle scan a second time inside
+    # minhash_lsh_candidates — one full-corpus shingle pass saved per call.
     sh = shingle_strings(df, id_col, text_col, n).localCheckpoint(eager=True)
+    sig = minhash_signatures_from_shingles(
+        sh.select("id", "shingle"), num_hashes
+    ).localCheckpoint(eager=True)
+    pairs = lsh_pairs_from_signatures(sig)
     # every sh row already carries the per-doc shingle count (n_sh rides
     # along from shingle_strings) — no second aggregate over the shingles
     sizes = sh.select("id", F.col("n_sh").alias("__n")).distinct()

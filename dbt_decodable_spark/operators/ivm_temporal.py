@@ -243,9 +243,16 @@ def _temporal_round(
     if snapshot_after is not None:
         new_fact = snapshot_after
     else:
+        # r13 optimization (guide §5 lineage cut): the folded snapshot is
+        # referenced by the affected-keys probe, the touched-slice
+        # semi-join AND the returned state — Spark re-executes the full
+        # key-shuffle fold per reference in the one lazy plan the
+        # in-memory arm builds. Lazy checkpoint = fold once, reuse
+        # (measured ivm_scd2_join 9.1 -> 5.7 s warm standalone). The
+        # catalog/persisted paths pass snapshot_after and are unaffected.
         new_fact = fold_last_image(
             state.fact.unionByName(fact_batch), keys, ordc
-        )
+        ).localCheckpoint(eager=False)
 
     # 2. advance the SCD2 dim + collect version-affected fact keys
     if dim_batch is not None:
@@ -281,8 +288,13 @@ def _temporal_round(
         new_dim = state.dim_versions
         affected = spark.createDataFrame([], new_fact.select(*keys).schema)
 
+    # lazy checkpoint for the same reason: ``touched`` drives BOTH the
+    # slice semi-join and the view anti-join (and the with_changes caller
+    # reuses it again); it is batch-bounded by contract, so the stored
+    # block is small
     touched = (
         fact_batch.select(*keys).unionByName(affected).distinct()
+        .localCheckpoint(eager=False)
     )
     # ``broadcast_touched=False`` for a backlog too large to ship to every
     # executor (e.g. a bulk dim backfill whose fanout is a large fraction
