@@ -1,0 +1,192 @@
+"""Round-13 optimization pins: every change in this round is a
+lineage/materialization change that must NOT alter results. Each test
+pins the optimized path against the naive recompute of the same math.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_decodable_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark(app_name="test_round13_opt")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestKmeansCheckpoint:
+    def test_fit_matches_uncheckpointed_recurrence(self, spark):
+        """kmeans_fit's centroid localCheckpoint (r13) must return exactly
+        the centroids/assignments of the plain unrolled recurrence."""
+        from dbt_decodable_spark.operators.clustering import (
+            _assign,
+            _update,
+            init_centroids,
+            kmeans_fit,
+            quantize_to_grid,
+        )
+
+        vecs = spark.range(60).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                (F.col("id") % 7).cast("float"),
+                (F.col("id") % 11).cast("float"),
+                (F.col("id") % 3).cast("float"),
+            ).alias("embedding"),
+        )
+        cent, assigned = kmeans_fit(vecs, k=4, iters=2, init_mod=5)
+
+        # naive recurrence, no checkpoint
+        q = vecs.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            quantize_to_grid(F.col("embedding")).alias("qv"),
+        )
+        c = init_centroids(q, 4, 5)
+        for _ in range(2):
+            c = _update(_assign(q, c))
+        assert _rows(cent) == _rows(c)
+        assert _rows(assigned) == _rows(_assign(q, c))
+
+
+class TestMinhashSplitHelpers:
+    def test_signatures_from_shingles_equals_direct(self, spark):
+        from dbt_decodable_spark.operators.dedup import (
+            minhash_signatures,
+            minhash_signatures_from_shingles,
+            shingle_strings,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over a lazy dog"),
+                (3, "completely different text with no overlap at all"),
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+        direct = minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=4)
+        sh = shingle_strings(docs, "doc_id", "text", 3)
+        via = minhash_signatures_from_shingles(
+            sh.select("id", "shingle"), num_hashes=4
+        )
+        assert _rows(direct) == _rows(via)
+
+    def test_lsh_pairs_from_signatures_equals_candidates(self, spark):
+        from dbt_decodable_spark.operators.dedup import (
+            lsh_pairs_from_signatures,
+            minhash_lsh_candidates,
+            minhash_signatures,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "alpha beta gamma delta epsilon eta"),
+                (3, "one two three four five six"),
+                (4, "one two three four five seven"),
+            ],
+            "doc_id long, text string",
+        )
+        direct = minhash_lsh_candidates(docs, "doc_id", "text", 3, 4)
+        sig = minhash_signatures(docs, "doc_id", "text", 3, 4).localCheckpoint(
+            eager=True
+        )
+        for link in ("pairs", "star"):
+            want = _rows(
+                minhash_lsh_candidates(docs, "doc_id", "text", 3, 4, link=link)
+            )
+            got = _rows(lsh_pairs_from_signatures(sig, link=link))
+            assert got == want
+        assert _rows(direct)  # non-empty: the near-dup pairs exist
+
+    def test_verified_pairs_matches_manual_jaccard(self, spark):
+        """The r13 single-materialization verify path must produce the
+        exact jaccard of the shingle sets."""
+        from dbt_decodable_spark.operators.dedup import (
+            minhash_verified_pairs,
+            shingle_strings,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "w1 w2 w3 w4 w5 w6"),
+                (2, "w1 w2 w3 w4 w5 zz"),
+                (3, "a b c d e f"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in minhash_verified_pairs(
+                docs, "doc_id", "text", n=3, num_hashes=6, threshold=0.0
+            ).collect()
+        }
+        sh = {
+            i: {
+                r["shingle"]
+                for r in shingle_strings(docs, "doc_id", "text", 3)
+                .filter(F.col("id") == i)
+                .collect()
+            }
+            for i in (1, 2, 3)
+        }
+        if (1, 2) in out:
+            inter = len(sh[1] & sh[2])
+            union = len(sh[1] | sh[2])
+            assert out[(1, 2)] == pytest.approx(inter / union)
+        # docs 1/3 share nothing — never verified
+        assert (1, 3) not in out
+
+
+class TestTemporalRoundCheckpoint:
+    def test_round_equals_recompute_after_checkpoint(self, spark):
+        """_temporal_round's r13 lazy checkpoints (fold fallback + touched
+        set) must leave the maintained view equal to the from-base
+        recompute, including tombstones and out-of-order churn."""
+        from dbt_decodable_spark.operators.ivm_temporal import (
+            TemporalJoinSpec,
+            init_temporal_join_state,
+            maintain_temporal_join,
+            recompute_temporal_view,
+        )
+
+        spec = TemporalJoinSpec(
+            fact_keys=("pk",),
+            fk_col="fk",
+            dim_key="dk",
+            fact_ts="ts",
+            valid_from="vf",
+            payload={"pay": "val"},
+        )
+        fact0 = spark.createDataFrame(
+            [(1, 10, 5, 0, False), (2, 20, 7, 0, False)],
+            "pk long, fk long, ts long, ver long, deleted boolean",
+        )
+        dim0 = spark.createDataFrame(
+            [(10, 1, "a"), (20, 1, "b")], "dk long, vf long, val string"
+        )
+        st = init_temporal_join_state(fact0, dim0, spec, fact_delete_col="deleted")
+        batch = spark.createDataFrame(
+            [
+                (3, 10, 9, 0, False),   # new fact
+                (1, 20, 6, 1, False),   # fk migration, later version wins
+                (2, 20, 7, 1, True),    # tombstone
+            ],
+            "pk long, fk long, ts long, ver long, deleted boolean",
+        )
+        dimb = spark.createDataFrame([(10, 8, "a2")], "dk long, vf long, val string")
+        st2 = maintain_temporal_join(
+            st, batch, dimb, ["ver", "pk"], spec, fact_delete_col="deleted"
+        )
+        want = recompute_temporal_view(
+            st2.fact, dim0.unionByName(dimb), spec, ["ver", "pk"],
+            fact_delete_col="deleted",
+        )
+        assert _rows(st2.view.select(*want.columns)) == _rows(want)
