@@ -161,8 +161,6 @@ def kmeans_fit(
     q = q.persist()
     spark._kmeans_q_cache = q
     cent = init_centroids(q, k, init_mod)
-    for _ in range(iters):
-        cent = _update(_assign(q, cent))
     # lineage cut on the k-row centroid table (r13 optimization, guide §5):
     # downstream consumers reference the centroids SEVERAL times (the final
     # assignment below, a broadcast probe, a stream-side literal, ...) and
@@ -171,8 +169,15 @@ def kmeans_fit(
     # similarity_ivf_kmeans_topk 3.7 s -> 3.1 s warm). Lazy so nothing runs
     # until first use; the stored block is k rows (k·dim ints) — bounded by
     # contract, unlike the r8 khop checkpoint this replaces nothing cached
-    # grows with data volume.
-    cent = cent.localCheckpoint(eager=False)
+    # grows with data volume. PER-ITERATION (r13, second pass): each
+    # round's checkpoint truncates the SQL plan the next round is planned
+    # over — `iters` shallow single-round plans instead of one deeply
+    # unrolled recurrence, cutting the per-action optimizer/AQE planning
+    # cost that dominates the k-row centroid chain's wall time locally.
+    for _ in range(iters):
+        cent = _update(_assign(q, cent)).localCheckpoint(eager=False)
+    if iters == 0:  # multi-consumer cut still needed when the loop is empty
+        cent = cent.localCheckpoint(eager=False)
     return cent, _assign(q, cent)
 
 

@@ -343,7 +343,18 @@ def salient_terms(df, id_col: str, text_col: str, k: int = 3):
         .select(id_col, F.explode(tokens(text_col)).alias("term"))
         .filter(F.length("term") > 0)
     )
-    tf = term_rows.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # materialize the tf aggregate ONCE: it feeds both the df-count
+    # aggregate and the scoring join, and Catalyst plans no ReusedExchange
+    # across the two references — without this the tokenize+explode+tf
+    # pipeline executes twice per run (measured: 2 full document scans in
+    # the executed plan). The checkpointed relation is the (id, term, tf)
+    # aggregate — corpus-vocabulary-bounded, far smaller than the
+    # occurrence rows (at cluster scale: write it to parquet and read back).
+    tf = (
+        term_rows.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     n_docs = df.select(id_col).agg(F.count(F.lit(1)).alias("__n"))
     scored = (
@@ -430,13 +441,26 @@ def bigram_commonness(df, id_col: str, text_col: str):
     grams = base.select(
         id_col, F.explode(ngrams_from_tokens(F.col("__toks"), 2)).alias("gram")
     )
-    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cf"))
+    # pre-aggregate occurrences to (id, gram, n) and materialize ONCE
+    # (guide §2.3/§2.4): the gram relation used to feed two consumers —
+    # the corpus-count aggregate and the join side — and with no
+    # ReusedExchange the tokenize+explode pipeline executed twice; the
+    # pre-agg is also strictly fewer shuffled bytes (map-side partial agg
+    # collapses within-document repeats before anything crosses the wire).
+    # Arithmetic is unchanged exactly: cf = Σ_docs n, n_bigrams = Σ n,
+    # total_cf = Σ n·cf — the same integers the per-occurrence plan summed.
+    gram_tf = (
+        grams.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)
+    )
+    counts = gram_tf.groupBy("gram").agg(F.sum("__n").alias("cf"))
     per_doc = (
-        grams.join(counts, "gram")
+        gram_tf.join(counts, "gram")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("cf").alias("total_cf"),
+            F.sum("__n").alias("n_bigrams"),
+            F.sum(F.col("__n") * F.col("cf")).alias("total_cf"),
         )
     )
     return (
@@ -571,7 +595,14 @@ def novelty_scores(df, id_col: str, text_col: str, n: int = 3):
     """
     from dbt_decodable_spark.operators.dedup import shingle_strings
 
-    sh = shingle_strings(df, id_col, text_col, n)  # (id, shingle) distinct
+    # materialize the shingle pipeline ONCE (the dedup-module rule): it
+    # feeds both the document-frequency aggregate and the join side, and
+    # without the checkpoint the tokenize+shingle explode executes twice
+    # (no ReusedExchange across the two references — verified in the
+    # executed plan).
+    sh = shingle_strings(df, id_col, text_col, n).localCheckpoint(
+        eager=True
+    )  # (id, shingle) distinct
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     per_doc = (
         sh.join(dfreq, "shingle")

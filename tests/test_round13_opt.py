@@ -145,6 +145,75 @@ class TestMinhashSplitHelpers:
         assert (1, 3) not in out
 
 
+class TestTextMaterializeOnce:
+    def test_bigram_commonness_preagg_equals_occurrence_sum(self, spark):
+        """bigram_commonness's r13 (id, gram, n) pre-aggregate must produce
+        the exact integers of the per-occurrence plan: cf summed over
+        occurrences, n_bigrams as the occurrence count, NULL commonness for
+        <2-token docs."""
+        from dbt_decodable_spark.operators.text import (
+            bigram_commonness,
+            ngrams_from_tokens,
+        )
+        from dbt_decodable_spark.operators.dedup import tokens
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b a b a"),      # repeated bigrams within one doc
+                (2, "a b c"),
+                (3, "single"),          # 1 token -> no bigrams, NULL score
+                (4, ""),
+                (5, "c a b c a"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["total_cf"], r["commonness"])
+            for r in bigram_commonness(docs, "doc_id", "text").collect()
+        }
+        # naive per-occurrence recompute
+        grams = docs.select(
+            "doc_id",
+            F.explode(ngrams_from_tokens(tokens("text"), 2)).alias("gram"),
+        )
+        cf = {
+            r["gram"]: r["cf"]
+            for r in grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cf")).collect()
+        }
+        occ = grams.collect()
+        want: dict = {}
+        for r in occ:
+            n, t = want.get(r["doc_id"], (0, 0))
+            want[r["doc_id"]] = (n + 1, t + cf[r["gram"]])
+        for did in (1, 2, 3, 4, 5):
+            n, t = want.get(did, (0, 0))
+            exp = (n, t, (t / n) if n else None)
+            assert got[did] == pytest.approx(exp) if n else got[did] == (0, 0, None)
+
+    def test_salient_terms_rank_stable(self, spark):
+        """salient_terms' r13 tf checkpoint must not change scores/ranks."""
+        from dbt_decodable_spark.operators.text import salient_terms
+
+        docs = spark.createDataFrame(
+            [
+                (1, "x x y z"),
+                (2, "y z z w"),
+                (3, "w w w q"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["score"])
+            for r in salient_terms(docs, "doc_id", "text", k=2).collect()
+        }
+        # doc 1: x tf=2 df=1 -> score 2*(3-1)=4; y tf=1 df=2 -> 1; z tf=1 df=2 -> 1
+        assert rows[(1, 1)] == ("x", 2, 4)
+        assert rows[(1, 2)] == ("y", 1, 1)  # tie with z broken by term asc
+        # doc 3: w tf=3 df=2 -> 3; q tf=1 df=1 -> 2
+        assert rows[(3, 1)] == ("w", 3, 3)
+        assert rows[(3, 2)] == ("q", 1, 2)
+
+
 class TestTemporalRoundCheckpoint:
     def test_round_equals_recompute_after_checkpoint(self, spark):
         """_temporal_round's r13 lazy checkpoints (fold fallback + touched
