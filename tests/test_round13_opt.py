@@ -8,12 +8,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from dbt_decodable_spark.session import get_spark
-
-
-@pytest.fixture(scope="module")
-def spark():
-    return get_spark(app_name="test_round13_opt")
+# Uses the shared session fixture from conftest.py. A module-local
+# get_spark() here would getOrCreate() AGAINST the already-running test
+# session and re-apply its default shuffle_partitions (max(cpus,32)) to
+# it, silently overriding conftest's 4 for every later test file — this
+# broke test_round9's bucketed co-partition plan pin in the full run.
 
 
 def _rows(df):
