@@ -14,6 +14,16 @@ driver collect). Every query runs ``$SPARK_GRAFT_BENCH_REPEAT`` times
 from run-to-run noise (VERDICT r2 #10). value = total of per-query best
 wall seconds across all queries.
 
+Round-14 harness additions (VERDICT r13 item 2 — measurement transparency,
+no timing-methodology change): both JSON lines now echo the effective
+``master`` / ``defaultParallelism`` under ``"scaling"``, and a synthetic
+fixed-work CPU-bound calibration row ``calibrate_cpu_scaling`` (not a
+registered query) is timed with the same repeat/best-of discipline and
+reported inside ``queries`` so the driver's 8-vs-32-core probe has one row
+whose ratio is ~cores-proportional. The canary is EXCLUDED from ``value``;
+the headline number and every registered query's timing methodology are
+unchanged, so BENCH_r14 remains directly comparable with BENCH_r13.
+
 Isolation (VERDICT r5 #8): queries run grouped by family (name prefix), and
 at every family boundary the harness stops any streaming query still
 active, drops the memory-sink temp views earlier streaming runs parked in
@@ -99,6 +109,39 @@ def main() -> None:
         "text_strip_markup": 0.110,
     }
 
+    # CPU-scaling canary (VERDICT r13 item 2): the driver probes the bench
+    # at 8 vs 32 cores, but at sf0.1 every registered query is fixed-cost
+    # bound (planning, commit protocol, streaming micro-batch machinery) so
+    # all ratios read ~1 and the driver cannot distinguish "honors
+    # $SPARK_GRAFT_CPUS but overhead-bound at this SF" from "ignores it".
+    # This row is a fixed-size (sf-independent), shuffle-free, hash-heavy
+    # aggregate: ~45-60 core-seconds of pure JVM codegen work over
+    # spark.range, embarrassingly parallel, so its wall time scales ~1/cores
+    # and the 8-core probe reads ~3-4x. It is NOT a registered query and is
+    # EXCLUDED from `value` (kept out of `timings`; reported separately and
+    # force-included in both `queries` dicts) so the headline stays
+    # comparable with BENCH_r13 and earlier.
+    def time_cpu_canary() -> float:
+        from pyspark.sql import functions as F
+
+        best_c = -1.0
+        for _ in range(repeat):
+            t0 = time.time()
+            c = F.col("id")
+            for _ in range(8):
+                c = F.xxhash64(c)
+            (
+                spark.range(200_000_000)
+                .select(c.alias("h"))
+                .agg(F.expr("bit_xor(h)").alias("x"))  # xor: overflow-free under ANSI
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            dt = time.time() - t0
+            best_c = dt if best_c < 0 else min(best_c, dt)
+        return round(best_c, 3)
+
     prev_family = None
     for name, q in sorted(registry.items()):
         if family(name) != prev_family:
@@ -122,6 +165,9 @@ def main() -> None:
         if best > 0:
             total += best
 
+    family_boundary_reset()
+    canary_sec = time_cpu_canary()
+
     ratios = sorted(
         timings[n] / cal
         for n, cal in sentinel_cal.items()
@@ -138,19 +184,32 @@ def main() -> None:
     value_norm = (
         round(total / sent_ratio, 3) if sent_ratio and sent_ratio > 0 else None
     )
+    # Echo the EFFECTIVE master/parallelism (VERDICT r13 item 2) so the
+    # driver's core-scaling probe can attest that $SPARK_GRAFT_CPUS was
+    # honored instead of inferring it from overhead-bound query ratios.
+    sc = spark.sparkContext
+    scaling_echo = {
+        "master": sc.master,
+        "default_parallelism": sc.defaultParallelism,
+        # synthetic fixed-work row; in `queries` for the probe, NOT in value
+        "cpu_canary_not_in_value": "calibrate_cpu_scaling",
+    }
+    detail_queries = dict(timings)
+    detail_queries["calibrate_cpu_scaling"] = canary_sec
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": detail_queries,
                 "sf": sf,
                 "n_queries": len(timings),
                 "repeat": repeat,
                 "aggregation": "best_of_n",
                 "sentinels": sentinels,
                 "value_normalized": value_norm,
+                "scaling": scaling_echo,
             }
         )
     )
@@ -166,6 +225,9 @@ def main() -> None:
             reverse=True,
         )[:10]
     )
+    # force-include the canary so the driver's 8-vs-32-core probe always
+    # sees it in the compact tail regardless of its slowest-10 rank
+    slowest["calibrate_cpu_scaling"] = canary_sec
     failed = sorted(n for n, t in timings.items() if t < 0)
     print(
         json.dumps(
@@ -184,9 +246,10 @@ def main() -> None:
                 # last parseable object still satisfies the contract
                 # (full per-query timings are on the preceding detail line)
                 "queries": slowest,
-                "queries_truncated_to_slowest": len(slowest),
+                "queries_truncated_to_slowest": 10,
                 "sentinels": sentinels,
                 "value_normalized": value_norm,
+                "scaling": scaling_echo,
             }
         )
     )

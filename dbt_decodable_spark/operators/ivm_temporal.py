@@ -250,6 +250,18 @@ def _temporal_round(
         # in-memory arm builds. Lazy checkpoint = fold once, reuse
         # (measured ivm_scd2_join 9.1 -> 5.7 s warm standalone). The
         # catalog/persisted paths pass snapshot_after and are unaffected.
+        #
+        # CAVEAT (ADVICE/VERDICT r13): unlike the k-row checkpoints
+        # elsewhere, this block set is O(|fact state|) per maintenance
+        # round, lives in the block manager (clearCache cannot reclaim
+        # checkpointed RDDs), and — localCheckpoint being non-reliable —
+        # is unrecoverable on executor loss. The in-memory fold arm is
+        # therefore a SMALL-STATE arm (tests/bench scale); at cluster
+        # scale callers must pass ``snapshot_after`` (the catalog paths
+        # already do), which skips this branch entirely. Unpersisting the
+        # previous round's blocks here is NOT safe: the returned state of
+        # an earlier round may still be referenced by the caller, and a
+        # truncated-lineage DF whose blocks are dropped cannot recompute.
         new_fact = fold_last_image(
             state.fact.unionByName(fact_batch), keys, ordc
         ).localCheckpoint(eager=False)

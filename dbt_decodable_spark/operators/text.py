@@ -600,6 +600,16 @@ def novelty_scores(df, id_col: str, text_col: str, n: int = 3):
     # without the checkpoint the tokenize+shingle explode executes twice
     # (no ReusedExchange across the two references — verified in the
     # executed plan).
+    #
+    # SIZING (ADVICE r13): unlike the vocabulary-bounded tf/gram_tf
+    # checkpoints in this module, (id, shingle) is OCCURRENCE-scale — it
+    # grows linearly with corpus tokens, and the checkpointed blocks stay
+    # in the block manager until the session ends (clearCache does not
+    # reclaim checkpointed RDDs). Fine for the bench/test corpora (~100k
+    # rows); at cluster scale materialize the shingle table to parquet
+    # (write+read back, as graph_khop_neighbors does for its edge proxy)
+    # instead of checkpointing, so the one-copy intermediate lives on disk
+    # rather than pinned in executor memory.
     sh = shingle_strings(df, id_col, text_col, n).localCheckpoint(
         eager=True
     )  # (id, shingle) distinct

