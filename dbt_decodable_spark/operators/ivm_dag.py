@@ -196,12 +196,21 @@ def _base_max_seq(view_log: str) -> int | None:
     caller falls back to a Spark scan). Every writer of this layout
     (``write_hash_partitioned`` / ``merge_into_hash_partitioned``) emits
     Spark-written parquet, which always carries min/max column stats."""
+    mx, ok = _walk_max_seq(view_log)
+    return mx if ok else None
+
+
+def _walk_max_seq(path: str) -> tuple[int | None, bool]:
+    """(max ``__seq`` from parquet footer stats under ``path``, stats_ok).
+    ``stats_ok`` False ⇔ some file lacks usable ``__seq`` min/max (caller
+    must fall back to a Spark scan); a zero-row file (no row groups)
+    contributes nothing but does not invalidate the walk."""
     try:
         import pyarrow.parquet as pq
     except ImportError:  # pragma: no cover - pyarrow is baked into the env
-        return None
+        return None, False
     mx: int | None = None
-    for dirpath, _dirs, files in os.walk(view_log):
+    for dirpath, _dirs, files in os.walk(path):
         for fn in files:
             if not fn.endswith(".parquet"):
                 continue
@@ -209,12 +218,34 @@ def _base_max_seq(view_log: str) -> int | None:
             try:
                 ci = md.schema.names.index(SEQ)
             except ValueError:
-                return None
+                return None, False
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(ci).statistics
                 if st is None or not st.has_min_max:
-                    return None
+                    return None, False
                 mx = st.max if mx is None else max(mx, st.max)
+    return mx, True
+
+
+def _deltas_max_seq(delta_paths: Sequence[str]) -> int | None:
+    """Max ``__seq`` across the LISTED committed delta directories, from
+    parquet footer statistics only (r14, guide §6 — metadata over data):
+    replaces the per-step ``pending.agg(max(__seq))`` Spark job, which at
+    100 TB scans every pending delta row to learn one integer the footers
+    already carry. Operates on an explicit path list so the caller can pin
+    ONE delta listing for both this probe and the fold input — computing it
+    from a second listing would race a concurrent append (a delta landing
+    between the listings would be folded into state but excluded from the
+    watermark, and its seqs would re-apply on the next step). Returns None
+    when any listed file lacks stats — callers fall back to the Spark
+    aggregate over the same frame."""
+    mx: int | None = None
+    for p in delta_paths:
+        m, ok = _walk_max_seq(p)
+        if not ok:
+            return None
+        if m is not None:
+            mx = m if mx is None else max(mx, m)
     return mx
 
 
@@ -233,10 +264,17 @@ def _has_parquet(path: str) -> bool:
     return False
 
 
-def _view_rows(spark: SparkSession, view_log: str) -> tuple[DataFrame, DataFrame]:
+def _view_rows(
+    spark: SparkSession,
+    view_log: str,
+    deltas: Sequence[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
     """(base rows, committed delta rows) of an upstream change log, both
     carrying ``__seq``/``__deleted``; the internal ``__bucket`` layout
-    column is stripped.
+    column is stripped. ``deltas`` pins an ALREADY-LISTED committed delta
+    set so the caller can derive filesystem-metadata probes (watermarks,
+    floors) from exactly the file set this read folds — a second listing
+    would race a concurrent append (see :func:`_deltas_max_seq`).
 
     Two upstream shapes, auto-detected by the base directory's existence:
 
@@ -250,7 +288,8 @@ def _view_rows(spark: SparkSession, view_log: str) -> tuple[DataFrame, DataFrame
       keeps every retained row's ORIGINAL ``__seq``, so base-vs-delta is
       purely a storage split; the fold semantics are identical).
     """
-    deltas = list_deltas(view_log)
+    if deltas is None:
+        deltas = list_deltas(view_log)
     if _has_parquet(view_log):
         base = spark.read.parquet(view_log)
         if "__bucket" in base.columns:
@@ -322,20 +361,38 @@ def init_downstream(
     clears the root before re-running (no downstream delta can exist before
     the marker, so a re-init can never double-count)."""
     # ONE pass over the view: list the delta set once, fold once, and
-    # take the floor from the folded frame (the global max-__seq row is
+    # take the floor from the SAME file set (the global max-__seq row is
     # its key's latest image, so max(folded) == max(raw)). The fold is
-    # lazily checkpointed so the floor collect and ivm_log_init's full
+    # lazily checkpointed so the floor probe and ivm_log_init's full
     # pass share the materialization instead of scanning the view twice —
     # and the single delta listing also closes the old two-listing race
     # (a delta landing between the floor capture and a second listing).
     # A delta landing after THIS listing is simply not read and is
     # consumed by the next maintenance step.
-    base, drows = _view_rows(spark, view_log)
+    #
+    # r14 (guide §6 — metadata over data): the floor comes from parquet
+    # FOOTER statistics over exactly the listed base+delta files (the
+    # `_base_max_seq` pattern), not a Spark aggregate — one fewer driver
+    # action here, and at 100 TB a metadata read instead of a column scan
+    # of the whole view. The Spark aggregate remains as the fallback for
+    # stats-less files; the checkpointed fold then materializes inside
+    # ivm_log_init's publish pass either way.
+    dpaths = list_deltas(view_log)
+    base, drows = _view_rows(spark, view_log, deltas=dpaths)
     snap = fold_last_image(
         base.unionByName(drows), list(keys), [F.col(SEQ)]
     ).localCheckpoint(eager=False)
-    floor_row = snap.agg(F.max(SEQ).alias("m")).collect()[0]
-    floor = int(floor_row["m"]) if floor_row["m"] is not None else 0
+    fmax = _deltas_max_seq(dpaths)
+    bmax = _base_max_seq(view_log) if _has_parquet(view_log) else None
+    if fmax is None and dpaths:
+        floor_row = snap.agg(F.max(SEQ).alias("m")).collect()[0]
+        floor = int(floor_row["m"]) if floor_row["m"] is not None else 0
+    elif bmax is None and _has_parquet(view_log):
+        floor_row = snap.agg(F.max(SEQ).alias("m")).collect()[0]
+        floor = int(floor_row["m"]) if floor_row["m"] is not None else 0
+    else:
+        cands = [int(v) for v in (fmax, bmax) if v is not None]
+        floor = max(cands) if cands else 0
     os.makedirs(root, exist_ok=True)
     _write_floor(root, floor)
     ivm_log_init(
@@ -470,7 +527,8 @@ def maintain_downstream(
         if os.path.isdir(_deltas_root(view_log)):
             return w  # log exists, nothing was ever pending beyond w
         # fall through for the log-never-existed error
-    base, drows = _view_rows(spark, view_log)
+    dpaths = list_deltas(view_log)
+    base, drows = _view_rows(spark, view_log, deltas=dpaths)
     if _has_parquet(view_log):
         base_max = _base_max_seq(view_log)
         if base_max is None:
@@ -499,10 +557,20 @@ def maintain_downstream(
                 f"{root!r} (operators.ivm_dag.rebuild_downstream)"
             )
     pending = drows.filter(F.col(SEQ) > F.lit(w))
-    new_w_row = pending.agg(F.max(SEQ).alias("m")).collect()[0]
-    if new_w_row["m"] is None:
+    # r14 (guide §6): the new watermark = max pending __seq comes from
+    # parquet footer statistics over the SAME committed delta listing the
+    # fold reads (no Spark job, no delta-row scan at 100 TB); max over all
+    # delta rows > w ⟺ max over all delta rows, when that exceeds w. The
+    # Spark aggregate stays as the stats-less fallback. NOTE: the base is
+    # deliberately excluded here exactly as before — the lag guard above
+    # already proved base __seq ≤ w.
+    fmax = _deltas_max_seq(dpaths)
+    if fmax is None and dpaths:
+        new_w_row = pending.agg(F.max(SEQ).alias("m")).collect()[0]
+        fmax = new_w_row["m"]
+    if fmax is None or int(fmax) <= w:
         return w
-    new_w = int(new_w_row["m"])
+    new_w = int(fmax)
     snap_before = snapshot_slice(
         base, drows.filter(F.col(SEQ) <= F.lit(w)), keys, pending,
         broadcast_keys=broadcast_keys,
