@@ -22,6 +22,32 @@ from dbt_decodable_spark.sources.tables import read_table
 _SESSIONIZE_KEY_ESTIMATES: dict[str, int] = {}
 
 
+def _stream_state_partitions() -> str:
+    """State-partition count for the bounded (availableNow) preview runs —
+    the value the per-query ``spark.sql.shuffle.partitions`` override uses
+    while a bounded stream starts. Every stateful operator pays a
+    per-state-store-partition commit on EVERY micro-batch (incl. the
+    watermark-finalization batch), so this bounds the fixed commit cost of
+    the 2-batch preview runs; it is NOT a general shuffle setting — batch
+    queries keep the session default, and production streaming jobs size
+    state partitions to their key volume via the session conf — this value
+    scales with the PREVIEW'S STATE VOLUME (KB at every bench SF), not
+    with local core count (more cores would want MORE partitions, so this
+    is not a local[32] fit). Overridable via
+    ``SPARK_GRAFT_STREAM_STATE_PARTS``.
+
+    Default 2 (was 8 through r13): a 4-round interleaved A/B at sf0.1
+    (OPTIMIZATION_r14.md) had 2 beating 8 on every pair — the
+    stream-stream interval joins, which commit 4 state stores per
+    partition per side per micro-batch, ran ~2× faster; outputs
+    bit-identical (xxhash64 xor) for all 5 stateful rows at sf0.1 under
+    both values, and the 5-row oracle gate passes at sf0.001 AND sf0.01
+    with 2 (the interval-join-outer eviction caveat stays absent)."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "2")
+
+
 def _await_bounded(q, name: str, timeout: float = 300.0) -> None:
     """Wait for a bounded (availableNow) streaming run; on timeout stop the
     query and raise instead of letting the caller read a partially populated
@@ -308,7 +334,9 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     # conf must stay set until the bounded run terminates — the stream
     # thread clones the session conf asynchronously after start())
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _stream_state_partitions()
+    )
     try:
         q = (
             sessions.writeStream.format("memory")
@@ -459,7 +487,9 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # place until the bounded run terminates — restoring right after
     # start() (the old shape) raced the clone.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _stream_state_partitions()
+    )
     try:
         q = (
             joined.writeStream.format("memory")
@@ -501,7 +531,9 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _stream_state_partitions()
+    )
     try:
         q = (
             deduped.writeStream.format("memory")
@@ -587,7 +619,9 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _stream_state_partitions()
+    )
     try:
         q = (
             joined.writeStream.format("memory")
@@ -797,7 +831,9 @@ def stream_window_topk_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _stream_state_partitions()
+    )
     try:
         q = (
             counts.writeStream.format("memory")
