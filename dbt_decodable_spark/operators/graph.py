@@ -260,32 +260,46 @@ def keep_best_representative(
     Output: df's id + score columns, ``component``, and ``keep``.
 
     Scale shape: components come from the O(log n)-round star algorithm
-    (:func:`connected_components`); the per-component arg-max is ONE window
-    over (component) — a single hash shuffle on the component id, which is
-    already the join key of the preceding step, so AQE can coalesce the
-    exchange. No driver materialization.
+    (:func:`connected_components`); the per-component arg-max window runs
+    over ONLY the clustered slice (r14, guide §2.3 — pre-filter before
+    the shuffle): a document with no near-dup pair is its own singleton
+    component with ``keep`` trivially true, so it never enters the window
+    exchange. At 100 TB that is the difference between shuffling the
+    whole corpus by component and shuffling just the duplicate-cluster
+    members (the pairs-sized minority); the unpaired majority flows
+    through map-side only (a broadcast/AQE left-anti probe against the
+    k-node cc table). Bit-identical to the windowed-everything form: a
+    singleton's row_number is 1 by definition (pinned in
+    tests/test_round14_opt.py).
     """
     from pyspark.sql import Window as W
 
     # rename cc's id before joining: if the caller's id_col is literally
-    # "id", drop("id") would remove BOTH columns and the coalesce below
+    # "id", drop("id") would remove BOTH columns and the references below
     # would not resolve. 'component' as an input name is the same hazard
     if "component" in (id_col, score_col):
         raise ValueError(
             "'component' is this function's output column — rename the "
             "input column first"
         )
+    # the cc table now feeds TWO consumers (the clustered inner join and
+    # the singleton anti probe); Spark re-executes common subplans, so
+    # without the lazy checkpoint the component computation (union-find /
+    # star rounds) would run twice. Node-count bounded by the pairs table.
     cc = connected_components(pairs, pair_a, pair_b).withColumnRenamed(
         "id", "__cc_id"
-    )
-    joined = df.select(id_col, score_col).join(
-        cc, F.col(id_col) == F.col("__cc_id"), "left"
+    ).localCheckpoint(eager=False)
+    base = df.select(id_col, score_col)
+    clustered = base.join(
+        cc, F.col(id_col) == F.col("__cc_id"), "inner"
     ).drop("__cc_id")
-    comp = F.coalesce(F.col("component"), F.col(id_col))
-    labeled = joined.withColumn("component", comp)
     w = W.partitionBy("component").orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
-    return labeled.withColumn(
-        "keep", F.row_number().over(w) == F.lit(1)
+    best = clustered.withColumn("keep", F.row_number().over(w) == F.lit(1))
+    singles = (
+        base.join(cc, F.col(id_col) == F.col("__cc_id"), "left_anti")
+        .withColumn("component", F.col(id_col))
+        .withColumn("keep", F.lit(True))
     )
+    return best.unionByName(singles)

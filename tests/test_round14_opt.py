@@ -115,6 +115,58 @@ class TestDeltasMaxSeqFooterStats:
         assert ivm_dag.maintain_downstream(spark, root, log, ["k"], spec) == 4
 
 
+class TestKeepBestPrefilteredWindow:
+    def test_equals_windowed_everything(self, spark):
+        """r14: keep_best_representative windows only the CLUSTERED slice
+        and unions the singleton majority back with keep=True. Pin exact
+        equality against the naive windowed-everything form on a graph
+        with singletons, a multi-member cluster with score ties, and a
+        chain-linked component."""
+        from pyspark.sql import Window as W
+        from dbt_decodable_spark.operators.graph import (
+            keep_best_representative,
+        )
+
+        df = spark.createDataFrame(
+            [(i, [10, 20, 20, 5, 7, 7, 7, 1, 3, 9][i]) for i in range(10)],
+            "doc long, score long",
+        )
+        # clusters: {0,1,2} (via 0-1, 1-2), {4,5}; singletons 3,6,7,8,9
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+        )
+        got = {
+            tuple(r)
+            for r in keep_best_representative(
+                df, pairs, "doc", "score"
+            ).collect()
+        }
+        from pyspark.sql import functions as F2
+        from dbt_decodable_spark.operators.graph import connected_components
+
+        cc = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+            "id", "__cc_id"
+        )
+        labeled = (
+            df.select("doc", "score")
+            .join(cc, F2.col("doc") == F2.col("__cc_id"), "left")
+            .drop("__cc_id")
+            .withColumn(
+                "component", F2.coalesce(F2.col("component"), F2.col("doc"))
+            )
+        )
+        w = W.partitionBy("component").orderBy(
+            F2.col("score").desc(), F2.col("doc").asc()
+        )
+        want = {
+            tuple(r)
+            for r in labeled.withColumn(
+                "keep", F2.row_number().over(w) == F2.lit(1)
+            ).collect()
+        }
+        assert got == want
+
+
 class TestStreamStatePartitions:
     def test_env_override_and_default(self, monkeypatch):
         from dbt_decodable_spark.queries.streaming_q import (
