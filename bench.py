@@ -115,12 +115,16 @@ def main() -> None:
     # all ratios read ~1 and the driver cannot distinguish "honors
     # $SPARK_GRAFT_CPUS but overhead-bound at this SF" from "ignores it".
     # This row is a fixed-size (sf-independent), shuffle-free, hash-heavy
-    # aggregate: ~45-60 core-seconds of pure JVM codegen work over
-    # spark.range, embarrassingly parallel, so its wall time scales ~1/cores
-    # and the 8-core probe reads ~3-4x. It is NOT a registered query and is
-    # EXCLUDED from `value` (kept out of `timings`; reported separately and
-    # force-included in both `queries` dicts) so the headline stays
-    # comparable with BENCH_r13 and earlier.
+    # aggregate: ~55-60 core-seconds of pure JVM codegen work over
+    # spark.range (24-deep xxhash64 chain x 300M rows — sized so real work
+    # dominates the ~0.3 s scan/scheduling overhead; the original 8x200M
+    # held only ~2.5 core-seconds of hashing and its 8-vs-32 ratio read
+    # 1.8, which would NOT refute suspect_cpus_ignored; this sizing
+    # measures 2.0 s @32 vs 6.1 s @8 = 3.1x on the build host),
+    # embarrassingly parallel, so its wall time scales ~1/cores. It is NOT
+    # a registered query and is EXCLUDED from `value` (kept out of
+    # `timings`; reported separately and force-included in both `queries`
+    # dicts) so the headline stays comparable with BENCH_r13 and earlier.
     def time_cpu_canary() -> float:
         from pyspark.sql import functions as F
 
@@ -128,10 +132,10 @@ def main() -> None:
         for _ in range(repeat):
             t0 = time.time()
             c = F.col("id")
-            for _ in range(8):
+            for _ in range(24):
                 c = F.xxhash64(c)
             (
-                spark.range(200_000_000)
+                spark.range(300_000_000)
                 .select(c.alias("h"))
                 .agg(F.expr("bit_xor(h)").alias("x"))  # xor: overflow-free under ANSI
                 .write.format("noop")
