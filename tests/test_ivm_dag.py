@@ -12,6 +12,13 @@ its rebuild recovery. A hypothesis sweep drives random keyed change logs
 through random consumption points directly against the watermark protocol.
 """
 
+import pytest as _pytest_tier
+
+# Slow tier (VERDICT r13 item 1): cascaded-IVM protocol sweeps incl. hypothesis endurance runs —
+# multi-minute file; deselected from the default fast tier by
+# tests/conftest.py, run via SPARK_GRAFT_RUN_SLOW=1 or -m slow.
+pytestmark = _pytest_tier.mark.slow
+
 import os
 
 import pytest

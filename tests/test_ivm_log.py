@@ -8,6 +8,13 @@ generation must be SKIPPED by readers (watermark) even while they still
 exist on disk, and replayed batches must land at most once (tags, at both
 the pending-delta and the compacted-generation level)."""
 
+import pytest as _pytest_tier
+
+# Slow tier (VERDICT r13 item 1): merge-on-read log crash sweeps —
+# multi-minute file; deselected from the default fast tier by
+# tests/conftest.py, run via SPARK_GRAFT_RUN_SLOW=1 or -m slow.
+pytestmark = _pytest_tier.mark.slow
+
 import os
 
 from pyspark.sql import functions as F
