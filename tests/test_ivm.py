@@ -212,6 +212,10 @@ _OPS = st.lists(
 
 
 class TestIvmProperty:
+    # Slow tier (VERDICT r13 item 1): ~100 s hypothesis endurance run —
+    # the file's plan-pin guard (test_bucketed_state_side_joins_are_
+    # shuffle_free) deliberately stays in the default fast tier.
+    @pytest.mark.slow
     @given(ops=_OPS, splits=st.lists(st.integers(0, 3), min_size=14, max_size=14))
     @settings(
         max_examples=10,

@@ -312,6 +312,8 @@ class TestPruneFoldProperty:
 
     DDL = "k long, v long, seq long, dead boolean"
 
+    # Slow tier (VERDICT r13 item 1): ~37 s hypothesis endurance run.
+    @pytest.mark.slow
     @settings(
         max_examples=12, deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
